@@ -1,0 +1,41 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Table access for the driver-generated parquet test data
+  * (see TESTDATA.md). One parquet file per table under `sfDir`.
+  *
+  * At cluster scale these reads are plain `spark.read.parquet` over a
+  * directory tree — filter pushdown and column pruning reach the scan
+  * untouched, so every operator downstream only pays for the columns
+  * and row groups it actually needs.
+  */
+object Tables {
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def lineitem(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "lineitem")
+  def orders(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "orders")
+  def customer(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "customer")
+  def supplier(spark: SparkSession, sfDir: String): DataFrame  = load(spark, sfDir, "supplier")
+  def part(spark: SparkSession, sfDir: String): DataFrame      = load(spark, sfDir, "part")
+  def nation(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "nation")
+  def region(spark: SparkSession, sfDir: String): DataFrame    = load(spark, sfDir, "region")
+  /** events.parquet stores `ts` as parquet TIMESTAMP(NANOS), which
+    * Spark only reads via the legacy nanos-as-long mode; convert the
+    * long back to a (microsecond) timestamp so downstream operators
+    * and the DuckDB oracle (which also truncates nanos to micros) see
+    * the same instants.
+    */
+  def events(spark: SparkSession, sfDir: String): DataFrame = {
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(spark, sfDir, "events")
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types.LongType
+    if (raw.schema("ts").dataType == LongType)
+      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+    else raw
+  }
+  def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")
+  def embeddings(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "embeddings")
+}

@@ -1,0 +1,96 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Relational / analytics operators over the TPC-H-ish tables.
+  *
+  * These exercise the host-engine parity side of the unified vector
+  * store (metadata analytics next to the vector collection). All are
+  * pure DataFrame plans: Catalyst pushes the filters into the parquet
+  * scan, prunes columns, and broadcasts the dimension sides of joins.
+  */
+object Relational {
+
+  /** TPC-H Q1-style pricing summary. Single scan, map-side partial
+    * aggregation on low-cardinality keys — shuffles only
+    * |flags|×|statuses| partial rows per input partition, so it scales
+    * linearly to any input size.
+    */
+  def q1Agg(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    li.filter(col("l_shipdate") < lit("1998-09-01").cast("timestamp"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        round(sum(col("l_quantity")), 2).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_base_price"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("sum_disc_price"),
+        round(avg(col("l_quantity")), 6).as("avg_qty"),
+        round(avg(col("l_discount")), 6).as("avg_disc"),
+        count(lit(1)).as("count_order")
+      )
+      .orderBy(col("l_returnflag"), col("l_linestatus"))
+  }
+
+  /** TPC-H Q3-style shipping priority: 3-way join, revenue top-10.
+    * customer and orders are small relative to lineitem at any SF —
+    * Spark's AQE will broadcast them; the explicit broadcast hint on
+    * customer makes the intent durable at 100 TB (customer is the
+    * smallest side after its segment filter).
+    */
+  def q3Join(spark: SparkSession, sfDir: String): DataFrame = {
+    val cutoff = lit("1995-03-15").cast("timestamp")
+    val cust = Tables.customer(spark, sfDir).filter(col("c_mktsegment") === "BUILDING")
+    val ord  = Tables.orders(spark, sfDir).filter(col("o_orderdate") < cutoff)
+    val li   = Tables.lineitem(spark, sfDir).filter(col("l_shipdate") > cutoff)
+    li.join(broadcast(ord), col("l_orderkey") === col("o_orderkey"))
+      .join(broadcast(cust), col("o_custkey") === col("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("revenue").desc, col("l_orderkey"))
+      .limit(10)
+  }
+
+  /** Window functions: per-supplier quantity rank and running revenue.
+    * One shuffle on l_suppkey serves both window specs (same
+    * partitioning), then both functions evaluate in a single Window
+    * physical operator.
+    */
+  def qWindow(spark: SparkSession, sfDir: String): DataFrame = {
+    val li = Tables.lineitem(spark, sfDir)
+    val w  = Window.partitionBy(col("l_suppkey"))
+      .orderBy(col("l_shipdate"), col("l_orderkey"), col("l_linenumber"))
+    li.select(
+        col("l_suppkey"), col("l_orderkey"), col("l_linenumber"),
+        row_number().over(w).as("rn"),
+        round(sum(col("l_extendedprice")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("running_rev"))
+      .filter(col("rn") <= 5)
+  }
+
+  /** Tumbling-window event aggregation (batch twin of the streaming
+    * job in graft.streaming): hourly counts and value sums per event
+    * type. date_trunc keys aggregate map-side; cardinality is
+    * hours×types regardless of input size.
+    */
+  def qEventsWindow(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("hour", col("ts")).as("window_start"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
+  /** JSON extraction over the events.props string column + aggregate.
+    * get_json_object is codegen'd; at scale this is a single scan with
+    * the aggregation pushed map-side.
+    */
+  def qJsonExtract(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), get_json_object(col("props"), "$.k").cast("long").as("k"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
+      .orderBy(col("event_type"))
+}

@@ -1,0 +1,50 @@
+package graft
+
+import graft.operators.Relational
+
+class RelationalSpec extends SparkSpec {
+
+  test("q1_agg groups by flag/status with positive sums") {
+    val rows = Relational.q1Agg(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 9)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("sum_qty") > 0)
+      assert(r.getAs[Long]("count_order") > 0)
+    }
+  }
+
+  test("q3_join returns top-10 by revenue desc") {
+    val rows = Relational.q3Join(spark, sfDir).collect()
+    assert(rows.length <= 10)
+    val revs = rows.map(_.getAs[Double]("revenue"))
+    assert(revs.sameElements(revs.sortBy(-_)))
+  }
+
+  test("q_window caps rank at 5 per supplier") {
+    val rows = Relational.qWindow(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Int]("rn") <= 5))
+    val perSupp = rows.groupBy(_.getAs[Long]("l_suppkey"))
+    assert(perSupp.values.forall(_.length <= 5))
+  }
+
+  test("q_events_window counts sum to table size") {
+    val rows = Relational.qEventsWindow(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
+  test("q_json_extract parses props.k for every event type") {
+    val rows = Relational.qJsonExtract(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("max_k") >= 0))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every oracleSql key has a queries entry") {
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+}
