@@ -20,8 +20,34 @@ object SparkEntry {
     "q3_join"         -> (Relational.q3Join _),
     "q_window"        -> (Relational.qWindow _),
     "q_events_window" -> (Relational.qEventsWindow _),
-    "q_json_extract"  -> (Relational.qJsonExtract _)
+    "q_json_extract"  -> (Relational.qJsonExtract _),
+    "q_knn_cosine"    -> (VectorSearch.qKnnCosine _),
+    "q_knn_l2"        -> (VectorSearch.qKnnL2 _),
+    "q_knn_dot"       -> (VectorSearch.qKnnDot _),
+    "q_knn_filtered"  -> (VectorSearch.qKnnFiltered _),
+    "q_range_search"  -> (VectorSearch.qRangeSearch _),
+    "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
+    "q_vector_stats"  -> (VectorSearch.qVectorStats _)
   )
+
+  /** Shared oracle fragment: the deterministic query set (every 100th
+    * vector) with embeddings cast to DOUBLE[] so DuckDB's list_*
+    * functions accumulate in double like our codegen'd expressions.
+    */
+  private val oracleQuerySet =
+    "SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id % 100 = 0"
+
+  private def oracleKnn(scoreFn: String, order: String, filter: String = "TRUE",
+                        k: Int = VectorSearch.K): String =
+    s"""WITH q AS ($oracleQuerySet),
+       |s AS (SELECT q.q_id, e.vec_id,
+       |        round($scoreFn(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+       |      FROM q CROSS JOIN embeddings e WHERE $filter)
+       |SELECT q_id, vec_id, rn, score FROM (
+       |  SELECT q_id, vec_id, score,
+       |    row_number() OVER (PARTITION BY q_id ORDER BY score $order, vec_id) AS rn
+       |  FROM s)
+       |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
 
   /** DuckDB-runnable ANSI SQL twins; table name = parquet file stem.
     * Column names and rounding must match the Spark results exactly
@@ -72,6 +98,33 @@ object SparkEntry {
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type
-        |ORDER BY event_type""".stripMargin
+        |ORDER BY event_type""".stripMargin,
+    "q_knn_cosine"   -> oracleKnn("list_cosine_similarity", "DESC"),
+    "q_knn_l2"       -> oracleKnn("list_distance", "ASC"),
+    "q_knn_dot"      -> oracleKnn("list_inner_product", "DESC"),
+    "q_knn_filtered" -> oracleKnn("list_cosine_similarity", "DESC", filter = "e.label < 5"),
+    "q_range_search" ->
+      s"""WITH q AS ($oracleQuerySet)
+         |SELECT q.q_id, e.vec_id,
+         |  round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |FROM q CROSS JOIN embeddings e
+         |WHERE round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) >= 0.25
+         |ORDER BY q_id, vec_id""".stripMargin,
+    "q_grouped_topk" ->
+      s"""WITH q AS ($oracleQuerySet),
+         |s AS (SELECT q.q_id, e.label, e.vec_id,
+         |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |      FROM q CROSS JOIN embeddings e)
+         |SELECT q_id, label, vec_id, rn, score FROM (
+         |  SELECT q_id, label, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id, label ORDER BY score DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 3 ORDER BY q_id, label, rn""".stripMargin,
+    "q_vector_stats" ->
+      """SELECT label, count(*) AS n_vectors, max(len(embedding)) AS dim,
+        |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
+        |  round(min(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
+        |  round(max(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
   )
 }
