@@ -27,8 +27,36 @@ object SparkEntry {
     "q_knn_filtered"  -> (VectorSearch.qKnnFiltered _),
     "q_range_search"  -> (VectorSearch.qRangeSearch _),
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
-    "q_vector_stats"  -> (VectorSearch.qVectorStats _)
+    "q_vector_stats"  -> (VectorSearch.qVectorStats _),
+    "q_upsert"           -> (Collection.qUpsert _),
+    "q_delete_filter"    -> (Collection.qDeleteFilter _),
+    "q_get_by_ids"       -> (Collection.qGetByIds _),
+    "q_scroll"           -> (Collection.qScroll _),
+    "q_collection_stats" -> (Collection.qCollectionStats _),
+    "q_keyword_match" -> (FullText.qKeywordMatch _),
+    "q_tfidf"         -> (FullText.qTfidf _),
+    "q_bm25"          -> (FullText.qBm25 _),
+    "q_hybrid_rrf"    -> (FullText.qHybridRrf _)
   )
+
+  /** Shared oracle fragments for the full-text family (token CTEs). */
+  private val oracleTextCtes =
+    """toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+      |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+      |       WHERE token IN ('spark','join','vector') GROUP BY 1, 2),
+      |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+      |       WHERE token IN ('spark','join','vector') GROUP BY 1),
+      |st AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents)""".stripMargin
+
+  private val oracleBm25 =
+    s"""WITH $oracleTextCtes,
+       |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents)
+       |SELECT tf.doc_id, round(sum(
+       |  ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+       |  (CAST(tf.tf AS DOUBLE) * (1.2 + 1) /
+       |   (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)))), 6) AS bm25
+       |FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+       |GROUP BY tf.doc_id""".stripMargin
 
   /** Shared oracle fragment: the deterministic query set (every 100th
     * vector) with embeddings cast to DOUBLE[] so DuckDB's list_*
@@ -125,6 +153,66 @@ object SparkEntry {
         |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
         |  round(min(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS min_norm,
         |  round(max(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS max_norm
-        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin
+        |FROM embeddings GROUP BY label ORDER BY label""".stripMargin,
+    "q_upsert" ->
+      """WITH u AS (
+        |  SELECT vec_id, label, 1 AS version FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id, label + 100 AS label, 2 AS version FROM embeddings WHERE vec_id % 10 = 0
+        |  UNION ALL
+        |  SELECT vec_id + 1000000 AS vec_id, 999 AS label, 2 AS version FROM embeddings WHERE vec_id % 250 = 0)
+        |SELECT vec_id, label, version FROM (
+        |  SELECT vec_id, label, version,
+        |    row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) AS rn FROM u)
+        |WHERE rn = 1 ORDER BY vec_id""".stripMargin,
+    "q_delete_filter" ->
+      """SELECT label, count(*) AS n_remaining FROM embeddings
+        |WHERE vec_id NOT IN (SELECT vec_id FROM embeddings WHERE label = 3 OR vec_id % 17 = 0)
+        |GROUP BY label ORDER BY label""".stripMargin,
+    "q_get_by_ids" ->
+      """SELECT vec_id, label,
+        |  round(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS norm
+        |FROM embeddings WHERE vec_id IN (0,7,13,42,99,123,256,404,444,499)
+        |ORDER BY vec_id""".stripMargin,
+    "q_scroll" ->
+      "SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 50 OFFSET 100",
+    "q_collection_stats" ->
+      """SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
+        |  max(len(embedding)) AS dim,
+        |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
+        |FROM embeddings""".stripMargin,
+    "q_keyword_match" ->
+      """SELECT doc_id, lang,
+        |  (CAST(list_contains(string_split(text, ' '), 'spark') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'join') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'vector') AS BIGINT)) AS n_matched
+        |FROM documents
+        |WHERE (CAST(list_contains(string_split(text, ' '), 'spark') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'join') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'vector') AS BIGINT)) >= 2
+        |ORDER BY doc_id""".stripMargin,
+    "q_tfidf" ->
+      s"""WITH $oracleTextCtes
+         |SELECT doc_id, round(sum(tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS tfidf
+         |FROM tf JOIN df USING (token) CROSS JOIN st
+         |GROUP BY doc_id ORDER BY tfidf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25" ->
+      s"""SELECT doc_id, bm25 FROM ($oracleBm25)
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hybrid_rrf" ->
+      s"""WITH bm AS ($oracleBm25),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |        FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS vscore
+         |       FROM embeddings CROSS JOIN qv),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS vec_rank
+         |       FROM vs ORDER BY vscore DESC, doc_id LIMIT 50)
+         |SELECT doc_id,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN vr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
   )
 }

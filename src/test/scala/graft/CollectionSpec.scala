@@ -1,0 +1,55 @@
+package graft
+
+import graft.operators.Collection
+import org.apache.spark.sql.functions._
+
+class CollectionSpec extends SparkSpec {
+
+  test("q_upsert: updated keys carry version 2 / label+100, inserts appear, others untouched") {
+    val rows = Collection.qUpsert(spark, sfDir).collect()
+    val base = Tables.embeddings(spark, sfDir).select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val inserts = rows.filter(_.getAs[Long]("vec_id") >= 1000000L)
+    assert(inserts.nonEmpty && inserts.forall(r =>
+      r.getAs[Int]("label") == 999 && r.getAs[Int]("version") == 2))
+    rows.filter(_.getAs[Long]("vec_id") < 1000000L).foreach { r =>
+      val (id, lab, v) = (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Int]("version"))
+      if (id % 10 == 0) { assert(v == 2); assert(lab == base(id) + 100) }
+      else { assert(v == 1); assert(lab == base(id)) }
+    }
+    assert(rows.map(_.getAs[Long]("vec_id")).distinct.length == rows.length) // one winner per key
+  }
+
+  test("q_delete_filter removes label 3 entirely and every 17th id") {
+    val rows = Collection.qDeleteFilter(spark, sfDir).collect()
+    assert(!rows.exists(_.getAs[Int]("label") == 3))
+    val total = rows.map(_.getAs[Long]("n_remaining")).sum
+    val expected = Tables.embeddings(spark, sfDir)
+      .filter(!(col("label") === 3 || col("vec_id") % 17 === 0)).count()
+    assert(total == expected)
+  }
+
+  test("q_get_by_ids returns exactly the requested existing ids") {
+    val got = Collection.qGetByIds(spark, sfDir).collect().map(_.getAs[Long]("vec_id"))
+    val existing = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id").isin(Collection.GetIds: _*)).count()
+    assert(got.length == existing)
+    assert(got.sorted.sameElements(got))
+    assert(got.toSet.subsetOf(Collection.GetIds.toSet))
+  }
+
+  test("q_scroll returns the 101st..150th ids in order") {
+    val got = Collection.qScroll(spark, sfDir).collect().map(_.getAs[Long]("vec_id"))
+    val all = Tables.embeddings(spark, sfDir).select("vec_id")
+      .collect().map(_.getLong(0)).sorted
+    assert(got.sameElements(all.slice(100, 150)))
+  }
+
+  test("q_collection_stats summarizes the collection in one row") {
+    val r = Collection.qCollectionStats(spark, sfDir).head()
+    assert(r.getAs[Long]("n_vectors") == 500)
+    assert(r.getAs[Long]("n_labels") == 10)
+    assert(r.getAs[Long]("dim") == 64)
+    assert(r.getAs[Double]("avg_norm") > 0)
+  }
+}

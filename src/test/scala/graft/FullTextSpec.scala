@@ -1,0 +1,62 @@
+package graft
+
+import graft.operators.FullText
+import org.apache.spark.sql.functions._
+
+class FullTextSpec extends SparkSpec {
+
+  test("q_keyword_match rows all contain at least 2 query terms") {
+    val rows = FullText.qKeywordMatch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_matched") >= 2))
+    // re-verify one row against the raw text
+    val id = rows.head.getAs[Long]("doc_id")
+    val text = Tables.documents(spark, sfDir).filter(col("doc_id") === id)
+      .head().getAs[String]("text")
+    val toks = text.split(" ").toSet
+    assert(FullText.Terms.count(toks.contains) == rows.head.getAs[Long]("n_matched"))
+  }
+
+  test("q_tfidf: top-k descending, scores positive") {
+    val rows = FullText.qTfidf(spark, sfDir).collect()
+    assert(rows.length == FullText.K)
+    val s = rows.map(_.getAs[Double]("tfidf"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    assert(s.forall(_ > 0))
+  }
+
+  test("q_bm25 matches a driver-side recomputation on sf0.001") {
+    val rows = FullText.qBm25(spark, sfDir).collect()
+    assert(rows.length == FullText.K)
+    // recompute BM25 for the top doc from raw text
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    val n = docs.size.toDouble
+    val dls = docs.map { case (id, t) => id -> t.split(" ").length.toDouble }
+    val avgdl = dls.values.sum / n
+    def bm25(id: Long): Double = {
+      val toks = docs(id).split(" ")
+      FullText.Terms.map { term =>
+        val tf = toks.count(_ == term).toDouble
+        if (tf == 0) 0.0 else {
+          val df = docs.values.count(_.split(" ").contains(term)).toDouble
+          val idf = math.log(1.0 + (n - df + 0.5) / (df + 0.5))
+          idf * (tf * (1.2 + 1) / (tf + 1.2 * (1 - 0.75 + 0.75 * dls(id) / avgdl)))
+        }
+      }.sum
+    }
+    val top = rows.head
+    assert(math.abs(top.getAs[Double]("bm25") - bm25(top.getAs[Long]("doc_id"))) < 1e-5)
+  }
+
+  test("q_hybrid_rrf fuses both rankings with k=60 weights") {
+    val rows = FullText.qHybridRrf(spark, sfDir).collect()
+    assert(rows.length == FullText.K)
+    val s = rows.map(_.getAs[Double]("rrf"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    // max possible rrf = rank 1 in both lists
+    assert(s.head <= 2.0 / 61 + 1e-9)
+    // every fused score is at most the best single-list contribution + best other
+    assert(s.forall(x => x > 0 && x <= 2.0 / 61 + 1e-9))
+  }
+}
