@@ -36,7 +36,16 @@ object SparkEntry {
     "q_keyword_match" -> (FullText.qKeywordMatch _),
     "q_tfidf"         -> (FullText.qTfidf _),
     "q_bm25"          -> (FullText.qBm25 _),
-    "q_hybrid_rrf"    -> (FullText.qHybridRrf _)
+    "q_hybrid_rrf"    -> (FullText.qHybridRrf _),
+    "q_dedup_exact"     -> (Dedup.qDedupExact _),
+    "q_dedup_ngram"     -> (Dedup.qDedupNgram _),
+    "q_dedup_embedding" -> (Dedup.qDedupEmbedding _),
+    "q_dedup_minhash"   -> (Dedup.qDedupMinhash _),
+    "q_dedup_simhash"   -> (Dedup.qDedupSimhash _),
+    "q_token_count"   -> (TextAnalysis.qTokenCount _),
+    "q_lang_id"       -> (TextAnalysis.qLangId _),
+    "q_quality_score" -> (TextAnalysis.qQualityScore _),
+    "q_fingerprint"   -> (TextAnalysis.qFingerprint _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -213,6 +222,83 @@ object SparkEntry {
          |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
          |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf
          |FROM lex FULL OUTER JOIN vr USING (doc_id)
-         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    // q_dedup_minhash / q_dedup_simhash: hash-dependent → rows-only,
+    // covered by the recall assertions in DedupSpec instead.
+    "q_dedup_exact" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper_id,
+        |        count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n_copies
+        |      FROM all_docs)
+        |SELECT doc_id, keeper_id, doc_id <> keeper_id AS is_dup
+        |FROM g WHERE n_copies > 1 ORDER BY doc_id""".stripMargin,
+    "q_dedup_ngram" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gs FROM t),
+        |ng AS (SELECT doc_id, unnest(gs) AS g FROM tri),
+        |sz AS (SELECT doc_id, count(*) AS n_g FROM ng GROUP BY 1),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM ng a JOIN ng b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, common,
+        |  round(CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common), 6) AS jaccard
+        |FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin,
+    "q_dedup_embedding" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 100000 AS vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        |FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    "q_token_count" ->
+      """SELECT lang, count(*) AS n_docs,
+        |  sum(len(string_split(text, ' '))) AS sum_tokens,
+        |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
+        |  max(len(string_split(text, ' '))) AS max_tokens
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_lang_id" ->
+      """WITH langs(plang, words) AS (VALUES
+        |  ('en', ['the','a','fast','slow','small','big']),
+        |  ('db', ['table','join','query','filter','sort','scan']),
+        |  ('ml', ['vector','data','batch','stream','spark','hash'])),
+        |h AS (SELECT d.doc_id, l.plang,
+        |        len(list_filter(string_split(d.text, ' '),
+        |            t -> list_contains(l.words, t))) AS hits
+        |      FROM documents d CROSS JOIN langs l)
+        |SELECT doc_id, plang AS pred_lang, hits FROM (
+        |  SELECT doc_id, plang, hits,
+        |    row_number() OVER (PARTITION BY doc_id ORDER BY hits DESC, plang) AS rn FROM h)
+        |WHERE rn = 1 ORDER BY doc_id""".stripMargin,
+    "q_quality_score" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT doc_id, len(toks) AS n_tok,
+        |        len(list_filter(toks, x -> x = 'the' OR x = 'a')) AS n_stop,
+        |        len(list_distinct(toks)) AS n_distinct FROM t)
+        |SELECT doc_id, n_tok,
+        |  round(0.4 * (CAST(least(n_tok, 100) AS DOUBLE) / 100)
+        |      + 0.3 * (1 - CAST(n_stop AS DOUBLE) / n_tok)
+        |      + 0.3 * (CAST(n_distinct AS DOUBLE) / n_tok), 6) AS quality
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_fingerprint" ->
+      """SELECT doc_id,
+        |  list_reduce(
+        |    list_prepend(CAST(0 AS BIGINT),
+        |      list_transform(string_split(text, ' '),
+        |        t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
+        |    (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 }

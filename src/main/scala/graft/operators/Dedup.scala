@@ -1,0 +1,187 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+import graft.functions.vec
+
+/** Deduplication family — the LLM-training-pipeline extension
+  * (SURVEY.md §2 rows 19–23). The reference's backends dedup at
+  * ingest by id/content hash; at 100 TB corpus scale the interesting
+  * operators are content near-dup detection.
+  *
+  * Scale shapes:
+  *  - exact: hash → groupBy. One shuffle on the 16-byte digest,
+  *    map-side combinable. Linear.
+  *  - n-gram Jaccard: inverted-index self-join on shingles — shuffle
+  *    is O(total shingles), never O(n²) docs; the pair aggregation
+  *    only materializes pairs that share ≥1 shingle.
+  *  - embedding cosine: blocked by `label` (the coarse cluster id) so
+  *    the pair join is per-block; the unblocked O(n²) scan never runs.
+  *  - MinHash+LSH: the true 100 TB path — fixed-width signatures,
+  *    band buckets, pairs only within buckets. Linear shuffle.
+  *  - SimHash: 64-bit fingerprint, 16-bit band buckets, Hamming
+  *    verify. Linear shuffle.
+  */
+object Dedup {
+
+  /** Documents plus deterministic duplicates: an exact copy of every
+    * 7th doc (id+10000) and a near-dup (first 3 tokens dropped) of
+    * every 11th (id+20000). Gives the dedup operators known positives
+    * while staying reproducible in plain SQL for the oracle.
+    */
+  def augmentedDocs(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val exact = d.filter(col("doc_id") % 7 === 0)
+      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+    val near = d.filter(col("doc_id") % 11 === 0)
+      .select((col("doc_id") + 20000L).as("doc_id"),
+        concat_ws(" ", slice(split(col("text"), " "), 4, 1000000)).as("text"))
+    d.unionByName(exact).unionByName(near)
+  }
+
+  /** Row 19: exact dedup over normalized text (lower+trim → md5).
+    * Emits every member of a duplicate group with its keeper (min id).
+    */
+  def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = augmentedDocs(spark, sfDir)
+      .withColumn("h", md5(lower(trim(col("text")))))
+    val w = Window.partitionBy(col("h"))
+    all
+      .withColumn("keeper_id", min(col("doc_id")).over(w))
+      .withColumn("n_copies", count(lit(1)).over(w))
+      .filter(col("n_copies") > 1)
+      .select(col("doc_id"), col("keeper_id"),
+        (col("doc_id") =!= col("keeper_id")).as("is_dup"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Distinct word trigrams per doc (docs with ≥3 tokens). */
+  private def trigrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
+        .as("gs"))
+
+  /** Row 20: n-gram Jaccard near-dup — top-50 doc pairs by trigram
+    * Jaccard. Pairs come from the inverted-index join on shingles.
+    */
+  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val ng = trigrams(docs).select(col("doc_id"), explode(col("gs")).as("g"))
+    val sz = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+    val pairs = ng.select(col("doc_id").as("doc_a"), col("g"))
+      .join(ng.select(col("doc_id").as("doc_b"), col("g")), "g")
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    pairs
+      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n_g").as("n_a"))), "doc_a")
+      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b"))), "doc_b")
+      .select(col("doc_a"), col("doc_b"), col("common"),
+        round(col("common") / (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+      .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
+      .limit(50)
+  }
+
+  /** Row 21: embedding-cosine near-dup pairs (sim ≥ 0.35 — the
+    * synthetic collection's intra-label "near" band), blocked on
+    * `label`: the join key is the block, so work is Σ_block n_b², not
+    * n². The collection is augmented with an exact copy of every 25th
+    * vector (known sim-1.0 positives), mirroring the doc-side dedup
+    * construction. The unblocked scale path is qDedupMinhash.
+    */
+  def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val aug = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
+    val a = aug.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = aug.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("score"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  /** MinHash parameters: 64 permutations in 16 bands of 4 rows.
+    * Universal-hash coefficients from a fixed seed so signatures are
+    * stable across runs and cluster topologies.
+    */
+  private val MinhashPrime = 2147483647L // 2^31 - 1
+  private val Perms: Seq[(Long, Long)] = {
+    val rnd = new scala.util.Random(42)
+    Seq.fill(64)((rnd.nextInt(Int.MaxValue - 1).toLong + 1, rnd.nextInt(Int.MaxValue).toLong))
+  }
+  private val Bands = 16
+  private val RowsPerBand = 4
+
+  /** Row 22 (rows-only): MinHash + LSH near-dup. Signature = 64
+    * min-hashes over murmur3 shingle hashes; candidates = pairs
+    * sharing any 4-row band; verification = exact trigram Jaccard
+    * ≥ 0.3 on the candidates only. The only corpus-sized shuffles are
+    * the band-bucket groupBys — linear in corpus size, never O(n²).
+    */
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = augmentedDocs(spark, sfDir)
+    val tri = trigrams(docs)
+    // hs: murmur3 of each shingle, non-negative mod p
+    val withSig = tri
+      .withColumn("hs", expr(s"transform(gs, g -> pmod(hash(g), ${MinhashPrime}L))"))
+      .withColumn("sig", array(Perms.map { case (a, b) =>
+        aggregate(col("hs"), lit(MinhashPrime),
+          (acc, x) => least(acc, pmod(lit(a) * x + lit(b), lit(MinhashPrime))))
+      }: _*))
+    val bands = withSig.select(col("doc_id"), col("gs"),
+      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+        s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+        .as(Seq("band_id", "band_key")))
+    val candidates = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("gs").as("gs_a"))
+      .join(bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("gs").as("gs_b")),
+        Seq("band_id", "band_key"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("gs_a"), col("gs_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    candidates
+      .withColumn("common", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("gs_a")) + size(col("gs_b")) - col("common")), 6))
+      .filter(col("jaccard") >= 0.3)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Row 23 (rows-only): SimHash near-dup. 64-bit fingerprint from
+    * xxhash64 token hashes (majority vote per bit), 4 × 16-bit band
+    * buckets, Hamming ≤ 3 verify via bit_count(xor). Candidate
+    * generation is linear (band groupBy), like MinHash.
+    */
+  def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = augmentedDocs(spark, sfDir)
+    val sig = docs
+      .select(col("doc_id"), expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
+      .withColumn("simhash", expr(
+        """aggregate(sequence(0, 63), 0L, (acc, j) ->
+          |  acc + if(aggregate(hs, 0L, (s, h) -> s + (bigint(shiftright(h, j)) & 1L) * 2L - 1L) > 0L,
+          |           shiftleft(1L, j), 0L))""".stripMargin))
+    val chunks = sig.select(col("doc_id"), col("simhash"),
+      posexplode(expr(
+        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
+        .as(Seq("chunk_id", "chunk")))
+    val cand = chunks.select(col("chunk_id"), col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(chunks.select(col("chunk_id"), col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+        Seq("chunk_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    cand
+      .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
+      .filter(col("hamming") <= 3)
+      .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+}

@@ -1,0 +1,75 @@
+package graft
+
+import graft.operators.Dedup
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+
+  test("q_dedup_exact finds exactly the constructed exact copies") {
+    val rows = Dedup.qDedupExact(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dups = rows.filter(_.getAs[Boolean]("is_dup"))
+    val keepers = rows.filterNot(_.getAs[Boolean]("is_dup"))
+    // every constructed copy (id+10000 of id%7==0) is flagged with its original as keeper
+    dups.foreach { r =>
+      val id = r.getAs[Long]("doc_id")
+      assert(id >= 10000L && (id - 10000) % 7 == 0)
+      assert(r.getAs[Long]("keeper_id") == id - 10000)
+    }
+    assert(keepers.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("keeper_id")))
+    assert(dups.length == keepers.length) // copies pair 1:1 with originals
+  }
+
+  test("q_dedup_ngram top pairs are valid Jaccard scores in [0,1] descending") {
+    val rows = Dedup.qDedupNgram(spark, sfDir).collect()
+    assert(rows.length == 50)
+    val j = rows.map(_.getAs[Double]("jaccard"))
+    assert(j.forall(x => x >= 0 && x <= 1))
+    assert(j.zip(j.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getAs[Long]("doc_a") < r.getAs[Long]("doc_b")))
+  }
+
+  test("q_dedup_embedding finds the exact copies at sim 1.0 plus organic pairs") {
+    val rows = Dedup.qDedupEmbedding(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Double]("score") >= 0.35))
+    assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
+    // every constructed copy pair (v, v+100000) is present with score 1.0
+    val copies = rows.filter(_.getAs[Long]("vec_b") >= 100000L)
+    val expected = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 25 === 0).count()
+    assert(copies.count(r =>
+      r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 100000L &&
+      r.getAs[Double]("score") == 1.0) == expected)
+  }
+
+  test("q_dedup_minhash recalls every constructed exact and near duplicate") {
+    val pairs = Dedup.qDedupMinhash(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    // exact copies (jaccard 1.0) must all be candidate-recalled and verified
+    val exactPairs = docIds.filter(_ % 7 == 0).map(id => (id, id + 10000L))
+    assert(exactPairs.forall(pairs.contains))
+    // near-dups (3 tokens dropped from ≥10-token docs → jaccard still high)
+    val nearPairs = docIds.filter(_ % 11 == 0).map(id => (id, id + 20000L))
+    val nearRecall = nearPairs.count(pairs.contains).toDouble / nearPairs.length
+    assert(nearRecall >= 0.8, s"near-dup recall $nearRecall")
+    // everything reported really is >= the verify threshold
+    assert(Dedup.qDedupMinhash(spark, sfDir).collect()
+      .forall(_.getAs[Double]("jaccard") >= 0.3))
+  }
+
+  test("q_dedup_simhash finds the exact copies at hamming 0") {
+    val rows = Dedup.qDedupSimhash(spark, sfDir).collect()
+    val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    val exactPairs = docIds.filter(_ % 7 == 0).map(id => (id, id + 10000L))
+    assert(exactPairs.forall(pairs.contains))
+    val zero = rows.filter(r => exactPairs.contains(
+      (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))
+    assert(zero.forall(_.getAs[Long]("hamming") == 0))
+    assert(rows.forall(_.getAs[Long]("hamming") <= 3))
+  }
+}
