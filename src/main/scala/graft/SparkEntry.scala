@@ -45,7 +45,8 @@ object SparkEntry {
     "q_token_count"   -> (TextAnalysis.qTokenCount _),
     "q_lang_id"       -> (TextAnalysis.qLangId _),
     "q_quality_score" -> (TextAnalysis.qQualityScore _),
-    "q_fingerprint"   -> (TextAnalysis.qFingerprint _)
+    "q_fingerprint"   -> (TextAnalysis.qFingerprint _),
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -299,6 +300,12 @@ object SparkEntry {
         |      list_transform(string_split(text, ' '),
         |        t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
         |    (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_multimodal_meta" ->
+      """SELECT source, count(*) AS n_items,
+        |  sum(octet_length(encode(text))) AS total_bytes,
+        |  round(avg(octet_length(encode(text))), 6) AS avg_bytes,
+        |  count(DISTINCT md5(text)) AS n_unique
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin
   )
 }
