@@ -46,7 +46,10 @@ object SparkEntry {
     "q_lang_id"       -> (TextAnalysis.qLangId _),
     "q_quality_score" -> (TextAnalysis.qQualityScore _),
     "q_fingerprint"   -> (TextAnalysis.qFingerprint _),
-    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _)
+    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    // rows-only (centroid/hash dependent): recall specs in AnnSpec
+    "q_ivf_knn" -> (Ann.qIvfKnn _),
+    "q_lsh_knn" -> (Ann.qLshKnn _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */

@@ -1,0 +1,49 @@
+package graft
+
+import graft.operators.{Ann, VectorSearch}
+
+class AnnSpec extends SparkSpec {
+
+  private def topk(rows: Array[org.apache.spark.sql.Row]): Map[Long, Set[Long]] =
+    rows.groupBy(_.getAs[Long]("q_id"))
+      .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+
+  private def recallVsExact(approx: Map[Long, Set[Long]], exact: Map[Long, Set[Long]]): Double = {
+    val per = exact.map { case (q, ex) =>
+      approx.get(q).map(ap => ap.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }
+    per.sum / per.size
+  }
+
+  lazy val exact: Map[Long, Set[Long]] =
+    topk(VectorSearch.qKnnCosine(spark, sfDir).collect())
+
+  test("q_ivf_knn: k results per query, recall beats random scan share") {
+    val rows = Ann.qIvfKnn(spark, sfDir).collect()
+    val approx = topk(rows)
+    assert(approx.keySet == exact.keySet)
+    val recall = recallVsExact(approx, exact)
+    info(f"IVF recall@10 = $recall%.3f (nprobe ${Ann.NProbe}/${Ann.NList})")
+    // probing 4/16 clusters scans ~25% of the corpus; a useful index
+    // must recall far more than that share
+    assert(recall >= 0.5, f"IVF recall $recall%.3f below 0.5")
+  }
+
+  test("q_lsh_knn: candidates rerank to high recall") {
+    val rows = Ann.qLshKnn(spark, sfDir).collect()
+    val approx = topk(rows)
+    assert(approx.keySet == exact.keySet)
+    val recall = recallVsExact(approx, exact)
+    info(f"LSH recall@10 = $recall%.3f (8 bands x 4 bits)")
+    assert(recall >= 0.5, f"LSH recall $recall%.3f below 0.5")
+  }
+
+  test("ivf self-match always recalled (query vector is in its own probed cluster)") {
+    val rows = Ann.qIvfKnn(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      assert(rs.exists(_.getAs[Long]("vec_id") == q))
+      assert(rs.count(_ => true) <= Ann.K)
+    }
+  }
+}
