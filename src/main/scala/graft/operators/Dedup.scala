@@ -4,7 +4,7 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
-import graft.functions.vec
+import graft.functions.{hashes, vec}
 
 /** Deduplication family — the LLM-training-pipeline extension
   * (SURVEY.md §2 rows 19–23). The reference's backends dedup at
@@ -129,13 +129,12 @@ object Dedup {
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = augmentedDocs(spark, sfDir)
     val tri = trigrams(docs)
-    // hs: murmur3 of each shingle, non-negative mod p
+    // murmur3 per shingle, folded into the 64-permutation signature by
+    // the native codegen'd expression (graft.functions.MinHashSignature)
     val withSig = tri
-      .withColumn("hs", expr(s"transform(gs, g -> pmod(hash(g), ${MinhashPrime}L))"))
-      .withColumn("sig", array(Perms.map { case (a, b) =>
-        aggregate(col("hs"), lit(MinhashPrime),
-          (acc, x) => least(acc, pmod(lit(a) * x + lit(b), lit(MinhashPrime))))
-      }: _*))
+      .withColumn("sig", hashes.minhashSignature(
+        expr("transform(gs, g -> bigint(hash(g)))"),
+        Perms.map(_._1), Perms.map(_._2), MinhashPrime))
     val bands = withSig.select(col("doc_id"), col("gs"),
       posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
         s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
@@ -163,11 +162,9 @@ object Dedup {
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = augmentedDocs(spark, sfDir)
     val sig = docs
-      .select(col("doc_id"), expr("transform(split(text, ' '), t -> xxhash64(t))").as("hs"))
-      .withColumn("simhash", expr(
-        """aggregate(sequence(0, 63), 0L, (acc, j) ->
-          |  acc + if(aggregate(hs, 0L, (s, h) -> s + (bigint(shiftright(h, j)) & 1L) * 2L - 1L) > 0L,
-          |           shiftleft(1L, j), 0L))""".stripMargin))
+      .select(col("doc_id"),
+        hashes.simhash64(expr("transform(split(text, ' '), t -> xxhash64(t))"))
+          .as("simhash"))
     val chunks = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))

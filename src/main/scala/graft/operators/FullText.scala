@@ -41,11 +41,13 @@ object FullText {
       count(lit(1)).as("n_docs"),
       avg(size(split(col("text"), " ")).cast("long")).as("avgdl"))
 
-  /** Per-term document frequency for broadcast. */
-  private def docFreq(docs: DataFrame): DataFrame =
-    tokens(docs).filter(col("token").isin(Terms: _*))
-      .groupBy(col("token"))
-      .agg(countDistinct(col("doc_id")).as("df"))
+  /** Per-term document frequency, derived from the tf aggregate: tf
+    * has one row per (doc, term), so counting rows per term = df.
+    * Sharing the tf subtree lets Spark reuse its shuffle exchange
+    * instead of scanning and exploding the corpus a second time.
+    */
+  private def docFreq(tf: DataFrame): DataFrame =
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
 
   /** Row 15: boolean keyword match — docs matching ≥2 of the query
     * terms, with the per-doc match count. Pure scan + codegen'd
@@ -64,8 +66,9 @@ object FullText {
   /** Row 16: TF-IDF top-k. idf = ln(N/df); score = Σ_t tf·idf_t. */
   def qTfidf(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val scored = termFreq(docs)
-      .join(broadcast(docFreq(docs)), "token")
+    val tf = termFreq(docs)
+    val scored = tf
+      .join(broadcast(docFreq(tf)), "token")
       .crossJoin(broadcast(corpusStats(docs)))
       .groupBy(col("doc_id"))
       .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 6).as("tfidf"))
@@ -82,8 +85,9 @@ object FullText {
     val dl = docs.select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("dl"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = col("tf") * (k1 + 1) / (col("tf") + k1 * (lit(1) - b + b * col("dl") / col("avgdl")))
-    termFreq(docs)
-      .join(broadcast(docFreq(docs)), "token")
+    val tf = termFreq(docs)
+    tf
+      .join(broadcast(docFreq(tf)), "token")
       .join(dl, "doc_id")
       .crossJoin(broadcast(corpusStats(docs)))
       .groupBy(col("doc_id"))
