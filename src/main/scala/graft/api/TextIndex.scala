@@ -1,0 +1,88 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Full-text relevance over any document DataFrame (id column + text
+  * column) — the Elasticsearch side of the reference's unified
+  * surface, generalized: keyword match, TF-IDF, BM25, and hybrid RRF
+  * fusion against any vector ranking.
+  *
+  * Tokenization is single-space split (the corpus contract); terms
+  * are compared exactly. Corpus-level statistics (N, avgdl, df) are
+  * tiny aggregates broadcast into the scoring join, so the only
+  * corpus-sized shuffle is the (doc, term) tf aggregation.
+  */
+final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
+                           textCol: String = "text") {
+
+  private def toks: Column = split(col(textCol), " ")
+
+  /** One row per (doc, query-term) with its term frequency. */
+  def termFreq(terms: Seq[String]): DataFrame =
+    docs.select(col(idCol), explode(toks).as("token"))
+      .filter(col("token").isin(terms: _*))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"))
+
+  /** df per term, derived from tf so the shuffle exchange is reused. */
+  private def docFreq(tf: DataFrame): DataFrame =
+    tf.groupBy(col("token")).agg(count(lit(1)).as("df"))
+
+  private def corpusStats: DataFrame =
+    docs.agg(count(lit(1)).as("n_docs"),
+      avg(size(toks).cast("long")).as("avgdl"))
+
+  /** Docs matching ≥ `minMatch` of the query terms, with the count. */
+  def keywordMatch(terms: Seq[String], minMatch: Int): DataFrame = {
+    val nMatched = terms.map(t => array_contains(toks, t).cast("long")).reduce(_ + _)
+    docs.withColumn("n_matched", nMatched).filter(col("n_matched") >= minMatch)
+  }
+
+  /** TF-IDF scores (idf = ln(N/df)) per doc for a term set. */
+  def tfidf(terms: Seq[String]): DataFrame = {
+    val tf = termFreq(terms)
+    tf.join(broadcast(docFreq(tf)), "token")
+      .crossJoin(broadcast(corpusStats))
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 6).as("tfidf"))
+  }
+
+  /** BM25 scores per doc (Lucene-style idf). */
+  def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val k1l = lit(k1); val bl = lit(b)
+    val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
+    val tf = termFreq(terms)
+    tf.join(broadcast(docFreq(tf)), "token")
+      .join(dl, idCol)
+      .crossJoin(broadcast(corpusStats))
+      .groupBy(col(idCol))
+      .agg(round(sum(idf * w), 6).as("bm25"))
+  }
+
+  /** Reciprocal-rank fusion of this index's BM25 ranking with any
+    * other scored ranking (`otherScores`: idCol + scoreCol), e.g. a
+    * vector search result. Both candidate lists are `pool`-sized, so
+    * the fusion join is trivially small at any corpus scale.
+    */
+  def hybridRrf(terms: Seq[String], otherScores: DataFrame, scoreCol: String,
+                pool: Int = 50, rrfK: Int = 60): DataFrame = {
+    val lex = bm25(terms)
+      .orderBy(col("bm25").desc, col(idCol)).limit(pool)
+      .select(col(idCol), row_number().over(
+        Window.orderBy(col("bm25").desc, col(idCol))).as("lex_rank"))
+    val other = otherScores
+      .orderBy(col(scoreCol).desc, col(idCol)).limit(pool)
+      .select(col(idCol), row_number().over(
+        Window.orderBy(col(scoreCol).desc, col(idCol))).as("vec_rank"))
+    lex.join(other, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(
+          when(col("lex_rank").isNotNull, lit(1.0) / (lit(rrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank").isNotNull, lit(1.0) / (lit(rrfK) + col("vec_rank"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+  }
+}

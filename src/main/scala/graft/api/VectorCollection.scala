@@ -1,0 +1,125 @@
+package graft.api
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.functions.vec
+
+/** Similarity metric of the unified vector surface (the reference's
+  * cosine / L2 / inner-product switch shared by all five backends).
+  */
+sealed trait Metric {
+  /** Score of corpus vector `v` for query vector `q` (double). */
+  def score(q: Column, v: Column): Column
+  /** True when smaller scores are nearer (distances). */
+  def ascending: Boolean
+}
+object Metric {
+  case object Cosine extends Metric {
+    def score(q: Column, v: Column): Column = vec.cosine(q, v)
+    def ascending = false
+  }
+  case object L2 extends Metric {
+    def score(q: Column, v: Column): Column = vec.l2(q, v)
+    def ascending = true
+  }
+  case object Dot extends Metric {
+    def score(q: Column, v: Column): Column = vec.dot(q, v)
+    def ascending = false
+  }
+}
+
+/** A vector collection: any DataFrame with an id column, an
+  * `array<float>` embedding column, and arbitrary payload columns —
+  * the programmatic surface a user of the reference's unified client
+  * would call (search / range / grouped search, upsert, delete, get,
+  * scroll, stats), each returning a plain DataFrame plan.
+  *
+  * Every method builds a declarative plan — Catalyst handles
+  * pushdown/pruning; query sets and update batches are broadcast;
+  * top-k uses rank windows that Spark executes with partial
+  * WindowGroupLimit before any shuffle. Nothing here collects to the
+  * driver, so every operation scales with executor count.
+  *
+  * Expected query-set shape: columns `q_id`, `q_emb` (+ optionals).
+  * Scores are rounded to 6 decimals and ties broken by id for
+  * deterministic results.
+  */
+final case class VectorCollection(df: DataFrame, idCol: String = "id",
+                                  embCol: String = "embedding") {
+
+  private def id: Column = col(idCol)
+  private def emb: Column = col(embCol)
+
+  /** Top-k per query, optional metadata pre-filter. */
+  def search(queries: DataFrame, k: Int, metric: Metric = Metric.Cosine,
+             preFilter: Option[Column] = None): DataFrame = {
+    val corpus = preFilter.fold(df)(df.filter)
+    val scored = corpus.crossJoin(broadcast(queries))
+      .withColumn("score", round(metric.score(col("q_emb"), emb), 6))
+    val ord = if (metric.ascending) col("score").asc else col("score").desc
+    val w = Window.partitionBy(col("q_id")).orderBy(ord, id)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** All corpus vectors scoring past `threshold` per query. */
+  def rangeSearch(queries: DataFrame, threshold: Double,
+                  metric: Metric = Metric.Cosine): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries))
+      .withColumn("score", round(metric.score(col("q_emb"), emb), 6))
+    if (metric.ascending) scored.filter(col("score") <= threshold)
+    else scored.filter(col("score") >= threshold)
+  }
+
+  /** Top-k per (query, group) — Weaviate group-by / Milvus grouping
+    * search. `groupCol` must be a corpus column.
+    */
+  def groupedSearch(queries: DataFrame, k: Int, groupCol: String,
+                    metric: Metric = Metric.Cosine): DataFrame = {
+    val scored = df.crossJoin(broadcast(queries))
+      .withColumn("score", round(metric.score(col("q_emb"), emb), 6))
+    val ord = if (metric.ascending) col("score").asc else col("score").desc
+    val w = Window.partitionBy(col("q_id"), col(groupCol)).orderBy(ord, id)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Latest-wins merge of an update/insert batch (same schema as the
+    * collection). One shuffle on the id; with the collection bucketed
+    * by id at rest, none.
+    */
+  def upsert(batch: DataFrame): VectorCollection = {
+    val base = df.withColumn("__version", lit(1))
+    val upd = batch.withColumn("__version", lit(2))
+    val w = Window.partitionBy(id).orderBy(col("__version").desc)
+    val merged = base.unionByName(upd)
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .drop("__rn")
+    copy(df = merged)
+  }
+
+  /** Version column retained by upsert (1 = base, 2 = batch). */
+  def versionCol: String = "__version"
+
+  /** Delete-by-filter (the reference's delete(filter=…)). */
+  def delete(cond: Column): VectorCollection = copy(df = df.filter(!cond || cond.isNull))
+
+  /** Point lookup — compiles to an IN-set pushed into the scan. */
+  def getByIds(ids: Seq[Long]): DataFrame = df.filter(id.isin(ids: _*))
+
+  /** Deterministic scroll page: order by id, skip `offset`, take `limit`. */
+  def scroll(offset: Int, limit: Int): DataFrame =
+    df.orderBy(id).offset(offset).limit(limit)
+
+  /** Collection stats: count, dim, norm aggregate. */
+  def stats(): DataFrame =
+    df.select(size(emb).cast("long").as("dim"), vec.norm(emb).as("nrm"))
+      .agg(
+        count(lit(1)).as("n_vectors"),
+        max(col("dim")).as("dim"),
+        round(avg(col("nrm")), 6).as("avg_norm"),
+        round(min(col("nrm")), 6).as("min_norm"),
+        round(max(col("nrm")), 6).as("max_norm"))
+}

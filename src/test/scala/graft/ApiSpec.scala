@@ -1,0 +1,86 @@
+package graft
+
+import graft.api.{Metric, TextIndex, VectorCollection}
+import org.apache.spark.sql.functions._
+
+class ApiSpec extends SparkSpec {
+
+  private def mkColl() = {
+    import spark.implicits._
+    VectorCollection(Seq(
+      (1L, Array(1.0f, 0.0f), "x"),
+      (2L, Array(0.9f, 0.1f), "x"),
+      (3L, Array(0.0f, 1.0f), "y"),
+      (4L, Array(-1.0f, 0.0f), "y")).toDF("id", "embedding", "tag"))
+  }
+
+  private def mkQueries() = {
+    import spark.implicits._
+    Seq((100L, Array(1.0f, 0.0f))).toDF("q_id", "q_emb")
+  }
+
+  test("search ranks by metric with deterministic ties") {
+    val r = mkColl().search(mkQueries(), k = 2, Metric.Cosine).collect()
+    assert(r.length == 2)
+    val byRn = r.sortBy(_.getAs[Long]("rn")).map(_.getAs[Long]("id"))
+    assert(byRn.sameElements(Array(1L, 2L)))
+    val l2 = mkColl().search(mkQueries(), k = 1, Metric.L2).head()
+    assert(l2.getAs[Long]("id") == 1L && l2.getAs[Double]("score") == 0.0)
+  }
+
+  test("search preFilter restricts the corpus") {
+    val r = mkColl().search(mkQueries(), k = 10, Metric.Cosine,
+      preFilter = Some(col("tag") === "y")).collect()
+    assert(r.map(_.getAs[Long]("id")).toSet == Set(3L, 4L))
+  }
+
+  test("rangeSearch respects metric direction") {
+    val cos = mkColl().rangeSearch(mkQueries(), 0.5, Metric.Cosine).collect()
+    assert(cos.map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+    val l2 = mkColl().rangeSearch(mkQueries(), 0.2, Metric.L2).collect()
+    assert(l2.map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
+  }
+
+  test("upsert is latest-wins, delete filters, getByIds and scroll page") {
+    import spark.implicits._
+    val batch = Seq(
+      (2L, Array(0.5f, 0.5f), "z"),   // update
+      (9L, Array(0.1f, 0.1f), "z")    // insert
+    ).toDF("id", "embedding", "tag")
+    val up = mkColl().upsert(batch)
+    val tags = up.df.select("id", "tag").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    assert(tags == Map(1L -> "x", 2L -> "z", 3L -> "y", 4L -> "y", 9L -> "z"))
+
+    val del = up.delete(col("tag") === "z")
+    assert(del.df.select("id").collect().map(_.getLong(0)).toSet == Set(1L, 3L, 4L))
+
+    assert(mkColl().getByIds(Seq(2L, 3L)).count() == 2)
+    val page = mkColl().scroll(1, 2).select("id").collect().map(_.getLong(0))
+    assert(page.sameElements(Array(2L, 3L)))
+  }
+
+  test("stats summarizes any collection") {
+    val s = mkColl().stats().head()
+    assert(s.getAs[Long]("n_vectors") == 4)
+    assert(s.getAs[Long]("dim") == 2)
+    assert(s.getAs[Double]("min_norm") <= s.getAs[Double]("max_norm"))
+  }
+
+  test("TextIndex scores an arbitrary corpus") {
+    import spark.implicits._
+    val idx = TextIndex(Seq(
+      (1L, "cat dog cat"),
+      (2L, "dog bird"),
+      (3L, "fish fish fish")).toDF("doc_id", "text"))
+    val km = idx.keywordMatch(Seq("cat", "dog"), 1).collect()
+    assert(km.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    val tf = idx.tfidf(Seq("cat")).collect()
+    assert(tf.length == 1 && tf.head.getAs[Long]("doc_id") == 1L)
+    val bm = idx.bm25(Seq("dog")).collect()
+    assert(bm.map(_.getAs[Long]("doc_id")).toSet == Set(1L, 2L))
+    // doc 2 is shorter -> higher bm25 for same tf
+    val byDoc = bm.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(byDoc(2L) > byDoc(1L))
+  }
+}
