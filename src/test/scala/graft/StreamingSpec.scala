@@ -1,10 +1,42 @@
 package graft
 
-import graft.streaming.EventsWindowed
+import graft.streaming.{EventsWindowed, UserRunningStats}
 import org.apache.spark.sql.streaming.Trigger
 import java.nio.file.Files
 
 class StreamingSpec extends SparkSpec {
+
+  test("mapGroupsWithState running stats converge to the batch aggregate") {
+    val events = Tables.events(spark, sfDir).select("user_id", "value")
+    val srcDir = Files.createTempDirectory("graft-state-src").toString
+    events.write.mode("overwrite").parquet(srcDir)
+
+    val q = UserRunningStats.stream(spark, srcDir, events.schema)
+      .writeStream
+      .format("memory")
+      .queryName("user_stats_test")
+      .outputMode(UserRunningStats.Mode)
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    // memory sink in update mode appends every emitted update; the
+    // final state per user is the last row emitted for that key
+    val streamed = spark.table("user_stats_test").collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n_events"), r.getAs[Double]("sum_value")))
+      .groupBy(_._1).map { case (u, rows) => u -> rows.maxBy(_._2) }
+    val batch = events.groupBy(org.apache.spark.sql.functions.col("user_id"))
+      .agg(org.apache.spark.sql.functions.count(org.apache.spark.sql.functions.lit(1)).as("n"),
+        org.apache.spark.sql.functions.sum("value").as("s"))
+      .collect()
+      .map(r => (r.getAs[Long]("user_id"), r.getAs[Long]("n"), r.getAs[Double]("s")))
+    assert(batch.nonEmpty)
+    batch.foreach { case (u, n, s) =>
+      val (_, sn, ss) = streamed(u)
+      assert(sn == n, s"user $u count $sn != $n")
+      assert(math.abs(ss - s) < 1e-6, s"user $u sum $ss != $s")
+    }
+  }
 
   test("streaming windowed aggregation equals the batch twin") {
     val batchEvents = Tables.events(spark, sfDir)
