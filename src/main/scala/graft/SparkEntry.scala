@@ -27,6 +27,7 @@ object SparkEntry {
     "q_knn_filtered"  -> (VectorSearch.qKnnFiltered _),
     "q_range_search"  -> (VectorSearch.qRangeSearch _),
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
+    "q_recommend"     -> (VectorSearch.qRecommend _),
     "q_vector_stats"  -> (VectorSearch.qVectorStats _),
     "q_upsert"           -> (Collection.qUpsert _),
     "q_delete_filter"    -> (Collection.qDeleteFilter _),
@@ -161,6 +162,20 @@ object SparkEntry {
          |    row_number() OVER (PARTITION BY q_id, label ORDER BY score DESC, vec_id) AS rn
          |  FROM s)
          |WHERE rn <= 3 ORDER BY q_id, label, rn""".stripMargin,
+    "q_recommend" ->
+      """WITH dims AS (SELECT unnest(range(64)) AS d),
+        |pos AS (SELECT d, avg(embedding[d + 1]::DOUBLE) AS pv
+        |        FROM embeddings, dims WHERE vec_id IN (0, 100, 200) GROUP BY d),
+        |neg AS (SELECT d, avg(embedding[d + 1]::DOUBLE) AS nv
+        |        FROM embeddings, dims WHERE vec_id IN (300, 400) GROUP BY d),
+        |qv AS (SELECT list(pv - nv ORDER BY d) AS q FROM pos JOIN neg USING (d)),
+        |s AS (SELECT e.vec_id,
+        |        round(list_cosine_similarity(qv.q, e.embedding::DOUBLE[]), 6) AS score
+        |      FROM embeddings e CROSS JOIN qv
+        |      WHERE e.vec_id NOT IN (0, 100, 200, 300, 400))
+        |SELECT vec_id, rn, score FROM (
+        |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
     "q_vector_stats" ->
       """SELECT label, count(*) AS n_vectors, max(len(embedding)) AS dim,
         |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,

@@ -85,6 +85,32 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
       .filter(col("rn") <= k)
   }
 
+  /** Recommendation search (the reference's Qdrant-style recommend
+    * API): rank the corpus against the difference of the element-wise
+    * means of positive and negative example vectors, excluding the
+    * examples themselves. The example sets are a handful of pushed-
+    * down point lookups; the mean vector is a 1-row aggregate
+    * broadcast into the scoring scan.
+    */
+  def recommend(positiveIds: Seq[Long], negativeIds: Seq[Long], k: Int,
+                metric: Metric = Metric.Cosine): DataFrame = {
+    def meanVec(ids: Seq[Long], out: String): DataFrame =
+      df.filter(id.isin(ids: _*))
+        .select(posexplode(emb).as(Seq("pos", "v")))
+        .select(col("pos"), col("v").cast("double").as("v"))
+        .groupBy(col("pos"))
+        .agg(avg(col("v")).as(out))
+    val dimScores =
+      if (negativeIds.isEmpty) meanVec(positiveIds, "pv").select(col("pos"), col("pv").as("dv"))
+      else meanVec(positiveIds, "pv").join(meanVec(negativeIds, "nv"), "pos")
+        .select(col("pos"), (col("pv") - col("nv")).as("dv"))
+    val qdf = dimScores
+      .agg(expr("transform(sort_array(collect_list(struct(pos, dv))), s -> s.dv)").as("q_emb"))
+      .withColumn("q_id", lit(0L))
+    val exclude = positiveIds ++ negativeIds
+    search(qdf, k, metric, preFilter = Some(!id.isin(exclude: _*)))
+  }
+
   /** Latest-wins merge of an update/insert batch (same schema as the
     * collection). One shuffle on the id; with the collection bucketed
     * by id at rest, none.

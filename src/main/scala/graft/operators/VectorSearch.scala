@@ -77,6 +77,19 @@ object VectorSearch {
       .select(col("q_id"), col("label"), col("vec_id"), col("rn"), col("score"))
       .orderBy(col("q_id"), col("label"), col("rn"))
 
+  /** Recommend example ids (Qdrant-style positive/negative search). */
+  val RecommendPos: Seq[Long] = Seq(0L, 100L, 200L)
+  val RecommendNeg: Seq[Long] = Seq(300L, 400L)
+
+  /** Qdrant recommend: rank by similarity to mean(positives) −
+    * mean(negatives), examples excluded. See
+    * [[graft.api.VectorCollection.recommend]].
+    */
+  def qRecommend(spark: SparkSession, sfDir: String): DataFrame =
+    collection(spark, sfDir).recommend(RecommendPos, RecommendNeg, K)
+      .select(col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("rn"))
+
   /** Row 9: per-label norm stats over the collection — the
     * normalize/stats path every backend runs at ingest. Map-side
     * partial agg; output cardinality = |labels|.

@@ -60,6 +60,15 @@ class ApiSpec extends SparkSpec {
     assert(page.sameElements(Array(2L, 3L)))
   }
 
+  test("recommend ranks toward positives, away from negatives, excluding examples") {
+    // pos = (1,0), neg = (-1,0) -> query ~ (1,0); candidates 2 and 3
+    val r = mkColl().recommend(Seq(1L), Seq(4L), k = 2).collect()
+      .sortBy(_.getAs[Long]("rn"))
+    assert(r.map(_.getAs[Long]("id")).sameElements(Array(2L, 3L)))
+    assert(!r.map(_.getAs[Long]("id")).contains(1L))
+    assert(r.head.getAs[Double]("score") > r.last.getAs[Double]("score"))
+  }
+
   test("stats summarizes any collection") {
     val s = mkColl().stats().head()
     assert(s.getAs[Long]("n_vectors") == 4)

@@ -67,6 +67,15 @@ class VectorSearchSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("rn") <= 3))
   }
 
+  test("q_recommend returns k non-example rows in descending score order") {
+    val rows = VectorSearch.qRecommend(spark, sfDir).collect()
+    assert(rows.length == VectorSearch.K)
+    val excluded = (VectorSearch.RecommendPos ++ VectorSearch.RecommendNeg).toSet
+    assert(rows.forall(r => !excluded.contains(r.getAs[Long]("vec_id"))))
+    val scores = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+    assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q_vector_stats: one row per label, dim 64, norms ordered") {
     val rows = VectorSearch.qVectorStats(spark, sfDir).collect()
     assert(rows.length == 10)
