@@ -1,0 +1,65 @@
+package graft
+
+import graft.operators._
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.ExplainMode
+
+/** Guards the physical-plan properties the 100 TB design depends on:
+  * filters pushed to the scan, small sides broadcast, top-k rank
+  * windows executed with partial WindowGroupLimit, point lookups
+  * exchange-free. A regression here means a plan silently degraded
+  * even if results stay correct.
+  */
+class PlanSpec extends SparkSpec {
+
+  private def plan(df: DataFrame): String =
+    df.queryExecution.explainString(ExplainMode.fromString("formatted"))
+
+  test("q3_join broadcasts both dimension sides") {
+    val p = plan(Relational.q3Join(spark, sfDir))
+    assert(p.split("BroadcastHashJoin").length - 1 >= 2, p)
+    assert(!p.contains("SortMergeJoin"))
+  }
+
+  test("q1_agg pushes the shipdate filter into the parquet scan") {
+    val p = plan(Relational.q1Agg(spark, sfDir))
+    assert(p.contains("PushedFilters") && p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("kNN plans broadcast the query set and pre-limit window groups") {
+    val p = plan(VectorSearch.qKnnCosine(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("WindowGroupLimit").length - 1 >= 2, "partial+final WindowGroupLimit expected\n" + p)
+  }
+
+  test("filtered kNN pushes the label predicate to the corpus scan") {
+    val p = plan(VectorSearch.qKnnFiltered(spark, sfDir))
+    assert(p.contains("LessThan(label,5)"), p)
+  }
+
+  test("get-by-ids compiles to a pushed IN filter with no exchange except presentation sort") {
+    val p = plan(Collection.qGetByIds(spark, sfDir))
+    assert(p.contains("In(vec_id"), p)
+    assert(!p.contains("BroadcastHashJoin") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("delete-by-filter stays a scan-level filter, not a join") {
+    val p = plan(Collection.qDeleteFilter(spark, sfDir))
+    assert(!p.contains("Join"), p)
+  }
+
+  test("dedup candidate joins never cross-join the corpus") {
+    Seq(plan(Dedup.qDedupNgram(spark, sfDir)),
+        plan(Dedup.qDedupMinhash(spark, sfDir)),
+        plan(Dedup.qDedupSimhash(spark, sfDir)),
+        plan(Dedup.qDedupEmbedding(spark, sfDir)))
+      .foreach(p => assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p))
+  }
+
+  test("ANN probe joins keep the corpus un-shuffled before scoring") {
+    val ivf = plan(Ann.qIvfKnn(spark, sfDir))
+    assert(ivf.contains("BroadcastHashJoin"), ivf)
+    val lsh = plan(Ann.qLshKnn(spark, sfDir))
+    assert(lsh.contains("BroadcastHashJoin"), lsh)
+  }
+}
