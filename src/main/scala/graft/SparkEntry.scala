@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{col, round}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the coverage
@@ -48,6 +49,11 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qQualityScore _),
     "q_fingerprint"   -> (TextAnalysis.qFingerprint _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_sessionize" -> ((s: SparkSession, dir: String) =>
+      graft.streaming.Sessionize.batch(Tables.events(s, dir))
+        .select(col("user_id"), col("session_start"), col("session_end"),
+          col("n_events"), round(col("sum_value"), 2).as("sum_value"))
+        .orderBy(col("user_id"), col("session_start"))),
     // rows-only (centroid/hash dependent): recall specs in AnnSpec
     "q_ivf_knn" -> (Ann.qIvfKnn _),
     "q_lsh_knn" -> (Ann.qLshKnn _)
@@ -319,6 +325,19 @@ object SparkEntry {
         |        t -> CAST('0x' || substring(md5(t), 1, 8) AS BIGINT))),
         |    (acc, v) -> (acc * 31 + v) % 1000000007) AS fp
         |FROM documents ORDER BY doc_id""".stripMargin,
+    "q_sessionize" ->
+      """WITH x AS (SELECT user_id, ts, value,
+        |    CASE WHEN lag(ts) OVER w IS NULL
+        |           OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+        |y AS (SELECT user_id, ts, value,
+        |    sum(new_s) OVER (PARTITION BY user_id ORDER BY ts
+        |                     ROWS UNBOUNDED PRECEDING) AS sid FROM x)
+        |SELECT user_id, min(ts) AS session_start, max(ts) AS session_end,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM y GROUP BY user_id, sid
+        |ORDER BY user_id, session_start""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_items,
         |  sum(octet_length(encode(text))) AS total_bytes,

@@ -32,8 +32,10 @@ object Tables {
     val raw = load(spark, sfDir, "events")
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.types.LongType
+    // integer `div`, not `/`: double division of an ~1.7e18 nanos
+    // value has only ~9e15 exact range and corrupts the microsecond
     if (raw.schema("ts").dataType == LongType)
-      raw.withColumn("ts", timestamp_micros((col("ts") / 1000L).cast("long")))
+      raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
     else raw
   }
   def documents(spark: SparkSession, sfDir: String): DataFrame = load(spark, sfDir, "documents")

@@ -1,0 +1,94 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+import org.apache.spark.sql.types.StructType
+import java.sql.Timestamp
+
+/** Event-time sessionization — the `flatMapGroupsWithState` shape for
+  * gap-based sessions (a session closes after `GapMinutes` of
+  * inactivity per user). The streaming side emits a session when the
+  * event-time watermark passes its close; the batch twin derives the
+  * same sessions with a lag/cumulative-sum window, and the spec
+  * asserts they agree.
+  *
+  * At scale, state is one open session per active user — O(|users|),
+  * bounded by the watermark-driven timeout, never O(events).
+  */
+object Sessionize {
+
+  val GapMinutes = 30
+
+  case class Event(user_id: Long, ts: Timestamp, value: Double)
+  case class SessionState(start: Long, last: Long, n: Long, sum: Double)
+  case class Session(user_id: Long, session_start: Timestamp, session_end: Timestamp,
+                     n_events: Long, sum_value: Double)
+
+  private val GapMs: Long = GapMinutes * 60L * 1000L
+
+  def update(userId: Long, events: Iterator[Event],
+             state: GroupState[SessionState]): Iterator[Session] = {
+    def emit(s: SessionState) =
+      Session(userId, new Timestamp(s.start), new Timestamp(s.last), s.n, s.sum)
+    if (state.hasTimedOut) {
+      val out = state.getOption.map(emit).iterator
+      state.remove()
+      out
+    } else {
+      val sorted = events.toSeq.sortBy(_.ts.getTime)
+      var closed = List.empty[Session]
+      var cur = state.getOption
+      sorted.foreach { e =>
+        val t = e.ts.getTime
+        cur match {
+          case Some(s) if t - s.last <= GapMs =>
+            cur = Some(SessionState(s.start, math.max(s.last, t), s.n + 1, s.sum + e.value))
+          case Some(s) =>
+            closed ::= emit(s)
+            cur = Some(SessionState(t, t, 1L, e.value))
+          case None =>
+            cur = Some(SessionState(t, t, 1L, e.value))
+        }
+      }
+      cur.foreach { s =>
+        state.update(s)
+        state.setTimeoutTimestamp(s.last + GapMs)
+      }
+      closed.reverseIterator
+    }
+  }
+
+  /** Streaming sessionization over a parquet event feed. */
+  def stream(spark: SparkSession, srcDir: String, schema: StructType): Dataset[Session] = {
+    import spark.implicits._
+    spark.readStream.schema(schema).parquet(srcDir)
+      .select(col("user_id"), col("ts"), col("value"))
+      .withWatermark("ts", s"$GapMinutes minutes")
+      .as[Event]
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState(OutputMode.Append(), GroupStateTimeout.EventTimeTimeout())(update)
+  }
+
+  /** Batch twin: session id = running count of gap-exceeding steps
+    * per user (lag + cumulative sum), then aggregate per session.
+    */
+  def batch(events: DataFrame): DataFrame = {
+    val byUser = Window.partitionBy(col("user_id")).orderBy(col("ts"))
+    events
+      .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
+      .withColumn("new_session",
+        when(col("prev_ts").isNull ||
+          (unix_millis(col("ts")) - unix_millis(col("prev_ts")) > GapMs), 1L).otherwise(0L))
+      .withColumn("session_id", sum(col("new_session")).over(
+        byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(col("value")).as("sum_value"))
+      .drop("session_id")
+  }
+}

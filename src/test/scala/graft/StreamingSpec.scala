@@ -38,6 +38,40 @@ class StreamingSpec extends SparkSpec {
     }
   }
 
+  test("flatMapGroupsWithState sessionization matches the batch twin for closed sessions") {
+    val events = Tables.events(spark, sfDir).select("user_id", "ts", "value")
+    val srcDir = Files.createTempDirectory("graft-sess-src").toString
+    events.write.mode("overwrite").parquet(srcDir)
+
+    val q = graft.streaming.Sessionize.stream(spark, srcDir, events.schema)
+      .writeStream
+      .format("memory")
+      .queryName("sessions_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def key(u: Long, start: Long, end: Long, n: Long, s: Double) =
+      (u, start, end, n, math.round(s * 100))
+    val streamed = spark.table("sessions_test").collect().map(r =>
+      key(r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    val batchAll = graft.streaming.Sessionize.batch(events).collect().map(r =>
+      key(r.getAs[Long]("user_id"),
+        r.getAs[java.sql.Timestamp]("session_start").getTime,
+        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
+    assert(streamed.nonEmpty, "no sessions closed before the final watermark")
+    // every streamed (closed) session must be a batch session verbatim
+    val missing = streamed -- batchAll
+    assert(missing.isEmpty, s"streamed sessions absent from batch: ${missing.take(3)}")
+    // and most batch sessions should have closed (tail sessions may not)
+    assert(streamed.size >= batchAll.size / 2, s"${streamed.size} vs ${batchAll.size}")
+  }
+
   test("streaming windowed aggregation equals the batch twin") {
     val batchEvents = Tables.events(spark, sfDir)
       .select("ts", "event_type", "value")
