@@ -36,6 +36,8 @@ object SparkEntry {
     "q_scroll"           -> (Collection.qScroll _),
     "q_collection_stats" -> (Collection.qCollectionStats _),
     "q_keyword_match" -> (FullText.qKeywordMatch _),
+    "q_phrase_match"  -> (FullText.qPhraseMatch _),
+    "q_fuzzy_match"   -> (FullText.qFuzzyMatch _),
     "q_tfidf"         -> (FullText.qTfidf _),
     "q_bm25"          -> (FullText.qBm25 _),
     "q_hybrid_rrf"    -> (FullText.qHybridRrf _),
@@ -225,6 +227,20 @@ object SparkEntry {
         |   + CAST(list_contains(string_split(text, ' '), 'join') AS BIGINT)
         |   + CAST(list_contains(string_split(text, ' '), 'vector') AS BIGINT)) >= 2
         |ORDER BY doc_id""".stripMargin,
+    "q_phrase_match" ->
+      """SELECT doc_id,
+        |  CAST((length(text) - length(replace(text, 'spark join', '')))
+        |       / length('spark join') AS BIGINT) AS n_occurrences
+        |FROM documents
+        |WHERE (length(text) - length(replace(text, 'spark join', ''))) > 0
+        |ORDER BY doc_id""".stripMargin,
+    "q_fuzzy_match" ->
+      """SELECT token, CAST(levenshtein(token, 'spark') AS BIGINT) AS distance,
+        |  count(*) AS df
+        |FROM (SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |      FROM documents)
+        |WHERE levenshtein(token, 'spark') <= 1
+        |GROUP BY token, distance ORDER BY token""".stripMargin,
     "q_tfidf" ->
       s"""WITH $oracleTextCtes
          |SELECT doc_id, round(sum(tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS tfidf

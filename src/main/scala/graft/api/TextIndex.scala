@@ -40,6 +40,30 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     docs.withColumn("n_matched", nMatched).filter(col("n_matched") >= minMatch)
   }
 
+  /** Exact-phrase match with occurrence count (substring containment
+    * on the normalized text) — a pure per-row expression, no shuffle.
+    */
+  def phraseMatch(phrase: String): DataFrame = {
+    val occurrences =
+      ((length(col(textCol)) - length(replace(col(textCol), lit(phrase), lit("")))) /
+        phrase.length).cast("long")
+    docs.withColumn("n_occurrences", occurrences)
+      .filter(col("n_occurrences") > 0)
+  }
+
+  /** Fuzzy term match: distinct corpus tokens within `maxEdits`
+    * Levenshtein distance of the query term, with document
+    * frequencies — Elasticsearch's fuzzy query. The distinct-token
+    * table is vocabulary-sized (tiny next to the corpus), so the
+    * edit-distance scan never touches raw text twice.
+    */
+  def fuzzyMatch(term: String, maxEdits: Int): DataFrame =
+    docs.select(col(idCol), explode(array_distinct(toks)).as("token"))
+      .withColumn("distance", levenshtein(col("token"), lit(term)).cast("long"))
+      .filter(col("distance") <= maxEdits)
+      .groupBy(col("token"), col("distance"))
+      .agg(count(lit(1)).as("df"))
+
   /** TF-IDF scores (idf = ln(N/df)) per doc for a term set. */
   def tfidf(terms: Seq[String]): DataFrame = {
     val tf = termFreq(terms)

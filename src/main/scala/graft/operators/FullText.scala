@@ -43,6 +43,19 @@ object FullText {
     index(spark, sfDir).bm25(Terms)
       .orderBy(col("bm25").desc, col("doc_id")).limit(K)
 
+  /** Exact-phrase containment with occurrence counts (ES match_phrase). */
+  def qPhraseMatch(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).phraseMatch("spark join")
+      .select(col("doc_id"), col("n_occurrences"))
+      .orderBy(col("doc_id"))
+
+  /** Fuzzy term match (ES fuzzy query): corpus tokens within edit
+    * distance 1 of "spark", with document frequencies.
+    */
+  def qFuzzyMatch(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).fuzzyMatch("spark", maxEdits = 1)
+      .orderBy(col("token"))
+
   /** Row 18: hybrid search — RRF fusion (k=60) of the BM25 ranking
     * and the vector-cosine ranking for the paired query (doc_id ≡
     * vec_id in the collection; query vector = vector 0).

@@ -17,6 +17,27 @@ class FullTextSpec extends SparkSpec {
     assert(FullText.Terms.count(toks.contains) == rows.head.getAs[Long]("n_matched"))
   }
 
+  test("q_phrase_match counts real substring occurrences") {
+    val rows = FullText.qPhraseMatch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val t = texts(r.getAs[Long]("doc_id"))
+      val n = "spark join".r.findAllMatchIn(t).length
+      assert(n.toLong == r.getAs[Long]("n_occurrences"))
+    }
+    // non-returned docs genuinely lack the phrase
+    val returned = rows.map(_.getAs[Long]("doc_id")).toSet
+    texts.filterNot(kv => returned(kv._1)).values.foreach(t => assert(!t.contains("spark join")))
+  }
+
+  test("q_fuzzy_match finds the exact token and nothing beyond distance 1") {
+    val rows = FullText.qFuzzyMatch(spark, sfDir).collect()
+    assert(rows.exists(r => r.getAs[String]("token") == "spark" && r.getAs[Long]("distance") == 0))
+    assert(rows.forall(_.getAs[Long]("distance") <= 1))
+  }
+
   test("q_tfidf: top-k descending, scores positive") {
     val rows = FullText.qTfidf(spark, sfDir).collect()
     assert(rows.length == FullText.K)
