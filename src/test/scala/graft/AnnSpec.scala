@@ -24,9 +24,10 @@ class AnnSpec extends SparkSpec {
     assert(approx.keySet == exact.keySet)
     val recall = recallVsExact(approx, exact)
     info(f"IVF recall@10 = $recall%.3f (nprobe ${Ann.NProbe}/${Ann.NList})")
-    // probing 4/16 clusters scans ~25% of the corpus; a useful index
-    // must recall far more than that share
-    assert(recall >= 0.5, f"IVF recall $recall%.3f below 0.5")
+    // probing nprobe/nlist clusters scans roughly that share of the
+    // corpus; a useful index must recall well beyond it
+    val scanShare = Ann.NProbe.toDouble / Ann.NList
+    assert(recall >= scanShare + 0.2, f"IVF recall $recall%.3f not beating scan share $scanShare%.2f")
   }
 
   test("q_lsh_knn: candidates rerank to high recall") {
