@@ -39,6 +39,18 @@ class AnnSpec extends SparkSpec {
     assert(recall >= 0.5, f"LSH recall $recall%.3f below 0.5")
   }
 
+  test("written IVF index search equals in-memory IVF search") {
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf").toString + "/index"
+    val centroids = graft.operators.Ann.writeIvfIndex(spark, sfDir, path)
+    val viaIndex = Ann.searchIvfIndex(spark, path, centroids,
+      VectorSearch.querySet(spark, sfDir)).collect()
+    val direct = Ann.qIvfKnn(spark, sfDir).collect()
+    def canon(rows: Array[org.apache.spark.sql.Row]) =
+      rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rn"), r.getAs[Double]("score"))).sortBy(t => (t._1, t._3))
+    assert(canon(viaIndex).sameElements(canon(direct)))
+  }
+
   test("ivf self-match always recalled (query vector is in its own probed cluster)") {
     val rows = Ann.qIvfKnn(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))
