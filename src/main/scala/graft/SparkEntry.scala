@@ -287,7 +287,7 @@ object SparkEntry {
         |tri AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
         |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gs FROM t),
         |ng AS (SELECT doc_id, unnest(gs) AS g FROM tri),
-        |sz AS (SELECT doc_id, count(*) AS n_g FROM ng GROUP BY 1),
+        |sz AS (SELECT doc_id, len(gs) AS n_g FROM tri),
         |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
         |      FROM ng a JOIN ng b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b, common,

@@ -70,8 +70,11 @@ object Dedup {
     */
   def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
-    val ng = trigrams(docs).select(col("doc_id"), explode(col("gs")).as("g"))
-    val sz = ng.groupBy(col("doc_id")).agg(count(lit(1)).as("n_g"))
+    val tri = trigrams(docs)
+    val ng = tri.select(col("doc_id"), explode(col("gs")).as("g"))
+    // set sizes straight off the distinct-trigram arrays — no second
+    // explode+aggregate pass over the corpus
+    val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
     val pairs = ng.select(col("doc_id").as("doc_a"), col("g"))
       .join(ng.select(col("doc_id").as("doc_b"), col("g")), "g")
       .filter(col("doc_a") < col("doc_b"))
