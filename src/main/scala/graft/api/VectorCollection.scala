@@ -32,8 +32,11 @@ object Metric {
 /** A vector collection: any DataFrame with an id column, an
   * `array<float>` embedding column, and arbitrary payload columns —
   * the programmatic surface a user of the reference's unified client
-  * would call (search / range / grouped search, upsert, delete, get,
-  * scroll, stats), each returning a plain DataFrame plan.
+  * would call (search / range / grouped search, recommend, upsert,
+  * delete, get, scroll, stats — the shared API of the five backends
+  * behind its VECTOR_DB switch, /root/reference/README.md:82,
+  * tests/cpu/docker-compose.yml:5-29), each returning a plain
+  * DataFrame plan.
   *
   * Every method builds a declarative plan — Catalyst handles
   * pushdown/pruning; query sets and update batches are broadcast;

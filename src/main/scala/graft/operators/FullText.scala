@@ -7,9 +7,11 @@ import graft.api.TextIndex
 import graft.functions.vec
 
 /** Full-text relevance — the Elasticsearch side of the reference's
-  * unified surface (keyword match, TF-IDF, BM25) plus the hybrid
-  * lexical+vector RRF fusion every backend pair converges on. Thin
-  * bindings of [[graft.api.TextIndex]] onto the documents table.
+  * unified surface (keyword match, TF-IDF, BM25: the ES backend at
+  * /root/reference/tests/cpu/docker-compose.yml:19-29,
+  * README.md:72,82) plus the hybrid lexical+vector RRF fusion every
+  * backend pair converges on. Thin bindings of
+  * [[graft.api.TextIndex]] onto the documents table.
   *
   * Scale shape (see TextIndex): one corpus scan → partial aggs →
   * broadcast joins → per-doc score → top-k. The only corpus-sized
