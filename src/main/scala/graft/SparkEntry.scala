@@ -56,9 +56,11 @@ object SparkEntry {
         .select(col("user_id"), col("session_start"), col("session_end"),
           col("n_events"), round(col("sum_value"), 2).as("sum_value"))
         .orderBy(col("user_id"), col("session_start"))),
-    // rows-only (centroid/hash dependent): recall specs in AnnSpec
+    // rows-only (centroid/hash/quantizer dependent): recall specs in
+    // AnnSpec / QuantizationSpec
     "q_ivf_knn" -> (Ann.qIvfKnn _),
-    "q_lsh_knn" -> (Ann.qLshKnn _)
+    "q_lsh_knn" -> (Ann.qLshKnn _),
+    "q_sq8_knn" -> (Quantization.qSq8Knn _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */

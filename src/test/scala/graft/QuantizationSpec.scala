@@ -1,0 +1,34 @@
+package graft
+
+import graft.operators.{Quantization, VectorSearch}
+import org.apache.spark.sql.functions._
+
+class QuantizationSpec extends SparkSpec {
+
+  test("quantize stores tinyint components and dequantizes within one scale step") {
+    val q = Quantization.quantize(Tables.embeddings(spark, sfDir))
+    assert(q.schema("sq8").dataType.catalogString == "array<tinyint>")
+    val rows = q.withColumn("demb", Quantization.dequantized())
+      .join(Tables.embeddings(spark, sfDir), "vec_id")
+      .select("embedding", "demb", "sq8_scale").limit(50).collect()
+    rows.foreach { r =>
+      val orig = r.getSeq[Float](0)
+      val deq = r.getSeq[Double](1)
+      val step = r.getDouble(2)
+      orig.zip(deq).foreach { case (o, d) => assert(math.abs(o - d) <= step * 0.5 + 1e-9) }
+    }
+  }
+
+  test("q_sq8_knn recall vs the exact float kNN is near-perfect") {
+    def topk(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = topk(VectorSearch.qKnnCosine(spark, sfDir).collect())
+    val sq8 = topk(Quantization.qSq8Knn(spark, sfDir).collect())
+    assert(sq8.keySet == exact.keySet)
+    val recall = exact.map { case (q, ex) =>
+      sq8(q).intersect(ex).size.toDouble / ex.size }.sum / exact.size
+    info(f"SQ8 recall@10 = $recall%.3f")
+    assert(recall >= 0.9, f"SQ8 recall $recall%.3f below 0.9")
+  }
+}
