@@ -129,9 +129,14 @@ object Dedup {
     * ≥ 0.3 on the candidates only. The only corpus-sized shuffles are
     * the band-bucket groupBys — linear in corpus size, never O(n²).
     */
-  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = augmentedDocs(spark, sfDir)
-    val tri = trigrams(docs)
+  def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
+    minhashPairs(augmentedDocs(spark, sfDir))
+
+  /** Generic MinHash+LSH near-dup pairs over any (doc_id, text)
+    * DataFrame — the reusable pipeline stage.
+    */
+  def minhashPairs(docs: DataFrame): DataFrame = {
+    val tri = trigrams(docs.select(col("doc_id"), col("text")))
     // murmur3 per shingle, folded into the 64-permutation signature by
     // the native codegen'd expression (graft.functions.MinHashSignature)
     val withSig = tri

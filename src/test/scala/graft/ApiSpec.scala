@@ -69,6 +69,17 @@ class ApiSpec extends SparkSpec {
     assert(r.head.getAs[Double]("score") > r.last.getAs[Double]("score"))
   }
 
+  test("named vectors: the same table searched through two embedding columns") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Array(1.0f, 0.0f), Array(0.0f, 1.0f)),
+      (2L, Array(0.0f, 1.0f), Array(1.0f, 0.0f))).toDF("id", "emb_text", "emb_image")
+    val q = Seq((9L, Array(1.0f, 0.0f))).toDF("q_id", "q_emb")
+    val byText = VectorCollection(df, embCol = "emb_text").search(q, 1).head().getAs[Long]("id")
+    val byImage = VectorCollection(df, embCol = "emb_image").search(q, 1).head().getAs[Long]("id")
+    assert(byText == 1L && byImage == 2L)
+  }
+
   test("stats summarizes any collection") {
     val s = mkColl().stats().head()
     assert(s.getAs[Long]("n_vectors") == 4)
