@@ -10,10 +10,23 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    // warmup: session init, parquet reader + codegen paths, so the
-    // first timed query isn't charged the one-time JVM costs
-    try { Tables.region(spark, sfDir).count(); spark.range(1000).selectExpr("sum(id)").collect() }
-    catch { case _: Throwable => () }
+    // warmup: session init, parquet reader, and the hot physical
+    // operators (agg, window, explode, broadcast join, vector expr)
+    // so the first timed queries aren't charged one-time JVM/JIT costs
+    try {
+      Tables.region(spark, sfDir).count()
+      val warm = spark.range(200000).selectExpr(
+        "id % 100 AS k", "id AS v", "array(float(id), float(id + 1)) AS e")
+      warm.groupBy("k").count().count()
+      warm.selectExpr("row_number() OVER (PARTITION BY k ORDER BY v) AS rn")
+        .where("rn <= 3").count()
+      warm.selectExpr("explode(split('a b c', ' '))").count()
+      import org.apache.spark.sql.functions.broadcast
+      warm.join(broadcast(warm.limit(100).selectExpr("k AS k2", "e AS e2")),
+          warm("k") === org.apache.spark.sql.functions.col("k2"))
+        .select(graft.functions.vec.cosine(warm("e"), org.apache.spark.sql.functions.col("e2")))
+        .count()
+    } catch { case _: Throwable => () }
     // stable alphabetical run order so timings are comparable across
     // rounds (map iteration order is arbitrary)
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
