@@ -25,6 +25,7 @@ object SparkEntry {
     "q_knn_cosine"    -> (VectorSearch.qKnnCosine _),
     "q_knn_l2"        -> (VectorSearch.qKnnL2 _),
     "q_knn_dot"       -> (VectorSearch.qKnnDot _),
+    "q_knn_l1"        -> (VectorSearch.qKnnL1 _),
     "q_knn_filtered"  -> (VectorSearch.qKnnFiltered _),
     "q_range_search"  -> (VectorSearch.qRangeSearch _),
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
@@ -155,6 +156,18 @@ object SparkEntry {
     "q_knn_l2"       -> oracleKnn("list_distance", "ASC"),
     "q_knn_dot"      -> oracleKnn("list_inner_product", "DESC"),
     "q_knn_filtered" -> oracleKnn("list_cosine_similarity", "DESC", filter = "e.label < 5"),
+    "q_knn_l1" ->
+      s"""WITH q AS ($oracleQuerySet),
+         |dims AS (SELECT unnest(range(64)) AS d),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |        round(sum(abs(q.q_emb[d + 1] - e.embedding[d + 1]::DOUBLE)), 6) AS score
+         |      FROM q CROSS JOIN embeddings e CROSS JOIN dims
+         |      GROUP BY q.q_id, e.vec_id)
+         |SELECT q_id, vec_id, rn, score FROM (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score ASC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q_range_search" ->
       s"""WITH q AS ($oracleQuerySet)
          |SELECT q.q_id, e.vec_id,

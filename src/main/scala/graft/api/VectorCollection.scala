@@ -23,6 +23,10 @@ object Metric {
     def score(q: Column, v: Column): Column = vec.l2(q, v)
     def ascending = true
   }
+  case object L1 extends Metric {
+    def score(q: Column, v: Column): Column = vec.l1(q, v)
+    def ascending = true
+  }
   case object Dot extends Metric {
     def score(q: Column, v: Column): Column = vec.dot(q, v)
     def ascending = false

@@ -112,6 +112,18 @@ case class L2Distance(left: Expression, right: Expression) extends VectorBinaryE
   override def prettyName: String = "vec_l2"
 }
 
+/** Manhattan (L1) distance: sum_i |a_i - b_i|. */
+case class L1Distance(left: Expression, right: Expression) extends VectorBinaryExpression {
+  private[functions] def accSize = 1
+  private[functions] def combine(x: Double, y: Double, acc: Array[Double]): Unit = acc(0) += math.abs(x - y)
+  private[functions] def finishEval(acc: Array[Double]): Double = acc(0)
+  private[functions] def loopBody(x: String, y: String): String =
+    s"acc0 += java.lang.Math.abs($x - $y);"
+  private[functions] def finishCode: String = "acc0"
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression = copy(l, r)
+  override def prettyName: String = "vec_l1"
+}
+
 /** Cosine similarity: dot(a,b) / (||a|| * ||b||). */
 case class CosineSimilarity(left: Expression, right: Expression) extends VectorBinaryExpression {
   private[functions] def accSize = 3
@@ -138,6 +150,8 @@ object vec {
   def cosine(a: Column, b: Column): Column = lift(CosineSimilarity)(a, b)
   /** Euclidean distance of two array<float|double> columns, as double. */
   def l2(a: Column, b: Column): Column = lift(L2Distance)(a, b)
+  /** Manhattan distance of two array<float|double> columns, as double. */
+  def l1(a: Column, b: Column): Column = lift(L1Distance)(a, b)
   /** Inner product of two array<float|double> columns, as double. */
   def dot(a: Column, b: Column): Column = lift(DotProduct)(a, b)
   /** L2 norm of an array<float|double> column, as double. */

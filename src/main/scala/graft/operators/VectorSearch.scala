@@ -51,6 +51,12 @@ object VectorSearch {
   def qKnnDot(spark: SparkSession, sfDir: String): DataFrame =
     presentKnn(collection(spark, sfDir).search(querySet(spark, sfDir), K, Metric.Dot))
 
+  /** Top-k by Manhattan distance (the fourth metric of the unified
+    * surface; Qdrant supports it natively).
+    */
+  def qKnnL1(spark: SparkSession, sfDir: String): DataFrame =
+    presentKnn(collection(spark, sfDir).search(querySet(spark, sfDir), K, Metric.L1))
+
   /** Row 4: kNN with metadata pre-filter (label < 5), the
     * Qdrant/Milvus/Weaviate "filtered search". The filter lands in
     * the parquet scan (PushedFilters), so the pruned corpus never

@@ -13,11 +13,13 @@ class VectorSearchSpec extends SparkSpec {
       vec.dot($"a", $"b").as("d"),
       vec.l2($"a", $"b").as("l"),
       vec.cosine($"a", $"b").as("c"),
-      vec.norm($"a").as("n")).head()
+      vec.norm($"a").as("n"),
+      vec.l1($"a", $"b").as("m")).head()
     assert(r.getDouble(0) == 32.0)
     assert(math.abs(r.getDouble(1) - math.sqrt(27.0)) < 1e-12)
     assert(math.abs(r.getDouble(2) - 32.0 / (math.sqrt(14.0) * math.sqrt(77.0))) < 1e-12)
     assert(math.abs(r.getDouble(3) - math.sqrt(14.0)) < 1e-12)
+    assert(r.getDouble(4) == 9.0)
   }
 
   test("q_knn_cosine: k rows per query, self is rank 1, scores descend") {
