@@ -61,7 +61,8 @@ object SparkEntry {
     // AnnSpec / QuantizationSpec
     "q_ivf_knn" -> (Ann.qIvfKnn _),
     "q_lsh_knn" -> (Ann.qLshKnn _),
-    "q_sq8_knn" -> (Quantization.qSq8Knn _)
+    "q_sq8_knn" -> (Quantization.qSq8Knn _),
+    "q_pq_knn"  -> (Quantization.qPqKnn _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */

@@ -19,6 +19,25 @@ class QuantizationSpec extends SparkSpec {
     }
   }
 
+  test("q_pq_knn: PQ codes are compact, ADC+rerank recall vs exact L2 is high") {
+    val codebooks = Quantization.trainPqCodebooks(spark, sfDir)
+    assert(codebooks.length == Quantization.M)
+    assert(codebooks.forall(_.length == Quantization.KStar))
+    val enc = Quantization.pqEncode(Tables.embeddings(spark, sfDir), codebooks)
+    assert(enc.schema("pq_codes").dataType.catalogString == "array<tinyint>")
+
+    def topk(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = topk(VectorSearch.qKnnL2(spark, sfDir).collect())
+    val pq = topk(Quantization.qPqKnn(spark, sfDir).collect())
+    assert(pq.keySet == exact.keySet)
+    val recall = exact.map { case (q, ex) =>
+      pq(q).intersect(ex).size.toDouble / ex.size }.sum / exact.size
+    info(f"PQ recall@10 = $recall%.3f (m=${Quantization.M}, k*=${Quantization.KStar}, rerank pool ${Quantization.PqRerankPool})")
+    assert(recall >= 0.6, f"PQ recall $recall%.3f below 0.6")
+  }
+
   test("q_sq8_knn recall vs the exact float kNN is near-perfect") {
     def topk(rows: Array[org.apache.spark.sql.Row]) =
       rows.groupBy(_.getAs[Long]("q_id"))
