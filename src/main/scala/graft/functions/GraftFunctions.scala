@@ -24,6 +24,8 @@ object GraftFunctions {
       (c: Seq[Expression]) => CosineSimilarity(c(0), c(1))),
     ("vec_l2", "euclidean distance of two array<float>",
       (c: Seq[Expression]) => L2Distance(c(0), c(1))),
+    ("vec_l1", "manhattan distance of two array<float>",
+      (c: Seq[Expression]) => L1Distance(c(0), c(1))),
     ("vec_dot", "inner product of two array<float>",
       (c: Seq[Expression]) => DotProduct(c(0), c(1))),
     ("simhash64", "64-bit simhash of an array<bigint> of token hashes",

@@ -10,10 +10,12 @@ class GraftFunctionsSpec extends SparkSpec {
       """SELECT
         |  vec_cosine(array(1.0f, 0.0f), array(1.0f, 0.0f)) AS c,
         |  vec_l2(array(0.0f, 0.0f), array(3.0f, 4.0f)) AS l,
+        |  vec_l1(array(0.0f, 0.0f), array(3.0f, 4.0f)) AS m,
         |  vec_dot(array(1.0f, 2.0f), array(3.0f, 4.0f)) AS d,
         |  simhash64(array(1L, 1L, 2L)) AS s""".stripMargin).head()
     assert(r.getAs[Double]("c") == 1.0)
     assert(r.getAs[Double]("l") == 5.0)
+    assert(r.getAs[Double]("m") == 7.0)
     assert(r.getAs[Double]("d") == 11.0)
     assert(r.getAs[Long]("s") == 1L)
   }
