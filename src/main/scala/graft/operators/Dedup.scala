@@ -143,17 +143,23 @@ object Dedup {
       .withColumn("sig", hashes.minhashSignature(
         expr("transform(gs, g -> bigint(hash(g)))"),
         Perms.map(_._1), Perms.map(_._2), MinhashPrime))
-    val bands = withSig.select(col("doc_id"), col("gs"),
+    // the band join carries ONLY ids — shipping the shingle arrays
+    // through the join exchange made it ~50x bigger and GC-bound; the
+    // candidate set is tiny, so re-attaching the arrays afterwards
+    // costs two narrow joins against the trigram table
+    val bands = withSig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
         s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_id", "band_key")))
-    val candidates = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"), col("gs").as("gs_a"))
-      .join(bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b"), col("gs").as("gs_b")),
+    val candidates = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
+      .join(bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
         Seq("band_id", "band_key"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("gs_a"), col("gs_b"))
+      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     candidates
+      .join(tri.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
+      .join(tri.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
       .withColumn("common", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
       .withColumn("jaccard", round(col("common") /
         (size(col("gs_a")) + size(col("gs_b")) - col("common")), 6))
