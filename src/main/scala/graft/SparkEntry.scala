@@ -62,7 +62,8 @@ object SparkEntry {
     "q_ivf_knn" -> (Ann.qIvfKnn _),
     "q_lsh_knn" -> (Ann.qLshKnn _),
     "q_sq8_knn" -> (Quantization.qSq8Knn _),
-    "q_pq_knn"  -> (Quantization.qPqKnn _)
+    "q_pq_knn"  -> (Quantization.qPqKnn _),
+    "q_ivfpq_knn" -> (Quantization.qIvfPqKnn _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */

@@ -141,6 +141,36 @@ object Quantization {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** IVF_PQ (rows-only): the combined index every Milvus/FAISS
+    * deployment defaults to at scale — IVF centroids prune the
+    * candidate set to nprobe/nlist of the corpus, PQ codes make the
+    * surviving scan 32× narrower, ADC scores it, and the top pool is
+    * exactly reranked. Composes [[Ann]]'s probe machinery with the PQ
+    * path above.
+    */
+  def qIvfPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val codebooks = trainPqCodebooks(spark, sfDir)
+    val corpus = pqEncode(Ann.assignedCorpus(spark, sfDir), codebooks)
+    val queries = Ann.probes(spark, sfDir)
+      .withColumn("adc", array((0 until M).map { j =>
+        subDists(slice(col("q_emb"), j * SubDim + 1, SubDim), codebooks(j), absolute = true)
+      }: _*))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
+    val candidates = corpus
+      .join(broadcast(queries), "cluster_id")
+      .withColumn("adc_dist", expr(
+        s"aggregate(sequence(0, ${M - 1}), 0D, (acc, j) -> acc + adc[j][int(pq_codes[j])])"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PqRerankPool)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").asc, col("vec_id"))
+    candidates
+      .withColumn("score", round(vec.l2(col("q_emb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** SQ8 kNN (rows-only): cosine top-k over the dequantized corpus —
     * the scan reads 1/4 the bytes of the float corpus; scoring stays
     * in whole-stage codegen via the double-array overload of the

@@ -38,6 +38,20 @@ class QuantizationSpec extends SparkSpec {
     assert(recall >= 0.6, f"PQ recall $recall%.3f below 0.6")
   }
 
+  test("q_ivfpq_knn composes cluster pruning with PQ scoring at reasonable recall") {
+    def topk(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = topk(VectorSearch.qKnnL2(spark, sfDir).collect())
+    val ivfpq = topk(Quantization.qIvfPqKnn(spark, sfDir).collect())
+    assert(ivfpq.keySet == exact.keySet)
+    val recall = exact.map { case (q, ex) =>
+      ivfpq(q).intersect(ex).size.toDouble / ex.size }.sum / exact.size
+    info(f"IVF_PQ recall@10 = $recall%.3f")
+    // bounded above by the IVF probe recall; must still beat the scan share
+    assert(recall >= 0.4, f"IVF_PQ recall $recall%.3f below 0.4")
+  }
+
   test("q_sq8_knn recall vs the exact float kNN is near-perfect") {
     def topk(rows: Array[org.apache.spark.sql.Row]) =
       rows.groupBy(_.getAs[Long]("q_id"))
