@@ -61,5 +61,8 @@ class PlanSpec extends SparkSpec {
     assert(ivf.contains("BroadcastHashJoin"), ivf)
     val lsh = plan(Ann.qLshKnn(spark, sfDir))
     assert(lsh.contains("BroadcastHashJoin"), lsh)
+    val ivfpq = plan(Quantization.qIvfPqKnn(spark, sfDir))
+    assert(ivfpq.contains("BroadcastHashJoin"), ivfpq)
+    assert(ivfpq.split("WindowGroupLimit").length - 1 >= 2, ivfpq)
   }
 }
