@@ -152,7 +152,7 @@ object SparkEntry {
         |ORDER BY 1, 2""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
-        |  sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS sum_k,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,
         |  max(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS max_k
         |FROM events
         |GROUP BY event_type
@@ -326,7 +326,7 @@ object SparkEntry {
         |ORDER BY vec_a, vec_b""".stripMargin,
     "q_token_count" ->
       """SELECT lang, count(*) AS n_docs,
-        |  sum(len(string_split(text, ' '))) AS sum_tokens,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens,
         |  round(avg(len(string_split(text, ' '))), 6) AS avg_tokens,
         |  max(len(string_split(text, ' '))) AS max_tokens
         |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
@@ -376,7 +376,7 @@ object SparkEntry {
         |ORDER BY user_id, session_start""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_items,
-        |  sum(octet_length(encode(text))) AS total_bytes,
+        |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  round(avg(octet_length(encode(text))), 6) AS avg_bytes,
         |  count(DISTINCT md5(text)) AS n_unique
         |FROM documents GROUP BY source ORDER BY source""".stripMargin

@@ -94,14 +94,22 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     */
   def hybridRrf(terms: Seq[String], otherScores: DataFrame, scoreCol: String,
                 pool: Int = 50, rrfK: Int = 60): DataFrame = {
+    // the rank windows run over the already-limited pool (≤ `pool`
+    // rows at any corpus scale — the top-k itself is a distributed
+    // TakeOrderedAndProject), so a one-partition window here is the
+    // intended plan. The partition key is the (constant-valued but
+    // non-foldable) id%1 rather than a literal: Spark 4's
+    // EliminateWindowPartitions folds literals away, which would put
+    // the bounded window on WindowExec's unpartitioned-window path.
+    val poolPart = pmod(col(idCol), lit(1L))
     val lex = bm25(terms)
       .orderBy(col("bm25").desc, col(idCol)).limit(pool)
       .select(col(idCol), row_number().over(
-        Window.orderBy(col("bm25").desc, col(idCol))).as("lex_rank"))
+        Window.partitionBy(poolPart).orderBy(col("bm25").desc, col(idCol))).as("lex_rank"))
     val other = otherScores
       .orderBy(col(scoreCol).desc, col(idCol)).limit(pool)
       .select(col(idCol), row_number().over(
-        Window.orderBy(col(scoreCol).desc, col(idCol))).as("vec_rank"))
+        Window.partitionBy(poolPart).orderBy(col(scoreCol).desc, col(idCol))).as("vec_rank"))
     lex.join(other, Seq(idCol), "full_outer")
       .select(col(idCol),
         round(

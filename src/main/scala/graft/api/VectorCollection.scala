@@ -111,9 +111,14 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
       if (negativeIds.isEmpty) meanVec(positiveIds, "pv").select(col("pos"), col("pv").as("dv"))
       else meanVec(positiveIds, "pv").join(meanVec(negativeIds, "nv"), "pos")
         .select(col("pos"), (col("pv") - col("nv")).as("dv"))
+    // q_id is derived (always 0) rather than a literal: a foldable
+    // q_id would be eliminated from the rank window's partition spec
+    // by Spark 4's EliminateWindowPartitions, degrading the top-k to
+    // an unpartitioned window (pmod survives constant folding; a
+    // `* 0` product does not)
     val qdf = dimScores
       .agg(expr("transform(sort_array(collect_list(struct(pos, dv))), s -> s.dv)").as("q_emb"))
-      .withColumn("q_id", lit(0L))
+      .withColumn("q_id", pmod(size(col("q_emb")), lit(1)).cast("long"))
     val exclude = positiveIds ++ negativeIds
     search(qdf, k, metric, preFilter = Some(!id.isin(exclude: _*)))
   }

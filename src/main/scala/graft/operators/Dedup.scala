@@ -45,8 +45,10 @@ object Dedup {
     * Emits every member of a duplicate group with its keeper (min id).
     */
   def qDedupExact(spark: SparkSession, sfDir: String): DataFrame = {
+    // project to (doc_id, digest) before the window so the only
+    // corpus-sized shuffle ships 24-byte rows, never the text
     val all = augmentedDocs(spark, sfDir)
-      .withColumn("h", md5(lower(trim(col("text")))))
+      .select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
     val w = Window.partitionBy(col("h"))
     all
       .withColumn("keeper_id", min(col("doc_id")).over(w))
@@ -71,12 +73,23 @@ object Dedup {
   def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
     val tri = trigrams(docs)
-    val ng = tri.select(col("doc_id"), explode(col("gs")).as("g"))
-    // set sizes straight off the distinct-trigram arrays — no second
-    // explode+aggregate pass over the corpus
+    // shingles travel as xxhash64 longs, not ~30-byte strings: the
+    // corpus-sized shuffle is 16-byte rows, and the postings groupBy
+    // replaces the double-shuffle self-join. Shingles seen in only
+    // one doc (the vast majority) are dropped before any pair is
+    // emitted; the pair explosion then combines map-side into the
+    // (doc_a, doc_b) partial aggregate. A 64-bit hash collision
+    // would need two distinct corpus trigrams to collide — ~1e-8 at
+    // 1M distinct shingles.
+    val ng = tri.select(col("doc_id"),
+      explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
     val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
-    val pairs = ng.select(col("doc_id").as("doc_a"), col("g"))
-      .join(ng.select(col("doc_id").as("doc_b"), col("g")), "g")
+    val postings = ng.groupBy(col("gh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+    val pairs = postings
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
@@ -136,33 +149,41 @@ object Dedup {
     * DataFrame — the reusable pipeline stage.
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    val tri = trigrams(docs.select(col("doc_id"), col("text")))
-    // murmur3 per shingle, folded into the 64-permutation signature by
-    // the native codegen'd expression (graft.functions.MinHashSignature)
-    val withSig = tri
-      .withColumn("sig", hashes.minhashSignature(
-        expr("transform(gs, g -> bigint(hash(g)))"),
+    // shingles are hashed to 64-bit longs once, and the hashed sets
+    // feed BOTH the signatures and the final Jaccard verification —
+    // the raw shingle strings never leave the first projection
+    val triH = trigrams(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), expr("transform(gs, g -> xxhash64(g))").as("gh"))
+    val withSig = triH
+      .withColumn("sig", hashes.minhashSignature(col("gh"),
         Perms.map(_._1), Perms.map(_._2), MinhashPrime))
-    // the band join carries ONLY ids — shipping the shingle arrays
-    // through the join exchange made it ~50x bigger and GC-bound; the
-    // candidate set is tiny, so re-attaching the arrays afterwards
-    // costs two narrow joins against the trigram table
     val bands = withSig.select(col("doc_id"),
       posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
         s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
         .as(Seq("band_id", "band_key")))
-    val candidates = bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_a"))
-      .join(bands.select(col("band_id"), col("band_key"), col("doc_id").as("doc_b")),
-        Seq("band_id", "band_key"))
+    // candidate pairs via a bucket postings groupBy, not a band
+    // self-join: the signature pipeline executes (and compiles) once,
+    // the only corpus-sized shuffle ships (band, id) rows, and
+    // single-occupant buckets (the vast majority) are dropped before
+    // any pair exists
+    val candidates = bands.groupBy(col("band_id"), col("band_key"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
-    candidates
-      .join(tri.select(col("doc_id").as("doc_a"), col("gs").as("gs_a")), "doc_a")
-      .join(tri.select(col("doc_id").as("doc_b"), col("gs").as("gs_b")), "doc_b")
-      .withColumn("common", size(array_intersect(col("gs_a"), col("gs_b"))).cast("long"))
+    // verification re-attaches the hashed shingle sets with the
+    // candidate side broadcast both times — the corpus-sized triH is
+    // never shuffled, and the plan can't flip to an exchange under
+    // AQE misestimates (the round-1 5-50s erratic-timing lesson)
+    val withA = triH.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"))
+      .join(broadcast(candidates), "doc_a")
+    triH.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"))
+      .join(broadcast(withA), "doc_b")
+      .withColumn("common", size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
       .withColumn("jaccard", round(col("common") /
-        (size(col("gs_a")) + size(col("gs_b")) - col("common")), 6))
+        (size(col("gh_a")) + size(col("gh_b")) - col("common")), 6))
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))

@@ -53,10 +53,20 @@ object Quantization {
   val KStar = 16  // centroids per subspace
   val PqRerankPool = 100
 
+  /** Trained codebooks per corpus dir — deterministic, so cached:
+    * like IVF centroids, PQ codebooks are built once at ingest and
+    * reused by every query, never retrained per search.
+    */
+  private val codebookCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[Seq[Seq[Float]]]]()
+
+  def trainPqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] =
+    codebookCache.computeIfAbsent(sfDir, _ => trainPqCodebooksUncached(spark, sfDir))
+
   /** Driver-side per-subspace Lloyd k-means on the deterministic
     * sample (cost independent of corpus size).
     */
-  def trainPqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] = {
+  private def trainPqCodebooksUncached(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] = {
     val sample = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 3 === 0).orderBy(col("vec_id"))
       .select(col("embedding")).collect()
@@ -111,29 +121,26 @@ object Quantization {
     df.withColumn("pq_codes", codes)
   }
 
-  /** PQ kNN (rows-only): ADC scoring over the M-byte codes, exact
-    * rerank of the top `pool` candidates per query. The corpus-side
-    * scan touches only vec_id + codes (+ embedding for the reranked
-    * pool) — at 100 TB the ADC pass reads 32× fewer bytes than a
-    * float scan.
+  /** ADC distance: Σ_j adc[j][code_j], expanded to a static M-term
+    * sum of GetArrayItem lookups so the whole expression stays inside
+    * whole-stage codegen — the `aggregate()` higher-order form is
+    * evaluated interpreted and was the hot path's bottleneck.
     */
-  def qPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val pool = PqRerankPool
-    val codebooks = trainPqCodebooks(spark, sfDir)
-    val corpus = pqEncode(Tables.embeddings(spark, sfDir), codebooks)
-    val queries = VectorSearch.querySet(spark, sfDir)
-      .withColumn("adc", array((0 until M).map { j =>
-        subDists(slice(col("q_emb"), j * SubDim + 1, SubDim), codebooks(j), absolute = true)
-      }: _*))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val candidates = corpus
-      .crossJoin(broadcast(queries))
-      .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${M - 1}), 0D, (acc, j) -> acc + adc[j][int(pq_codes[j])])"))
-      .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= pool)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").asc, col("vec_id"))
-    candidates
+  private def adcDist: org.apache.spark.sql.Column =
+    (0 until M).map(j => col("adc")(j)(col("pq_codes")(j).cast("int"))).reduce(_ + _)
+
+  /** Exact rerank of an id-only (q_id, vec_id) candidate pool: the
+    * pool (|queries|·pool rows) is broadcast against the corpus scan,
+    * so the full-precision embeddings are read once and never
+    * shuffled; query vectors re-attach by a second broadcast join.
+    */
+  private def rerank(spark: SparkSession, sfDir: String,
+                     pool: DataFrame, metricAsc: Boolean): DataFrame = {
+    val ord = if (metricAsc) col("score").asc else col("score").desc
+    val w = Window.partitionBy(col("q_id")).orderBy(ord, col("vec_id"))
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .join(broadcast(pool), "vec_id")
+      .join(broadcast(VectorSearch.querySet(spark, sfDir).select(col("q_id"), col("q_emb"))), "q_id")
       .withColumn("score", round(vec.l2(col("q_emb"), col("embedding")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= K)
@@ -141,12 +148,36 @@ object Quantization {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** PQ kNN (rows-only): ADC scoring over the M-byte codes, exact
+    * rerank of the top `pool` candidates per query. The corpus-side
+    * ADC scan touches only vec_id + codes — at 100 TB it reads 32×
+    * fewer bytes than a float scan — and the ADC top-pool window
+    * shuffles only (q_id, vec_id, adc_dist) triples, pre-pruned per
+    * task by WindowGroupLimit.
+    */
+  def qPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val codebooks = trainPqCodebooks(spark, sfDir)
+    val corpus = pqEncode(Tables.embeddings(spark, sfDir), codebooks)
+    val queries = VectorSearch.querySet(spark, sfDir)
+      .withColumn("adc", array((0 until M).map { j =>
+        subDists(slice(col("q_emb"), j * SubDim + 1, SubDim), codebooks(j), absolute = true)
+      }: _*))
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
+    val pool = corpus.select(col("vec_id"), col("pq_codes"))
+      .crossJoin(broadcast(queries.select(col("q_id"), col("adc"))))
+      .select(col("q_id"), col("vec_id"), adcDist.as("adc_dist"))
+      .withColumn("arn", row_number().over(wAdc))
+      .filter(col("arn") <= PqRerankPool)
+      .select(col("q_id"), col("vec_id"))
+    rerank(spark, sfDir, pool, metricAsc = true)
+  }
+
   /** IVF_PQ (rows-only): the combined index every Milvus/FAISS
     * deployment defaults to at scale — IVF centroids prune the
     * candidate set to nprobe/nlist of the corpus, PQ codes make the
-    * surviving scan 32× narrower, ADC scores it, and the top pool is
-    * exactly reranked. Composes [[Ann]]'s probe machinery with the PQ
-    * path above.
+    * surviving scan 32× narrower, ADC (codegen'd) scores it, and the
+    * top pool is exactly reranked via broadcast joins. Composes
+    * [[Ann]]'s probe machinery with the PQ path above.
     */
   def qIvfPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val codebooks = trainPqCodebooks(spark, sfDir)
@@ -156,19 +187,13 @@ object Quantization {
         subDists(slice(col("q_emb"), j * SubDim + 1, SubDim), codebooks(j), absolute = true)
       }: _*))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val candidates = corpus
-      .join(broadcast(queries), "cluster_id")
-      .withColumn("adc_dist", expr(
-        s"aggregate(sequence(0, ${M - 1}), 0D, (acc, j) -> acc + adc[j][int(pq_codes[j])])"))
+    val pool = corpus.select(col("vec_id"), col("pq_codes"), col("cluster_id"))
+      .join(broadcast(queries.select(col("q_id"), col("adc"), col("cluster_id"))), "cluster_id")
+      .select(col("q_id"), col("vec_id"), adcDist.as("adc_dist"))
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= PqRerankPool)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").asc, col("vec_id"))
-    candidates
-      .withColumn("score", round(vec.l2(col("q_emb"), col("embedding")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= K)
-      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
-      .orderBy(col("q_id"), col("rn"))
+      .select(col("q_id"), col("vec_id"))
+    rerank(spark, sfDir, pool, metricAsc = true)
   }
 
   /** SQ8 kNN (rows-only): cosine top-k over the dequantized corpus —
