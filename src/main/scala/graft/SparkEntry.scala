@@ -33,7 +33,10 @@ object SparkEntry {
     "q_range_search"  -> (VectorSearch.qRangeSearch _),
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
     "q_recommend"     -> (VectorSearch.qRecommend _),
+    "q_maxsim"        -> (VectorSearch.qMaxsim _),
+    "q_matryoshka_knn" -> (VectorSearch.qMatryoshkaKnn _),
     "q_vector_stats"  -> (VectorSearch.qVectorStats _),
+    "q_asof_join"     -> (AsofJoin.qAsofJoin _),
     "q_upsert"           -> (Collection.qUpsert _),
     "q_delete_filter"    -> (Collection.qDeleteFilter _),
     "q_get_by_ids"       -> (Collection.qGetByIds _),
@@ -45,12 +48,17 @@ object SparkEntry {
     "q_tfidf"         -> (FullText.qTfidf _),
     "q_bm25"          -> (FullText.qBm25 _),
     "q_hybrid_rrf"    -> (FullText.qHybridRrf _),
+    "q_hybrid_weighted" -> (FullText.qHybridWeighted _),
     "q_dedup_exact"     -> (Dedup.qDedupExact _),
     "q_dedup_ngram"     -> (Dedup.qDedupNgram _),
     "q_dedup_embedding" -> (Dedup.qDedupEmbedding _),
     "q_dedup_minhash"   -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash"   -> (Dedup.qDedupSimhash _),
+    "q_dup_clusters"    -> (Dedup.qDupClusters _),
     "q_token_count"   -> (TextAnalysis.qTokenCount _),
+    "q_chunk_docs"    -> (TextAnalysis.qChunkDocs _),
+    "q_pii_redact"    -> (TextAnalysis.qPiiRedact _),
+    "q_sample_stratified" -> (Collection.qSampleStratified _),
     "q_lang_id"       -> (TextAnalysis.qLangId _),
     "q_quality_score" -> (TextAnalysis.qQualityScore _),
     "q_fingerprint"   -> (TextAnalysis.qFingerprint _),
@@ -106,6 +114,18 @@ object SparkEntry {
        |    row_number() OVER (PARTITION BY q_id ORDER BY score $order, vec_id) AS rn
        |  FROM s)
        |WHERE rn <= $k ORDER BY q_id, rn""".stripMargin
+
+  /** The 4×4 MaxSim cosine grid as DuckDB SQL (1-based inclusive
+    * list slices; q_emb is already DOUBLE[]).
+    */
+  private val oracleMaxsimScore: String =
+    (0 until VectorSearch.MaxsimSubs).map { qi =>
+      val d = VectorSearch.MaxsimDim
+      val qs = s"q.q_emb[${qi * d + 1}:${(qi + 1) * d}]"
+      "greatest(" + (0 until VectorSearch.MaxsimSubs).map { di =>
+        s"list_cosine_similarity($qs, e.embedding[${di * d + 1}:${(di + 1) * d}]::DOUBLE[])"
+      }.mkString(", ") + ")"
+    }.mkString(" + ")
 
   /** DuckDB-runnable ANSI SQL twins; table name = parquet file stem.
     * Column names and rounding must match the Spark results exactly
@@ -204,6 +224,40 @@ object SparkEntry {
         |SELECT vec_id, rn, score FROM (
         |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q_asof_join" ->
+      """SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
+        |  CAST(epoch_ms(c.ts) - epoch_ms(p.ts) AS BIGINT) AS lag_ms
+        |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
+        |ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |  ON c.user_id = p.user_id AND c.ts >= p.ts
+        |ORDER BY c.event_id""".stripMargin,
+    "q_maxsim" ->
+      s"""WITH q AS ($oracleQuerySet),
+         |s AS (SELECT q.q_id, e.vec_id, round($oracleMaxsimScore, 6) AS score
+         |      FROM q CROSS JOIN embeddings e)
+         |SELECT q_id, vec_id, rn, score FROM (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= ${VectorSearch.K} ORDER BY q_id, rn""".stripMargin,
+    "q_matryoshka_knn" ->
+      s"""WITH q AS ($oracleQuerySet),
+         |c AS (SELECT q.q_id, e.vec_id,
+         |        round(list_cosine_similarity(q.q_emb[1:16], e.embedding[1:16]::DOUBLE[]), 6) AS pscore
+         |      FROM q CROSS JOIN embeddings e),
+         |p AS (SELECT q_id, vec_id FROM (
+         |        SELECT q_id, vec_id,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY pscore DESC, vec_id) AS prn
+         |        FROM c)
+         |      WHERE prn <= ${VectorSearch.MatryoshkaPool}),
+         |r AS (SELECT p.q_id, p.vec_id,
+         |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |      FROM p JOIN q USING (q_id) JOIN embeddings e ON p.vec_id = e.vec_id)
+         |SELECT q_id, vec_id, rn, score FROM (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM r)
+         |WHERE rn <= ${VectorSearch.K} ORDER BY q_id, rn""".stripMargin,
     "q_vector_stats" ->
       """SELECT label, count(*) AS n_vectors, max(len(embedding)) AS dim,
         |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm,
@@ -284,6 +338,79 @@ object SparkEntry {
          |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf
          |FROM lex FULL OUTER JOIN vr USING (doc_id)
          |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hybrid_weighted" ->
+      s"""WITH bm AS ($oracleBm25),
+         |lexp AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |lexn AS (SELECT doc_id, coalesce((bm25 - mn) / nullif(mx - mn, 0), 1.0) AS nl
+         |         FROM lexp CROSS JOIN (SELECT min(bm25) AS mn, max(bm25) AS mx FROM lexp)),
+         |qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS vscore
+         |       FROM embeddings CROSS JOIN qv),
+         |vp AS (SELECT doc_id, vscore FROM vs ORDER BY vscore DESC, doc_id LIMIT 50),
+         |vn AS (SELECT doc_id, coalesce((vscore - mn) / nullif(mx - mn, 0), 1.0) AS nv
+         |       FROM vp CROSS JOIN (SELECT min(vscore) AS mn, max(vscore) AS mx FROM vp))
+         |SELECT doc_id, round(0.75 * coalesce(nv, 0) + 0.25 * coalesce(nl, 0), 6) AS hybrid
+         |FROM lexn FULL OUTER JOIN vn USING (doc_id)
+         |ORDER BY hybrid DESC, doc_id LIMIT 20""".stripMargin,
+    "q_chunk_docs" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start FROM t)
+        |SELECT doc_id, CAST(start // 16 AS BIGINT) AS chunk_id,
+        |  CAST(len(toks[start + 1 : least(start + 32, len(toks))]) AS BIGINT) AS n_tokens,
+        |  md5(array_to_string(toks[start + 1 : least(start + 32, len(toks))], ' ')) AS chunk_hash
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+    "q_pii_redact" ->
+      """WITH p AS (SELECT doc_id,
+        |  text || ' contact user' || CAST(doc_id AS VARCHAR) || '@mail.example.com ref ' ||
+        |  CAST((doc_id * 7919) % 100000 AS VARCHAR) AS text FROM documents),
+        |r AS (SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text, '[a-z0-9._]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+        |  regexp_replace(text, '[a-z0-9._]+@[a-z0-9.]+', '<EMAIL>', 'g') AS t1 FROM p)
+        |SELECT doc_id, n_emails,
+        |  CAST(len(regexp_extract_all(t1, '[0-9]+')) AS BIGINT) AS n_numbers,
+        |  md5(regexp_replace(t1, '[0-9]+', '<NUM>', 'g')) AS redacted_hash
+        |FROM r ORDER BY doc_id""".stripMargin,
+    "q_sample_stratified" ->
+      """WITH b AS (SELECT label,
+        |  CASE WHEN CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 5 = 0
+        |       THEN 1 ELSE 0 END AS keep FROM embeddings)
+        |SELECT label, count(*) AS n_total, CAST(sum(keep) AS BIGINT) AS n_sampled,
+        |  round(CAST(sum(keep) AS DOUBLE) / count(*), 6) AS ratio
+        |FROM b GROUP BY label ORDER BY label""".stripMargin,
+    "q_dup_clusters" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper,
+        |        count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n FROM all_docs),
+        |e1 AS (SELECT keeper AS a, doc_id AS b FROM g WHERE n > 1 AND doc_id <> keeper),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |      WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gs FROM t),
+        |ng AS (SELECT doc_id, unnest(gs) AS g FROM tri),
+        |sz AS (SELECT doc_id, len(gs) AS n_g FROM tri),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM ng a JOIN ng b USING (g) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e2 AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |       JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |       WHERE round(CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2
+        |          UNION SELECT b AS a, a AS b FROM e1
+        |          UNION SELECT b AS a, a AS b FROM e2),
+        |reach(n, r) AS (
+        |  SELECT a AS n, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.n, e.b AS r FROM reach JOIN edges e ON reach.r = e.a)
+        |SELECT n AS doc_id, min(r) AS cluster_id FROM reach
+        |GROUP BY n ORDER BY doc_id""".stripMargin,
     // q_dedup_minhash / q_dedup_simhash: hash-dependent → rows-only,
     // covered by the recall assertions in DedupSpec instead.
     "q_dedup_exact" ->

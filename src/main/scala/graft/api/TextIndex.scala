@@ -117,4 +117,28 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
           when(col("vec_rank").isNotNull, lit(1.0) / (lit(rrfK) + col("vec_rank"))).otherwise(lit(0.0)),
           6).as("rrf"))
   }
+
+  /** Weaviate-style weighted hybrid fusion: min-max normalize each
+    * pool's scores, then score = alpha·vec + (1−alpha)·lex. Like RRF,
+    * both candidate pools are `pool`-sized (the top-k itself is a
+    * distributed TakeOrderedAndProject), so the normalization
+    * aggregates and the fusion join are constant-size at any corpus
+    * scale.
+    */
+  def hybridWeighted(terms: Seq[String], otherScores: DataFrame, scoreCol: String,
+                     alpha: Double = 0.75, pool: Int = 50): DataFrame = {
+    def normalized(scored: DataFrame, sCol: String, out: String): DataFrame = {
+      val p = scored.orderBy(col(sCol).desc, col(idCol)).limit(pool)
+      p.crossJoin(broadcast(p.agg(min(col(sCol)).as("__mn"), max(col(sCol)).as("__mx"))))
+        .select(col(idCol),
+          coalesce((col(sCol) - col("__mn")) / nullif(col("__mx") - col("__mn"), lit(0.0)),
+            lit(1.0)).as(out))
+    }
+    val lex = normalized(bm25(terms), "bm25", "nl")
+    val vec = normalized(otherScores, scoreCol, "nv")
+    lex.join(vec, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(lit(alpha) * coalesce(col("nv"), lit(0.0)) +
+          lit(1.0 - alpha) * coalesce(col("nl"), lit(0.0)), 6).as("hybrid"))
+  }
 }

@@ -76,6 +76,28 @@ object Collection {
   def qScroll(spark: SparkSession, sfDir: String): DataFrame =
     coll(spark, sfDir).scroll(100, 50).select(col("vec_id"), col("label"))
 
+  /** Deterministic stratified sampling — the corpus-curation stage
+    * that takes a reproducible fraction per stratum (here 1-in-5 by
+    * an md5 of the id, so membership is stable across runs, cluster
+    * topologies, and engines — no RNG state). Pure per-row predicate:
+    * the sample is a scan-level filter at any scale; this query
+    * reports the per-stratum acceptance profile so the oracle checks
+    * every stratum in one small result.
+    */
+  val SampleMod = 5
+
+  def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
+    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % SampleMod
+    Tables.embeddings(spark, sfDir)
+      .select(col("label"), when(bucket === 0, 1L).otherwise(0L).as("keep"))
+      .groupBy(col("label"))
+      .agg(count(lit(1)).as("n_total"), sum(col("keep")).as("n_sampled"))
+      .select(col("label"), col("n_total"), col("n_sampled"),
+        round(col("n_sampled").cast("double") / col("n_total"), 6).as("ratio"))
+      .orderBy(col("label"))
+  }
+
   /** Row 14: collection stats — count / dims / label cardinality /
     * norm aggregate, the reference's collection.stats()/count()
     * endpoint. Single scan, single-row output.

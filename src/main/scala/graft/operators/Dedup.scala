@@ -93,9 +93,12 @@ object Dedup {
       .filter(col("doc_a") < col("doc_b"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    pairs
-      .join(broadcast(sz.select(col("doc_id").as("doc_a"), col("n_g").as("n_a"))), "doc_a")
-      .join(broadcast(sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b"))), "doc_b")
+    // the top-pair set is small — broadcast it into the corpus-sized
+    // size table (never the reverse) to attach both set sizes
+    sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b"))
+      .join(broadcast(
+        sz.select(col("doc_id").as("doc_a"), col("n_g").as("n_a"))
+          .join(broadcast(pairs), "doc_a")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("common") / (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
@@ -187,6 +190,79 @@ object Dedup {
       .filter(col("jaccard") >= 0.3)
       .select(col("doc_a"), col("doc_b"), col("jaccard"))
       .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** Connected components by iterative min-label propagation — the
+    * cluster-resolution step after pair detection (pairs alone don't
+    * tell a pipeline which docs to drop; components do). Each
+    * iteration is one join + one map-side-combinable min aggregate,
+    * with lineage cut per step; convergence takes at most
+    * graph-diameter rounds (dup clusters are shallow — a handful).
+    * This is the standard MapReduce CC shape; at 100 TB each round is
+    * a linear shuffle on the node id, and `localCheckpoint` would
+    * become a reliable checkpoint.
+    */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sym = edges.select(col("a"), col("b"))
+      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+    var comp = sym.select(col("a").as("node")).distinct()
+      .withColumn("comp", col("node")).localCheckpoint()
+    var converged = false
+    var i = 0
+    while (!converged && i < maxIter) {
+      val nbrMin = sym.join(comp.withColumnRenamed("node", "b"), "b")
+        .groupBy(col("a").as("node")).agg(min(col("comp")).as("nbr_comp"))
+      val next = comp.join(nbrMin, Seq("node"), "left")
+        .select(col("node"),
+          least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+        .localCheckpoint()
+      converged = next.join(comp.withColumnRenamed("comp", "prev"), "node")
+        .filter(col("comp") =!= col("prev")).isEmpty
+      comp = next
+      i += 1
+    }
+    comp
+  }
+
+  /** Duplicate-cluster resolution (SQL-oracled via a recursive CTE):
+    * edges = exact-dup groups (member→keeper) ∪ trigram-Jaccard ≥ 0.5
+    * near-dup pairs over the augmented corpus; output = every doc in
+    * a multi-doc component with its cluster id (the component's min
+    * doc id). Deterministic — both edge sets are exact, no MinHash
+    * banding involved.
+    */
+  def qDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = augmentedDocs(spark, sfDir)
+    val hashed = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
+    val wH = Window.partitionBy(col("h"))
+    val exactEdges = hashed
+      .withColumn("keeper", min(col("doc_id")).over(wH))
+      .filter(col("doc_id") =!= col("keeper"))
+      .select(col("keeper").as("a"), col("doc_id").as("b"))
+    val tri = trigrams(docs)
+    val ng = tri.select(col("doc_id"),
+      explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
+    val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
+    val nearPairs = ng.groupBy(col("gh"))
+      .agg(collect_list(col("doc_id")).as("ds"))
+      .filter(size(col("ds")) > 1)
+      .select(explode(col("ds")).as("doc_a"), col("ds"))
+      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(count(lit(1)).as("common"))
+    // pair set is small — broadcast it into the corpus-sized size
+    // table (never the reverse) to attach both set sizes
+    val withSizes = sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b"))
+      .join(broadcast(
+        sz.select(col("doc_id").as("doc_a"), col("n_g").as("n_a"))
+          .join(broadcast(nearPairs), "doc_a")), "doc_b")
+    val nearEdges = withSizes
+      .filter(round(col("common") / (col("n_a") + col("n_b") - col("common")), 6) >= 0.5)
+      .select(col("doc_a").as("a"), col("doc_b").as("b"))
+    connectedComponents(exactEdges.unionByName(nearEdges))
+      .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
+      .orderBy(col("doc_id"))
   }
 
   /** Row 23 (rows-only): SimHash near-dup. 64-bit fingerprint from

@@ -62,14 +62,25 @@ object FullText {
     * and the vector-cosine ranking for the paired query (doc_id ≡
     * vec_id in the collection; query vector = vector 0).
     */
-  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame = {
+  private def vecScores(spark: SparkSession, sfDir: String): DataFrame = {
     val emb = Tables.embeddings(spark, sfDir)
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
-    val vecScores = emb.crossJoin(broadcast(qv))
+    emb.crossJoin(broadcast(qv))
       .select(col("vec_id").as("doc_id"),
         round(vec.cosine(col("q_emb"), col("embedding")), 6).as("vscore"))
-    index(spark, sfDir).hybridRrf(Terms, vecScores, "vscore")
+  }
+
+  def qHybridRrf(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).hybridRrf(Terms, vecScores(spark, sfDir), "vscore")
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(K)
-  }
+
+  /** Weighted hybrid fusion (Weaviate's hybrid alpha): min-max
+    * normalized 0.75·vec + 0.25·lex over the same candidate pools as
+    * the RRF variant.
+    */
+  def qHybridWeighted(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).hybridWeighted(Terms, vecScores(spark, sfDir), "vscore")
+      .orderBy(col("hybrid").desc, col("doc_id"))
+      .limit(K)
 }

@@ -79,6 +79,62 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Chunking window: 32 tokens per chunk, stride 16 (50% overlap) —
+    * the standard RAG/embedding pre-pass shape.
+    */
+  val ChunkSize = 32
+  val ChunkStride = 16
+
+  /** Sliding-window document chunking — the split-for-embedding stage
+    * every RAG/training pipeline runs before vectorization. One scan,
+    * one explode of per-doc chunk starts; no shuffle at all (ordering
+    * is presentation-only), so it streams at scan speed over 100 TB.
+    * Chunks are emitted as (doc, chunk ordinal, length, content hash)
+    * — the hash keeps the oracle check exact without materializing
+    * chunk text in the result.
+    */
+  def qChunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), col("toks"),
+        posexplode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride)))
+          .as(Seq("chunk_id", "start")))
+      .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
+        slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+      .select(col("doc_id"), col("chunk_id"),
+        size(col("chunk")).cast("long").as("n_tokens"),
+        md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
+      .orderBy(col("doc_id"), col("chunk_id"))
+
+  /** PII patterns: lowercase emails and digit runs. The corpus is
+    * digit-free, so deterministic PII is appended per doc (mirrored
+    * in the oracle), the same constructed-positives pattern as the
+    * dedup family.
+    */
+  private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+"
+  private val NumPat = "[0-9]+"
+
+  /** PII redaction — scrub emails then digit runs, report per-doc
+    * match counts and the hash of the redacted text. Pure per-row
+    * regex pipeline (codegen'd `RegExpReplace`), no shuffle: the
+    * shape of every scrubbing pass in a training-data pipeline.
+    */
+  def qPiiRedact(spark: SparkSession, sfDir: String): DataFrame = {
+    val withPii = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        concat(col("text"), lit(" contact user"), col("doc_id").cast("string"),
+          lit("@mail.example.com ref "),
+          ((col("doc_id") * 7919) % 100000).cast("string")).as("text"))
+    withPii
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit(EmailPat)).cast("long").as("n_emails"),
+        regexp_replace(col("text"), EmailPat, "<EMAIL>").as("t1"))
+      .select(col("doc_id"), col("n_emails"),
+        regexp_count(col("t1"), lit(NumPat)).cast("long").as("n_numbers"),
+        md5(regexp_replace(col("t1"), NumPat, "<NUM>")).as("redacted_hash"))
+      .orderBy(col("doc_id"))
+  }
+
   /** Row 27: polynomial rolling-hash fingerprint: fold tokens left to
     * right as acc·31 + tokval mod 1e9+7, with tokval the first 8 hex
     * digits of md5(token) — a hash both Spark and the SQL oracle

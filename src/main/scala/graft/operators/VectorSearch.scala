@@ -96,6 +96,75 @@ object VectorSearch {
       .select(col("vec_id"), col("rn"), col("score"))
       .orderBy(col("rn"))
 
+  /** Sub-vector layout of the late-interaction (multi-vector) view:
+    * each 64-dim embedding is read as `MaxsimSubs` token vectors of
+    * `MaxsimDim` dims — the deterministic stand-in for a ColBERT-style
+    * per-token embedding matrix (Qdrant multivectors / Milvus
+    * multi-vector fields store exactly this shape).
+    */
+  val MaxsimSubs = 4
+  val MaxsimDim = 16
+
+  private def subVec(c: org.apache.spark.sql.Column, i: Int) =
+    slice(c, i * MaxsimDim + 1, MaxsimDim)
+
+  /** Late-interaction (MaxSim) search: score(q, d) = Σ over query
+    * sub-vectors of the best cosine against any document sub-vector —
+    * the multivector comparator of Qdrant/ColBERT. The 4×4 cosine
+    * grid is a static expression tree (16 codegen'd native cosines +
+    * greatest/sum), so the scan stays one whole-stage-codegen pass
+    * with the usual broadcast query set and WindowGroupLimit top-k.
+    */
+  def qMaxsim(spark: SparkSession, sfDir: String): DataFrame = {
+    val score = (0 until MaxsimSubs).map { qi =>
+      greatest((0 until MaxsimSubs).map(di =>
+        vec.cosine(subVec(col("q_emb"), qi), subVec(col("embedding"), di))): _*)
+    }.reduce(_ + _)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(querySet(spark, sfDir)))
+      .select(col("q_id"), col("vec_id"), round(score, 6).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Matryoshka two-stage search: rank on the 16-dim embedding
+    * prefix (MRL-truncated vectors — 4× less compute and scan width),
+    * keep the top `MatryoshkaPool` per query, exact-rerank on full
+    * dims. Both stages are deterministic, so the whole operator is
+    * SQL-oracled — unlike IVF/LSH there is no training state. At
+    * 100 TB the first stage reads a quarter of the vector bytes, and
+    * only |queries|·pool full vectors are ever re-read (broadcast
+    * semi-join into the corpus scan, no corpus shuffle).
+    */
+  val MatryoshkaPool = 100
+
+  def qMatryoshkaKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = querySet(spark, sfDir)
+    val wPre = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("pscore").desc, col("vec_id"))
+    val pool = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(q))
+      .select(col("q_id"), col("vec_id"),
+        round(vec.cosine(subVec(col("q_emb"), 0), subVec(col("embedding"), 0)), 6).as("pscore"))
+      .withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= MatryoshkaPool)
+      .select(col("q_id"), col("vec_id"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
+      .join(broadcast(pool), "vec_id")
+      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
+      .withColumn("score", round(vec.cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Row 9: per-label norm stats over the collection — the
     * normalize/stats path every backend runs at ingest. Map-side
     * partial agg; output cardinality = |labels|.

@@ -45,6 +45,22 @@ class CollectionSpec extends SparkSpec {
     assert(got.sameElements(all.slice(100, 150)))
   }
 
+  test("q_sample_stratified keeps a stable ~1/5 of every stratum") {
+    val rows = Collection.qSampleStratified(spark, sfDir).collect()
+    assert(rows.length == 10)
+    rows.foreach { r =>
+      val total = r.getAs[Long]("n_total")
+      val sampled = r.getAs[Long]("n_sampled")
+      assert(sampled <= total)
+      // md5 buckets are uniform; per-stratum ratio should be near 0.2
+      assert(math.abs(r.getAs[Double]("ratio") - 0.2) < 0.15,
+        s"stratum ratio ${r.getAs[Double]("ratio")}")
+    }
+    // deterministic: two runs agree exactly
+    val again = Collection.qSampleStratified(spark, sfDir).collect()
+    assert(rows.map(_.toString).sameElements(again.map(_.toString)))
+  }
+
   test("q_collection_stats summarizes the collection in one row") {
     val r = Collection.qCollectionStats(spark, sfDir).head()
     assert(r.getAs[Long]("n_vectors") == 500)

@@ -20,6 +20,33 @@ class DedupSpec extends SparkSpec {
     assert(dups.length == keepers.length) // copies pair 1:1 with originals
   }
 
+  test("connectedComponents resolves chains and singleton pairs") {
+    import spark.implicits._
+    val edges = Seq((1L, 2L), (2L, 3L), (4L, 5L)).toDF("a", "b")
+    val comp = Dedup.connectedComponents(edges).collect()
+      .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
+  }
+
+  test("q_dup_clusters groups every constructed duplicate with its original") {
+    val comp = Dedup.qDupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0))
+    // exact copies always share their original's cluster
+    docIds.filter(_ % 7 == 0).foreach { id =>
+      assert(comp.get(id + 10000L).contains(comp(id)))
+    }
+    // cluster ids are component minima: every member's id >= its cluster id,
+    // and the cluster id itself is a member
+    comp.foreach { case (id, c) => assert(c <= id && comp(c) == c) }
+    // docs divisible by 77 chain exact+near dups into one cluster
+    docIds.filter(_ % 77 == 0).foreach { id =>
+      if (comp.contains(id + 20000L))
+        assert(comp(id + 20000L) == comp(id) && comp(id + 10000L) == comp(id))
+    }
+  }
+
   test("q_dedup_ngram top pairs are valid Jaccard scores in [0,1] descending") {
     val rows = Dedup.qDedupNgram(spark, sfDir).collect()
     assert(rows.length == 50)

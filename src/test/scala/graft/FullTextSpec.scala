@@ -80,4 +80,18 @@ class FullTextSpec extends SparkSpec {
     // every fused score is at most the best single-list contribution + best other
     assert(s.forall(x => x > 0 && x <= 2.0 / 61 + 1e-9))
   }
+
+  test("q_hybrid_weighted fuses min-max-normalized scores with alpha 0.75") {
+    val rows = FullText.qHybridWeighted(spark, sfDir).collect()
+    assert(rows.length == FullText.K)
+    val s = rows.map(_.getAs[Double]("hybrid"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    // normalized components are in [0,1], so fused scores are too
+    assert(s.forall(x => x >= 0 && x <= 1.0 + 1e-9))
+    // the vector query is vec 0 itself → its nv is exactly 1 (pool max),
+    // so doc 0 scores at least alpha
+    val doc0 = rows.find(_.getAs[Long]("doc_id") == 0L)
+    assert(doc0.forall(_.getAs[Double]("hybrid") >= 0.75 - 1e-9))
+    assert(doc0.isDefined || s.last >= 0.75 - 1e-9)
+  }
 }

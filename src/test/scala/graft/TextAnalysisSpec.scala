@@ -40,6 +40,40 @@ class TextAnalysisSpec extends SparkSpec {
     })
   }
 
+  test("q_chunk_docs covers every token with 32/16 sliding windows") {
+    val chunks = TextAnalysis.qChunkDocs(spark, sfDir).collect()
+    val nTok = Tables.documents(spark, sfDir)
+      .selectExpr("doc_id", "size(split(text, ' ')) AS n").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n")).toMap
+    assert(chunks.forall { r =>
+      val n = r.getAs[Long]("n_tokens"); n >= 1 && n <= TextAnalysis.ChunkSize
+    })
+    // chunk count per doc = number of stride starts below the length
+    val perDoc = chunks.groupBy(_.getAs[Long]("doc_id")).view.mapValues(_.length)
+    assert(nTok.forall { case (id, n) =>
+      perDoc.getOrElse(id, 0) == (n - 1) / TextAnalysis.ChunkStride + 1
+    })
+    // chunk i spans tokens [16i, min(16i+32, n)) exactly
+    chunks.foreach { r =>
+      val n = nTok(r.getAs[Long]("doc_id")).toLong
+      val start = r.getAs[Long]("chunk_id") * TextAnalysis.ChunkStride
+      assert(r.getAs[Long]("n_tokens") == math.min(TextAnalysis.ChunkSize, n - start))
+    }
+  }
+
+  test("q_pii_redact finds the injected email and reference number") {
+    val rows = TextAnalysis.qPiiRedact(spark, sfDir).collect()
+    assert(rows.length == 500)
+    // every doc got exactly one injected email; digits beyond the
+    // email remain only in the injected ref number
+    assert(rows.forall(_.getAs[Long]("n_emails") == 1))
+    assert(rows.forall(_.getAs[Long]("n_numbers") == 1))
+    // redacted hashes differ per doc (distinct underlying texts)
+    val redone = TextAnalysis.qPiiRedact(spark, sfDir)
+      .select("redacted_hash").distinct().count()
+    assert(redone > 450)
+  }
+
   test("q_fingerprint is deterministic and in range") {
     val a = TextAnalysis.qFingerprint(spark, sfDir).collect()
     val b = TextAnalysis.qFingerprint(spark, sfDir).collect()

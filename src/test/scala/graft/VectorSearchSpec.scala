@@ -78,6 +78,42 @@ class VectorSearchSpec extends SparkSpec {
     assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
   }
 
+  test("q_maxsim: self-match scores the full 4-sub maximum") {
+    val rows = VectorSearch.qMaxsim(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // per query: ranks 1..K, scores descending, all in [-4, 4]
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      assert(sorted.map(_.getAs[Long]("rn")).sameElements(1L to VectorSearch.K))
+      val s = sorted.map(_.getAs[Double]("score"))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+      assert(s.forall(x => x >= -4.0 && x <= 4.0 + 1e-9))
+    }
+    // the query vector itself maximizes every sub-similarity: rank 1, score 4
+    val self = rows.filter(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id"))
+    assert(self.nonEmpty)
+    assert(self.forall(r => r.getAs[Long]("rn") == 1L && r.getAs[Double]("score") == 4.0))
+  }
+
+  test("q_matryoshka_knn reranks with exact full-dim cosine") {
+    val rows = VectorSearch.qMatryoshkaKnn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // rerank scores must equal brute-force cosine for the same pairs
+    val exact = VectorSearch.qKnnCosine(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")) -> r.getAs[Double]("score"))
+      .toMap
+    val agree = rows.count { r =>
+      exact.get((r.getAs[Long]("q_id"), r.getAs[Long]("vec_id")))
+        .forall(_ == r.getAs[Double]("score"))
+    }
+    assert(agree == rows.length)
+    // the query vector itself survives the 16-dim prefilter (prefix
+    // cosine 1.0) and reranks to the top
+    val self = rows.filter(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id"))
+    assert(self.forall(_.getAs[Long]("rn") == 1L))
+    assert(self.length == rows.map(_.getAs[Long]("q_id")).distinct.length)
+  }
+
   test("q_vector_stats: one row per label, dim 64, norms ordered") {
     val rows = VectorSearch.qVectorStats(spark, sfDir).collect()
     assert(rows.length == 10)
