@@ -42,6 +42,7 @@ object SparkEntry {
     "q_get_by_ids"       -> (Collection.qGetByIds _),
     "q_scroll"           -> (Collection.qScroll _),
     "q_collection_stats" -> (Collection.qCollectionStats _),
+    "q_facet"            -> (Collection.qFacet _),
     "q_keyword_match" -> (FullText.qKeywordMatch _),
     "q_phrase_match"  -> (FullText.qPhraseMatch _),
     "q_fuzzy_match"   -> (FullText.qFuzzyMatch _),
@@ -74,7 +75,8 @@ object SparkEntry {
     "q_lsh_knn" -> (Ann.qLshKnn _),
     "q_sq8_knn" -> (Quantization.qSq8Knn _),
     "q_pq_knn"  -> (Quantization.qPqKnn _),
-    "q_ivfpq_knn" -> (Quantization.qIvfPqKnn _)
+    "q_ivfpq_knn" -> (Quantization.qIvfPqKnn _),
+    "q_bq_knn"  -> (Quantization.qBqKnn _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -286,6 +288,11 @@ object SparkEntry {
         |ORDER BY vec_id""".stripMargin,
     "q_scroll" ->
       "SELECT vec_id, label FROM embeddings ORDER BY vec_id LIMIT 50 OFFSET 100",
+    "q_facet" ->
+      """SELECT source, count(*) AS n_docs,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+        |FROM documents WHERE n_chars >= 300
+        |GROUP BY source ORDER BY source""".stripMargin,
     "q_collection_stats" ->
       """SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels,
         |  max(len(embedding)) AS dim,

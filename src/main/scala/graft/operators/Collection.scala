@@ -98,6 +98,20 @@ object Collection {
       .orderBy(col("label"))
   }
 
+  /** Facet counts (the Qdrant facet / Elasticsearch terms-aggregation
+    * API): distinct values of a payload field with their counts,
+    * under a filter. Filter lands in the parquet scan, the aggregate
+    * is map-side combinable, output cardinality = |field values| —
+    * the cheapest possible shape at any scale.
+    */
+  def qFacet(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("n_chars") >= 300)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+      .orderBy(col("source"))
+
   /** Row 14: collection stats — count / dims / label cardinality /
     * norm aggregate, the reference's collection.stats()/count()
     * endpoint. Single scan, single-row output.

@@ -134,18 +134,58 @@ object Quantization {
     * so the full-precision embeddings are read once and never
     * shuffled; query vectors re-attach by a second broadcast join.
     */
-  private def rerank(spark: SparkSession, sfDir: String,
-                     pool: DataFrame, metricAsc: Boolean): DataFrame = {
+  private def rerank(spark: SparkSession, sfDir: String, pool: DataFrame,
+                     score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = vec.l2(_, _),
+                     metricAsc: Boolean = true): DataFrame = {
     val ord = if (metricAsc) col("score").asc else col("score").desc
     val w = Window.partitionBy(col("q_id")).orderBy(ord, col("vec_id"))
     Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
       .join(broadcast(pool), "vec_id")
       .join(broadcast(VectorSearch.querySet(spark, sfDir).select(col("q_id"), col("q_emb"))), "q_id")
-      .withColumn("score", round(vec.l2(col("q_emb"), col("embedding")), 6))
+      .withColumn("score", round(score(col("q_emb"), col("embedding")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= K)
       .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
       .orderBy(col("q_id"), col("rn"))
+  }
+
+  // ----------------------------------------------------------------
+  // Binary quantization (Qdrant BQ / FAISS binary index): one sign
+  // bit per dimension — the 64-dim embedding becomes ONE 64-bit word,
+  // 32× smaller than float32. Candidates by Hamming distance
+  // (bit_count(xor), single codegen'd instruction pair per pair),
+  // exact rerank of the pool.
+  // ----------------------------------------------------------------
+
+  val BqPool = 100
+
+  /** Sign-bit word: bit i set iff component i ≥ 0. A static 64-term
+    * OR tree — pure codegen, no shuffle, no training state.
+    */
+  def bqWord(embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    (0 until 64).map(i =>
+      when(embCol.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ bitwiseOR _)
+
+  /** BQ kNN (rows-only): Hamming prefilter on the packed words, exact
+    * cosine rerank. The candidate scan reads 8 bytes per vector —
+    * at 100 TB the entire sign index of a 10^11-vector collection
+    * fits in ~1 TB, and the Hamming pass shuffles only
+    * (q_id, vec_id, hamming) triples pre-pruned by WindowGroupLimit.
+    */
+  def qBqKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), bqWord(col("embedding")).as("w"))
+    val queries = VectorSearch.querySet(spark, sfDir)
+      .select(col("q_id"), bqWord(col("q_emb")).as("qw"))
+    val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
+    val pool = corpus.crossJoin(broadcast(queries))
+      .select(col("q_id"), col("vec_id"),
+        bit_count(col("w").bitwiseXOR(col("qw"))).as("hamming"))
+      .withColumn("hrn", row_number().over(wHam))
+      .filter(col("hrn") <= BqPool)
+      .select(col("q_id"), col("vec_id"))
+    rerank(spark, sfDir, pool, vec.cosine(_, _), metricAsc = false)
   }
 
   /** PQ kNN (rows-only): ADC scoring over the M-byte codes, exact

@@ -45,6 +45,16 @@ class CollectionSpec extends SparkSpec {
     assert(got.sameElements(all.slice(100, 150)))
   }
 
+  test("q_facet counts every source facet over the filtered docs") {
+    val rows = Collection.qFacet(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    val expected = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("n_chars") >= 300).count()
+    assert(total == expected)
+    assert(rows.forall(_.getAs[Double]("avg_chars") >= 300.0))
+  }
+
   test("q_sample_stratified keeps a stable ~1/5 of every stratum") {
     val rows = Collection.qSampleStratified(spark, sfDir).collect()
     assert(rows.length == 10)

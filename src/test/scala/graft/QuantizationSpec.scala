@@ -52,6 +52,25 @@ class QuantizationSpec extends SparkSpec {
     assert(recall >= 0.4, f"IVF_PQ recall $recall%.3f below 0.4")
   }
 
+  test("q_bq_knn sign-bit Hamming prefilter reranks to usable recall") {
+    def topk(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = topk(VectorSearch.qKnnCosine(spark, sfDir).collect())
+    val bq = topk(Quantization.qBqKnn(spark, sfDir).collect())
+    assert(bq.keySet == exact.keySet)
+    val recall = exact.map { case (q, ex) =>
+      bq(q).intersect(ex).size.toDouble / ex.size }.sum / exact.size
+    info(f"BQ recall@10 = $recall%.3f")
+    // pool is 100 of 500 (20% scan share); sign bits must beat random
+    // candidate selection (expected recall 0.2) by a wide margin
+    assert(recall >= 0.5, f"BQ recall $recall%.3f below 0.5")
+    // the query vector itself has Hamming 0 → always recalled at rank 1
+    val self = Quantization.qBqKnn(spark, sfDir).collect()
+      .filter(r => r.getAs[Long]("q_id") == r.getAs[Long]("vec_id"))
+    assert(self.forall(_.getAs[Long]("rn") == 1L))
+  }
+
   test("q_sq8_knn recall vs the exact float kNN is near-perfect") {
     def topk(rows: Array[org.apache.spark.sql.Row]) =
       rows.groupBy(_.getAs[Long]("q_id"))

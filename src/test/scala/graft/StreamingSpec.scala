@@ -6,6 +6,29 @@ import java.nio.file.Files
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming vector search per micro-batch equals the batch search") {
+    import org.apache.spark.sql.functions.col
+    val queries = graft.operators.VectorSearch.querySet(spark, sfDir)
+      .select("q_id", "q_emb")
+    val srcDir = Files.createTempDirectory("graft-qstream-src").toString
+    queries.write.mode("overwrite").parquet(srcDir)
+
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long, Double)]()
+    val q = graft.streaming.StreamingSearch.searchStream(
+      spark.readStream.schema(queries.schema).parquet(srcDir),
+      Tables.embeddings(spark, sfDir), k = 10) { res =>
+      res.collect().foreach(r => collected.add((r.getAs[Long]("q_id"),
+        r.getAs[Long]("vec_id"), r.getAs[Long]("rn"), r.getAs[Double]("score"))))
+    }
+    q.awaitTermination(120000)
+
+    val batch = graft.operators.VectorSearch.qKnnCosine(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rn"), r.getAs[Double]("score"))).toSet
+    val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(collected).asScala.toSet
+    assert(streamed == batch)
+  }
+
   test("mapGroupsWithState running stats converge to the batch aggregate") {
     val events = Tables.events(spark, sfDir).select("user_id", "value")
     val srcDir = Files.createTempDirectory("graft-state-src").toString
