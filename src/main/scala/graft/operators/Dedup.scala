@@ -203,8 +203,12 @@ object Dedup {
     * become a reliable checkpoint.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    // materialize the (symmetrized) edge list ONCE — the edge
+    // derivation upstream can be an expensive pipeline, and every
+    // iteration below would otherwise re-execute it from scratch
     val sym = edges.select(col("a"), col("b"))
       .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
+      .localCheckpoint()
     var comp = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     var converged = false
@@ -212,9 +216,14 @@ object Dedup {
     while (!converged && i < maxIter) {
       val nbrMin = sym.join(comp.withColumnRenamed("node", "b"), "b")
         .groupBy(col("a").as("node")).agg(min(col("comp")).as("nbr_comp"))
-      val next = comp.join(nbrMin, Seq("node"), "left")
+      val stepped = comp.join(nbrMin, Seq("node"), "left")
         .select(col("node"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
+      // pointer-jump (path halving): follow the label one more hop so
+      // deep chains converge in O(log diameter) rounds, not O(diameter)
+      val next = stepped
+        .join(stepped.select(col("node").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
+        .select(col("node"), least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
         .localCheckpoint()
       converged = next.join(comp.withColumnRenamed("comp", "prev"), "node")
         .filter(col("comp") =!= col("prev")).isEmpty
