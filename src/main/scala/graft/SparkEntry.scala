@@ -50,6 +50,7 @@ object SparkEntry {
     "q_bm25"          -> (FullText.qBm25 _),
     "q_hybrid_rrf"    -> (FullText.qHybridRrf _),
     "q_hybrid_weighted" -> (FullText.qHybridWeighted _),
+    "q_sparse_knn"    -> (SparseSearch.qSparseKnn _),
     "q_dedup_exact"     -> (Dedup.qDedupExact _),
     "q_dedup_ngram"     -> (Dedup.qDedupNgram _),
     "q_dedup_embedding" -> (Dedup.qDedupEmbedding _),
@@ -360,6 +361,18 @@ object SparkEntry {
          |SELECT doc_id, round(0.75 * coalesce(nv, 0) + 0.25 * coalesce(nl, 0), 6) AS hybrid
          |FROM lexn FULL OUTER JOIN vn USING (doc_id)
          |ORDER BY hybrid DESC, doc_id LIMIT 20""".stripMargin,
+    "q_sparse_knn" ->
+      """WITH q AS (SELECT CAST('0x' || substring(md5(t), 1, 8) AS BIGINT) % 1024 AS b, w
+        |           FROM (VALUES ('spark', 1.0), ('join', 0.5), ('vector', 0.25)) AS v(t, w)),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |buck AS (SELECT doc_id,
+        |           CAST('0x' || substring(md5(token), 1, 8) AS BIGINT) % 1024 AS b
+        |         FROM toks),
+        |tf AS (SELECT doc_id, b, CAST(count(*) AS DOUBLE) AS tf FROM buck
+        |       WHERE b IN (SELECT b FROM q) GROUP BY doc_id, b)
+        |SELECT doc_id, round(sum(tf * w), 6) AS score
+        |FROM tf JOIN q USING (b)
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_chunk_docs" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |c AS (SELECT doc_id, toks, unnest(range(0, len(toks), 16)) AS start FROM t)

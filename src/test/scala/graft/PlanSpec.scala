@@ -65,4 +65,33 @@ class PlanSpec extends SparkSpec {
     assert(ivfpq.contains("BroadcastHashJoin"), ivfpq)
     assert(ivfpq.split("WindowGroupLimit").length - 1 >= 2, ivfpq)
   }
+
+  test("as-of join is one key shuffle, never a range cross-product") {
+    val p = plan(AsofJoin.qAsofJoin(spark, sfDir))
+    assert(!p.contains("NestedLoopJoin") && !p.contains("CartesianProduct"), p)
+    // exactly one hash exchange (the user_id window); the only other
+    // exchange is the presentation sort's range partitioning
+    assert(p.split("hashpartitioning\\(").length - 1 == 1, p)
+  }
+
+  test("two-stage rerank pools stay broadcast (matryoshka, BQ)") {
+    Seq(plan(VectorSearch.qMatryoshkaKnn(spark, sfDir)),
+        plan(Quantization.qBqKnn(spark, sfDir))).foreach { p =>
+      assert(p.contains("BroadcastHashJoin"), p)
+      assert(!p.contains("SortMergeJoin"), p)
+      assert(p.contains("WindowGroupLimit"), p)
+    }
+  }
+
+  test("chunking is scan + explode with no shuffle before presentation") {
+    val p = plan(graft.operators.TextAnalysis.qChunkDocs(spark, sfDir))
+    assert(!p.contains("Exchange hashpartitioning"), p)
+    assert(p.contains("Generate"), p) // the per-doc chunk-start explode
+  }
+
+  test("sparse search broadcasts the query weights and prunes postings early") {
+    val p = plan(SparseSearch.qSparseKnn(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
 }
