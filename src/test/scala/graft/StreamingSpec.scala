@@ -6,6 +6,31 @@ import java.nio.file.Files
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming exact dedup admits one survivor per content hash") {
+    import org.apache.spark.sql.functions._
+    // documents with synthetic event times and known duplicates
+    val docs = graft.operators.Dedup.augmentedDocs(spark, sfDir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id")))
+    val srcDir = Files.createTempDirectory("graft-dedup-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+
+    val q = graft.streaming.DedupStream.deduped(
+        spark.readStream.schema(docs.schema).parquet(srcDir))
+      .writeStream
+      .format("memory")
+      .queryName("dedup_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("dedup_stream_test")
+    // one survivor per distinct normalized text, all texts covered
+    val nDistinct = docs.select(md5(lower(trim(col("text"))))).distinct().count()
+    assert(streamed.count() == nDistinct)
+    assert(streamed.select(md5(lower(trim(col("text"))))).distinct().count() == nDistinct)
+  }
+
   test("streaming vector search per micro-batch equals the batch search") {
     import org.apache.spark.sql.functions.col
     val queries = graft.operators.VectorSearch.querySet(spark, sfDir)
