@@ -34,6 +34,7 @@ object SparkEntry {
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
     "q_recommend"     -> (VectorSearch.qRecommend _),
     "q_maxsim"        -> (VectorSearch.qMaxsim _),
+    "q_search_agg"    -> (VectorSearch.qSearchAgg _),
     "q_matryoshka_knn" -> (VectorSearch.qMatryoshkaKnn _),
     "q_vector_stats"  -> (VectorSearch.qVectorStats _),
     "q_asof_join"     -> (AsofJoin.qAsofJoin _),
@@ -227,6 +228,18 @@ object SparkEntry {
         |SELECT vec_id, rn, score FROM (
         |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q_search_agg" ->
+      s"""WITH q AS ($oracleQuerySet),
+         |s AS (SELECT q.q_id, e.vec_id, e.label,
+         |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |      FROM q CROSS JOIN embeddings e),
+         |p AS (SELECT q_id, label, score FROM (
+         |        SELECT q_id, label, score,
+         |          row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |        FROM s)
+         |      WHERE rn <= ${VectorSearch.SearchAggPool})
+         |SELECT q_id, label, count(*) AS n, round(avg(score), 6) AS avg_score
+         |FROM p GROUP BY q_id, label ORDER BY q_id, label""".stripMargin,
     "q_asof_join" ->
       """SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
         |  CAST(epoch_ms(c.ts) - epoch_ms(p.ts) AS BIGINT) AS lag_ms

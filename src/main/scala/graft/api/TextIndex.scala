@@ -19,12 +19,15 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
 
   private def toks: Column = split(col(textCol), " ")
 
-  /** One row per (doc, query-term) with its term frequency. */
+  /** One row per (doc, query-term) with its term frequency. The doc
+    * length rides along through the aggregate (constant per doc), so
+    * BM25 never needs a second corpus scan or a doc-length join.
+    */
   def termFreq(terms: Seq[String]): DataFrame =
-    docs.select(col(idCol), explode(toks).as("token"))
+    docs.select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("token"))
       .filter(col("token").isin(terms: _*))
       .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
 
   /** df per term, derived from tf so the shuffle exchange is reused. */
   private def docFreq(tf: DataFrame): DataFrame =
@@ -73,15 +76,16 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
       .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 6).as("tfidf"))
   }
 
-  /** BM25 scores per doc (Lucene-style idf). */
+  /** BM25 scores per doc (Lucene-style idf). Single corpus scan: the
+    * doc length comes out of the tf aggregate, df and the corpus
+    * stats are tiny broadcasts.
+    */
   def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val k1l = lit(k1); val bl = lit(b)
-    val dl = docs.select(col(idCol), size(toks).cast("long").as("dl"))
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
     val tf = termFreq(terms)
     tf.join(broadcast(docFreq(tf)), "token")
-      .join(dl, idCol)
       .crossJoin(broadcast(corpusStats))
       .groupBy(col(idCol))
       .agg(round(sum(idf * w), 6).as("bm25"))

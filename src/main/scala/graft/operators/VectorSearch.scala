@@ -165,6 +165,29 @@ object VectorSearch {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Neighborhood size for the aggregate-over-search operator. */
+  val SearchAggPool = 50
+
+  /** Aggregation over search results — Weaviate's Aggregate +
+    * nearVector API: per query, the label histogram and mean
+    * similarity of its top-50 neighborhood. Same scan + top-k shape
+    * as plain kNN (WindowGroupLimit pre-prunes the pool), plus one
+    * tiny aggregate over |queries|·pool rows.
+    */
+  def qSearchAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(querySet(spark, sfDir)))
+      .select(col("q_id"), col("vec_id"), col("label"),
+        round(vec.cosine(col("q_emb"), col("embedding")), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= SearchAggPool)
+      .groupBy(col("q_id"), col("label"))
+      .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("avg_score"))
+      .orderBy(col("q_id"), col("label"))
+  }
+
   /** Row 9: per-label norm stats over the collection — the
     * normalize/stats path every backend runs at ingest. Map-side
     * partial agg; output cardinality = |labels|.

@@ -114,6 +114,18 @@ class VectorSearchSpec extends SparkSpec {
     assert(self.length == rows.map(_.getAs[Long]("q_id")).distinct.length)
   }
 
+  test("q_search_agg histograms each query's top-50 neighborhood") {
+    val rows = VectorSearch.qSearchAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      // label counts over the pool sum to exactly the pool size
+      assert(rs.map(_.getAs[Long]("n")).sum == VectorSearch.SearchAggPool)
+      assert(rs.forall { r =>
+        val s = r.getAs[Double]("avg_score"); s >= -1.0 && s <= 1.0
+      })
+    }
+  }
+
   test("q_vector_stats: one row per label, dim 64, norms ordered") {
     val rows = VectorSearch.qVectorStats(spark, sfDir).collect()
     assert(rows.length == 10)
