@@ -92,6 +92,65 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
       .filter(col("rn") <= k)
   }
 
+  /** Late-interaction (MaxSim) search over fixed-width sub-vectors:
+    * the embedding column is read as `subs` token vectors of `subDim`
+    * dims (Qdrant multivectors / ColBERT), scored as Σ over query
+    * sub-vectors of the best cosine against any document sub-vector.
+    * The subs×subs cosine grid is a static codegen'd expression tree;
+    * scan shape identical to `search`.
+    */
+  def searchMaxsim(queries: DataFrame, k: Int, subs: Int, subDim: Int): DataFrame = {
+    def sub(c: Column, i: Int) = slice(c, i * subDim + 1, subDim)
+    val score = (0 until subs).map { qi =>
+      greatest((0 until subs).map(di =>
+        graft.functions.vec.cosine(sub(col("q_emb"), qi), sub(emb, di))): _*)
+    }.reduce(_ + _)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, id)
+    df.crossJoin(broadcast(queries))
+      .select(col("q_id"), id, round(score, 6).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Two-stage (matryoshka) search: rank on the `prefixDims`-dim
+    * embedding prefix, keep `pool` candidates per query, exact-rerank
+    * on full dims. The id-only pool is broadcast back into the corpus
+    * scan, so full vectors are read once and never shuffled.
+    */
+  def searchTwoStage(queries: DataFrame, k: Int, prefixDims: Int, pool: Int): DataFrame = {
+    val wPre = Window.partitionBy(col("q_id")).orderBy(col("pscore").desc, id)
+    val idPool = df.crossJoin(broadcast(queries))
+      .select(col("q_id"), id, round(graft.functions.vec.cosine(
+        slice(col("q_emb"), 1, prefixDims), slice(emb, 1, prefixDims)), 6).as("pscore"))
+      .withColumn("prn", row_number().over(wPre))
+      .filter(col("prn") <= pool)
+      .select(col("q_id"), id)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, id)
+    df.select(id, emb)
+      .join(broadcast(idPool), idCol)
+      .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
+      .withColumn("score", round(graft.functions.vec.cosine(col("q_emb"), emb), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
+  /** Aggregation over search results (Weaviate Aggregate +
+    * nearVector): per query, group stats of its top-`pool`
+    * neighborhood.
+    */
+  def searchAggregate(queries: DataFrame, pool: Int, groupCol: String,
+                      metric: Metric = Metric.Cosine): DataFrame = {
+    val ord = if (metric.ascending) col("score").asc else col("score").desc
+    val w = Window.partitionBy(col("q_id")).orderBy(ord, id)
+    df.crossJoin(broadcast(queries))
+      .select(col("q_id"), id, col(groupCol),
+        round(metric.score(col("q_emb"), emb), 6).as("score"))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= pool)
+      .groupBy(col("q_id"), col(groupCol))
+      .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("avg_score"))
+  }
+
   /** Recommendation search (the reference's Qdrant-style recommend
     * API): rank the corpus against the difference of the element-wise
     * means of positive and negative example vectors, excluding the

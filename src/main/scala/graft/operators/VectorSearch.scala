@@ -108,28 +108,12 @@ object VectorSearch {
   private def subVec(c: org.apache.spark.sql.Column, i: Int) =
     slice(c, i * MaxsimDim + 1, MaxsimDim)
 
-  /** Late-interaction (MaxSim) search: score(q, d) = Σ over query
-    * sub-vectors of the best cosine against any document sub-vector —
-    * the multivector comparator of Qdrant/ColBERT. The 4×4 cosine
-    * grid is a static expression tree (16 codegen'd native cosines +
-    * greatest/sum), so the scan stays one whole-stage-codegen pass
-    * with the usual broadcast query set and WindowGroupLimit top-k.
+  /** Late-interaction (MaxSim) search — the multivector comparator of
+    * Qdrant/ColBERT, via [[graft.api.VectorCollection.searchMaxsim]].
     */
-  def qMaxsim(spark: SparkSession, sfDir: String): DataFrame = {
-    val score = (0 until MaxsimSubs).map { qi =>
-      greatest((0 until MaxsimSubs).map(di =>
-        vec.cosine(subVec(col("q_emb"), qi), subVec(col("embedding"), di))): _*)
-    }.reduce(_ + _)
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    Tables.embeddings(spark, sfDir)
-      .crossJoin(broadcast(querySet(spark, sfDir)))
-      .select(col("q_id"), col("vec_id"), round(score, 6).as("score"))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= K)
-      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
-      .orderBy(col("q_id"), col("rn"))
-  }
+  def qMaxsim(spark: SparkSession, sfDir: String): DataFrame =
+    presentKnn(collection(spark, sfDir)
+      .searchMaxsim(querySet(spark, sfDir), K, MaxsimSubs, MaxsimDim))
 
   /** Matryoshka two-stage search: rank on the 16-dim embedding
     * prefix (MRL-truncated vectors — 4× less compute and scan width),
@@ -142,51 +126,22 @@ object VectorSearch {
     */
   val MatryoshkaPool = 100
 
-  def qMatryoshkaKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val q = querySet(spark, sfDir)
-    val wPre = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("pscore").desc, col("vec_id"))
-    val pool = Tables.embeddings(spark, sfDir)
-      .crossJoin(broadcast(q))
-      .select(col("q_id"), col("vec_id"),
-        round(vec.cosine(subVec(col("q_emb"), 0), subVec(col("embedding"), 0)), 6).as("pscore"))
-      .withColumn("prn", row_number().over(wPre))
-      .filter(col("prn") <= MatryoshkaPool)
-      .select(col("q_id"), col("vec_id"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-      .join(broadcast(pool), "vec_id")
-      .join(broadcast(q.select(col("q_id"), col("q_emb"))), "q_id")
-      .withColumn("score", round(vec.cosine(col("q_emb"), col("embedding")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= K)
-      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
-      .orderBy(col("q_id"), col("rn"))
-  }
+  def qMatryoshkaKnn(spark: SparkSession, sfDir: String): DataFrame =
+    presentKnn(collection(spark, sfDir)
+      .searchTwoStage(querySet(spark, sfDir), K, MaxsimDim, MatryoshkaPool))
 
   /** Neighborhood size for the aggregate-over-search operator. */
   val SearchAggPool = 50
 
   /** Aggregation over search results — Weaviate's Aggregate +
-    * nearVector API: per query, the label histogram and mean
-    * similarity of its top-50 neighborhood. Same scan + top-k shape
-    * as plain kNN (WindowGroupLimit pre-prunes the pool), plus one
-    * tiny aggregate over |queries|·pool rows.
+    * nearVector API, via
+    * [[graft.api.VectorCollection.searchAggregate]]: per query, the
+    * label histogram and mean similarity of its top-50 neighborhood.
     */
-  def qSearchAgg(spark: SparkSession, sfDir: String): DataFrame = {
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    Tables.embeddings(spark, sfDir)
-      .crossJoin(broadcast(querySet(spark, sfDir)))
-      .select(col("q_id"), col("vec_id"), col("label"),
-        round(vec.cosine(col("q_emb"), col("embedding")), 6).as("score"))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= SearchAggPool)
-      .groupBy(col("q_id"), col("label"))
-      .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("avg_score"))
+  def qSearchAgg(spark: SparkSession, sfDir: String): DataFrame =
+    collection(spark, sfDir)
+      .searchAggregate(querySet(spark, sfDir), SearchAggPool, "label")
       .orderBy(col("q_id"), col("label"))
-  }
 
   /** Row 9: per-label norm stats over the collection — the
     * normalize/stats path every backend runs at ingest. Map-side
