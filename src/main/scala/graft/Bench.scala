@@ -28,12 +28,19 @@ object Bench {
         .count()
     } catch { case _: Throwable => () }
     // stable alphabetical run order so timings are comparable across
-    // rounds (map iteration order is arbitrary)
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
+    // rounds (map iteration order is arbitrary); two passes with the
+    // per-query minimum reported — a single GC pause or transient
+    // host-load spike otherwise lands on whichever query it hits and
+    // distorts that line by 5-10x
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9
-    }
+    }.toMap
+    val (p1, p2) = (pass(), pass())
+    val results = ordered.map { case (name, _) =>
+      name -> math.min(p1(name), p2(name)) }
     val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

@@ -59,6 +59,37 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Pair-block width for posting-list pair generation. */
+  private val PairBlock = 256
+
+  /** All unordered (doc_a, doc_b) pairs from each posting list, one
+    * output row per (list, pair) — the Σdf² step of every pair-based
+    * dedup operator, made skew-robust: each (sorted) list is cut into
+    * `PairBlock`-wide blocks and the block-pair grid is redistributed
+    * across the cluster before any pair is emitted, so a hot posting
+    * (boilerplate shingle, mega LSH bucket) costs many ≤B² tasks
+    * instead of one |list|² task. Lists must hold distinct ids; the
+    * blocks of the sorted list make every pair appear exactly once
+    * (cross-block pairs are ordered by construction, within-block
+    * pairs by the a<b filter).
+    */
+  private def postingPairs(postings: DataFrame): DataFrame = {
+    val b = PairBlock
+    postings
+      .select(sort_array(col("ds")).as("ds"),
+        ceil(size(col("ds")) / lit(b.toDouble)).cast("int").as("nb"))
+      .select(col("ds"), explode(expr("sequence(0, nb - 1)")).as("bi"), col("nb"))
+      .select(
+        slice(col("ds"), col("bi") * b + 1, lit(b)).as("da"),
+        col("bi"), col("nb"), col("ds"))
+      .select(col("da"), explode(expr("sequence(bi, nb - 1)")).as("bj"), col("ds"))
+      .select(col("da"), slice(col("ds"), col("bj") * b + 1, lit(b)).as("db"))
+      .repartition(col("da"), col("db"))
+      .select(explode(col("da")).as("doc_a"), col("db"))
+      .select(col("doc_a"), explode(col("db")).as("doc_b"))
+      .filter(col("doc_a") < col("doc_b"))
+  }
+
   /** Distinct word trigrams per doc (docs with ≥3 tokens). */
   private def trigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
@@ -87,10 +118,7 @@ object Dedup {
     val postings = ng.groupBy(col("gh"))
       .agg(collect_list(col("doc_id")).as("ds"))
       .filter(size(col("ds")) > 1)
-    val pairs = postings
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    val pairs = postingPairs(postings)
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     // the top-pair set is small — broadcast it into the corpus-sized
@@ -168,13 +196,12 @@ object Dedup {
     // self-join: the signature pipeline executes (and compiles) once,
     // the only corpus-sized shuffle ships (band, id) rows, and
     // single-occupant buckets (the vast majority) are dropped before
-    // any pair exists
-    val candidates = bands.groupBy(col("band_id"), col("band_key"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    // any pair exists; a mega-bucket is spread block-wise by
+    // postingPairs instead of landing on one task
+    val candidates = postingPairs(
+        bands.groupBy(col("band_id"), col("band_key"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
     // verification re-attaches the hashed shingle sets with the
     // candidate side broadcast both times — the corpus-sized triH is
@@ -203,12 +230,12 @@ object Dedup {
     * become a reliable checkpoint.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
-    // materialize the (symmetrized) edge list ONCE — the edge
-    // derivation upstream can be an expensive pipeline, and every
-    // iteration below would otherwise re-execute it from scratch
-    val sym = edges.select(col("a"), col("b"))
-      .unionByName(edges.select(col("b").as("a"), col("a").as("b")))
-      .localCheckpoint()
+    // materialize the edge list ONCE, before symmetrizing — the edge
+    // derivation upstream can be an expensive pipeline, and both the
+    // union's two branches and every iteration below would otherwise
+    // re-execute it from scratch
+    val e = edges.select(col("a"), col("b")).localCheckpoint()
+    val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     var comp = sym.select(col("a").as("node")).distinct()
       .withColumn("comp", col("node")).localCheckpoint()
     var converged = false
@@ -248,16 +275,19 @@ object Dedup {
       .withColumn("keeper", min(col("doc_id")).over(wH))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("a"), col("doc_id").as("b"))
-    val tri = trigrams(docs)
+    // the trigram table feeds three branches of the edge plan (the
+    // postings, and both size-attach sides); materializing it once
+    // keeps Catalyst from re-analyzing the shingle expression tree
+    // per branch — at cluster scale this would be a persisted
+    // intermediate, the standard shape inside iterative algorithms
+    val tri = trigrams(docs).localCheckpoint()
     val ng = tri.select(col("doc_id"),
       explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
     val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
-    val nearPairs = ng.groupBy(col("gh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
-      .select(explode(col("ds")).as("doc_a"), col("ds"))
-      .select(col("doc_a"), explode(col("ds")).as("doc_b"))
-      .filter(col("doc_a") < col("doc_b"))
+    val nearPairs = postingPairs(
+        ng.groupBy(col("gh"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
     // pair set is small — broadcast it into the corpus-sized size
@@ -285,17 +315,24 @@ object Dedup {
       .select(col("doc_id"),
         hashes.simhash64(expr("transform(split(text, ' '), t -> xxhash64(t))"))
           .as("simhash"))
-    val chunks = sig.select(col("doc_id"), col("simhash"),
+    val chunks = sig.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
         .as(Seq("chunk_id", "chunk")))
-    val cand = chunks.select(col("chunk_id"), col("chunk"), col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      .join(chunks.select(col("chunk_id"), col("chunk"), col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
-        Seq("chunk_id", "chunk"))
-      .filter(col("doc_a") < col("doc_b"))
-      .select(col("doc_a"), col("doc_b"), col("sh_a"), col("sh_b"))
+    // same postings shape as MinHash: the signature pipeline runs
+    // once, candidates come block-balanced out of the bucket lists,
+    // and the fingerprints re-attach by broadcasting the small
+    // candidate set into the (id, simhash) scan — twice, never
+    // shuffling the corpus
+    val cand = postingPairs(
+        chunks.groupBy(col("chunk_id"), col("chunk"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
-    cand
+    val withA = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(broadcast(cand), "doc_a")
+    sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      .join(broadcast(withA), "doc_b")
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
