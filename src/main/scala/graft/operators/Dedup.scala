@@ -284,12 +284,17 @@ object Dedup {
     val ng = tri.select(col("doc_id"),
       explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
     val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
+    // the pair aggregate is small; materializing it here splits the
+    // otherwise enormous single plan (postings → block pairs → sizes
+    // → components) into units Catalyst optimizes in milliseconds —
+    // the unsplit plan cost ~10s of pure driver planning
     val nearPairs = postingPairs(
         ng.groupBy(col("gh"))
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")) > 1))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
+      .localCheckpoint()
     // pair set is small — broadcast it into the corpus-sized size
     // table (never the reverse) to attach both set sizes
     val withSizes = sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b"))
