@@ -66,6 +66,8 @@ object SparkEntry {
     "q_quality_score" -> (TextAnalysis.qQualityScore _),
     "q_fingerprint"   -> (TextAnalysis.qFingerprint _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
+    "q_media_resize"    -> (Multimodal.qMediaResize _),
+    "q_media_frames"    -> (Multimodal.qMediaFrames _),
     "q_sessionize" -> ((s: SparkSession, dir: String) =>
       graft.streaming.Sessionize.batch(Tables.events(s, dir))
         .select(col("user_id"), col("session_start"), col("session_end"),
@@ -534,6 +536,27 @@ object SparkEntry {
         |  count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM y GROUP BY user_id, sid
         |ORDER BY user_id, session_start""".stripMargin,
+    "q_media_resize" ->
+      """WITH g AS (SELECT doc_id,
+        |    64 + octet_length(encode(text)) % 128 AS width,
+        |    64 + (octet_length(encode(text)) * 7) % 128 AS height
+        |  FROM documents),
+        |s AS (SELECT doc_id, width, height,
+        |        least(CAST(224.0 AS DOUBLE) / width,
+        |              CAST(224.0 AS DOUBLE) / height) AS scale FROM g)
+        |SELECT CAST(doc_id AS BIGINT) AS doc_id,
+        |  CAST(width AS BIGINT) AS width, CAST(height AS BIGINT) AS height,
+        |  CAST(floor(width * scale) AS BIGINT) AS out_w,
+        |  CAST(floor(height * scale) AS BIGINT) AS out_h
+        |FROM s ORDER BY doc_id""".stripMargin,
+    "q_media_frames" ->
+      """WITH g AS (SELECT doc_id,
+        |    1 + octet_length(encode(text)) % 16 AS n_frames FROM documents)
+        |SELECT doc_id, CAST(n_frames AS BIGINT) AS n_frames,
+        |  CAST(unnest(range(0, n_frames, 4)) AS BIGINT) AS frame_idx,
+        |  md5(CAST(doc_id AS VARCHAR) || '_' ||
+        |      CAST(unnest(range(0, n_frames, 4)) AS VARCHAR)) AS frame_key
+        |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_items,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -65,6 +65,49 @@ object Multimodal {
       }
   }
 
+  /** Stub media geometry, derived deterministically from the payload
+    * size (a real decoder reads it from the codec header). Keeping it
+    * arithmetic-on-bytes makes the whole downstream pipeline —
+    * resize planning, frame sampling — bit-reproducible in the SQL
+    * oracle.
+    */
+  private def withGeometry(media: DataFrame): DataFrame =
+    media
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("width", lit(64L) + col("n_bytes") % 128)
+      .withColumn("height", lit(64L) + (col("n_bytes") * 7) % 128)
+      .withColumn("n_frames", lit(1L) + col("n_bytes") % 16)
+
+  /** Resize planning (aspect-preserving fit into 224×224) — the
+    * geometry half of every image pre-processing stage, as a pure
+    * per-row expression pipeline: the real pixel work happens in the
+    * partition-local decoder, but WHAT to resize to is computed (and
+    * verified) relationally. No shuffle.
+    */
+  def qMediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+    val scale = least(lit(224.0) / col("width"), lit(224.0) / col("height"))
+    withGeometry(mediaTable(spark, sfDir))
+      .select(col("doc_id"), col("width"), col("height"),
+        floor(col("width") * scale).as("out_w"),
+        floor(col("height") * scale).as("out_h"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Frame sampling — every 4th frame index of each media row, the
+    * video-pipeline shape (decode → sample → per-frame features): one
+    * scan, one per-row explode of the sampled index sequence, no
+    * shuffle. The per-frame digest stands in for the frame's feature
+    * payload.
+    */
+  def qMediaFrames(spark: SparkSession, sfDir: String): DataFrame =
+    withGeometry(mediaTable(spark, sfDir))
+      .select(col("doc_id"), col("n_frames"),
+        explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx"))
+      .select(col("doc_id"), col("n_frames"), col("frame_idx"),
+        md5(concat(col("doc_id").cast("string"), lit("_"), col("frame_idx").cast("string")))
+          .as("frame_key"))
+      .orderBy(col("doc_id"), col("frame_idx"))
+
   /** Row 28 (SQL-oracled): per-source metadata over the binary
     * payload column — byte sizes and content digests, the part of the
     * multimodal path DuckDB can replicate bit-for-bit. Single scan,

@@ -4,6 +4,32 @@ import graft.operators.Multimodal
 
 class MultimodalSpec extends SparkSpec {
 
+  test("q_media_resize fits every payload into the 224 box, aspect preserved") {
+    val rows = graft.operators.Multimodal.qMediaResize(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val (w, h) = (r.getAs[Long]("width"), r.getAs[Long]("height"))
+      val (ow, oh) = (r.getAs[Long]("out_w"), r.getAs[Long]("out_h"))
+      assert(ow <= 224 && oh <= 224)
+      // the long side hits the box, up to the floor of an inexact
+      // double product (224/x * x can land at 223.999...)
+      assert(math.max(ow, oh) >= 223)
+      // aspect preserved within rounding
+      assert(math.abs(ow.toDouble / oh - w.toDouble / h) < 0.05)
+    }
+  }
+
+  test("q_media_frames samples every 4th frame of each payload") {
+    val rows = graft.operators.Multimodal.qMediaFrames(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, rs) =>
+      val n = rs.head.getAs[Long]("n_frames")
+      val idx = rs.map(_.getAs[Long]("frame_idx")).sorted
+      assert(idx.sameElements(0L until n by 4))
+      assert(rs.map(_.getAs[String]("frame_key")).distinct.length == rs.length)
+    }
+  }
+
   test("mediaTable exposes a real binary payload column") {
     val df = Multimodal.mediaTable(spark, sfDir)
     assert(df.schema("payload").dataType.typeName == "binary")
