@@ -30,6 +30,7 @@ object SparkEntry {
     "q_knn_dot"       -> (VectorSearch.qKnnDot _),
     "q_knn_l1"        -> (VectorSearch.qKnnL1 _),
     "q_knn_filtered"  -> (VectorSearch.qKnnFiltered _),
+    "q_knn_perquery_filter" -> (VectorSearch.qKnnPerQueryFilter _),
     "q_range_search"  -> (VectorSearch.qRangeSearch _),
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
     "q_recommend"     -> (VectorSearch.qRecommend _),
@@ -65,6 +66,9 @@ object SparkEntry {
     "q_lang_id"       -> (TextAnalysis.qLangId _),
     "q_quality_score" -> (TextAnalysis.qQualityScore _),
     "q_fingerprint"   -> (TextAnalysis.qFingerprint _),
+    // rows-only: HLL++/KLL sketch internals are engine-specific; the
+    // error bounds vs exact answers are asserted in TextAnalysisSpec
+    "q_sketch_stats"  -> (TextAnalysis.qSketchStats _),
     "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
     "q_media_resize"    -> (Multimodal.qMediaResize _),
     "q_media_frames"    -> (Multimodal.qMediaFrames _),
@@ -187,6 +191,17 @@ object SparkEntry {
     "q_knn_l2"       -> oracleKnn("list_distance", "ASC"),
     "q_knn_dot"      -> oracleKnn("list_inner_product", "DESC"),
     "q_knn_filtered" -> oracleKnn("list_cosine_similarity", "DESC", filter = "e.label < 5"),
+    "q_knn_perquery_filter" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |      FROM q JOIN embeddings e ON e.label = q.q_label)
+         |SELECT q_id, vec_id, rn, score FROM (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= ${VectorSearch.K} ORDER BY q_id, rn""".stripMargin,
     "q_knn_l1" ->
       s"""WITH q AS ($oracleQuerySet),
          |dims AS (SELECT unnest(range(64)) AS d),

@@ -135,6 +135,32 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** Sketch-based corpus profile (rows-only): approximate distinct
+    * tokens (HyperLogLog++) and token-count quantiles (KLL-style
+    * approx_percentile) per language — the constant-memory shapes
+    * that replace exact distinct/percentile at 100 TB, where exact
+    * distinct is a corpus-wide shuffle and exact percentiles need a
+    * full sort. Sketches are mergeable, so the aggregation stays
+    * map-side-partial + tiny final merge. Sketch internals are
+    * engine-specific → no DuckDB hash oracle; the spec bounds the
+    * error against the exact answers instead.
+    */
+  def qSketchStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"))
+      .agg(
+        approx_count_distinct(col("token"), rsd = 0.02).as("approx_distinct"),
+        count(lit(1)).as("n_tokens"))
+      .join(
+        Tables.documents(spark, sfDir)
+          .select(col("lang"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+          .groupBy(col("lang"))
+          .agg(percentile_approx(col("n_tok"), lit(0.5), lit(10000)).as("p50_tokens"),
+            percentile_approx(col("n_tok"), lit(0.95), lit(10000)).as("p95_tokens")),
+        "lang")
+      .orderBy(col("lang"))
+
   /** Row 27: polynomial rolling-hash fingerprint: fold tokens left to
     * right as acc·31 + tokval mod 1e9+7, with tokval the first 8 hex
     * digits of md5(token) — a hash both Spark and the SQL oracle

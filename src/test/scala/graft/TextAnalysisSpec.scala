@@ -74,6 +74,25 @@ class TextAnalysisSpec extends SparkSpec {
     assert(redone > 450)
   }
 
+  test("q_sketch_stats bounds sketch error against the exact answers") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.qSketchStats(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val exact = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("lang"))
+      .agg(countDistinct(col("token")).as("d"))
+      .collect().map(r => r.getAs[String]("lang") -> r.getAs[Long]("d")).toMap
+    rows.foreach { r =>
+      val lang = r.getAs[String]("lang")
+      val approx = r.getAs[Long]("approx_distinct")
+      // HLL++ at rsd=0.02: allow 10% headroom on a small cardinality
+      assert(math.abs(approx - exact(lang)).toDouble / exact(lang) < 0.1,
+        s"$lang approx $approx vs exact ${exact(lang)}")
+      assert(r.getAs[Long]("p50_tokens") <= r.getAs[Long]("p95_tokens"))
+    }
+  }
+
   test("q_fingerprint is deterministic and in range") {
     val a = TextAnalysis.qFingerprint(spark, sfDir).collect()
     val b = TextAnalysis.qFingerprint(spark, sfDir).collect()

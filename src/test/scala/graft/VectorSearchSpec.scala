@@ -114,6 +114,23 @@ class VectorSearchSpec extends SparkSpec {
     assert(self.length == rows.map(_.getAs[Long]("q_id")).distinct.length)
   }
 
+  test("q_knn_perquery_filter restricts each query to its own label") {
+    val rows = VectorSearch.qKnnPerQueryFilter(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val labelOf = Tables.embeddings(spark, sfDir).select("vec_id", "label")
+      .collect().map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    // every result vector shares its query's label
+    rows.foreach { r =>
+      assert(labelOf(r.getAs[Long]("vec_id")) == labelOf(r.getAs[Long]("q_id")))
+    }
+    // and the plan is a hash join on the label, not a filtered cross join
+    val p = VectorSearch.qKnnPerQueryFilter(spark, sfDir)
+      .queryExecution.explainString(
+        org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q_search_agg histograms each query's top-50 neighborhood") {
     val rows = VectorSearch.qSearchAgg(spark, sfDir).collect()
     assert(rows.nonEmpty)
