@@ -24,6 +24,7 @@ object SparkEntry {
     "q3_join"         -> (Relational.q3Join _),
     "q_window"        -> (Relational.qWindow _),
     "q_events_window" -> (Relational.qEventsWindow _),
+    "q_events_sliding" -> (Relational.qEventsSliding _),
     "q_json_extract"  -> (Relational.qJsonExtract _),
     "q_knn_cosine"    -> (VectorSearch.qKnnCosine _),
     "q_knn_l2"        -> (VectorSearch.qKnnL2 _),
@@ -180,6 +181,14 @@ object SparkEntry {
         |FROM events
         |GROUP BY 1, 2
         |ORDER BY 1, 2""".stripMargin,
+    "q_events_sliding" ->
+      """WITH x AS (SELECT event_type, value,
+        |    unnest([time_bucket(INTERVAL '30 minutes', ts),
+        |            time_bucket(INTERVAL '30 minutes', ts) - INTERVAL '30 minutes']) AS window_start
+        |  FROM events)
+        |SELECT window_start, event_type,
+        |  count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM x GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_json_extract" ->
       """SELECT event_type, count(*) AS n,
         |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_k,

@@ -83,6 +83,23 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("window_start"), col("event_type"))
 
+  /** Sliding-window event aggregation: 1-hour windows every 30
+    * minutes (each event lands in exactly two windows). Spark's
+    * `window(slide)` expands the per-event window list inline —
+    * still one scan and a map-side-combinable aggregate whose
+    * cardinality is 2× the tumbling case, independent of input size.
+    * The streaming twin is the same expression under `readStream`.
+    */
+  def qEventsSliding(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("event_type"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("window.start").as("window_start"), col("event_type"),
+        col("n_events"), col("sum_value"))
+      .orderBy(col("window_start"), col("event_type"))
+
   /** JSON extraction over the events.props string column + aggregate.
     * get_json_object is codegen'd; at scale this is a single scan with
     * the aggregation pushed map-side.

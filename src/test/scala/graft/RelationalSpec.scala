@@ -34,6 +34,17 @@ class RelationalSpec extends SparkSpec {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
+  test("q_events_sliding places every event in exactly two windows") {
+    val rows = Relational.qEventsSliding(spark, sfDir).collect()
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == 2 * Tables.events(spark, sfDir).count())
+    // window starts are 30-minute aligned
+    rows.foreach { r =>
+      val ms = r.getAs[java.sql.Timestamp]("window_start").getTime
+      assert(ms % (30 * 60 * 1000) == 0)
+    }
+  }
+
   test("q_json_extract parses props.k for every event type") {
     val rows = Relational.qJsonExtract(spark, sfDir).collect()
     assert(rows.nonEmpty)
