@@ -35,6 +35,7 @@ object SparkEntry {
     "q_range_search"  -> (VectorSearch.qRangeSearch _),
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
     "q_recommend"     -> (VectorSearch.qRecommend _),
+    "q_discover"      -> (VectorSearch.qDiscover _),
     "q_maxsim"        -> (VectorSearch.qMaxsim _),
     "q_search_agg"    -> (VectorSearch.qSearchAgg _),
     "q_matryoshka_knn" -> (VectorSearch.qMatryoshkaKnn _),
@@ -253,6 +254,26 @@ object SparkEntry {
         |      WHERE e.vec_id NOT IN (0, 100, 200, 300, 400))
         |SELECT vec_id, rn, score FROM (
         |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q_discover" ->
+      """WITH ex AS (SELECT
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0) AS t,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 100) AS p1,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 300) AS n1,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 200) AS p2,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 400) AS n2),
+        |s AS (SELECT e.vec_id,
+        |    CAST(round(list_cosine_similarity(ex.p1, e.embedding::DOUBLE[]), 6) >
+        |         round(list_cosine_similarity(ex.n1, e.embedding::DOUBLE[]), 6) AS BIGINT)
+        |  + CAST(round(list_cosine_similarity(ex.p2, e.embedding::DOUBLE[]), 6) >
+        |         round(list_cosine_similarity(ex.n2, e.embedding::DOUBLE[]), 6) AS BIGINT) AS ctx,
+        |    round(list_cosine_similarity(ex.t, e.embedding::DOUBLE[]), 6) AS tsim
+        |  FROM embeddings e CROSS JOIN ex
+        |  WHERE e.vec_id NOT IN (0, 100, 200, 300, 400))
+        |SELECT vec_id, ctx, tsim, rn FROM (
+        |  SELECT vec_id, ctx, tsim,
+        |    row_number() OVER (ORDER BY ctx DESC, tsim DESC, vec_id) AS rn
+        |  FROM s)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
     "q_search_agg" ->
       s"""WITH q AS ($oracleQuerySet),

@@ -130,6 +130,50 @@ object VectorSearch {
     presentKnn(collection(spark, sfDir)
       .searchTwoStage(querySet(spark, sfDir), K, MaxsimDim, MatryoshkaPool))
 
+  /** Discovery-search examples: target + (positive, negative)
+    * context pairs.
+    */
+  val DiscoverTarget = 0L
+  val DiscoverPairs: Seq[(Long, Long)] = Seq((100L, 300L), (200L, 400L))
+
+  /** Discovery search (Qdrant's discover API): rank the corpus
+    * primarily by how many context pairs a vector sits closer to the
+    * positive than the negative of, then by similarity to the target;
+    * the examples themselves are excluded. The five example vectors
+    * are a one-row broadcast built from pushed-down point lookups, so
+    * the scan shape is the usual single corpus pass; the global
+    * top-10 is a distributed TakeOrderedAndProject with ranks
+    * attached to the ten survivors.
+    */
+  def qDiscover(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exampleIds = DiscoverTarget +: DiscoverPairs.flatMap(p => Seq(p._1, p._2))
+    def pick(idV: Long, out: String) =
+      first(when(col("vec_id") === idV, col("embedding")), ignoreNulls = true).as(out)
+    val ex = emb.filter(col("vec_id").isin(exampleIds: _*))
+      .agg(pick(DiscoverTarget, "t"),
+        pick(DiscoverPairs(0)._1, "p1"), pick(DiscoverPairs(0)._2, "n1"),
+        pick(DiscoverPairs(1)._1, "p2"), pick(DiscoverPairs(1)._2, "n2"))
+    val ctx =
+      (round(vec.cosine(col("p1"), col("embedding")), 6) >
+        round(vec.cosine(col("n1"), col("embedding")), 6)).cast("long") +
+      (round(vec.cosine(col("p2"), col("embedding")), 6) >
+        round(vec.cosine(col("n2"), col("embedding")), 6)).cast("long")
+    val scored = emb.filter(!col("vec_id").isin(exampleIds: _*))
+      .crossJoin(broadcast(ex))
+      .select(col("vec_id"), ctx.as("ctx"),
+        round(vec.cosine(col("t"), col("embedding")), 6).as("tsim"))
+    // global top-10 via sort+limit; ranks attached on the bounded
+    // result (pmod keeps the partition spec past constant folding)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(col("ctx").desc, col("tsim").desc, col("vec_id"))
+    scored.orderBy(col("ctx").desc, col("tsim").desc, col("vec_id")).limit(K)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("ctx"), col("tsim"), col("rn"))
+      .orderBy(col("rn"))
+  }
+
   /** Per-query-filter batch search (Qdrant/Milvus batch search where
     * every query carries its own filter — here: only corpus vectors
     * sharing the query's label). Spark-first insight: a per-query

@@ -114,6 +114,23 @@ class VectorSearchSpec extends SparkSpec {
     assert(self.length == rows.map(_.getAs[Long]("q_id")).distinct.length)
   }
 
+  test("q_discover ranks by context-pair wins, then target similarity") {
+    val rows = VectorSearch.qDiscover(spark, sfDir).collect()
+    assert(rows.length == VectorSearch.K)
+    // examples excluded, ranks contiguous
+    val exampleIds = (VectorSearch.DiscoverTarget +:
+      VectorSearch.DiscoverPairs.flatMap(p => Seq(p._1, p._2))).toSet
+    assert(rows.forall(r => !exampleIds.contains(r.getAs[Long]("vec_id"))))
+    assert(rows.map(_.getAs[Long]("rn")).sorted.sameElements(1L to VectorSearch.K))
+    // ordering invariant: ctx descending, tsim descending within ctx
+    val sorted = rows.sortBy(_.getAs[Long]("rn"))
+    sorted.zip(sorted.tail).foreach { case (a, b) =>
+      val (ca, cb) = (a.getAs[Long]("ctx"), b.getAs[Long]("ctx"))
+      assert(ca > cb || (ca == cb && a.getAs[Double]("tsim") >= b.getAs[Double]("tsim")))
+    }
+    assert(rows.forall { r => val c = r.getAs[Long]("ctx"); c >= 0 && c <= 2 })
+  }
+
   test("q_knn_perquery_filter restricts each query to its own label") {
     val rows = VectorSearch.qKnnPerQueryFilter(spark, sfDir).collect()
     assert(rows.nonEmpty)
