@@ -86,7 +86,8 @@ object SparkEntry {
     "q_sq8_knn" -> (Quantization.qSq8Knn _),
     "q_pq_knn"  -> (Quantization.qPqKnn _),
     "q_ivfpq_knn" -> (Quantization.qIvfPqKnn _),
-    "q_bq_knn"  -> (Quantization.qBqKnn _)
+    "q_bq_knn"  -> (Quantization.qBqKnn _),
+    "q_mmr"     -> (VectorSearch.qMmr _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */

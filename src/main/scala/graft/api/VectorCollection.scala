@@ -151,6 +151,45 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
       .agg(count(lit(1)).as("n"), round(avg(col("score")), 6).as("avg_score"))
   }
 
+  /** Maximal-marginal-relevance search — the RAG diversification
+    * reranker: greedily pick k results maximizing
+    * λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so near-
+    * duplicate hits don't crowd the result list. Stage 1 is a plain
+    * top-`pool` search; the greedy loop then runs k−1 rounds of
+    * joins over the pool only (|queries|·pool rows — constant-bounded
+    * at any corpus scale, checkpointed per round), never touching the
+    * corpus again. All ties break by id, so selection is
+    * deterministic.
+    */
+  def searchMmr(queries: DataFrame, k: Int, lambda: Double = 0.5,
+                pool: Int = 30): DataFrame = {
+    val cand = search(queries, pool, Metric.Cosine)
+      .select(col("q_id"), id, col("score").as("qsim"), emb)
+      .localCheckpoint()
+    // step 1: plain top-1 per query
+    val w1 = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, id)
+    var selected = cand.withColumn("__r", row_number().over(w1)).filter(col("__r") === 1)
+      .select(col("q_id"), id, col("qsim"), emb, lit(1).as("step"))
+      .localCheckpoint()
+    for (step <- 2 to k) {
+      val sel = selected.select(col("q_id"), emb.as("__semb"))
+      val rem = cand.join(selected.select(col("q_id"), id), Seq("q_id", idCol), "left_anti")
+      val maxSim = rem.join(sel, "q_id")
+        .select(col("q_id"), id,
+          round(graft.functions.vec.cosine(emb, col("__semb")), 6).as("__s"))
+        .groupBy(col("q_id"), id)
+        .agg(max(col("__s")).as("__maxs"))
+      val wPick = Window.partitionBy(col("q_id")).orderBy(col("__mmr").desc, id)
+      val pick = maxSim.join(cand, Seq("q_id", idCol))
+        .withColumn("__mmr", round(lit(lambda) * col("qsim") -
+          lit(1.0 - lambda) * col("__maxs"), 6))
+        .withColumn("__r", row_number().over(wPick)).filter(col("__r") === 1)
+        .select(col("q_id"), id, col("qsim"), emb, lit(step).as("step"))
+      selected = selected.unionByName(pick).localCheckpoint()
+    }
+    selected.select(col("q_id"), id, col("step").cast("long").as("step"), col("qsim"))
+  }
+
   /** Recommendation search (the reference's Qdrant-style recommend
     * API): rank the corpus against the difference of the element-wise
     * means of positive and negative example vectors, excluding the

@@ -130,6 +130,16 @@ object VectorSearch {
     presentKnn(collection(spark, sfDir)
       .searchTwoStage(querySet(spark, sfDir), K, MaxsimDim, MatryoshkaPool))
 
+  /** MMR diversified search (rows-only — greedy selection has no SQL
+    * twin): 5 picks per query at λ=0.5 over a 30-candidate pool, via
+    * [[graft.api.VectorCollection.searchMmr]]. MmrSpec proves the
+    * anti-crowding behavior on constructed near-duplicates.
+    */
+  def qMmr(spark: SparkSession, sfDir: String): DataFrame =
+    collection(spark, sfDir)
+      .searchMmr(querySet(spark, sfDir), k = 5)
+      .orderBy(col("q_id"), col("step"))
+
   /** Discovery-search examples: target + (positive, negative)
     * context pairs.
     */
