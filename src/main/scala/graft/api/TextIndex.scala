@@ -122,6 +122,35 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
           6).as("rrf"))
   }
 
+  /** Sparse-vector search (Qdrant sparse / ES ELSER): documents live
+    * in `dims` hash buckets of their tokens, the query is a tiny
+    * (bucket → weight) map, the score is the sparse dot product.
+    * Posting rows are pruned to the query's buckets BEFORE any
+    * aggregation — the inverted-index merge, at |query|/dims of the
+    * corpus postings — and the weight map is a broadcast literal.
+    */
+  def sparseSearch(weights: Seq[(String, Double)], dims: Int = 1024,
+                   k: Int = 20): DataFrame = {
+    val spark = docs.sparkSession
+    val bucketed = weights.map { case (t, wt) =>
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(t.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      (java.lang.Long.parseLong(md.substring(0, 8), 16) % dims, wt)
+    }
+    val qdf = broadcast(spark.createDataFrame(bucketed).toDF("b", "w"))
+    docs.select(col(idCol), explode(toks).as("token"))
+      .select(col(idCol),
+        (conv(substring(md5(col("token")), 1, 8), 16, 10).cast("long") % dims).as("b"))
+      .filter(col("b").isin(bucketed.map(_._1): _*))
+      .groupBy(col(idCol), col("b"))
+      .agg(count(lit(1)).cast("double").as("tf"))
+      .join(qdf, "b")
+      .groupBy(col(idCol))
+      .agg(round(sum(col("tf") * col("w")), 6).as("score"))
+      .orderBy(col("score").desc, col(idCol))
+      .limit(k)
+  }
+
   /** Weaviate-style weighted hybrid fusion: min-max normalize each
     * pool's scores, then score = alpha·vec + (1−alpha)·lex. Like RRF,
     * both candidate pools are `pool`-sized (the top-k itself is a

@@ -27,33 +27,10 @@ object SparseSearch {
   val QueryWeights: Seq[(String, Double)] =
     Seq("spark" -> 1.0, "join" -> 0.5, "vector" -> 0.25)
 
-  /** Hash bucket of a token — md5-prefix mod Dims, reproducible in
-    * the DuckDB oracle (same md5, same arithmetic).
+  /** Sparse dot-product top-k over the documents table, via
+    * [[graft.api.TextIndex.sparseSearch]].
     */
-  private def bucketCol(token: org.apache.spark.sql.Column) =
-    conv(substring(md5(token), 1, 8), 16, 10).cast("long") % Dims
-
-  private def bucketOf(term: String): Long = {
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(term.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    java.lang.Long.parseLong(md.substring(0, 8), 16) % Dims
-  }
-
-  /** Sparse dot-product top-k over the documents table. */
-  def qSparseKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val weights = QueryWeights.map { case (t, w) => (bucketOf(t), w) }
-    val qdf = broadcast(spark.createDataFrame(weights).toDF("b", "w"))
-    Tables.documents(spark, sfDir)
-      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-      .select(col("doc_id"), bucketCol(col("token")).as("b"))
-      // posting-list pruning: only buckets present in the query survive
-      .filter(col("b").isin(weights.map(_._1): _*))
-      .groupBy(col("doc_id"), col("b"))
-      .agg(count(lit(1)).cast("double").as("tf"))
-      .join(qdf, "b")
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("tf") * col("w")), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(K)
-  }
+  def qSparseKnn(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.TextIndex(Tables.documents(spark, sfDir))
+      .sparseSearch(QueryWeights, Dims, K)
 }
