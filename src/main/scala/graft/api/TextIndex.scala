@@ -114,6 +114,10 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
       .orderBy(col(scoreCol).desc, col(idCol)).limit(pool)
       .select(col(idCol), row_number().over(
         Window.partitionBy(poolPart).orderBy(col(scoreCol).desc, col(idCol))).as("vec_rank"))
+    // the fusion join is full-outer (a doc may appear in either pool
+    // alone), which Spark can only sort-merge — acceptable because
+    // both sides are ≤ `pool` rows at any corpus scale, so the two
+    // exchanges move a constant-bounded frame
     lex.join(other, Seq(idCol), "full_outer")
       .select(col(idCol),
         round(
@@ -169,6 +173,7 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     }
     val lex = normalized(bm25(terms), "bm25", "nl")
     val vec = normalized(otherScores, scoreCol, "nv")
+    // full-outer over two bounded pools — see hybridRrf's fusion note
     lex.join(vec, Seq(idCol), "full_outer")
       .select(col(idCol),
         round(lit(alpha) * coalesce(col("nv"), lit(0.0)) +
