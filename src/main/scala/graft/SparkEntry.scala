@@ -52,6 +52,7 @@ object SparkEntry {
     "q_fuzzy_match"   -> (FullText.qFuzzyMatch _),
     "q_tfidf"         -> (FullText.qTfidf _),
     "q_bm25"          -> (FullText.qBm25 _),
+    "q_bm25_batch"    -> (FullText.qBm25Batch _),
     "q_hybrid_rrf"    -> (FullText.qHybridRrf _),
     "q_hybrid_weighted" -> (FullText.qHybridWeighted _),
     "q_sparse_knn"    -> (SparseSearch.qSparseKnn _),
@@ -392,6 +393,28 @@ object SparkEntry {
     "q_bm25" ->
       s"""SELECT doc_id, bm25 FROM ($oracleBm25)
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_bm25_batch" ->
+      """WITH qt(tq_id, token) AS (VALUES
+        |  (1, 'spark'), (1, 'join'), (2, 'vector'), (2, 'hash'), (2, 'scan')),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN (SELECT token FROM qt) GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE token IN (SELECT token FROM qt) GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |s AS (SELECT qt.tq_id, tf.doc_id, round(sum(
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * (1.2 + 1) /
+        |     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)))), 6) AS bm25
+        |  FROM qt JOIN tf USING (token) JOIN df USING (token)
+        |  JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY 1, 2)
+        |SELECT CAST(tq_id AS BIGINT) AS tq_id, doc_id, rn, bm25 FROM (
+        |  SELECT tq_id, doc_id, bm25,
+        |    row_number() OVER (PARTITION BY tq_id ORDER BY bm25 DESC, doc_id) AS rn
+        |  FROM s)
+        |WHERE rn <= 10 ORDER BY tq_id, rn""".stripMargin,
     "q_hybrid_rrf" ->
       s"""WITH bm AS ($oracleBm25),
          |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank

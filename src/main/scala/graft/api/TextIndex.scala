@@ -126,6 +126,32 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
           6).as("rrf"))
   }
 
+  /** Batch lexical search (Elasticsearch msearch): many queries, each
+    * its own term set, scored in ONE corpus pass — the tf aggregate
+    * covers the union of all query terms, then fans out per query via
+    * a broadcast (query, token) join before the per-(query, doc) sum.
+    * Corpus work is independent of the query count; only the final
+    * top-k window partitions by query.
+    */
+  def bm25Batch(queries: Seq[(Long, Seq[String])], k: Int,
+                k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val spark = docs.sparkSession
+    val qt = broadcast(spark.createDataFrame(
+      queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }).toDF("tq_id", "token"))
+    val k1l = lit(k1); val bl = lit(b)
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val wgt = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
+    val tf = termFreq(queries.flatMap(_._2).distinct)
+    val w = Window.partitionBy(col("tq_id")).orderBy(col("bm25").desc, col(idCol))
+    tf.join(broadcast(docFreq(tf)), "token")
+      .crossJoin(broadcast(corpusStats))
+      .join(qt, "token")
+      .groupBy(col("tq_id"), col(idCol))
+      .agg(round(sum(idf * wgt), 6).as("bm25"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Sparse-vector search (Qdrant sparse / ES ELSER): documents live
     * in `dims` hash buckets of their tokens, the query is a tiny
     * (bucket → weight) map, the score is the sparse dot product.

@@ -75,6 +75,16 @@ object FullText {
       .orderBy(col("rrf").desc, col("doc_id"))
       .limit(K)
 
+  /** The deterministic msearch batch: two queries, disjoint term sets. */
+  val BatchQueries: Seq[(Long, Seq[String])] =
+    Seq(1L -> Seq("spark", "join"), 2L -> Seq("vector", "hash", "scan"))
+
+  /** Batch BM25 (ES msearch): both queries scored in one corpus pass. */
+  def qBm25Batch(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).bm25Batch(BatchQueries, k = 10)
+      .select(col("tq_id"), col("doc_id"), col("rn"), col("bm25"))
+      .orderBy(col("tq_id"), col("rn"))
+
   /** Weighted hybrid fusion (Weaviate's hybrid alpha): min-max
     * normalized 0.75·vec + 0.25·lex over the same candidate pools as
     * the RRF variant.

@@ -81,6 +81,25 @@ class FullTextSpec extends SparkSpec {
     assert(s.forall(x => x > 0 && x <= 2.0 / 61 + 1e-9))
   }
 
+  test("q_bm25_batch matches single-query bm25 for the shared terms") {
+    val rows = FullText.qBm25Batch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // both queries produce ranked lists
+    val byQ = rows.groupBy(_.getAs[Long]("tq_id"))
+    assert(byQ.keySet == Set(1L, 2L))
+    byQ.values.foreach { rs =>
+      val s = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("bm25"))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+    // query 1's scores equal a standalone bm25 over the same terms
+    val solo = graft.api.TextIndex(Tables.documents(spark, sfDir))
+      .bm25(Seq("spark", "join")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    byQ(1L).foreach { r =>
+      assert(solo(r.getAs[Long]("doc_id")) == r.getAs[Double]("bm25"))
+    }
+  }
+
   test("q_hybrid_weighted fuses min-max-normalized scores with alpha 0.75") {
     val rows = FullText.qHybridWeighted(spark, sfDir).collect()
     assert(rows.length == FullText.K)
