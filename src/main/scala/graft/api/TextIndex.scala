@@ -190,9 +190,15 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     */
   def hybridWeighted(terms: Seq[String], otherScores: DataFrame, scoreCol: String,
                      alpha: Double = 0.75, pool: Int = 50): DataFrame = {
+    // min/max come from a window over the (bounded, single-partition)
+    // pool rather than a separate aggregate: referencing the pooled
+    // sub-plan twice would re-execute the whole upstream scoring
+    // pipeline per side — Catalyst does not share common sub-plans
     def normalized(scored: DataFrame, sCol: String, out: String): DataFrame = {
-      val p = scored.orderBy(col(sCol).desc, col(idCol)).limit(pool)
-      p.crossJoin(broadcast(p.agg(min(col(sCol)).as("__mn"), max(col(sCol)).as("__mx"))))
+      val wAll = Window.partitionBy(pmod(col(idCol), lit(1L)))
+      scored.orderBy(col(sCol).desc, col(idCol)).limit(pool)
+        .select(col(idCol), col(sCol),
+          min(col(sCol)).over(wAll).as("__mn"), max(col(sCol)).over(wAll).as("__mx"))
         .select(col(idCol),
           coalesce((col(sCol) - col("__mn")) / nullif(col("__mx") - col("__mn"), lit(0.0)),
             lit(1.0)).as(out))

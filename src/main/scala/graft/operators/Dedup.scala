@@ -98,40 +98,46 @@ object Dedup {
         "transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))"))
         .as("gs"))
 
-  /** Row 20: n-gram Jaccard near-dup — top-50 doc pairs by trigram
-    * Jaccard. Pairs come from the inverted-index join on shingles.
+  /** Trigram-Jaccard near-dup pairs over any trigram table — the
+    * shared core of qDedupNgram and qDupClusters. Shingles travel as
+    * xxhash64 longs, not ~30-byte strings (a 64-bit collision needs
+    * two distinct corpus trigrams to collide — ~1e-8 at 1M distinct
+    * shingles); the postings groupBy replaces a double-shuffle
+    * self-join, df=1 shingles are dropped before any pair is emitted,
+    * and the pair explosion combines map-side into the (doc_a, doc_b)
+    * partial aggregate. The pair aggregate is Σdf²-sized BEFORE any
+    * threshold, so set sizes are attached by plain key joins on
+    * narrow (id, count) rows — never by broadcasting the pair set
+    * (one boilerplate shingle would blow the broadcast limit; AQE
+    * still picks a broadcast when the set is genuinely small).
+    * `materializePairs` checkpoints the pair aggregate for consumers
+    * that re-plan it repeatedly (the iterative cluster resolver).
     */
-  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-    val tri = trigrams(docs)
-    // shingles travel as xxhash64 longs, not ~30-byte strings: the
-    // corpus-sized shuffle is 16-byte rows, and the postings groupBy
-    // replaces the double-shuffle self-join. Shingles seen in only
-    // one doc (the vast majority) are dropped before any pair is
-    // emitted; the pair explosion then combines map-side into the
-    // (doc_a, doc_b) partial aggregate. A 64-bit hash collision
-    // would need two distinct corpus trigrams to collide — ~1e-8 at
-    // 1M distinct shingles.
+  private def jaccardPairs(tri: DataFrame, materializePairs: Boolean = false): DataFrame = {
     val ng = tri.select(col("doc_id"),
       explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
     val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
-    val postings = ng.groupBy(col("gh"))
-      .agg(collect_list(col("doc_id")).as("ds"))
-      .filter(size(col("ds")) > 1)
-    val pairs = postingPairs(postings)
+    val rawPairs = postingPairs(
+        ng.groupBy(col("gh"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(count(lit(1)).as("common"))
-    // the top-pair set is small — broadcast it into the corpus-sized
-    // size table (never the reverse) to attach both set sizes
-    sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b"))
-      .join(broadcast(
-        sz.select(col("doc_id").as("doc_a"), col("n_g").as("n_a"))
-          .join(broadcast(pairs), "doc_a")), "doc_b")
+    val pairs = if (materializePairs) rawPairs.localCheckpoint() else rawPairs
+    pairs
+      .join(sz.select(col("doc_id").as("doc_a"), col("n_g").as("n_a")), "doc_a")
+      .join(sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("common") / (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+  }
+
+  /** Row 20: n-gram Jaccard near-dup — top-50 doc pairs by trigram
+    * Jaccard, via [[jaccardPairs]].
+    */
+  def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame =
+    jaccardPairs(trigrams(Tables.documents(spark, sfDir)))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
-  }
 
   /** Row 21: embedding-cosine near-dup pairs (sim ≥ 0.35 — the
     * synthetic collection's intra-label "near" band), blocked on
@@ -279,30 +285,14 @@ object Dedup {
     // postings, and both size-attach sides); materializing it once
     // keeps Catalyst from re-analyzing the shingle expression tree
     // per branch — at cluster scale this would be a persisted
-    // intermediate, the standard shape inside iterative algorithms
+    // intermediate, the standard shape inside iterative algorithms.
+    // materializePairs additionally splits the otherwise enormous
+    // single plan (postings → block pairs → sizes → components) into
+    // units Catalyst optimizes in milliseconds — the unsplit plan
+    // cost ~10s of pure driver planning.
     val tri = trigrams(docs).localCheckpoint()
-    val ng = tri.select(col("doc_id"),
-      explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
-    val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
-    // the pair aggregate is small; materializing it here splits the
-    // otherwise enormous single plan (postings → block pairs → sizes
-    // → components) into units Catalyst optimizes in milliseconds —
-    // the unsplit plan cost ~10s of pure driver planning
-    val nearPairs = postingPairs(
-        ng.groupBy(col("gh"))
-          .agg(collect_list(col("doc_id")).as("ds"))
-          .filter(size(col("ds")) > 1))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(count(lit(1)).as("common"))
-      .localCheckpoint()
-    // pair set is small — broadcast it into the corpus-sized size
-    // table (never the reverse) to attach both set sizes
-    val withSizes = sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b"))
-      .join(broadcast(
-        sz.select(col("doc_id").as("doc_a"), col("n_g").as("n_a"))
-          .join(broadcast(nearPairs), "doc_a")), "doc_b")
-    val nearEdges = withSizes
-      .filter(round(col("common") / (col("n_a") + col("n_b") - col("common")), 6) >= 0.5)
+    val nearEdges = jaccardPairs(tri, materializePairs = true)
+      .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(exactEdges.unionByName(nearEdges))
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))

@@ -85,34 +85,45 @@ object TextAnalysis {
   val ChunkSize = 32
   val ChunkStride = 16
 
-  /** Sliding-window document chunking — the split-for-embedding stage
-    * every RAG/training pipeline runs before vectorization. One scan,
-    * one explode of per-doc chunk starts; no shuffle at all (ordering
-    * is presentation-only), so it streams at scan speed over 100 TB.
-    * Chunks are emitted as (doc, chunk ordinal, length, content hash)
-    * — the hash keeps the oracle check exact without materializing
-    * chunk text in the result.
+  /** (doc_id, text) → (doc_id, chunk_id, chunk) sliding-window token
+    * chunks — the reusable stage shared by the chunking query and
+    * [[graft.pipelines.PrepareTrainingData]]. One scan, one explode
+    * of per-doc chunk starts; no shuffle.
     */
-  def qChunkDocs(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+  def chunked(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), col("toks"),
         posexplode(sequence(lit(0), size(col("toks")) - 1, lit(ChunkStride)))
           .as(Seq("chunk_id", "start")))
       .select(col("doc_id"), col("chunk_id").cast("long").as("chunk_id"),
         slice(col("toks"), col("start") + 1, lit(ChunkSize)).as("chunk"))
+
+  /** Sliding-window document chunking — the split-for-embedding stage
+    * every RAG/training pipeline runs before vectorization. Chunks
+    * are emitted as (doc, chunk ordinal, length, content hash) — the
+    * hash keeps the oracle check exact without materializing chunk
+    * text in the result.
+    */
+  def qChunkDocs(spark: SparkSession, sfDir: String): DataFrame =
+    chunked(Tables.documents(spark, sfDir))
       .select(col("doc_id"), col("chunk_id"),
         size(col("chunk")).cast("long").as("n_tokens"),
         md5(concat_ws(" ", col("chunk"))).as("chunk_hash"))
       .orderBy(col("doc_id"), col("chunk_id"))
 
-  /** PII patterns: lowercase emails and digit runs. The corpus is
-    * digit-free, so deterministic PII is appended per doc (mirrored
-    * in the oracle), the same constructed-positives pattern as the
-    * dedup family.
+  /** PII patterns: lowercase emails and digit runs — shared with
+    * [[graft.pipelines.PrepareTrainingData]] (the corpus is
+    * digit-free, so the query injects deterministic PII per doc,
+    * mirrored in the oracle, the same constructed-positives pattern
+    * as the dedup family).
     */
-  private val EmailPat = "[a-z0-9._]+@[a-z0-9.]+"
-  private val NumPat = "[0-9]+"
+  val EmailPat = "[a-z0-9._]+@[a-z0-9.]+"
+  val NumPat = "[0-9]+"
+
+  /** Scrub emails then digit runs out of a text column. */
+  def scrubPii(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(regexp_replace(c, EmailPat, "<EMAIL>"), NumPat, "<NUM>")
 
   /** PII redaction — scrub emails then digit runs, report per-doc
     * match counts and the hash of the redacted text. Pure per-row

@@ -43,11 +43,13 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
   def load(name: String): DataFrame = spark.read.parquet(dir(name).toString)
 
   /** One-row profile: row count and schema field names. */
-  def describe(name: String): DataFrame =
-    load(name).agg(count(lit(1)).as("n_rows"))
+  def describe(name: String): DataFrame = {
+    val df = load(name)
+    df.agg(count(lit(1)).as("n_rows"))
       .withColumn("collection", lit(name))
-      .withColumn("columns", lit(load(name).columns.mkString(",")))
+      .withColumn("columns", lit(df.columns.mkString(",")))
       .select(col("collection"), col("n_rows"), col("columns"))
+  }
 
   /** Drop a collection (removes the directory). */
   def drop(name: String): Boolean = fs.delete(dir(name), true)

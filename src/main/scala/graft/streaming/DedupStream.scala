@@ -19,11 +19,15 @@ object DedupStream {
   /** Works on both batch and streaming frames with (doc_id, text,
     * ts) — single definition keeps the twins provably identical.
     * Streaming input must carry an event-time `ts` for the watermark.
+    * `dropDuplicatesWithinWatermark` is the variant whose state the
+    * watermark actually evicts — plain `dropDuplicates("h")` would
+    * keep one state entry per digest FOREVER (the watermark only
+    * bounds dedup state when the event-time column is a key).
     */
   def deduped(docs: DataFrame): DataFrame =
     docs
       .withColumn("h", md5(lower(trim(col("text")))))
-      .withWatermark("ts", "2 hours")
-      .dropDuplicates("h")
+      .withWatermark("ts", "24 hours")
+      .dropDuplicatesWithinWatermark("h")
       .drop("h")
 }
