@@ -293,7 +293,8 @@ object SparkEntry {
       """SELECT c.event_id, c.user_id, p.event_id AS purchase_id,
         |  CAST(epoch_ms(c.ts) - epoch_ms(p.ts) AS BIGINT) AS lag_ms
         |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'click') c
-        |ASOF JOIN (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+        |ASOF JOIN (SELECT max(event_id) AS event_id, user_id, ts
+        |           FROM events WHERE event_type = 'purchase' GROUP BY user_id, ts) p
         |  ON c.user_id = p.user_id AND c.ts >= p.ts
         |ORDER BY c.event_id""".stripMargin,
     "q_maxsim" ->

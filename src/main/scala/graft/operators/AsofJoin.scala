@@ -61,6 +61,13 @@ object AsofJoin {
     val ev = Tables.events(spark, sfDir)
     val clicks = ev.filter(col("event_type") === "click")
       .select(col("event_id"), col("user_id"), col("ts"))
+    // Tie contract: among right rows tied on (user_id, ts), the
+    // running-last window deterministically picks max(event_id) — the
+    // ascending (__ts, __side, payload) order puts it last in the
+    // frame. DuckDB's native ASOF JOIN leaves that pick unspecified,
+    // so the ORACLE side pre-collapses ties to max(event_id) per
+    // (user_id, ts), which is exactly the row this plan selects; the
+    // Spark side needs no extra aggregate (one shuffle, plan-guarded).
     val purchases = ev.filter(col("event_type") === "purchase")
       .select(col("event_id").as("p_event_id"), col("user_id"), col("ts"))
     asof(clicks, purchases, Seq("user_id"), "ts", "ts",

@@ -114,8 +114,12 @@ object Dedup {
     * that re-plan it repeatedly (the iterative cluster resolver).
     */
   private def jaccardPairs(tri: DataFrame, materializePairs: Boolean = false): DataFrame = {
+    // array_distinct AFTER hashing: gs is string-distinct, but a
+    // 64-bit collision between two shingles of the same doc would put
+    // one doc_id twice in a posting list, violating postingPairs'
+    // distinct-ids precondition — enforce it by construction
     val ng = tri.select(col("doc_id"),
-      explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
+      explode(array_distinct(expr("transform(gs, g -> xxhash64(g))"))).as("gh"))
     val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
     val rawPairs = postingPairs(
         ng.groupBy(col("gh"))
@@ -190,7 +194,8 @@ object Dedup {
     // feed BOTH the signatures and the final Jaccard verification —
     // the raw shingle strings never leave the first projection
     val triH = trigrams(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"), expr("transform(gs, g -> xxhash64(g))").as("gh"))
+      .select(col("doc_id"),
+        array_distinct(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
     val withSig = triH
       .withColumn("sig", hashes.minhashSignature(col("gh"),
         Perms.map(_._1), Perms.map(_._2), MinhashPrime))
@@ -209,14 +214,18 @@ object Dedup {
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
-    // verification re-attaches the hashed shingle sets with the
-    // candidate side broadcast both times — the corpus-sized triH is
-    // never shuffled, and the plan can't flip to an exchange under
-    // AQE misestimates (the round-1 5-50s erratic-timing lesson)
+    // verification: broadcast ONLY the id-only candidate set into
+    // each corpus scan (the corpus-sized triH is never shuffled, and
+    // the broadcast payload is bounded by the candidate count — never
+    // candidate × shingle-array width), then join the two
+    // candidate-sized attach results on the pair key. That last join
+    // shuffles candidate-pair-sized data, which distributes; a
+    // shingle-carrying broadcast would concentrate it on the driver.
     val withA = triH.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"))
       .join(broadcast(candidates), "doc_a")
-    triH.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"))
-      .join(broadcast(withA), "doc_b")
+    val withB = triH.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"))
+      .join(broadcast(candidates), "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("common", size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
       .withColumn("jaccard", round(col("common") /
         (size(col("gh_a")) + size(col("gh_b")) - col("common")), 6))
@@ -263,6 +272,13 @@ object Dedup {
       comp = next
       i += 1
     }
+    // a non-converged exit would silently return WRONG cluster labels
+    // (a half-propagated min); fail loudly instead — with pointer
+    // jumping, maxIter=20 covers diameters up to ~2^20, so hitting
+    // this means the input graph, not the budget, is pathological
+    if (!converged)
+      throw new IllegalStateException(
+        s"connectedComponents did not converge in $maxIter iterations")
     comp
   }
 
@@ -316,9 +332,11 @@ object Dedup {
         .as(Seq("chunk_id", "chunk")))
     // same postings shape as MinHash: the signature pipeline runs
     // once, candidates come block-balanced out of the bucket lists,
-    // and the fingerprints re-attach by broadcasting the small
-    // candidate set into the (id, simhash) scan — twice, never
-    // shuffling the corpus
+    // and the fingerprints re-attach by broadcasting the id-only
+    // candidate set into the (id, simhash) scan on each side — the
+    // corpus is never shuffled and the broadcast never carries
+    // payload, only pair ids (the two attach results meet in a
+    // candidate-sized pair-key join)
     val cand = postingPairs(
         chunks.groupBy(col("chunk_id"), col("chunk"))
           .agg(collect_list(col("doc_id")).as("ds"))
@@ -326,8 +344,9 @@ object Dedup {
       .dropDuplicates("doc_a", "doc_b")
     val withA = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
       .join(broadcast(cand), "doc_a")
-    sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      .join(broadcast(withA), "doc_b")
+    val withB = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
+      .join(broadcast(cand), "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
