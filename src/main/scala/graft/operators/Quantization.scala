@@ -95,29 +95,24 @@ object Quantization {
     }
   }
 
-  /** Per-subspace squared distances of a (sub)vector expression to
-    * each codebook centroid: ||c||² − 2·c·s + ||s||² — ranking only
-    * needs the first two terms, absolute ADC needs all three.
+  /** Per-query ADC table — all M × KStar squared distances
+    * (||c||² − 2·c·s [+ ||s||²]) as ONE native matrix expression
+    * (graft.functions.PqAdcTable): a single plan node and one fused
+    * codegen loop, instead of an M·KStar-term literal tree re-planned
+    * and re-compiled per query.
     */
-  private def subDists(sub: org.apache.spark.sql.Column, cents: Seq[Seq[Float]],
-                       absolute: Boolean): org.apache.spark.sql.Column = {
-    val sNormSq = if (absolute) vec.dot(sub, sub) else lit(0.0)
-    array(cents.map { c =>
-      val cNormSq = c.map(x => x.toDouble * x.toDouble).sum
-      lit(cNormSq) - lit(2.0) * vec.dot(typedLit(c), sub) + sNormSq
-    }: _*)
-  }
+  private def adcTable(embCol: org.apache.spark.sql.Column, codebooks: Seq[Seq[Seq[Float]]],
+                       absolute: Boolean): org.apache.spark.sql.Column =
+    graft.functions.matrixops.pqAdcTable(embCol, codebooks, SubDim, absolute)
 
   /** Encode: per-subspace nearest-centroid codes, M tinyints per row.
-    * Pure expression, no shuffle.
+    * Pure expression, no shuffle: argmin over the ranking-only ADC
+    * table (first-min index, matching the trained assignment).
     */
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
                embCol: String = "embedding"): DataFrame = {
-    val codes = array((0 until M).map { j =>
-      val sub = slice(col(embCol), j * SubDim + 1, SubDim)
-      val d = subDists(sub, codebooks(j), absolute = false)
-      (array_position(d, array_min(d)) - 1).cast("tinyint")
-    }: _*)
+    val codes = transform(adcTable(col(embCol), codebooks, absolute = false),
+      d => (array_position(d, array_min(d)) - 1).cast("tinyint"))
     df.withColumn("pq_codes", codes)
   }
 
@@ -159,13 +154,12 @@ object Quantization {
 
   val BqPool = 100
 
-  /** Sign-bit word: bit i set iff component i ≥ 0. A static 64-term
-    * OR tree — pure codegen, no shuffle, no training state.
+  /** Sign-bit word: bit i set iff component i ≥ 0. One native fused
+    * loop (graft.functions.SignBits) — pure codegen, no shuffle, no
+    * training state.
     */
   def bqWord(embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
-    (0 until 64).map(i =>
-      when(embCol.getItem(i) >= 0, lit(1L << i)).otherwise(lit(0L)))
-      .reduce(_ bitwiseOR _)
+    graft.functions.matrixops.signBits(embCol)
 
   /** BQ kNN (rows-only): Hamming prefilter on the packed words, exact
     * cosine rerank. The candidate scan reads 8 bytes per vector —
@@ -174,8 +168,10 @@ object Quantization {
     * (q_id, vec_id, hamming) triples pre-pruned by WindowGroupLimit.
     */
   def qBqKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = Tables.embeddings(spark, sfDir)
-      .select(col("vec_id"), bqWord(col("embedding")).as("w"))
+    val corpus = IndexCache.materialized(spark, sfDir + "#bq") {
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), bqWord(col("embedding")).as("w"))
+    }
     val queries = VectorSearch.querySet(spark, sfDir)
       .select(col("q_id"), bqWord(col("q_emb")).as("qw"))
     val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
@@ -197,11 +193,12 @@ object Quantization {
     */
   def qPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val codebooks = trainPqCodebooks(spark, sfDir)
-    val corpus = pqEncode(Tables.embeddings(spark, sfDir), codebooks)
+    val corpus = IndexCache.materialized(spark, sfDir + "#pq-flat") {
+      pqEncode(Tables.embeddings(spark, sfDir), codebooks)
+        .select(col("vec_id"), col("pq_codes"))
+    }
     val queries = VectorSearch.querySet(spark, sfDir)
-      .withColumn("adc", array((0 until M).map { j =>
-        subDists(slice(col("q_emb"), j * SubDim + 1, SubDim), codebooks(j), absolute = true)
-      }: _*))
+      .withColumn("adc", adcTable(col("q_emb"), codebooks, absolute = true))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
     val pool = corpus.select(col("vec_id"), col("pq_codes"))
       .crossJoin(broadcast(queries.select(col("q_id"), col("adc"))))
@@ -221,11 +218,12 @@ object Quantization {
     */
   def qIvfPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
     val codebooks = trainPqCodebooks(spark, sfDir)
-    val corpus = pqEncode(Ann.assignedCorpus(spark, sfDir), codebooks)
+    val corpus = IndexCache.materialized(spark, sfDir + "#pq-ivf") {
+      pqEncode(Ann.assignedCorpus(spark, sfDir), codebooks)
+        .select(col("vec_id"), col("pq_codes"), col("cluster_id"))
+    }
     val queries = Ann.probes(spark, sfDir)
-      .withColumn("adc", array((0 until M).map { j =>
-        subDists(slice(col("q_emb"), j * SubDim + 1, SubDim), codebooks(j), absolute = true)
-      }: _*))
+      .withColumn("adc", adcTable(col("q_emb"), codebooks, absolute = true))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
     val pool = corpus.select(col("vec_id"), col("pq_codes"), col("cluster_id"))
       .join(broadcast(queries.select(col("q_id"), col("adc"), col("cluster_id"))), "cluster_id")
@@ -242,7 +240,12 @@ object Quantization {
     * native cosine expression.
     */
   def qSq8Knn(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = quantize(Tables.embeddings(spark, sfDir))
+    // the stored artifact is the int8 corpus; dequantization happens
+    // at scan time in the query (it must not be materialized — that
+    // would store the floats back)
+    val corpus = IndexCache.materialized(spark, sfDir + "#sq8") {
+        quantize(Tables.embeddings(spark, sfDir))
+      }
       .withColumn("demb", dequantized())
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     corpus
