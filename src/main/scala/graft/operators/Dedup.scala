@@ -251,25 +251,33 @@ object Dedup {
     // re-execute it from scratch
     val e = edges.select(col("a"), col("b")).localCheckpoint()
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
-    var comp = sym.select(col("a").as("node")).distinct()
-      .withColumn("comp", col("node")).localCheckpoint()
+    // iteration 0 fused into initialization: comp = min(node, min
+    // neighbor) in ONE aggregate over the symmetric edges (every node
+    // appears as an `a`), instead of distinct + a full first round
+    var comp = sym.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
+      .localCheckpoint()
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
-      val nbrMin = sym.join(comp.withColumnRenamed("node", "b"), "b")
-        .groupBy(col("a").as("node")).agg(min(col("comp")).as("nbr_comp"))
+      val nbrMin = sym.join(
+          comp.select(col("node").as("b"), col("comp").as("bcomp")), "b")
+        .groupBy(col("a").as("node")).agg(min(col("bcomp")).as("nbr_comp"))
+      // prev rides along so convergence is a plain filter on the
+      // checkpointed result — no extra join per round
       val stepped = comp.join(nbrMin, Seq("node"), "left")
-        .select(col("node"),
+        .select(col("node"), col("comp").as("prev"),
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer-jump (path halving): follow the label one more hop so
       // deep chains converge in O(log diameter) rounds, not O(diameter)
       val next = stepped
         .join(stepped.select(col("node").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
-        .select(col("node"), least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"))
+        .select(col("node"), least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
+          col("prev"))
         .localCheckpoint()
-      converged = next.join(comp.withColumnRenamed("comp", "prev"), "node")
-        .filter(col("comp") =!= col("prev")).isEmpty
-      comp = next
+      converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      comp = next.select(col("node"), col("comp"))
       i += 1
     }
     // a non-converged exit would silently return WRONG cluster labels
