@@ -82,6 +82,20 @@ object SparkEntry {
         .orderBy(col("user_id"), col("session_start"))),
     // rows-only (centroid/hash/quantizer dependent): recall specs in
     // AnnSpec / QuantizationSpec
+    "q_contamination"  -> (TrainingPipeline.qContamination _),
+    "q_repetition"     -> (TrainingPipeline.qRepetition _),
+    "q_mix_sources"    -> (TrainingPipeline.qMixSources _),
+    "q_pack_sequences" -> (TrainingPipeline.qPackSequences _),
+    "q_more_like_this"     -> (FullText.qMoreLikeThis _),
+    "q_significant_terms"  -> (FullText.qSignificantTerms _),
+    "q_highlight"          -> (FullText.qHighlight _),
+    "q_search_after"   -> (Collection.qSearchAfter _),
+    "q_rollup"         -> (Relational.qRollup _),
+    "q_percentiles"    -> (Relational.qPercentiles _),
+    "q_date_histogram" -> (Relational.qDateHistogram _),
+    "q_dist_matrix"      -> (VectorSearch.qDistMatrix _),
+    "q_centroid_anomaly" -> (VectorSearch.qCentroidAnomaly _),
+    "q_geo_search"     -> (Geo.qGeoSearch _),
     "q_ivf_knn" -> (Ann.qIvfKnn _),
     "q_lsh_knn" -> (Ann.qLshKnn _),
     "q_sq8_knn" -> (Quantization.qSq8Knn _),
@@ -632,6 +646,165 @@ object SparkEntry {
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
         |  round(avg(octet_length(encode(text))), 6) AS avg_bytes,
         |  count(DISTINCT md5(text)) AS n_unique
-        |FROM documents GROUP BY source ORDER BY source""".stripMargin
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin,
+    "q_contamination" ->
+      """WITH aug AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |bt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |       WHERE doc_id % 7 = 0 AND len(string_split(text, ' ')) >= 5),
+        |bg AS (SELECT doc_id AS bench_id, unnest(list_distinct(list_transform(range(len(toks) - 4),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))) AS g
+        |       FROM bt),
+        |ct AS (SELECT doc_id, string_split(text, ' ') AS toks FROM aug
+        |       WHERE doc_id % 7 <> 0 AND len(string_split(text, ' ')) >= 5),
+        |cg AS (SELECT doc_id, unnest(list_distinct(list_transform(range(len(toks) - 4),
+        |         i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3] || ' ' || toks[i+4] || ' ' || toks[i+5]))) AS g
+        |       FROM ct)
+        |SELECT c.doc_id, count(DISTINCT c.g) AS n_shingles,
+        |  count(DISTINCT b.bench_id) AS n_bench_docs
+        |FROM cg c JOIN bg b USING (g)
+        |GROUP BY c.doc_id ORDER BY c.doc_id""".stripMargin,
+    "q_repetition" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |per AS (SELECT doc_id, CAST(len(toks) AS BIGINT) AS n_tokens,
+        |  list_transform(range(len(toks) - 1), i -> toks[i+1] || ' ' || toks[i+2]) AS g2,
+        |  list_transform(range(len(toks) - 2), i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3]) AS g3
+        |  FROM t),
+        |pr AS (SELECT doc_id, n_tokens,
+        |  round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 6) AS dup_bigram_frac,
+        |  round(CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3), 6) AS dup_trigram_frac
+        |  FROM per),
+        |tc AS (SELECT doc_id, token, count(*) AS c
+        |       FROM (SELECT doc_id, unnest(toks) AS token FROM t) GROUP BY 1, 2),
+        |tt AS (SELECT doc_id, round(CAST(max(c) AS DOUBLE) / CAST(sum(c) AS DOUBLE), 6)
+        |         AS top_token_share FROM tc GROUP BY 1)
+        |SELECT pr.doc_id, n_tokens, dup_bigram_frac, dup_trigram_frac, top_token_share
+        |FROM pr JOIN tt ON pr.doc_id = tt.doc_id ORDER BY pr.doc_id""".stripMargin,
+    "q_mix_sources" ->
+      """WITH b AS (SELECT source, text,
+        |  CASE WHEN CAST(substring(source, 4) AS INT) < 5 THEN 1.0
+        |       WHEN CAST(substring(source, 4) AS INT) < 10 THEN 0.5 ELSE 0.25 END AS keep_frac,
+        |  CAST('0x' || substring(md5(CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS kb,
+        |  CAST('0x' || substring(md5('s' || CAST(doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000 AS sb
+        |  FROM documents)
+        |SELECT source,
+        |  CASE WHEN sb < 800 THEN 'train' WHEN sb < 900 THEN 'val' ELSE 'test' END AS split,
+        |  count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS sum_tokens
+        |FROM b WHERE kb < keep_frac * 1000
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_pack_sequences" ->
+      """WITH t AS (SELECT source, doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |  CAST(sum(n_tokens + 1) OVER (PARTITION BY source ORDER BY doc_id) AS BIGINT) AS cum
+        |  FROM t)
+        |SELECT source, (cum - n_tokens - 1) // 256 AS bin_id, count(*) AS n_docs,
+        |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
+        |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_more_like_this" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |seed_tf AS (SELECT doc_id AS seed_id, token, count(*) AS tf FROM toks
+        |            WHERE doc_id IN (7, 21) GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE token IN (SELECT token FROM seed_tf) GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs FROM documents),
+        |scored AS (SELECT s.seed_id, s.token, ln(CAST(st.n_docs AS DOUBLE) / df.df) AS idf,
+        |    round(s.tf * ln(CAST(st.n_docs AS DOUBLE) / df.df), 6) AS tscore
+        |  FROM seed_tf s JOIN df USING (token) CROSS JOIN st),
+        |sel AS (SELECT token, idf,
+        |    row_number() OVER (PARTITION BY seed_id ORDER BY tscore DESC, token) AS trn
+        |  FROM scored),
+        |terms AS (SELECT DISTINCT token, idf FROM sel WHERE trn <= 10)
+        |SELECT t.doc_id, round(sum(m.idf), 6) AS score, count(DISTINCT t.token) AS n_terms
+        |FROM toks t JOIN terms m USING (token)
+        |WHERE t.doc_id NOT IN (7, 21)
+        |GROUP BY 1 ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_significant_terms" ->
+      """WITH toks AS (SELECT doc_id, source,
+        |    unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
+        |fg AS (SELECT token, count(*) AS df_fg FROM toks WHERE source = 'src7'
+        |       GROUP BY 1 HAVING count(*) >= 3),
+        |bg AS (SELECT token, count(*) AS df_bg FROM toks
+        |       WHERE token IN (SELECT token FROM fg) GROUP BY 1),
+        |n AS (SELECT count(*) AS n_bg, count(CASE WHEN source = 'src7' THEN 1 END) AS n_fg
+        |      FROM documents)
+        |SELECT f.token, f.df_fg, b.df_bg,
+        |  round((CAST(f.df_fg AS DOUBLE) / n.n_fg) /
+        |        ((CAST(b.df_bg AS DOUBLE) + 1) / n.n_bg), 6) AS score
+        |FROM fg f JOIN bg b USING (token) CROSS JOIN n
+        |ORDER BY score DESC, token LIMIT 20""".stripMargin,
+    "q_highlight" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id, toks,
+        |        CAST(COALESCE(list_position(toks, 'vector'), 0) AS BIGINT) AS pos FROM t)
+        |SELECT doc_id, pos,
+        |  array_to_string(toks[CAST(greatest(1, pos - 3) AS INT) :
+        |                       CAST(greatest(1, pos - 3) + 6 AS INT)], ' ') AS snippet
+        |FROM p WHERE pos > 0 ORDER BY doc_id""".stripMargin,
+    "q_search_after" ->
+      """SELECT doc_id, n_chars FROM documents
+        |WHERE n_chars < 300 OR (n_chars = 300 AND doc_id > 250)
+        |ORDER BY n_chars DESC, doc_id LIMIT 50""".stripMargin,
+    "q_rollup" ->
+      """SELECT COALESCE(l_returnflag, 'ALL') AS flag,
+        |  COALESCE(l_linestatus, 'ALL') AS status,
+        |  count(*) AS n, CAST(sum(CAST(l_quantity AS BIGINT)) AS BIGINT) AS sum_qty,
+        |  round(sum(l_extendedprice), 2) AS sum_price
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin,
+    "q_percentiles" ->
+      """SELECT event_type,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.9), 6) AS p90,
+        |  round(quantile_cont(value, 0.99), 6) AS p99
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_date_histogram" ->
+      """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events,
+        |  count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_dist_matrix" ->
+      """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
+        |           WHERE vec_id % 40 = 0),
+        |p AS (SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+        |        round(list_cosine_similarity(a.emb, b.emb), 6) AS score
+        |      FROM s a CROSS JOIN s b WHERE a.vec_id <> b.vec_id),
+        |r AS (SELECT *, CAST(row_number() OVER (
+        |        PARTITION BY vec_a ORDER BY score DESC, vec_b) AS BIGINT) AS rn FROM p)
+        |SELECT vec_a, vec_b, rn, score FROM r WHERE rn <= 5 ORDER BY vec_a, rn""".stripMargin,
+    "q_centroid_anomaly" ->
+      """WITH dims AS (SELECT label, CAST(r.range AS INT) AS i,
+        |    CAST(embedding[CAST(r.range AS INT)] AS DOUBLE) AS x
+        |  FROM embeddings CROSS JOIN range(1, 65) r),
+        |cent AS (SELECT label, i, round(avg(x), 6) AS c FROM dims GROUP BY 1, 2),
+        |carr AS (SELECT label, list(c ORDER BY i) AS centroid FROM cent GROUP BY 1),
+        |d AS (SELECT e.label, e.vec_id,
+        |    round(list_distance(e.embedding::DOUBLE[], c.centroid), 6) AS dist
+        |  FROM embeddings e JOIN carr c USING (label)),
+        |r2 AS (SELECT *, CAST(row_number() OVER (
+        |    PARTITION BY label ORDER BY dist DESC, vec_id) AS BIGINT) AS rn FROM d)
+        |SELECT label, vec_id, rn, dist FROM r2 WHERE rn <= 3 ORDER BY label, rn""".stripMargin,
+    "q_geo_search" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id,
+        |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+        |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+        |  FROM u),
+        |d AS (SELECT user_id, lat, lon,
+        |  round(2.0 * 6371.0 * asin(sqrt(pow(sin(radians(lat - 10.0) / 2), 2)
+        |    + cos(radians(10.0)) * cos(radians(lat)) * pow(sin(radians(lon - 20.0) / 2), 2))), 6)
+        |    AS dist_km
+        |  FROM g)
+        |SELECT user_id, lat, lon, dist_km FROM d
+        |WHERE dist_km <= 3000 ORDER BY dist_km, user_id LIMIT 50""".stripMargin
   )
 }

@@ -98,6 +98,24 @@ object Collection {
       .orderBy(col("label"))
   }
 
+  /** Keyset pagination (ES `search_after` / Qdrant `order_by` +
+    * `start_from`): the page is defined by a cursor — the sort key of
+    * the last row served — not an offset. Unlike offset scroll
+    * (O(offset) rows scanned and discarded per page), the cursor
+    * predicate pushes into the scan, so page N costs the same as
+    * page 1 at any corpus size; on a sort-ordered layout it prunes
+    * files outright.
+    */
+  def qSearchAfter(spark: SparkSession, sfDir: String): DataFrame = {
+    val (afterChars, afterId) = (300L, 250L)
+    Tables.documents(spark, sfDir)
+      .filter(col("n_chars") < afterChars ||
+        (col("n_chars") === afterChars && col("doc_id") > afterId))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .limit(50)
+      .select(col("doc_id"), col("n_chars"))
+  }
+
   /** Facet counts (the Qdrant facet / Elasticsearch terms-aggregation
     * API): distinct values of a payload field with their counts,
     * under a filter. Filter lands in the parquet scan, the aggregate

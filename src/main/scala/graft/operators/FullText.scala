@@ -93,4 +93,84 @@ object FullText {
     index(spark, sfDir).hybridWeighted(Terms, vecScores(spark, sfDir), "vscore")
       .orderBy(col("hybrid").desc, col("doc_id"))
       .limit(K)
+
+  /** More-like-this (ES `more_like_this`): harvest each seed doc's
+    * top-10 terms by tf·idf, then score every other doc by
+    * Σ tf·idf over the harvested term set; top-20. The seed side is
+    * two docs (broadcast everywhere); df is computed only for seed
+    * terms via a broadcast semi-join, so the corpus-sized work is one
+    * token explode + the final per-doc aggregate.
+    */
+  def qMoreLikeThis(spark: SparkSession, sfDir: String): DataFrame = {
+    val seeds = Seq(7L, 21L)
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+    val seedTf = toks.filter(col("doc_id").isin(seeds: _*))
+      .groupBy(col("doc_id").as("seed_id"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = toks
+      .join(broadcast(seedTf.select(col("token")).distinct()), "token")
+      .groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val st = docs.agg(count(lit(1)).as("n_docs"))
+    val wSeed = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("seed_id")).orderBy(col("tscore").desc, col("token"))
+    val terms = seedTf.join(broadcast(df), "token").crossJoin(broadcast(st))
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
+      .withColumn("tscore", round(col("tf") * col("idf"), 6))
+      .withColumn("trn", row_number().over(wSeed))
+      .filter(col("trn") <= 10)
+      .select(col("token"), col("idf")).dropDuplicates("token")
+    toks.filter(!col("doc_id").isin(seeds: _*))
+      .join(broadcast(terms), "token")
+      .groupBy(col("doc_id"))
+      .agg(round(sum(col("idf")), 6).as("score"),
+        countDistinct(col("token")).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  /** Significant terms (ES `significant_terms`): terms over-represented
+    * in a foreground slice (source = 'src7') vs the whole corpus,
+    * scored by the smoothed rate ratio
+    * (df_fg / n_fg) / ((df_bg + 1) / n_bg), df_fg ≥ 3. The term
+    * universe is pruned to foreground terms via a broadcast join
+    * before any background counting.
+    */
+  def qSignificantTerms(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val toks = docs.select(col("doc_id"), col("source"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val fgDf = toks.filter(col("source") === "src7")
+      .groupBy(col("token")).agg(count(lit(1)).as("df_fg"))
+      .filter(col("df_fg") >= 3)
+    val counts = docs.agg(count(lit(1)).as("n_bg"),
+      count(when(col("source") === "src7", 1)).as("n_fg"))
+    toks.join(broadcast(fgDf.select(col("token"))), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df_bg"))
+      .join(broadcast(fgDf), "token")
+      .crossJoin(broadcast(counts))
+      .withColumn("score", round(
+        (col("df_fg").cast("double") / col("n_fg")) /
+          ((col("df_bg").cast("double") + 1) / col("n_bg")), 6))
+      .select(col("token"), col("df_fg"), col("df_bg"), col("score"))
+      .orderBy(col("score").desc, col("token"))
+      .limit(K)
+  }
+
+  /** Highlight (ES highlighting): for docs containing the term, the
+    * 1-based token position of the first hit and a 7-token snippet
+    * centered on it. Pure per-row expressions — scan-only, no
+    * shuffle before presentation.
+    */
+  def qHighlight(spark: SparkSession, sfDir: String): DataFrame = {
+    val term = "vector"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("pos", array_position(col("toks"), term))
+      .filter(col("pos") > 0)
+      .withColumn("start", greatest(lit(1L), col("pos") - 3).cast("int"))
+      .select(col("doc_id"), col("pos"),
+        concat_ws(" ", slice(col("toks"), col("start"), lit(7))).as("snippet"))
+      .orderBy(col("doc_id"))
+  }
 }

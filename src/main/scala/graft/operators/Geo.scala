@@ -1,0 +1,59 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.Tables
+
+/** Geo-filtered search (Qdrant geo_radius / ES geo_distance payload
+  * filters). The test tables carry no coordinates, so a deterministic
+  * synthetic profile is derived per user (md5-hash → lat/lon grid) —
+  * the geometry, not the provenance, is what the operator exercises.
+  *
+  * Scale shape: the radius predicate is a pure per-row expression
+  * over two doubles; a production layout would first prune by a
+  * bounding box on partition-level lat/lon min-max (the standard
+  * geo-partitioning trick), then apply the exact haversine — both
+  * stages scan-level, no shuffle.
+  */
+object Geo {
+
+  private def bucket(saltedId: Column, mod: Int): Column =
+    pmod(conv(substring(md5(saltedId), 1, 8), 16, 10).cast("long"), lit(mod.toLong))
+
+  /** Synthetic user coordinates: lat ∈ [-90, 90), lon ∈ [-180, 180)
+    * on a 0.01° grid, from salted md5 buckets of the user id.
+    */
+  def userGeo(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id")).distinct()
+      .withColumn("lat",
+        bucket(col("user_id").cast("string"), 18000).cast("double") / 100.0 - 90.0)
+      .withColumn("lon",
+        bucket(concat(lit("x"), col("user_id").cast("string")), 36000).cast("double") / 100.0 - 180.0)
+
+  /** Great-circle distance in km (haversine, R = 6371). Written as
+    * one fixed expression tree so the oracle can mirror the exact
+    * operation order.
+    */
+  def haversineKm(lat1: Column, lon1: Column, lat2: Column, lon2: Column): Column = {
+    val dLat = radians(lat2 - lat1)
+    val dLon = radians(lon2 - lon1)
+    val a = pow(sin(dLat / 2), 2) +
+      cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLon / 2), 2)
+    lit(2.0 * 6371.0) * asin(sqrt(a))
+  }
+
+  /** Geo radius search: users within 3000 km of (10°, 20°), nearest
+    * 50 by rounded distance with id tie-break.
+    */
+  def qGeoSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val (qLat, qLon, radiusKm) = (10.0, 20.0, 3000.0)
+    userGeo(spark, sfDir)
+      .withColumn("dist_km",
+        round(haversineKm(lit(qLat), lit(qLon), col("lat"), col("lon")), 6))
+      .filter(col("dist_km") <= radiusKm)
+      .orderBy(col("dist_km"), col("user_id"))
+      .limit(50)
+      .select(col("user_id"), col("lat"), col("lon"), col("dist_km"))
+  }
+}

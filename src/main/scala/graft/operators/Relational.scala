@@ -110,4 +110,49 @@ object Relational {
       .groupBy(col("event_type"))
       .agg(count(lit(1)).as("n"), sum(col("k")).as("sum_k"), max(col("k")).as("max_k"))
       .orderBy(col("event_type"))
+
+  /** ROLLUP subtotals over lineitem (flag, status) — the OLAP
+    * subtotal/grand-total shape (ES would run three requests; SQL
+    * engines one ROLLUP). One scan, partial-aggregated per grouping
+    * set; null grouping keys are presented as 'ALL' (the data has no
+    * organic nulls).
+    */
+  def qRollup(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("l_quantity").cast("long")).as("sum_qty"),
+        round(sum(col("l_extendedprice")), 2).as("sum_price"))
+      .select(coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("n"), col("sum_qty"), col("sum_price"))
+      .orderBy(col("flag"), col("status"))
+
+  /** Exact interpolated percentiles of event value per type —
+    * the quantitative profile behind the sketch variant
+    * (q_sketch_stats); percentile() sorts per group, fine at
+    * per-group scale, while the KLL sketch is the 100 TB path.
+    */
+  def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .select(col("event_type"),
+        round(col("p")(0), 6).as("p50"),
+        round(col("p")(1), 6).as("p90"),
+        round(col("p")(2), 6).as("p99"))
+      .orderBy(col("event_type"))
+
+  /** Calendar-day histogram with a terms sub-aggregation (ES
+    * `date_histogram` + `terms` + `cardinality`): per (day, type)
+    * counts, distinct users, and value sum. One scan; count-distinct
+    * adds the usual two-phase aggregate.
+    */
+  def qDateHistogram(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("day"), col("event_type"))
 }

@@ -1,0 +1,127 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+import graft.Tables
+
+/** Training-data curation operators — the LLM-pipeline extension
+  * beyond dedup: benchmark decontamination, repetition/quality
+  * metrics, weighted source mixing with a deterministic split, and
+  * context-window sequence packing. These are the operations a
+  * 100 TB pretraining corpus passes through between raw crawl and
+  * tokenizer, each expressed as a declarative Spark plan.
+  */
+object TrainingPipeline {
+
+  /** Distinct 5-token shingles per doc (docs with ≥5 tokens). */
+  private def fiveGrams(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 5)
+      .select(col("doc_id"), array_distinct(expr(
+        "transform(sequence(0, size(toks)-5), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"))
+        .as("gs"))
+
+  /** Benchmark decontamination (the eval-overlap scan every serious
+    * pretraining run performs): the "benchmark" is every 7th base doc;
+    * the corpus is the augmented collection (with its constructed
+    * copies and near-dups — known contamination). A corpus doc is
+    * contaminated if it shares any 5-token shingle with a benchmark
+    * doc. Benchmark docs themselves are excluded from the report.
+    *
+    * Scale shape: the benchmark side is ≪ corpus (an eval suite is
+    * thousands of docs) and travels as a broadcast; the corpus scan
+    * is linear, and the only corpus-sized shuffle is the final
+    * per-doc aggregate. At 100 TB the shingles would travel hashed
+    * (as in [[Dedup]]); strings are kept here for oracle parity.
+    */
+  def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
+    val corpus = Dedup.augmentedDocs(spark, sfDir)
+    val bench = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text"))
+    val bg = fiveGrams(bench)
+      .select(col("doc_id").as("bench_id"), explode(col("gs")).as("g"))
+    val cg = fiveGrams(corpus.filter(col("doc_id") % 7 =!= 0))
+      .select(col("doc_id"), explode(col("gs")).as("g"))
+    cg.join(broadcast(bg), "g")
+      .groupBy(col("doc_id"))
+      .agg(countDistinct(col("g")).as("n_shingles"),
+        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Within-document repetition metrics (the Gopher/Dolma repetition
+    * quality gates): duplicate bigram/trigram fraction and the share
+    * of the most frequent token. Pure per-row expressions except the
+    * top-token aggregate (one wordcount-shaped shuffle).
+    */
+  def qRepetition(spark: SparkSession, sfDir: String): DataFrame = {
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+    val perRow = t.select(col("doc_id"), size(col("toks")).cast("long").as("n_tokens"),
+      expr("transform(sequence(0, size(toks)-2), i -> concat_ws(' ', toks[i], toks[i+1]))").as("g2"),
+      expr("transform(sequence(0, size(toks)-3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))").as("g3"))
+      .select(col("doc_id"), col("n_tokens"),
+        round((size(col("g2")) - size(array_distinct(col("g2")))) /
+          size(col("g2")).cast("double"), 6).as("dup_bigram_frac"),
+        round((size(col("g3")) - size(array_distinct(col("g3")))) /
+          size(col("g3")).cast("double"), 6).as("dup_trigram_frac"))
+    val topTok = t.select(col("doc_id"), explode(col("toks")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      .agg(round(max(col("c")) / sum(col("c")).cast("double"), 6).as("top_token_share"))
+    perRow.join(topTok, "doc_id").orderBy(col("doc_id"))
+  }
+
+  /** md5 bucket in [0, 1000) over a salted id — the deterministic
+    * sampling coin shared with the oracle.
+    */
+  private def bucket1000(salt: String): org.apache.spark.sql.Column =
+    pmod(conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
+      .cast("long"), lit(1000L))
+
+  /** Weighted source mixing + deterministic train/val/test split:
+    * each source keeps a target fraction of its docs (1.0 / 0.5 /
+    * 0.25 by source tier — the up/down-weighting step of corpus
+    * assembly), then survivors land in train/val/test by a second
+    * salted hash (80/10/10). Everything is a per-row expression; the
+    * only shuffle is the reporting aggregate — the mix itself would
+    * scale to 100 TB as a pure filter.
+    */
+  def qMixSources(spark: SparkSession, sfDir: String): DataFrame = {
+    val tier = substring(col("source"), 4, 10).cast("int")
+    val keepFrac = when(tier < 5, 1.0).when(tier < 10, 0.5).otherwise(0.25)
+    val b = Tables.documents(spark, sfDir)
+      .withColumn("keep", bucket1000("") < keepFrac * 1000)
+      .filter(col("keep"))
+      .withColumn("split",
+        when(bucket1000("s") < 800, "train")
+          .when(bucket1000("s") < 900, "val").otherwise("test"))
+    b.groupBy(col("source"), col("split"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " ")).cast("long")).as("sum_tokens"))
+      .orderBy(col("source"), col("split"))
+  }
+
+  /** Context-window sequence packing: docs are packed in id order
+    * into 256-token bins per source shard — bin = (running token
+    * count before this doc) div budget, the streaming first-fit
+    * approximation every packed-pretraining loader uses (each doc
+    * costs its tokens + 1 separator). The window partitions by
+    * source, so at 100 TB each shard packs independently — no global
+    * sort, no single-partition window.
+    */
+  def qPackSequences(spark: SparkSession, sfDir: String): DataFrame = {
+    val budget = 256
+    val t = Tables.documents(spark, sfDir)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    t.withColumn("cum", sum(col("n_tokens") + 1).over(w))
+      .withColumn("bin_id", expr(s"(cum - n_tokens - 1) DIV $budget"))
+      .groupBy(col("source"), col("bin_id"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
+      .orderBy(col("source"), col("bin_id"))
+  }
+}

@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.api.{Metric, VectorCollection}
 import graft.functions.vec
@@ -218,6 +219,51 @@ object VectorSearch {
     collection(spark, sfDir)
       .searchAggregate(querySet(spark, sfDir), SearchAggPool, "label")
       .orderBy(col("q_id"), col("label"))
+
+  /** Distance matrix (Qdrant `search_matrix`): pairwise cosine over
+    * a deterministic sample of the collection, top-5 neighbors per
+    * sample point — the input of offline graph builds (HNSW seeding,
+    * cluster diagnostics). The sample (n ≪ corpus) is broadcast
+    * against itself; at 100 TB the sample is the only data touched
+    * after the scan-level filter.
+    */
+  def qDistMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val sample = Tables.embeddings(spark, sfDir)
+      .filter(col("vec_id") % 40 === 0)
+      .select(col("vec_id"), col("embedding"))
+    val w = Window.partitionBy(col("vec_a")).orderBy(col("score").desc, col("vec_b"))
+    sample.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      .crossJoin(broadcast(sample.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b"))))
+      .filter(col("vec_a") =!= col("vec_b"))
+      .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("vec_a"), col("vec_b"), col("rn"), col("score"))
+      .orderBy(col("vec_a"), col("rn"))
+  }
+
+  /** Per-label centroid + outlier report: each label's mean vector
+    * (components rounded to stabilize the float sum order), then the
+    * 3 vectors farthest (L2) from their own centroid — the
+    * cluster-hygiene / anomaly pass over an embedding collection.
+    * Centroids aggregate by (label, dim) — map-side combinable,
+    * cardinality |labels|·dim — and re-enter as a broadcast.
+    */
+  def qCentroidAnomaly(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    val dims = e.select(col("label"), posexplode(col("embedding")).as(Seq("i", "x")))
+    val cent = dims.groupBy(col("label"), col("i"))
+      .agg(round(avg(col("x")), 6).as("c"))
+      .groupBy(col("label"))
+      .agg(expr("transform(array_sort(collect_list(struct(i, c))), s -> s.c)").as("centroid"))
+    val w = Window.partitionBy(col("label")).orderBy(col("dist").desc, col("vec_id"))
+    e.join(broadcast(cent), "label")
+      .withColumn("dist", round(vec.l2(col("embedding"), col("centroid")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 3)
+      .select(col("label"), col("vec_id"), col("rn"), col("dist"))
+      .orderBy(col("label"), col("rn"))
+  }
 
   /** Row 9: per-label norm stats over the collection — the
     * normalize/stats path every backend runs at ingest. Map-side

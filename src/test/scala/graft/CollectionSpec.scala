@@ -78,4 +78,17 @@ class CollectionSpec extends SparkSpec {
     assert(r.getAs[Long]("dim") == 64)
     assert(r.getAs[Double]("avg_norm") > 0)
   }
+
+  test("q_search_after equals the keyset page of the full sorted scan") {
+    import org.apache.spark.sql.functions.col
+    val page = Collection.qSearchAfter(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("n_chars")))
+    val full = Tables.documents(spark, sfDir)
+      .orderBy(col("n_chars").desc, col("doc_id"))
+      .select(col("doc_id"), col("n_chars")).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val expected = full.dropWhile { case (id, nc) =>
+      nc > 300 || (nc == 300 && id <= 250) }.take(50)
+    assert(page.sameElements(expected))
+  }
 }

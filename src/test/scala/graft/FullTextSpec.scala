@@ -113,4 +113,36 @@ class FullTextSpec extends SparkSpec {
     assert(doc0.forall(_.getAs[Double]("hybrid") >= 0.75 - 1e-9))
     assert(doc0.isDefined || s.last >= 0.75 - 1e-9)
   }
+
+  test("q_more_like_this excludes seeds and ranks by descending score") {
+    val rows = FullText.qMoreLikeThis(spark, sfDir).collect()
+    assert(rows.length == FullText.K)
+    assert(rows.forall(r => !Seq(7L, 21L).contains(r.getAs[Long]("doc_id"))))
+    val s = rows.map(_.getAs[Double]("score"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    assert(rows.forall(r => r.getAs[Long]("n_terms") >= 1 && r.getAs[Long]("n_terms") <= 20))
+  }
+
+  test("q_significant_terms scores mean the fg rate beats the smoothed bg rate") {
+    val rows = FullText.qSignificantTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= FullText.K)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df_fg") >= 3)
+      assert(r.getAs[Long]("df_bg") >= r.getAs[Long]("df_fg"))
+      assert(r.getAs[Double]("score") > 0)
+    }
+    val s = rows.map(_.getAs[Double]("score"))
+    assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+  }
+
+  test("q_highlight snippets contain the term at the reported position") {
+    val rows = FullText.qHighlight(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val snip = r.getAs[String]("snippet").split(" ")
+      assert(snip.length <= 7)
+      assert(snip.contains("vector"))
+      assert(r.getAs[Long]("pos") >= 1)
+    }
+  }
 }

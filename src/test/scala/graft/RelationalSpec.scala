@@ -51,6 +51,39 @@ class RelationalSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("max_k") >= 0))
   }
 
+  test("q_rollup subtotals add up to the grand total") {
+    val rows = Relational.qRollup(spark, sfDir).collect()
+    val grand = rows.find(r => r.getAs[String]("flag") == "ALL" &&
+      r.getAs[String]("status") == "ALL").get
+    val leaves = rows.filter(r => r.getAs[String]("flag") != "ALL" &&
+      r.getAs[String]("status") != "ALL")
+    assert(leaves.map(_.getAs[Long]("n")).sum == grand.getAs[Long]("n"))
+    assert(leaves.map(_.getAs[Long]("sum_qty")).sum == grand.getAs[Long]("sum_qty"))
+    val flagRows = rows.filter(r => r.getAs[String]("flag") != "ALL" &&
+      r.getAs[String]("status") == "ALL")
+    assert(flagRows.map(_.getAs[Long]("n")).sum == grand.getAs[Long]("n"))
+  }
+
+  test("q_percentiles are ordered p50 <= p90 <= p99 within min/max") {
+    val rows = Relational.qPercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[Double]("p50"), r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(a <= b && b <= c)
+    }
+  }
+
+  test("q_date_histogram counts and user cardinalities are consistent") {
+    val rows = Relational.qDateHistogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_users") >= 1)
+      assert(r.getAs[Long]("n_users") <= r.getAs[Long]("n_events"))
+    }
+    val total = rows.map(_.getAs[Long]("n_events")).sum
+    assert(total == Tables.events(spark, sfDir).count())
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

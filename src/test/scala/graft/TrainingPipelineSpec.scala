@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Dedup, Geo, TrainingPipeline}
+
+class TrainingPipelineSpec extends SparkSpec {
+
+  test("q_contamination flags every constructed copy of a benchmark doc") {
+    val rows = TrainingPipeline.qContamination(spark, sfDir).collect()
+    val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
+    // every exact copy of a benchmark doc (doc_id % 7 == 0 → +10000)
+    // shares all its 5-grams with the benchmark original
+    val docs = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0)
+      .filter(size(split(col("text"), " ")) >= 5)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    docs.foreach(d => assert(flagged.contains(d + 10000L),
+      s"copy of benchmark doc $d not flagged"))
+    // benchmark docs themselves are excluded from the report
+    assert(flagged.forall(_ % 7 != 0))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_shingles") > 0 && r.getAs[Long]("n_bench_docs") > 0)
+    }
+  }
+
+  test("q_repetition fractions are in [0,1) and consistent") {
+    val rows = TrainingPipeline.qRepetition(spark, sfDir).collect()
+    assert(rows.length == 500)
+    rows.foreach { r =>
+      val b = r.getAs[Double]("dup_bigram_frac")
+      val t = r.getAs[Double]("dup_trigram_frac")
+      val s = r.getAs[Double]("top_token_share")
+      assert(b >= 0 && b < 1 && t >= 0 && t < 1)
+      assert(s > 0 && s <= 1)
+      assert(s >= 1.0 / r.getAs[Long]("n_tokens") - 1e-6) // s is rounded to 6 places
+    }
+  }
+
+  test("q_mix_sources keeps full tier-0 sources and splits ~80/10/10") {
+    val rows = TrainingPipeline.qMixSources(spark, sfDir).collect()
+    val bySrc = rows.groupBy(_.getAs[String]("source"))
+    val total = Tables.documents(spark, sfDir)
+      .groupBy(col("source")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // tier-0 sources (src0..src4) keep every doc
+    for (s <- Seq("src0", "src1", "src2", "src3", "src4") if total.contains(s))
+      assert(bySrc(s).map(_.getAs[Long]("n_docs")).sum == total(s), s"tier-0 $s not fully kept")
+    // lower tiers keep strictly less (sf0.001 has enough docs per source)
+    val kept = rows.map(r => r.getAs[String]("source") -> r.getAs[Long]("n_docs"))
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    assert(kept.filterKeys(k => k.stripPrefix("src").toInt >= 10).values.sum <
+      total.filterKeys(k => k.stripPrefix("src").toInt >= 10).values.sum)
+    assert(rows.map(_.getAs[String]("split")).toSet.subsetOf(Set("train", "val", "test")))
+  }
+
+  test("q_pack_sequences bins respect the budget for multi-doc bins") {
+    val rows = TrainingPipeline.qPackSequences(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      // a bin with more than one doc can only have formed if the docs
+      // fit the running 256-token budget (a single oversized doc may
+      // exceed it alone)
+      if (r.getAs[Long]("n_docs") > 1)
+        assert(r.getAs[Long]("sum_tokens") + r.getAs[Long]("n_docs") <= 256 + 256,
+          s"bin overfilled: $r")
+      assert(r.getAs[Long]("bin_id") >= 0)
+    }
+    // every doc is packed exactly once
+    val nDocs = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(nDocs == 500)
+  }
+
+  test("q_geo_search distances are within the radius and sorted") {
+    val rows = Geo.qGeoSearch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val dists = rows.map(_.getAs[Double]("dist_km"))
+    assert(dists.forall(d => d >= 0 && d <= 3000))
+    assert(dists.sameElements(dists.sorted))
+    rows.foreach { r =>
+      val lat = r.getAs[Double]("lat"); val lon = r.getAs[Double]("lon")
+      assert(lat >= -90 && lat < 90 && lon >= -180 && lon < 180)
+    }
+  }
+}

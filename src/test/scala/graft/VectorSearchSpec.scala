@@ -169,4 +169,25 @@ class VectorSearchSpec extends SparkSpec {
       assert(r.getAs[Double]("avg_norm") <= r.getAs[Double]("max_norm"))
     }
   }
+
+  test("q_dist_matrix: 5 neighbors per sample point, no self-pairs, scores sorted") {
+    val rows = VectorSearch.qDistMatrix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("vec_a")).foreach { case (a, g) =>
+      assert(g.length == 5)
+      assert(g.forall(_.getAs[Long]("vec_b") != a))
+      val s = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+      assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+    }
+  }
+
+  test("q_centroid_anomaly: top-3 outliers per label, descending distance") {
+    val rows = VectorSearch.qCentroidAnomaly(spark, sfDir).collect()
+    assert(rows.length == 30) // 10 labels x 3
+    rows.groupBy(_.getAs[Int]("label")).foreach { case (_, g) =>
+      val d = g.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("dist"))
+      assert(d.forall(_ >= 0))
+      assert(d.zip(d.tail).forall { case (x, y) => x >= y })
+    }
+  }
 }
