@@ -154,4 +154,36 @@ class StreamingSpec extends SparkSpec {
         r.getAs[Double]("sum_value"))).sortBy(t => (t._1, t._2))
     assert(streamed.sameElements(relational))
   }
+
+  test("stream-stream interval join matches the batch twin") {
+    import org.apache.spark.sql.functions.col
+    val events = Tables.events(spark, sfDir)
+      .select("event_id", "ts", "user_id", "event_type")
+    val srcDir = Files.createTempDirectory("graft-ssjoin-src").toString
+    events.write.mode("overwrite").parquet(srcDir)
+    def stream(tpe: String) =
+      spark.readStream.schema(events.schema).parquet(srcDir)
+        .filter(col("event_type") === tpe)
+
+    val q = graft.streaming.StreamJoin.joinStreams(stream("click"), stream("purchase"))
+      .writeStream
+      .format("memory")
+      .queryName("ssjoin_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def canon(rows: Array[org.apache.spark.sql.Row]) = rows
+      .map(r => (r.getAs[Long]("click_id"), r.getAs[Long]("user_id"),
+        r.getAs[Long]("purchase_id"), r.getAs[Long]("lag_ms")))
+      .sortBy(t => (t._1, t._3))
+    val streamed = canon(spark.table("ssjoin_test").collect())
+    val batch = canon(graft.streaming.StreamJoin.batch(events).collect())
+    assert(streamed.nonEmpty)
+    assert(streamed.sameElements(batch))
+    // lags respect the interval bound
+    assert(streamed.forall { case (_, _, _, lag) =>
+      lag >= 0 && lag <= graft.streaming.StreamJoin.WindowSec * 1000L })
+  }
 }
