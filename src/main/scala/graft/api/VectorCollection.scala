@@ -155,39 +155,58 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
     * reranker: greedily pick k results maximizing
     * λ·sim(query, d) − (1−λ)·max_{s∈selected} sim(d, s), so near-
     * duplicate hits don't crowd the result list. Stage 1 is a plain
-    * top-`pool` search; the greedy loop then runs k−1 rounds of
-    * joins over the pool only (|queries|·pool rows — constant-bounded
-    * at any corpus scale, checkpointed per round), never touching the
-    * corpus again. All ties break by id, so selection is
-    * deterministic.
+    * top-`pool` search; the greedy selection is inherently sequential
+    * per query, so it runs as one per-group kernel over the collected
+    * pool (≤ `pool` rows per query — constant-bounded at any corpus
+    * scale) instead of k−1 rounds of joins: the corpus is touched
+    * once, and the selection adds a single |queries|-row aggregate.
+    * The kernel mirrors the engine's arithmetic (sequential double
+    * cosine, HALF_UP rounding to 6 decimals, ties by id) so results
+    * are deterministic and identical to the join formulation.
     */
   def searchMmr(queries: DataFrame, k: Int, lambda: Double = 0.5,
                 pool: Int = 30): DataFrame = {
     val cand = search(queries, pool, Metric.Cosine)
-      .select(col("q_id"), id, col("score").as("qsim"), emb)
-      .localCheckpoint()
-    // step 1: plain top-1 per query
-    val w1 = Window.partitionBy(col("q_id")).orderBy(col("qsim").desc, id)
-    var selected = cand.withColumn("__r", row_number().over(w1)).filter(col("__r") === 1)
-      .select(col("q_id"), id, col("qsim"), emb, lit(1).as("step"))
-      .localCheckpoint()
-    for (step <- 2 to k) {
-      val sel = selected.select(col("q_id"), emb.as("__semb"))
-      val rem = cand.join(selected.select(col("q_id"), id), Seq("q_id", idCol), "left_anti")
-      val maxSim = rem.join(sel, "q_id")
-        .select(col("q_id"), id,
-          round(graft.functions.vec.cosine(emb, col("__semb")), 6).as("__s"))
-        .groupBy(col("q_id"), id)
-        .agg(max(col("__s")).as("__maxs"))
-      val wPick = Window.partitionBy(col("q_id")).orderBy(col("__mmr").desc, id)
-      val pick = maxSim.join(cand, Seq("q_id", idCol))
-        .withColumn("__mmr", round(lit(lambda) * col("qsim") -
-          lit(1.0 - lambda) * col("__maxs"), 6))
-        .withColumn("__r", row_number().over(wPick)).filter(col("__r") === 1)
-        .select(col("q_id"), id, col("qsim"), emb, lit(step).as("step"))
-      selected = selected.unionByName(pick).localCheckpoint()
+      .select(col("q_id"), id.cast("long").as("__cid"),
+        col("score").as("__qsim"), emb.cast("array<float>").as("__cemb"))
+    val kk = k
+    val lam = lambda
+    val greedy = udf { cands: Seq[org.apache.spark.sql.Row] =>
+      def r6(x: Double): Double =
+        java.math.BigDecimal.valueOf(x).setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+      def cos(a: Seq[Float], b: Seq[Float]): Double = {
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var i = 0
+        val n = math.min(a.length, b.length)
+        while (i < n) {
+          val x = a(i).toDouble; val y = b(i).toDouble
+          dot += x * y; na += x * x; nb += y * y; i += 1
+        }
+        dot / (math.sqrt(na) * math.sqrt(nb))
+      }
+      val all = cands.map(r => (r.getLong(0), r.getDouble(1),
+        r.getSeq[Float](2))).sortBy { case (cid, qsim, _) => (-qsim, cid) }
+      val sel = scala.collection.mutable.ArrayBuffer.empty[(Long, Long, Double)]
+      val selEmb = scala.collection.mutable.ArrayBuffer.empty[Seq[Float]]
+      val taken = scala.collection.mutable.HashSet.empty[Long]
+      while (sel.length < kk && sel.length < all.length) {
+        val step = sel.length + 1
+        val best =
+          if (step == 1) all.head
+          else all.iterator.filterNot(c => taken(c._1)).maxBy { case (cid, qsim, e) =>
+            val maxs = selEmb.iterator.map(s => r6(cos(e, s))).max
+            (r6(lam * qsim - (1.0 - lam) * maxs), -cid)
+          }
+        sel += ((best._1, step.toLong, best._2))
+        selEmb += best._3
+        taken += best._1
+      }
+      sel.toSeq
     }
-    selected.select(col("q_id"), id, col("step").cast("long").as("step"), col("qsim"))
+    cand.groupBy(col("q_id"))
+      .agg(greedy(collect_list(struct(col("__cid"), col("__qsim"), col("__cemb")))).as("__sel"))
+      .select(col("q_id"), explode(col("__sel")).as("__p"))
+      .select(col("q_id"), col("__p._1").as(idCol),
+        col("__p._2").as("step"), col("__p._3").as("qsim"))
   }
 
   /** Recommendation search (the reference's Qdrant-style recommend

@@ -32,21 +32,28 @@ object TrainingPipeline {
     * Scale shape: the benchmark side is ≪ corpus (an eval suite is
     * thousands of docs) and travels as a broadcast; the corpus scan
     * is linear, and the only corpus-sized shuffle is the final
-    * per-doc aggregate. At 100 TB the shingles would travel hashed
-    * (as in [[Dedup]]); strings are kept here for oracle parity.
+    * per-doc aggregate. Shingles travel as xxhash64 longs (the
+    * [[Dedup]] trick — a 64-bit collision between two distinct
+    * corpus/bench shingles is ~1e-8), and the bench side is
+    * pre-aggregated per shingle so the join emits one row per
+    * (doc, shingle): the per-doc counts are then collision-free
+    * plain aggregates — no countDistinct expand, no string shuffle.
     */
   def qContamination(spark: SparkSession, sfDir: String): DataFrame = {
     val corpus = Dedup.augmentedDocs(spark, sfDir)
     val bench = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 7 === 0).select(col("doc_id"), col("text"))
-    val bg = fiveGrams(bench)
-      .select(col("doc_id").as("bench_id"), explode(col("gs")).as("g"))
-    val cg = fiveGrams(corpus.filter(col("doc_id") % 7 =!= 0))
-      .select(col("doc_id"), explode(col("gs")).as("g"))
-    cg.join(broadcast(bg), "g")
+    def gramHashes(docs: DataFrame): DataFrame =
+      fiveGrams(docs).select(col("doc_id"),
+        explode(array_distinct(expr("transform(gs, g -> xxhash64(g))"))).as("gh"))
+    val bg = gramHashes(bench)
+      .groupBy(col("gh")).agg(collect_set(col("doc_id")).as("bids"))
+    val cg = gramHashes(corpus.filter(col("doc_id") % 7 =!= 0))
+    cg.join(broadcast(bg), "gh")
       .groupBy(col("doc_id"))
-      .agg(countDistinct(col("g")).as("n_shingles"),
-        countDistinct(col("bench_id")).as("n_bench_docs"))
+      .agg(count(lit(1)).as("n_shingles"),
+        size(array_distinct(flatten(collect_list(col("bids"))))).cast("long")
+          .as("n_bench_docs"))
       .orderBy(col("doc_id"))
   }
 
