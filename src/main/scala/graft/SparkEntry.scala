@@ -102,7 +102,9 @@ object SparkEntry {
     "q_pq_knn"  -> (Quantization.qPqKnn _),
     "q_ivfpq_knn" -> (Quantization.qIvfPqKnn _),
     "q_bq_knn"  -> (Quantization.qBqKnn _),
-    "q_mmr"     -> (VectorSearch.qMmr _)
+    "q_mmr"     -> (VectorSearch.qMmr _),
+    "q_decay_score"  -> (VectorSearch.qDecayScore _),
+    "q_boilerplate"  -> (TrainingPipeline.qBoilerplate _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -213,6 +215,40 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_decay_score" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS sim,
+        |        round(exp(-CAST(e.vec_id % 365 AS DOUBLE) / 90.0), 6) AS decay
+        |      FROM q CROSS JOIN embeddings e)
+        |SELECT q_id, vec_id, rn, sim, decay, score FROM (
+        |  SELECT q_id, vec_id, sim, decay, round(sim * decay, 6) AS score,
+        |    row_number() OVER (PARTITION BY q_id
+        |      ORDER BY round(sim * decay, 6) DESC, vec_id) AS rn
+        |  FROM s)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q_boilerplate" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |      WHERE len(string_split(text, ' ')) >= 8),
+        |segs AS (SELECT doc_id,
+        |    array_to_string(toks[(i * 8 + 1):(i * 8 + 8)], ' ') AS seg
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks) // 8)) AS i FROM t)),
+        |df AS (SELECT seg, count(DISTINCT doc_id) AS df FROM segs GROUP BY seg)
+        |SELECT s.doc_id, count(*) AS n_segments,
+        |  CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_boiler,
+        |  round(CAST(sum(CASE WHEN df.df >= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+        |    / count(*), 6) AS boiler_frac
+        |FROM segs s JOIN df USING (seg)
+        |GROUP BY s.doc_id ORDER BY s.doc_id""".stripMargin,
     "q_knn_cosine"   -> oracleKnn("list_cosine_similarity", "DESC"),
     "q_knn_l2"       -> oracleKnn("list_distance", "ASC"),
     "q_knn_dot"      -> oracleKnn("list_inner_product", "DESC"),

@@ -81,6 +81,42 @@ object TrainingPipeline {
     perRow.join(topTok, "doc_id").orderBy(col("doc_id"))
   }
 
+  /** Boilerplate-segment detection (the CCNet/RefinedWeb shared-line
+    * removal pass, over token segments since the synthetic corpus has
+    * no line structure): docs are cut into non-overlapping 8-token
+    * segments; a segment is boilerplate when it occurs in ≥ 2
+    * distinct docs corpus-wide. Per-doc report: total segments,
+    * boilerplate segments, boilerplate fraction. Corpus = the
+    * augmented collection, whose exact copies are the known shared
+    * segments.
+    *
+    * Scale shape: segments travel as xxhash64 longs; the corpus-wide
+    * df is one hash-keyed aggregate and rejoins the segment stream on
+    * the same key — two linear shuffles of 16-byte rows, the standard
+    * shared-line-dedup layout. (The oracle groups the raw strings;
+    * counts agree unless two distinct corpus segments collide in 64
+    * bits, ~1e-8.)
+    */
+  def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
+    val segW = 8
+    val segs = Dedup.augmentedDocs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= segW)
+      .select(col("doc_id"), explode(expr(
+        s"transform(sequence(0, size(toks) DIV $segW - 1), " +
+          s"i -> xxhash64(concat_ws(' ', slice(toks, i * $segW + 1, $segW))))"))
+        .as("gh"))
+    val df = segs.groupBy(col("gh"))
+      .agg(countDistinct(col("doc_id")).as("df"))
+    segs.join(df, "gh")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_segments"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).as("n_boiler"))
+      .select(col("doc_id"), col("n_segments"), col("n_boiler"),
+        round(col("n_boiler") / col("n_segments").cast("double"), 6).as("boiler_frac"))
+      .orderBy(col("doc_id"))
+  }
+
   /** md5 bucket in [0, 1000) over a salted id — the deterministic
     * sampling coin shared with the oracle.
     */

@@ -141,6 +141,31 @@ object VectorSearch {
       .searchMmr(querySet(spark, sfDir), k = 5)
       .orderBy(col("q_id"), col("step"))
 
+  /** Decay-boosted search (ES `function_score` gauss/exp decay,
+    * Qdrant formula queries): final score = cosine similarity ×
+    * exponential recency decay over a per-vector age. The corpus
+    * carries no timestamp, so age is derived deterministically from
+    * the id (vec_id % 365 days, 90-day half-life-ish scale) — the
+    * formula, not the provenance, is the operator. Both factors are
+    * rounded to 6 places before the product so the DuckDB oracle's
+    * exp/cosine agree bit-for-bit after rounding; the boost is a pure
+    * per-row expression inside the same scan as the similarity, so
+    * the plan shape is identical to plain kNN.
+    */
+  def qDecayScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(querySet(spark, sfDir)))
+      .withColumn("sim", round(vec.cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("decay",
+        round(exp(-pmod(col("vec_id"), lit(365L)).cast("double") / 90.0), 6))
+      .withColumn("score", round(col("sim") * col("decay"), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("sim"), col("decay"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Discovery-search examples: target + (positive, negative)
     * context pairs.
     */

@@ -81,4 +81,28 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(lat >= -90 && lat < 90 && lon >= -180 && lon < 180)
     }
   }
+
+  test("q_boilerplate marks every segment of an exact copy pair as shared") {
+    val rows = TrainingPipeline.qBoilerplate(spark, sfDir).collect()
+    val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
+    // an exact copy (doc_id % 7 == 0 → +10000) shares ALL segments
+    // with its original: both ends must report boiler_frac == 1.0
+    val copied = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0)
+      .filter(size(split(col("text"), " ")) >= 8)
+      .select(col("doc_id")).collect().map(_.getLong(0))
+    assert(copied.nonEmpty)
+    copied.foreach { d =>
+      Seq(d, d + 10000L).foreach { id =>
+        val r = byId(id)
+        assert(r.getAs[Double]("boiler_frac") == 1.0,
+          s"doc $id of exact pair not fully boilerplate")
+        assert(r.getAs[Long]("n_boiler") == r.getAs[Long]("n_segments"))
+      }
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_boiler") <= r.getAs[Long]("n_segments"))
+      assert(r.getAs[Long]("n_segments") > 0)
+    }
+  }
 }

@@ -22,6 +22,27 @@ class VectorSearchSpec extends SparkSpec {
     assert(r.getDouble(4) == 9.0)
   }
 
+  test("q_decay_score multiplies similarity by the recency decay and reranks") {
+    val rows = VectorSearch.qDecayScore(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length == VectorSearch.K)
+      val scores = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+    rows.foreach { r =>
+      val sim = r.getAs[Double]("sim"); val decay = r.getAs[Double]("decay")
+      val score = r.getAs[Double]("score")
+      assert(decay > 0 && decay <= 1.0)
+      assert(math.abs(score - BigDecimal(sim * decay)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble) < 1e-12)
+      // decay is a pure function of the id
+      val expected = BigDecimal(math.exp(-(r.getAs[Long]("vec_id") % 365).toDouble / 90.0))
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(decay == expected)
+    }
+  }
+
   test("q_knn_cosine: k rows per query, self is rank 1, scores descend") {
     val rows = VectorSearch.qKnnCosine(spark, sfDir).collect()
     val perQ = rows.groupBy(_.getAs[Long]("q_id"))
