@@ -51,6 +51,28 @@ class AnnSpec extends SparkSpec {
     assert(canon(viaIndex).sameElements(canon(direct)))
   }
 
+  test("incremental IVF append lands in probed clusters without a rebuild") {
+    import org.apache.spark.sql.functions._
+    val path = java.nio.file.Files.createTempDirectory("graft-ivf-app").toString + "/index"
+    val centroids = graft.operators.Ann.writeIvfIndex(spark, sfDir, path)
+    val before = spark.read.parquet(path).count()
+    // ingest exact copies of every query vector under fresh ids:
+    // each lands in its query's own nearest cluster, so a probe MUST
+    // surface it (sim 1.0) with no retrain or rewrite of old files
+    val batch = VectorSearch.querySet(spark, sfDir)
+      .select((col("q_id") + 500000L).as("vec_id"),
+        col("q_emb").as("embedding"), col("q_label").as("label"))
+    graft.operators.Ann.appendToIvfIndex(batch, centroids, path)
+    assert(spark.read.parquet(path).count() == before + batch.count())
+    val res = Ann.searchIvfIndex(spark, path, centroids,
+      VectorSearch.querySet(spark, sfDir)).collect()
+    res.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val hit = rs.find(_.getAs[Long]("vec_id") == q + 500000L)
+      assert(hit.isDefined, s"appended copy of query $q not recalled")
+      assert(hit.get.getAs[Double]("score") == 1.0)
+    }
+  }
+
   test("ivf self-match always recalled (query vector is in its own probed cluster)") {
     val rows = Ann.qIvfKnn(spark, sfDir).collect()
     val byQ = rows.groupBy(_.getAs[Long]("q_id"))

@@ -186,4 +186,42 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.forall { case (_, _, _, lag) =>
       lag >= 0 && lag <= graft.streaming.StreamJoin.WindowSec * 1000L })
   }
+
+  test("streaming CDC upsert folds batch-by-batch to the whole-log merge") {
+    import org.apache.spark.sql.functions._
+    val base = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        timestamp_seconds(lit(1000L)).as("ts"))
+    // two update files -> two micro-batches (maxFilesPerTrigger=1):
+    // batch 1 relabels ids 0..9 at t=2000, batch 2 relabels 5..14 at
+    // t=3000 and inserts a brand-new id
+    val srcDir = Files.createTempDirectory("graft-upsert-src").toString
+    base.filter(col("vec_id") < 10)
+      .withColumn("label", lit(101)).withColumn("ts", timestamp_seconds(lit(2000L)))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir + "/f1")
+    base.filter(col("vec_id") >= 5 && col("vec_id") < 15)
+      .withColumn("label", lit(202)).withColumn("ts", timestamp_seconds(lit(3000L)))
+      .unionByName(spark.range(1).select(lit(999999L).as("vec_id"),
+        lit(303).as("label"), timestamp_seconds(lit(3000L)).as("ts")))
+      .coalesce(1).write.mode("overwrite").parquet(srcDir + "/f2")
+    // one flat dir the file source can drain a file at a time
+    val updDir = Files.createTempDirectory("graft-upsert-upd").toString
+    spark.read.parquet(srcDir + "/f1").write.mode("append").parquet(updDir)
+    spark.read.parquet(srcDir + "/f2").write.mode("append").parquet(updDir)
+
+    val updates = spark.readStream.schema(base.schema)
+      .option("maxFilesPerTrigger", "1").parquet(updDir)
+    val (q, snapshot) = graft.streaming.UpsertStream.start(updates, base, "vec_id", "ts")
+    q.awaitTermination(120000)
+
+    val got = snapshot().collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    // whole-log fold: latest ts wins per id
+    assert(got(0L) == 101 && got(4L) == 101)      // batch-1 only
+    assert(got(5L) == 202 && got(14L) == 202)     // batch-2 overrides
+    assert(got(999999L) == 303)                    // insert
+    assert(got(20L) == base.filter(col("vec_id") === 20)
+      .head().getAs[Int]("label"))                 // untouched
+    assert(got.size == base.count() + 1)
+  }
 }
