@@ -1,5 +1,6 @@
 package graft
 import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
 
 /** Throwaway perf dissection main (not part of the library surface). */
 object Scratch {
@@ -16,19 +17,22 @@ object Scratch {
       val t0 = System.nanoTime(); val r = f
       println(f"[scratch] $label: ${(System.nanoTime() - t0) / 1e9}%.2fs"); r
     }
-    // warm training
-    t("train")(operators.Quantization.trainPqCodebooks(spark, sfDir))
-    (1 to 3).foreach { rep =>
-      val df = t(s"rep$rep build")(SparkEntry.queries("q_ivfpq_knn")(spark, sfDir))
-      t(s"rep$rep plan")(df.queryExecution.executedPlan)
-      t(s"rep$rep count")(df.count())
-    }
-    org.apache.log4j.Logger
-      .getLogger("org.apache.spark.sql.catalyst.expressions.codegen.CodeGenerator")
-      .setLevel(org.apache.log4j.Level.INFO)
     (1 to 2).foreach { rep =>
-      val df = SparkEntry.queries("q_ivfpq_knn")(spark, sfDir)
-      t(s"logged rep$rep count")(df.count())
+      // stage dissection of q_dup_clusters
+      val docs = t(s"r$rep docs")(operators.Dedup.augmentedDocs(spark, sfDir))
+      t(s"r$rep docs.count")(docs.count())
+      val tri = t(s"r$rep trigrams ckpt")(
+        operators.Dedup.trigrams(docs).localCheckpoint())
+      val edges = t(s"r$rep edges build")(
+        operators.Dedup.jaccardPairs(tri, materializePairs = true)
+          .filter(col("jaccard") >= 0.5))
+      t(s"r$rep edges count")(edges.count())
+      val cc = t(s"r$rep cc")(
+        operators.Dedup.connectedComponents(
+          edges.select(col("doc_a").as("a"), col("doc_b").as("b"))))
+      t(s"r$rep cc count")(cc.count())
+      val full = t(s"r$rep full build")(SparkEntry.queries("q_dup_clusters")(spark, sfDir))
+      t(s"r$rep full count")(full.count())
     }
     spark.stop()
   }

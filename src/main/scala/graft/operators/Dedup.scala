@@ -91,7 +91,7 @@ object Dedup {
   }
 
   /** Distinct word trigrams per doc (docs with ≥3 tokens). */
-  private def trigrams(docs: DataFrame): DataFrame =
+  private[graft] def trigrams(docs: DataFrame): DataFrame =
     docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(col("doc_id"), array_distinct(expr(
@@ -113,7 +113,7 @@ object Dedup {
     * `materializePairs` checkpoints the pair aggregate for consumers
     * that re-plan it repeatedly (the iterative cluster resolver).
     */
-  private def jaccardPairs(tri: DataFrame, materializePairs: Boolean = false): DataFrame = {
+  private[graft] def jaccardPairs(tri: DataFrame, materializePairs: Boolean = false): DataFrame = {
     // array_distinct AFTER hashing: gs is string-distinct, but a
     // 64-bit collision between two shingles of the same doc would put
     // one doc_id twice in a posting list, violating postingPairs'
@@ -133,6 +133,61 @@ object Dedup {
       .join(sz.select(col("doc_id").as("doc_b"), col("n_g").as("n_b")), "doc_b")
       .select(col("doc_a"), col("doc_b"), col("common"),
         round(col("common") / (col("n_a") + col("n_b") - col("common")), 6).as("jaccard"))
+  }
+
+  /** Trigram-Jaccard pairs at a KNOWN threshold `t`, with exact
+    * PPJoin-style prefix filtering (Xiao et al., WWW'08 — public
+    * algorithm): shingles are globally ordered rarest-first (df, then
+    * hash); each doc emits postings only from its prefix of
+    * p = n − ⌈t·n⌉ + 1 rarest shingles. Any pair with J ≥ t shares
+    * ≥ t·max(n_a,n_b) shingles, and such an overlap must touch both
+    * prefixes — so candidates have no false negatives, while the
+    * boilerplate shingles that dominate Σdf² in [[jaccardPairs]]
+    * never reach the pair explosion (df=1 shingles sort first and
+    * fill the prefix for free). Candidates are verified exactly via
+    * the id-only-broadcast attach of the full hashed-shingle arrays
+    * (the [[minhashPairs]] pattern). Output ≡
+    * `jaccardPairs(tri).filter(jaccard ≥ t)`.
+    *
+    * When to use which: this variant wins on real corpora, where
+    * shingle df follows a Zipf curve — the prefix is genuinely rare
+    * and candidates collapse to near-duplicates only, while the full
+    * Σdf² aggregate is dominated by boilerplate shingles. On a
+    * corpus with near-UNIFORM shingle df (like the synthetic test
+    * tables' ~40-word vocabulary) the prefix keeps mid-df shingles,
+    * the candidate set stays large, and per-candidate verification
+    * costs more than the straight map-side-combined pair count — so
+    * [[qDupClusters]] keeps the plain aggregate. A production
+    * deployment would pick per-corpus based on the df sketch the
+    * ingest profile already computes (q_sketch_stats).
+    */
+  private[graft] def jaccardPairsThresholded(tri: DataFrame, t: Double): DataFrame = {
+    val triH = tri.select(col("doc_id"),
+      array_distinct(expr("transform(gs, g -> xxhash64(g))")).as("gh_arr"))
+      .localCheckpoint()
+    val ng = triH.select(col("doc_id"), size(col("gh_arr")).as("n"),
+      explode(col("gh_arr")).as("gh"))
+    val dfT = ng.groupBy(col("gh")).agg(count(lit(1)).as("df"))
+    val wDoc = Window.partitionBy(col("doc_id")).orderBy(col("df"), col("gh"))
+    val kept = ng.join(dfT, "gh")
+      .withColumn("__p", row_number().over(wDoc))
+      .filter(col("__p") <= col("n") - ceil(col("n") * t) + 1)
+    val cand = postingPairs(
+        kept.groupBy(col("gh"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1))
+      .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint()
+    val withA = triH.select(col("doc_id").as("doc_a"), col("gh_arr").as("gh_a"))
+      .join(broadcast(cand), "doc_a")
+    val withB = triH.select(col("doc_id").as("doc_b"), col("gh_arr").as("gh_b"))
+      .join(broadcast(cand), "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
+      .withColumn("common", size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("gh_a")) + size(col("gh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= t)
+      .select(col("doc_a"), col("doc_b"), col("common"), col("jaccard"))
   }
 
   /** Row 20: n-gram Jaccard near-dup — top-50 doc pairs by trigram
@@ -305,15 +360,20 @@ object Dedup {
       .withColumn("keeper", min(col("doc_id")).over(wH))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("a"), col("doc_id").as("b"))
-    // the trigram table feeds three branches of the edge plan (the
-    // postings, and both size-attach sides); materializing it once
+    // the trigram table feeds several branches of the edge plan (df
+    // ranking, postings, both verify sides); materializing it once
     // keeps Catalyst from re-analyzing the shingle expression tree
     // per branch — at cluster scale this would be a persisted
     // intermediate, the standard shape inside iterative algorithms.
     // materializePairs additionally splits the otherwise enormous
     // single plan (postings → block pairs → sizes → components) into
     // units Catalyst optimizes in milliseconds — the unsplit plan
-    // cost ~10s of pure driver planning.
+    // cost ~10s of pure driver planning. (The prefix-filtered
+    // [[jaccardPairsThresholded]] is NOT used here deliberately: this
+    // corpus's trigram df is near-uniform, so the prefix still has
+    // high-df shingles and the candidate verification costs more than
+    // the straight Σdf² count — see that method's doc for when each
+    // wins.)
     val tri = trigrams(docs).localCheckpoint()
     val nearEdges = jaccardPairs(tri, materializePairs = true)
       .filter(col("jaccard") >= 0.5)

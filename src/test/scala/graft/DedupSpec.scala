@@ -99,4 +99,18 @@ class DedupSpec extends SparkSpec {
     assert(zero.forall(_.getAs[Long]("hamming") == 0))
     assert(rows.forall(_.getAs[Long]("hamming") <= 3))
   }
+
+  test("prefix-filtered thresholded Jaccard pairs equal the full aggregate") {
+    val tri = Dedup.trigrams(Dedup.augmentedDocs(spark, sfDir)).localCheckpoint()
+    def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"),
+        r.getAs[Long]("common"), r.getAs[Double]("jaccard")))
+      .sortBy(t => (t._1, t._2)).toSeq
+    val full = canon(Dedup.jaccardPairs(tri).filter(col("jaccard") >= 0.5))
+    val pref = canon(Dedup.jaccardPairsThresholded(tri, 0.5))
+    assert(full.nonEmpty)
+    assert(pref == full,
+      s"prefix filter diverged: ${(pref.toSet -- full.toSet).take(3)} extra, " +
+        s"${(full.toSet -- pref.toSet).take(3)} missing")
+  }
 }
