@@ -104,7 +104,9 @@ object SparkEntry {
     "q_bq_knn"  -> (Quantization.qBqKnn _),
     "q_mmr"     -> (VectorSearch.qMmr _),
     "q_decay_score"  -> (VectorSearch.qDecayScore _),
-    "q_boilerplate"  -> (TrainingPipeline.qBoilerplate _)
+    "q_boilerplate"  -> (TrainingPipeline.qBoilerplate _),
+    "q_suggest"      -> (FullText.qSuggest _),
+    "q_near_object"  -> (VectorSearch.qNearObject _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -215,6 +217,22 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_suggest" ->
+      """SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
+        |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |WHERE token LIKE 's%'
+        |GROUP BY token ORDER BY freq DESC, token LIMIT 10""".stripMargin,
+    "q_near_object" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        |           FROM embeddings WHERE vec_id IN (7, 21, 400)),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id)
+        |SELECT q_id, vec_id, rn, score FROM (
+        |  SELECT q_id, vec_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |  FROM s)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q_decay_score" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
         |           FROM embeddings WHERE vec_id % 100 = 0),

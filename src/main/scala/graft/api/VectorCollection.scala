@@ -209,6 +209,26 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
         col("__p._2").as("step"), col("__p._3").as("qsim"))
   }
 
+  /** Search by existing object ids (Weaviate `nearObject`, Chroma
+    * query-by-id, Qdrant recommend with a single positive): each seed
+    * id's stored vector becomes a query, the seed itself excluded.
+    * The seed set is a pushed-down point lookup that re-enters as the
+    * broadcast query side — the corpus scans once, exactly the plain
+    * search shape.
+    */
+  def searchByIds(seedIds: Seq[Long], k: Int,
+                  metric: Metric = Metric.Cosine): DataFrame = {
+    val seeds = df.filter(id.isin(seedIds: _*))
+      .select(id.as("q_id"), emb.as("q_emb"))
+    val scored = df.crossJoin(broadcast(seeds))
+      .filter(id =!= col("q_id"))
+      .withColumn("score", round(metric.score(col("q_emb"), emb), 6))
+    val ord = if (metric.ascending) col("score").asc else col("score").desc
+    val w = Window.partitionBy(col("q_id")).orderBy(ord, id)
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= k)
+  }
+
   /** Recommendation search (the reference's Qdrant-style recommend
     * API): rank the corpus against the difference of the element-wise
     * means of positive and negative example vectors, excluding the

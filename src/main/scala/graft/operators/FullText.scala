@@ -157,6 +157,27 @@ object FullText {
       .limit(K)
   }
 
+  /** Completion suggest (ES completion/term suggester, the
+    * autocomplete box behind every search bar): corpus tokens
+    * matching a prefix, ranked by total term frequency with the
+    * doc frequency alongside. One token explode into a map-side-
+    * combinable aggregate over only the prefix-matching tokens (the
+    * filter sits before the shuffle); output cardinality =
+    * |matching vocabulary| — tiny at any corpus size. A production
+    * deployment would serve this from the materialized (token, tf,
+    * df) table the other lexical operators already maintain.
+    */
+  def qSuggest(spark: SparkSession, sfDir: String): DataFrame = {
+    val prefix = "s"
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .filter(col("token").startsWith(prefix))
+      .groupBy(col("token"))
+      .agg(count(lit(1)).as("freq"), countDistinct(col("doc_id")).as("df"))
+      .orderBy(col("freq").desc, col("token"))
+      .limit(10)
+  }
+
   /** Highlight (ES highlighting): for docs containing the term, the
     * 1-based token position of the first hit and a 7-token snippet
     * centered on it. Pure per-row expressions — scan-only, no

@@ -141,6 +141,14 @@ object VectorSearch {
       .searchMmr(querySet(spark, sfDir), k = 5)
       .orderBy(col("q_id"), col("step"))
 
+  /** Near-object search (Weaviate `nearObject` / Chroma query-by-id):
+    * neighbors of stored objects, the seeds excluded — via
+    * [[graft.api.VectorCollection.searchByIds]].
+    */
+  def qNearObject(spark: SparkSession, sfDir: String): DataFrame =
+    presentKnn(collection(spark, sfDir)
+      .searchByIds(Seq(7L, 21L, 400L), K, Metric.Cosine))
+
   /** Decay-boosted search (ES `function_score` gauss/exp decay,
     * Qdrant formula queries): final score = cosine similarity ×
     * exponential recency decay over a per-vector age. The corpus

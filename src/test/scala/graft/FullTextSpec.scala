@@ -145,4 +145,13 @@ class FullTextSpec extends SparkSpec {
       assert(r.getAs[Long]("pos") >= 1)
     }
   }
+
+  test("q_suggest returns only prefix matches, by descending frequency") {
+    val rows = FullText.qSuggest(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    assert(rows.forall(_.getAs[String]("token").startsWith("s")))
+    val freqs = rows.map(_.getAs[Long]("freq"))
+    assert(freqs.sameElements(freqs.sorted.reverse))
+    rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("freq")))
+  }
 }

@@ -94,4 +94,24 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
     assert(!p.contains("SortMergeJoin"), p)
   }
+
+  test("tenant-partitioned layout prunes other tenants' partitions at the scan") {
+    import org.apache.spark.sql.functions._
+    // multitenancy (Qdrant/Milvus partition-key isolation): the
+    // collection lives partitioned by tenant; a tenant-scoped search
+    // must touch only that tenant's files — partition pruning, not a
+    // post-scan filter
+    val path = java.nio.file.Files.createTempDirectory("graft-tenant").toString + "/col"
+    Tables.embeddings(spark, sfDir)
+      .withColumn("tenant", col("label"))
+      .write.mode("overwrite").partitionBy("tenant").parquet(path)
+    val col0 = spark.read.parquet(path).filter(col("tenant") === 3)
+    val p = plan(graft.api.VectorCollection(col0, idCol = "vec_id")
+      .search(VectorSearch.querySet(spark, sfDir).limit(2), k = 5))
+    assert(p.contains("PartitionFilters: [isnotnull(tenant"), p)
+    // only the tenant's rows are ever read
+    val nTenant = Tables.embeddings(spark, sfDir).filter(col("label") === 3).count()
+    assert(col0.count() == nTenant)
+    assert(nTenant > 0)
+  }
 }

@@ -22,6 +22,17 @@ class VectorSearchSpec extends SparkSpec {
     assert(r.getDouble(4) == 9.0)
   }
 
+  test("q_near_object excludes each seed from its own neighbors") {
+    val rows = VectorSearch.qNearObject(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length == VectorSearch.K)
+      assert(!rs.exists(_.getAs[Long]("vec_id") == q), s"seed $q returned itself")
+      val scores = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+      assert(scores.sameElements(scores.sorted.reverse))
+    }
+  }
+
   test("q_decay_score multiplies similarity by the recency decay and reranks") {
     val rows = VectorSearch.qDecayScore(spark, sfDir).collect()
     assert(rows.nonEmpty)
