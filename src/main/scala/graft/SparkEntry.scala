@@ -106,7 +106,9 @@ object SparkEntry {
     "q_decay_score"  -> (VectorSearch.qDecayScore _),
     "q_boilerplate"  -> (TrainingPipeline.qBoilerplate _),
     "q_suggest"      -> (FullText.qSuggest _),
-    "q_near_object"  -> (VectorSearch.qNearObject _)
+    "q_near_object"  -> (VectorSearch.qNearObject _),
+    "q_histogram_numeric" -> (Relational.qHistogramNumeric _),
+    "q_regex_match"  -> (FullText.qRegexMatch _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -217,6 +219,18 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_histogram_numeric" ->
+      """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
+        |  count(*) AS n_docs, round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_regex_match" ->
+      """WITH h AS (SELECT doc_id,
+        |    list_filter(string_split(text, ' '),
+        |      t -> regexp_matches(t, '^s[a-z]*n$')) AS hits
+        |  FROM documents)
+        |SELECT doc_id, CAST(len(hits) AS BIGINT) AS n_matches,
+        |  CAST(len(list_distinct(hits)) AS BIGINT) AS n_distinct
+        |FROM h WHERE len(hits) > 0 ORDER BY doc_id""".stripMargin,
     "q_suggest" ->
       """SELECT token, count(*) AS freq, count(DISTINCT doc_id) AS df
         |FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)

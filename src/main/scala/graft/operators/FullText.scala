@@ -178,6 +178,21 @@ object FullText {
       .limit(10)
   }
 
+  /** Regexp query (ES `regexp`/`wildcard`): docs whose tokens match
+    * a pattern, with match counts. The token scan, filter, and counts
+    * are one per-row higher-order expression — no explode, no
+    * shuffle before presentation; the pattern stays in the simple
+    * character-class subset where Java and RE2-family engines agree.
+    */
+  def qRegexMatch(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), expr(
+        "filter(split(text, ' '), t -> t RLIKE '^s[a-z]*n$')").as("hits"))
+      .filter(size(col("hits")) > 0)
+      .select(col("doc_id"), size(col("hits")).cast("long").as("n_matches"),
+        size(array_distinct(col("hits"))).cast("long").as("n_distinct"))
+      .orderBy(col("doc_id"))
+
   /** Highlight (ES highlighting): for docs containing the term, the
     * 1-based token position of the first hit and a 7-token snippet
     * centered on it. Pure per-row expressions — scan-only, no

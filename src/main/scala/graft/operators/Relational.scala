@@ -143,6 +143,18 @@ object Relational {
         round(col("p")(2), 6).as("p99"))
       .orderBy(col("event_type"))
 
+  /** Fixed-interval numeric histogram (ES `histogram` aggregation):
+    * doc length in 100-char buckets with count and mean. The bucket
+    * key is a per-row expression, the aggregate map-side combinable,
+    * output cardinality = |buckets| — scan-dominated at any scale.
+    */
+  def qHistogramNumeric(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy((floor(col("n_chars") / 100) * 100).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+      .orderBy(col("bucket"))
+
   /** Calendar-day histogram with a terms sub-aggregation (ES
     * `date_histogram` + `terms` + `cardinality`): per (day, type)
     * counts, distinct users, and value sum. One scan; count-distinct

