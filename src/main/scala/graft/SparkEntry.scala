@@ -108,7 +108,8 @@ object SparkEntry {
     "q_suggest"      -> (FullText.qSuggest _),
     "q_near_object"  -> (VectorSearch.qNearObject _),
     "q_histogram_numeric" -> (Relational.qHistogramNumeric _),
-    "q_regex_match"  -> (FullText.qRegexMatch _)
+    "q_regex_match"  -> (FullText.qRegexMatch _),
+    "q_multivec_rrf" -> (VectorSearch.qMultivecRrf _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -219,6 +220,28 @@ object SparkEntry {
         |FROM events
         |GROUP BY event_type
         |ORDER BY event_type""".stripMargin,
+    "q_multivec_rrf" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.q_id, e.vec_id,
+        |    round(list_cosine_similarity(q.q_emb[1:32],
+        |      (e.embedding::DOUBLE[])[1:32]), 6) AS s_a,
+        |    round(list_cosine_similarity(q.q_emb[33:64],
+        |      (e.embedding::DOUBLE[])[33:64]), 6) AS s_b
+        |  FROM q CROSS JOIN embeddings e),
+        |r AS (SELECT q_id, vec_id,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY s_a DESC, vec_id) AS r_a,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY s_b DESC, vec_id) AS r_b
+        |  FROM s),
+        |f AS (SELECT q_id, vec_id, round(
+        |    CASE WHEN r_a <= 50 THEN CAST(1.0 AS DOUBLE) / (r_a + 60) ELSE 0.0 END +
+        |    CASE WHEN r_b <= 50 THEN CAST(1.0 AS DOUBLE) / (r_b + 60) ELSE 0.0 END, 6) AS rrf
+        |  FROM r WHERE r_a <= 50 OR r_b <= 50)
+        |SELECT q_id, vec_id, rn, rrf FROM (
+        |  SELECT q_id, vec_id, rrf,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, vec_id) AS rn
+        |  FROM f)
+        |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
     "q_histogram_numeric" ->
       """SELECT CAST(floor(n_chars / 100) * 100 AS BIGINT) AS bucket,
         |  count(*) AS n_docs, round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars

@@ -141,6 +141,41 @@ object VectorSearch {
       .searchMmr(querySet(spark, sfDir), k = 5)
       .orderBy(col("q_id"), col("step"))
 
+  /** Multi-vector-field hybrid search (Milvus `hybrid_search` with
+    * `RRFRanker`): each record carries several vector fields; the
+    * query searches every field and fuses the per-field rankings by
+    * reciprocal rank. Here the two fields are the embedding's 32-dim
+    * halves (a record's "title" and "body" vectors in a real
+    * deployment). Both field scans share one pass over the corpus —
+    * the two scores are per-row expressions on the same scan line —
+    * so the plan stays a single broadcast-join scan plus two bounded
+    * rank windows over the per-field top pools.
+    */
+  def qMultivecRrf(spark: SparkSession, sfDir: String): DataFrame = {
+    val kRrf = 60
+    val pool = 50
+    def half(c: org.apache.spark.sql.Column, i: Int) = slice(c, i * 32 + 1, 32)
+    val scored = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(querySet(spark, sfDir)))
+      .select(col("q_id"), col("vec_id"),
+        round(vec.cosine(half(col("q_emb"), 0), half(col("embedding"), 0)), 6).as("s_a"),
+        round(vec.cosine(half(col("q_emb"), 1), half(col("embedding"), 1)), 6).as("s_b"))
+    val wA = Window.partitionBy(col("q_id")).orderBy(col("s_a").desc, col("vec_id"))
+    val wB = Window.partitionBy(col("q_id")).orderBy(col("s_b").desc, col("vec_id"))
+    val ranked = scored
+      .withColumn("r_a", row_number().over(wA).cast("long"))
+      .withColumn("r_b", row_number().over(wB).cast("long"))
+      .filter(col("r_a") <= pool || col("r_b") <= pool)
+      .withColumn("rrf", round(
+        when(col("r_a") <= pool, lit(1.0) / (col("r_a") + kRrf)).otherwise(0.0) +
+          when(col("r_b") <= pool, lit(1.0) / (col("r_b") + kRrf)).otherwise(0.0), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rrf").desc, col("vec_id"))
+    ranked.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("rrf"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Near-object search (Weaviate `nearObject` / Chroma query-by-id):
     * neighbors of stored objects, the seeds excluded — via
     * [[graft.api.VectorCollection.searchByIds]].

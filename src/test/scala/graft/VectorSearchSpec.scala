@@ -22,6 +22,24 @@ class VectorSearchSpec extends SparkSpec {
     assert(r.getDouble(4) == 9.0)
   }
 
+  test("q_multivec_rrf fuses the two field rankings reciprocally") {
+    val rows = VectorSearch.qMultivecRrf(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      assert(rs.length == VectorSearch.K)
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      val scores = sorted.map(_.getAs[Double]("rrf"))
+      assert(scores.sameElements(scores.sorted.reverse))
+      // the query vector itself is rank 1 in both fields → max fuseable score
+      assert(sorted.head.getAs[Long]("vec_id") == q)
+      val maxFused = BigDecimal(2.0 / 61)
+        .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      assert(scores.head == maxFused)
+      // every fused score is a sum of at most two reciprocal ranks
+      assert(scores.forall(s => s > 0 && s <= maxFused))
+    }
+  }
+
   test("q_near_object excludes each seed from its own neighbors") {
     val rows = VectorSearch.qNearObject(spark, sfDir).collect()
     assert(rows.nonEmpty)
