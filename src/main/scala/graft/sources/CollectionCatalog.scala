@@ -31,11 +31,13 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
       .parquet(dir(name).toString)
   }
 
-  /** Names of all collections under the root. */
+  /** Names of all collections under the root (snapshot storage under
+    * the dot-prefixed system directory is not a collection).
+    */
   def list(): Seq[String] =
     if (!fs.exists(new Path(root))) Nil
     else fs.listStatus(new Path(root)).filter(_.isDirectory)
-      .map(_.getPath.getName).toSeq.sorted
+      .map(_.getPath.getName).filterNot(_.startsWith(".")).toSeq.sorted
 
   def exists(name: String): Boolean = fs.exists(dir(name))
 
@@ -53,6 +55,47 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
 
   /** Drop a collection (removes the directory). */
   def drop(name: String): Boolean = fs.delete(dir(name), true)
+
+  /** Point-in-time snapshot (the Qdrant snapshot / ES snapshot API):
+    * copies the collection's current immutable files under
+    * `.snapshots/<name>/<n>` and returns the snapshot id. Snapshots
+    * are plain directories — on an object store this is a prefix
+    * copy (or, with an immutable-file ingest discipline, a manifest
+    * of file names, which is how the native engines take snapshots
+    * without copying bytes).
+    */
+  def snapshot(name: String): String = {
+    val snapRoot = new Path(root, s".snapshots/$name")
+    fs.mkdirs(snapRoot)
+    val n = fs.listStatus(snapRoot).count(_.isDirectory)
+    val id = s"$name/$n"
+    org.apache.hadoop.fs.FileUtil.copy(fs, dir(name), fs,
+      new Path(snapRoot, n.toString), false, spark.sparkContext.hadoopConfiguration)
+    id
+  }
+
+  /** Snapshot ids available for a collection, oldest first. */
+  def listSnapshots(name: String): Seq[String] = {
+    val snapRoot = new Path(root, s".snapshots/$name")
+    if (!fs.exists(snapRoot)) Nil
+    else fs.listStatus(snapRoot).filter(_.isDirectory)
+      .map(s => s"$name/${s.getPath.getName}").toSeq.sorted
+  }
+
+  /** Restore a collection to a snapshot (write-aside copy + swap, so
+    * a failed restore leaves the live collection intact).
+    */
+  def restore(snapshotId: String): Unit = {
+    val Array(name, n) = snapshotId.split("/")
+    val src = new Path(root, s".snapshots/$name/$n")
+    require(fs.exists(src), s"no such snapshot: $snapshotId")
+    val tmp = new Path(root, s".restore-$name")
+    fs.delete(tmp, true)
+    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false,
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(dir(name), true)
+    fs.rename(tmp, dir(name))
+  }
 
   /** Compact a collection's small files (the Qdrant segment
     * optimizer / Delta OPTIMIZE role): continuous ingest —

@@ -28,6 +28,27 @@ class CollectionCatalogSpec extends SparkSpec {
     assert(cat.list() == Seq("vectors"))
   }
 
+  test("snapshot and restore round-trip a mutated collection") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-catalog-snap").toString
+    val cat = CollectionCatalog(spark, root)
+    cat.create("col", Tables.embeddings(spark, sfDir))
+    val n0 = cat.load("col").count()
+
+    val snap = cat.snapshot("col")
+    assert(cat.listSnapshots("col") == Seq(snap))
+    assert(cat.list() == Seq("col"), "snapshot storage must not appear as a collection")
+
+    // destructive mutation after the snapshot
+    cat.create("col", Tables.embeddings(spark, sfDir).filter(col("vec_id") < 10))
+    assert(cat.load("col").count() == 10)
+
+    cat.restore(snap)
+    assert(cat.load("col").count() == n0)
+    // snapshots survive the restore
+    assert(cat.listSnapshots("col") == Seq(snap))
+  }
+
   test("compaction collapses the small-file tail without changing data") {
     val root = Files.createTempDirectory("graft-catalog-comp").toString
     val cat = CollectionCatalog(spark, root)
