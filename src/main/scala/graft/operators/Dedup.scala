@@ -117,10 +117,17 @@ object Dedup {
     // array_distinct AFTER hashing: gs is string-distinct, but a
     // 64-bit collision between two shingles of the same doc would put
     // one doc_id twice in a posting list, violating postingPairs'
-    // distinct-ids precondition — enforce it by construction
-    val ng = tri.select(col("doc_id"),
-      explode(array_distinct(expr("transform(gs, g -> xxhash64(g))"))).as("gh"))
-    val sz = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"))
+    // distinct-ids precondition — enforce it by construction.
+    // The hashed frame is materialized once: it feeds three branches
+    // (postings + both size attaches), Catalyst shares no common
+    // sub-plans, and without this the shingle expression pipeline
+    // executes once per branch. (n_g stays the raw string-distinct
+    // count for oracle parity.)
+    val hashed = tri.select(col("doc_id"), size(col("gs")).cast("long").as("n_g"),
+        array_distinct(expr("transform(gs, g -> xxhash64(g))")).as("gh_arr"))
+      .localCheckpoint()
+    val ng = hashed.select(col("doc_id"), explode(col("gh_arr")).as("gh"))
+    val sz = hashed.select(col("doc_id"), col("n_g"))
     val rawPairs = postingPairs(
         ng.groupBy(col("gh"))
           .agg(collect_list(col("doc_id")).as("ds"))
@@ -251,6 +258,10 @@ object Dedup {
     val triH = trigrams(docs.select(col("doc_id"), col("text")))
       .select(col("doc_id"),
         array_distinct(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
+      // feeds the signature pipeline AND both verification attach
+      // scans — materialize the hashed arrays once (longs, ~4x
+      // smaller than the shingle strings they replace)
+      .localCheckpoint()
     val withSig = triH
       .withColumn("sig", hashes.minhashSignature(col("gh"),
         Perms.map(_._1), Perms.map(_._2), MinhashPrime))
@@ -360,11 +371,7 @@ object Dedup {
       .withColumn("keeper", min(col("doc_id")).over(wH))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("a"), col("doc_id").as("b"))
-    // the trigram table feeds several branches of the edge plan (df
-    // ranking, postings, both verify sides); materializing it once
-    // keeps Catalyst from re-analyzing the shingle expression tree
-    // per branch — at cluster scale this would be a persisted
-    // intermediate, the standard shape inside iterative algorithms.
+    // jaccardPairs materializes the hashed-shingle frame internally;
     // materializePairs additionally splits the otherwise enormous
     // single plan (postings → block pairs → sizes → components) into
     // units Catalyst optimizes in milliseconds — the unsplit plan
@@ -374,8 +381,7 @@ object Dedup {
     // high-df shingles and the candidate verification costs more than
     // the straight Σdf² count — see that method's doc for when each
     // wins.)
-    val tri = trigrams(docs).localCheckpoint()
-    val nearEdges = jaccardPairs(tri, materializePairs = true)
+    val nearEdges = jaccardPairs(trigrams(docs), materializePairs = true)
       .filter(col("jaccard") >= 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(exactEdges.unionByName(nearEdges))
@@ -394,6 +400,10 @@ object Dedup {
       .select(col("doc_id"),
         hashes.simhash64(expr("transform(split(text, ' '), t -> xxhash64(t))"))
           .as("simhash"))
+      // feeds the band explode AND both verification attach scans —
+      // materialize the 16-byte fingerprints once instead of
+      // re-running split+hash+majority-vote per branch
+      .localCheckpoint()
     val chunks = sig.select(col("doc_id"),
       posexplode(expr(
         "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
