@@ -109,7 +109,13 @@ object SparkEntry {
     "q_near_object"  -> (VectorSearch.qNearObject _),
     "q_histogram_numeric" -> (Relational.qHistogramNumeric _),
     "q_regex_match"  -> (FullText.qRegexMatch _),
-    "q_multivec_rrf" -> (VectorSearch.qMultivecRrf _)
+    "q_multivec_rrf" -> (VectorSearch.qMultivecRrf _),
+    "q_extended_stats"  -> (Relational.qExtendedStats _),
+    "q_adjacency_matrix" -> (Relational.qAdjacencyMatrix _),
+    "q_moving_agg"   -> (Relational.qMovingAgg _),
+    "q_rare_terms"   -> (TextAnalysis.qRareTerms _),
+    "q_perplexity"   -> (TextAnalysis.qPerplexity _),
+    "q_cooccur_pmi"  -> (TextAnalysis.qCooccurPmi _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -896,6 +902,72 @@ object SparkEntry {
         |    AS dist_km
         |  FROM g)
         |SELECT user_id, lat, lon, dist_km FROM d
-        |WHERE dist_km <= 3000 ORDER BY dist_km, user_id LIMIT 50""".stripMargin
+        |WHERE dist_km <= 3000 ORDER BY dist_km, user_id LIMIT 50""".stripMargin,
+    "q_extended_stats" ->
+      """WITH s AS (SELECT event_type, count(*) AS n,
+        |    round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,
+        |    sum(value) AS s1, sum(value * value) AS s2
+        |  FROM events GROUP BY 1),
+        |m AS (SELECT event_type, n, min_v, max_v,
+        |    round(s1, 2) AS sum_v,
+        |    round(s1 / n, 6) AS avg_v,
+        |    round(s2 / n - (s1 / n) * (s1 / n), 6) AS var_v,
+        |    round(sqrt(s2 / n - (s1 / n) * (s1 / n)), 6) AS std_v
+        |  FROM s)
+        |SELECT event_type, n, min_v, max_v, sum_v, avg_v, var_v, std_v,
+        |  round(avg_v + 2 * std_v, 6) AS upper_2sd,
+        |  round(avg_v - 2 * std_v, 6) AS lower_2sd
+        |FROM m ORDER BY event_type""".stripMargin,
+    "q_adjacency_matrix" ->
+      """SELECT 'a' AS key, CAST(count(*) FILTER (WHERE event_type IN ('click','view'))
+        |    AS BIGINT) AS doc_count FROM events
+        |UNION ALL SELECT 'a&b', CAST(count(*) FILTER (
+        |  WHERE event_type IN ('click','view') AND value >= 100) AS BIGINT) FROM events
+        |UNION ALL SELECT 'a&c', CAST(count(*) FILTER (
+        |  WHERE event_type IN ('click','view') AND user_id % 2 = 0) AS BIGINT) FROM events
+        |UNION ALL SELECT 'b', CAST(count(*) FILTER (WHERE value >= 100) AS BIGINT) FROM events
+        |UNION ALL SELECT 'b&c', CAST(count(*) FILTER (
+        |  WHERE value >= 100 AND user_id % 2 = 0) AS BIGINT) FROM events
+        |UNION ALL SELECT 'c', CAST(count(*) FILTER (WHERE user_id % 2 = 0) AS BIGINT) FROM events
+        |ORDER BY key""".stripMargin,
+    "q_moving_agg" ->
+      """WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders,
+        |    round(sum(o_totalprice), 2) AS revenue FROM orders GROUP BY 1)
+        |SELECT day, n_orders, revenue,
+        |  round(avg(revenue) OVER (ORDER BY day ROWS BETWEEN 6 PRECEDING AND CURRENT ROW), 6)
+        |    AS ma7,
+        |  round(revenue - coalesce(lag(revenue) OVER (ORDER BY day), revenue), 2) AS delta,
+        |  round(sum(revenue) OVER (ORDER BY day ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+        |    AS cum_rev
+        |FROM d ORDER BY day""".stripMargin,
+    "q_rare_terms" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+        |           WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gs FROM t),
+        |ng AS (SELECT doc_id, unnest(gs) AS g FROM tri),
+        |f AS (SELECT g, count(*) AS df FROM ng GROUP BY g)
+        |SELECT g, df FROM f WHERE df <= 2 ORDER BY df, g LIMIT 50""".stripMargin,
+    "q_perplexity" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v)
+        |SELECT doc_id, count(*) AS n_tok,
+        |  round(avg(-ln(CAST(c AS DOUBLE) / total)), 6) AS nll
+        |FROM tk JOIN v USING (tok) CROSS JOIN tot
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+    "q_cooccur_pmi" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM d),
+        |f AS (SELECT tok, count(*) AS df FROM t GROUP BY tok),
+        |p AS (SELECT a.tok AS t1, b.tok AS t2, count(*) AS c_ab
+        |      FROM t a JOIN t b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |      GROUP BY 1, 2 HAVING count(*) >= 5)
+        |SELECT t1, t2, c_ab,
+        |  round(ln((CAST(n_docs AS DOUBLE) * c_ab) / (CAST(fa.df AS DOUBLE) * fb.df)), 6) AS pmi
+        |FROM p JOIN f fa ON t1 = fa.tok JOIN f fb ON t2 = fb.tok CROSS JOIN n
+        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
   )
 }

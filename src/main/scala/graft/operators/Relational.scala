@@ -167,4 +167,86 @@ object Relational {
         countDistinct(col("user_id")).as("n_users"),
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
+
+  /** Extended statistical profile per event type (ES `extended_stats`
+    * aggregation): count, min/max, sum, mean, population variance and
+    * stddev, plus the ±2σ bounds ES reports. The moments are computed
+    * from raw sums (Σv, Σv²) so Spark and the oracle evaluate the
+    * SAME closed formula — engine-internal variance algorithms
+    * (Welford vs two-pass) differ below the rounding threshold but
+    * the explicit form removes even that. Sum/sum-of-squares are
+    * map-side combinable: one scan, |types| output rows at any SF.
+    */
+  def qExtendedStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(
+        count(lit(1)).as("n"),
+        round(min(col("value")), 6).as("min_v"),
+        round(max(col("value")), 6).as("max_v"),
+        sum(col("value")).as("s1"),
+        sum(col("value") * col("value")).as("s2"))
+      .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+        round(col("s1"), 2).as("sum_v"),
+        round(col("s1") / col("n"), 6).as("avg_v"),
+        round(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n")), 6).as("var_v"),
+        round(sqrt(col("s2") / col("n") - (col("s1") / col("n")) * (col("s1") / col("n"))), 6).as("std_v"))
+      .select(col("event_type"), col("n"), col("min_v"), col("max_v"),
+        col("sum_v"), col("avg_v"), col("var_v"), col("std_v"),
+        round(col("avg_v") + lit(2) * col("std_v"), 6).as("upper_2sd"),
+        round(col("avg_v") - lit(2) * col("std_v"), 6).as("lower_2sd"))
+      .orderBy(col("event_type"))
+
+  /** The named filters of the adjacency-matrix aggregation — shared
+    * with the oracle SQL so both sides count the same predicates.
+    */
+  val AdjFilters: Seq[(String, org.apache.spark.sql.Column)] = Seq(
+    "a" -> col("event_type").isin("click", "view"),
+    "b" -> (col("value") >= 100),
+    "c" -> (col("user_id") % 2 === 0))
+
+  /** Adjacency matrix (ES `adjacency_matrix` aggregation): named
+    * filters a/b/c → document counts for each filter and each
+    * pairwise intersection, in ONE scan. Every bucket is a
+    * conditional count (`sum(when(...))`), so the whole matrix is a
+    * single map-side-combinable aggregate producing one row, then
+    * unpivoted to (key, doc_count) rows — no per-filter rescans, the
+    * property that makes the agg viable at 100 TB where ES would run
+    * the filters against an index.
+    */
+  def qAdjacencyMatrix(spark: SparkSession, sfDir: String): DataFrame = {
+    val singles = AdjFilters.map { case (n, c) =>
+      sum(when(c, 1L).otherwise(0L)).as(n) }
+    val pairs = AdjFilters.combinations(2).map { case Seq((n1, c1), (n2, c2)) =>
+      sum(when(c1 && c2, 1L).otherwise(0L)).as(s"$n1&$n2") }.toSeq
+    val one = Tables.events(spark, sfDir).agg((singles ++ pairs).head, (singles ++ pairs).tail: _*)
+    val keys = one.columns.toIndexedSeq
+    one.select(explode(map(
+        keys.flatMap(k => Seq(lit(k), col(s"`$k`"))): _*)).as(Seq("key", "doc_count")))
+      .orderBy(col("key"))
+  }
+
+  /** Date-histogram pipeline aggregations (ES `moving_fn` /
+    * `derivative` / `cumulative_sum`): daily order revenue with a
+    * 7-day moving average, day-over-day delta, and running total.
+    * The window input is the PRE-AGGREGATED daily frame (|days|
+    * rows, ~2.4k here), so the unpartitioned window is a driver-safe
+    * post-processing step at any input scale — the scan-side work is
+    * one map-side-combinable groupBy. Windows run over the rounded
+    * daily revenue so the sequential arithmetic is identical on both
+    * sides; the first bucket's delta is 0 (ES omits it).
+    */
+  def qMovingAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+    val w = Window.orderBy(col("day"))
+    daily.select(col("day"), col("n_orders"), col("revenue"),
+        round(avg(col("revenue")).over(w.rowsBetween(-6, 0)), 6).as("ma7"),
+        round(col("revenue") - coalesce(lag(col("revenue"), 1).over(w), col("revenue")), 2).as("delta"),
+        round(sum(col("revenue")).over(
+          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("cum_rev"))
+      .orderBy(col("day"))
+  }
 }

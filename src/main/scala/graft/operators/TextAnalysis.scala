@@ -172,6 +172,89 @@ object TextAnalysis {
         "lang")
       .orderBy(col("lang"))
 
+  /** Rare terms (ES `rare_terms` aggregation): terms by ASCENDING
+    * document frequency with a max-df cutoff — the long-tail inverse
+    * of a terms agg. The unit is the trigram shingle (the corpus has
+    * a closed word vocabulary, so single words are all frequent;
+    * shingles have a genuine df tail). Per-doc-distinct shingles
+    * explode map-side, df is one combinable count, and the df<=2
+    * filter cuts the result before the final order — one scan plus
+    * one small aggregate at any corpus size (ES approximates this
+    * with a CuckooFilter; exact df is the natural Spark form).
+    */
+  def qRareTerms(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 3)
+      .select(explode(array_distinct(expr(
+        "transform(sequence(0, size(toks) - 3), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2]))")))
+        .as("g"))
+      .groupBy(col("g")).agg(count(lit(1)).as("df"))
+      .filter(col("df") <= 2)
+      .orderBy(col("df"), col("g"))
+      .limit(50)
+
+  /** Unigram-LM negative log-likelihood per document — the CCNet/
+    * Gopher-style "perplexity" quality gate, with the corpus itself
+    * as the language model (p(t) = count(t) / total tokens). Two
+    * scans: one builds the unigram table (map-side-combinable count,
+    * |vocab| rows — small even at web scale, so it BROADCASTS back),
+    * one attaches probabilities to every token position and averages
+    * per doc. No driver collection; the LM join is broadcast-hash.
+    */
+  def qPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+    val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val total = vocab.agg(sum(col("c")).as("total"))
+    toks
+      .join(broadcast(vocab.crossJoin(total)), "tok")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tok"),
+        round(avg(-log(col("c").cast("double") / col("total"))), 6).as("nll"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Minimum co-occurring-document support for a PMI pair. */
+  val PmiMinSupport = 5
+
+  /** Token-pair PMI (pointwise mutual information) over per-document
+    * distinct tokens — the co-occurrence statistic behind phrase
+    * mining and word-association analytics (ES `significant_terms`'
+    * doc-level cousin). Pairs are generated MAP-SIDE by a
+    * higher-order expression over the sorted distinct-token array
+    * (quadratic in per-doc DISTINCT tokens, which doc length bounds)
+    * — no self-join of the exploded corpus, so the only shuffles are
+    * the two combinable counts (pair df, unigram df). The unigram
+    * table broadcasts back onto the pair frame.
+    */
+  def qCooccurPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("st"))
+    val t = docs.select(col("doc_id"), explode(col("st")).as("tok"))
+    val dfreq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    // sequence(0, -1) would DESCEND, not be empty — guard 1-token docs
+    val pairs = docs
+      .filter(size(col("st")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(st) - 2), i ->
+          |  transform(slice(st, i + 2, size(st) - i - 1), b -> struct(st[i] AS t1, b AS t2))))"""
+          .stripMargin)).as("p"))
+      .select(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_ab"))
+      .filter(col("c_ab") >= PmiMinSupport)
+    pairs
+      .join(broadcast(dfreq.withColumnRenamed("tok", "t1").withColumnRenamed("df", "df_a")), "t1")
+      .join(broadcast(dfreq.withColumnRenamed("tok", "t2").withColumnRenamed("df", "df_b")), "t2")
+      .crossJoin(broadcast(nDocs))
+      .select(col("t1"), col("t2"), col("c_ab"),
+        round(log(col("n_docs").cast("double") * col("c_ab") /
+          (col("df_a").cast("double") * col("df_b"))), 6).as("pmi"))
+      .orderBy(col("pmi").desc, col("t1"), col("t2"))
+      .limit(20)
+  }
+
   /** Row 27: polynomial rolling-hash fingerprint: fold tokens left to
     * right as acc·31 + tokval mod 1e9+7, with tokval the first 8 hex
     * digits of md5(token) — a hash both Spark and the SQL oracle

@@ -97,6 +97,45 @@ class RelationalSpec extends SparkSpec {
       Tables.documents(spark, sfDir).count())
   }
 
+  test("q_extended_stats moments are internally consistent") {
+    val rows = graft.operators.Relational.qExtendedStats(spark, sfDir).collect()
+    assert(rows.length == 5)
+    rows.foreach { r =>
+      val (avg, v, sd) = (r.getAs[Double]("avg_v"), r.getAs[Double]("var_v"),
+        r.getAs[Double]("std_v"))
+      assert(v >= 0 && math.abs(sd * sd - v) < 1e-3)
+      assert(r.getAs[Double]("min_v") <= avg && avg <= r.getAs[Double]("max_v"))
+      assert(math.abs(r.getAs[Double]("upper_2sd") - (avg + 2 * sd)) < 1e-5)
+    }
+    assert(rows.map(_.getAs[Long]("n")).sum == Tables.events(spark, sfDir).count())
+  }
+
+  test("q_adjacency_matrix intersections are bounded by their sides") {
+    val m = graft.operators.Relational.qAdjacencyMatrix(spark, sfDir).collect()
+      .map(r => r.getAs[String]("key") -> r.getAs[Long]("doc_count")).toMap
+    assert(m.keySet == Set("a", "b", "c", "a&b", "a&c", "b&c"))
+    assert(m("a&b") <= math.min(m("a"), m("b")))
+    assert(m("a&c") <= math.min(m("a"), m("c")))
+    assert(m("b&c") <= math.min(m("b"), m("c")))
+    assert(m.values.forall(_ >= 0) && m("a") > 0)
+  }
+
+  test("q_moving_agg pipeline columns agree with a sequential replay") {
+    val rows = graft.operators.Relational.qMovingAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    var cum = 0.0
+    rows.zipWithIndex.foreach { case (r, i) =>
+      cum += rev(i)
+      assert(math.abs(r.getAs[Double]("cum_rev") - cum) < 0.05)
+      val lo = math.max(0, i - 6)
+      val ma = rev.slice(lo, i + 1).sum / (i + 1 - lo)
+      assert(math.abs(r.getAs[Double]("ma7") - ma) < 1e-4)
+      val delta = if (i == 0) 0.0 else rev(i) - rev(i - 1)
+      assert(math.abs(r.getAs[Double]("delta") - delta) < 0.02)
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -93,6 +93,48 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q_rare_terms is the ascending df tail under the cutoff") {
+    val rows = TextAnalysis.qRareTerms(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 50)
+    val dfs = rows.map(_.getAs[Long]("df"))
+    assert(dfs.forall(d => d >= 1 && d <= 2))
+    assert(dfs.sameElements(dfs.sorted))
+  }
+
+  test("q_perplexity matches a driver-side unigram model") {
+    val rows = TextAnalysis.qPerplexity(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    // replay the LM on the driver from the raw text
+    val toks = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ", -1).toSeq)
+    val counts = toks.flatMap(_._2).groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val total = counts.values.sum.toDouble
+    val byDoc = toks.toMap
+    rows.foreach { r =>
+      val ts = byDoc(r.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_tok") == ts.length)
+      val nll = ts.map(t => -math.log(counts(t) / total)).sum / ts.length
+      assert(math.abs(r.getAs[Double]("nll") - nll) < 1e-5)
+      assert(r.getAs[Double]("nll") > 0)
+    }
+  }
+
+  test("q_cooccur_pmi pairs are ordered, supported, and PMI-bounded") {
+    val rows = TextAnalysis.qCooccurPmi(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val nDocs = Tables.documents(spark, sfDir).count().toDouble
+    rows.foreach { r =>
+      assert(r.getAs[String]("t1") < r.getAs[String]("t2"))
+      val cab = r.getAs[Long]("c_ab")
+      assert(cab >= TextAnalysis.PmiMinSupport)
+      // PMI can't exceed ln(N / c_ab): c_ab <= min(df_a, df_b)
+      assert(r.getAs[Double]("pmi") <= math.log(nDocs / cab) + 1e-6)
+    }
+    val pmis = rows.map(_.getAs[Double]("pmi"))
+    assert(pmis.sameElements(pmis.sortBy(-(_: Double))))
+  }
+
   test("q_fingerprint is deterministic and in range") {
     val a = TextAnalysis.qFingerprint(spark, sfDir).collect()
     val b = TextAnalysis.qFingerprint(spark, sfDir).collect()
