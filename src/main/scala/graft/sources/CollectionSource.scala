@@ -29,6 +29,13 @@ object CollectionSource {
   def parquet(spark: SparkSession, path: String, embCol: String = "embedding"): DataFrame =
     normalize(spark.read.parquet(path), embCol)
 
+  /** ORC import — the other columnar format with native Spark
+    * readers; predicate pushdown and column pruning apply as with
+    * parquet (ORC carries its own min/max stripe statistics).
+    */
+  def orc(spark: SparkSession, path: String, embCol: String = "embedding"): DataFrame =
+    normalize(spark.read.orc(path), embCol)
+
   /** JSON-lines import: numbers parse as doubles, cast down. */
   def jsonLines(spark: SparkSession, path: String, embCol: String = "embedding"): DataFrame =
     normalize(spark.read.json(path), embCol)

@@ -43,4 +43,13 @@ class CollectionSourceSpec extends SparkSpec {
     assert(df.schema("embedding").dataType.catalogString == "array<float>")
     assert(df.count() == 500)
   }
+
+  test("orc import round-trips the collection exactly") {
+    val dir = Files.createTempDirectory("graft-src-orc").toString + "/data"
+    reference.write.mode("overwrite").orc(dir)
+    val back = CollectionSource.orc(spark, dir)
+    assert(back.schema("embedding").dataType.catalogString == "array<float>")
+    assert(asMap(back.withColumn("label", col("label").cast("long"))) ==
+      asMap(reference.withColumn("label", col("label").cast("long"))))
+  }
 }

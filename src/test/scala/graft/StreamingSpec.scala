@@ -6,6 +6,39 @@ import java.nio.file.Files
 
 class StreamingSpec extends SparkSpec {
 
+  test("streaming trending terms equal the batch twin's top-k") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir)
+      .withColumn("ts", timestamp_seconds(lit(1700000000L) + col("doc_id") * 60))
+      .select("ts", "text")
+    val srcDir = Files.createTempDirectory("graft-trend-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+
+    val q = graft.streaming.TrendingTerms.stream(spark, srcDir, docs.schema)
+      .writeStream
+      .format("memory")
+      .queryName("trending_terms_test")
+      .outputMode("complete")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      graft.streaming.TrendingTerms.topK(df, 5).collect().map { r =>
+        (r.getAs[java.sql.Timestamp]("window_start").getTime,
+          r.getAs[Long]("rank"), r.getAs[String]("term"), r.getAs[Long]("n"))
+      }.toSeq
+    val streamed = canon(spark.table("trending_terms_test"))
+    val batch = canon(graft.streaming.TrendingTerms.windowedCounts(docs))
+    assert(streamed.nonEmpty)
+    assert(streamed == batch)
+    // every doc lands in exactly two sliding windows
+    val totalStreamedTokens = spark.table("trending_terms_test")
+      .agg(sum("n")).head().getLong(0)
+    assert(totalStreamedTokens ==
+      2 * docs.select(explode(split(col("text"), " "))).count())
+  }
+
   test("streaming exact dedup admits one survivor per content hash") {
     import org.apache.spark.sql.functions._
     // documents with synthetic event times and known duplicates
