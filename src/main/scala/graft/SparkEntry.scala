@@ -115,7 +115,10 @@ object SparkEntry {
     "q_moving_agg"   -> (Relational.qMovingAgg _),
     "q_rare_terms"   -> (TextAnalysis.qRareTerms _),
     "q_perplexity"   -> (TextAnalysis.qPerplexity _),
-    "q_cooccur_pmi"  -> (TextAnalysis.qCooccurPmi _)
+    "q_cooccur_pmi"  -> (TextAnalysis.qCooccurPmi _),
+    "q_percolate"    -> (FullText.qPercolate _),
+    "q_span_near"    -> (FullText.qSpanNear _),
+    "q_multi_match"  -> (FullText.qMultiMatch _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -968,6 +971,47 @@ object SparkEntry {
         |SELECT t1, t2, c_ab,
         |  round(ln((CAST(n_docs AS DOUBLE) * c_ab) / (CAST(fa.df AS DOUBLE) * fb.df)), 6) AS pmi
         |FROM p JOIN f fa ON t1 = fa.tok JOIN f fb ON t2 = fb.tok CROSS JOIN n
-        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin
+        |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
+    "q_percolate" ->
+      """WITH q AS (SELECT * FROM (VALUES
+        |    (CAST(1 AS BIGINT), ['spark','join','scan'], 2),
+        |    (CAST(2 AS BIGINT), ['vector','hash'], 2),
+        |    (CAST(3 AS BIGINT), ['the','fast','slow','big'], 3))
+        |  AS v(pq_id, q_terms, min_match)),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |m AS (SELECT pq_id, doc_id,
+        |    CAST(len(list_filter(q_terms, qt -> list_contains(toks, qt))) AS BIGINT)
+        |      AS n_matched, min_match
+        |  FROM t CROSS JOIN q)
+        |SELECT pq_id, doc_id, n_matched FROM m
+        |WHERE n_matched >= min_match ORDER BY pq_id, doc_id""".stripMargin,
+    "q_span_near" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |    list_filter(list_transform(range(len(toks)),
+        |      i -> CASE WHEN toks[i+1] = 'spark' THEN i END), x -> x IS NOT NULL) AS pa,
+        |    list_filter(list_transform(range(len(toks)),
+        |      i -> CASE WHEN toks[i+1] = 'join' THEN i END), x -> x IS NOT NULL) AS pb
+        |  FROM t),
+        |d AS (SELECT doc_id,
+        |    flatten(list_transform(pa, a -> list_transform(pb, b -> abs(a - b)))) AS ds
+        |  FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+        |SELECT doc_id, CAST(list_min(ds) AS BIGINT) AS min_dist,
+        |  CAST(len(list_filter(ds, x -> x <= 3)) AS BIGINT) AS n_near
+        |FROM d WHERE list_min(ds) <= 3 ORDER BY doc_id""".stripMargin,
+    "q_multi_match" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+        |pos AS (SELECT doc_id,
+        |    CASE WHEN i < 5 THEN 'title' ELSE 'body' END AS field, toks[i+1] AS token
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t)
+        |  WHERE toks[i+1] IN ('spark','join','vector')),
+        |tf AS (SELECT doc_id, field, token, count(*) AS tf FROM pos GROUP BY 1, 2, 3),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1)
+        |SELECT doc_id,
+        |  round(sum(CAST(CASE WHEN field = 'title' THEN 2 ELSE 1 END AS DOUBLE)
+        |    * tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS score
+        |FROM tf JOIN df USING (token) CROSS JOIN n
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
   )
 }

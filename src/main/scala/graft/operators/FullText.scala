@@ -209,4 +209,90 @@ object FullText {
         concat_ws(" ", slice(col("toks"), col("start"), lit(7))).as("snippet"))
       .orderBy(col("doc_id"))
   }
+
+  /** The percolator's stored queries: (id, should-terms, minimum
+    * number of distinct terms that must match).
+    */
+  val StoredQueries: Seq[(Long, Seq[String], Int)] = Seq(
+    (1L, Seq("spark", "join", "scan"), 2),
+    (2L, Seq("vector", "hash"), 2),
+    (3L, Seq("the", "fast", "slow", "big"), 3))
+
+  /** Percolate (ES percolator, reversed search): every incoming doc
+    * is matched against the STORED query set — the alerting /
+    * saved-search shape. The queries are a broadcast (they always
+    * are: thousands of stored queries vs billions of docs), the
+    * match is one codegen'd higher-order expression per (doc, query),
+    * and nothing shuffles — output is the matching pairs straight off
+    * the scan. ES builds a query index to prune; at Spark scale the
+    * broadcast-and-filter IS the prune (queries fit in memory).
+    */
+  def qPercolate(spark: SparkSession, sfDir: String): DataFrame = {
+    val queries = spark.createDataFrame(StoredQueries)
+      .toDF("pq_id", "q_terms", "min_match")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .crossJoin(broadcast(queries))
+      .select(col("pq_id"), col("doc_id"),
+        size(filter(col("q_terms"), t => array_contains(col("toks"), t)))
+          .cast("long").as("n_matched"),
+        col("min_match"))
+      .filter(col("n_matched") >= col("min_match"))
+      .select(col("pq_id"), col("doc_id"), col("n_matched"))
+      .orderBy(col("pq_id"), col("doc_id"))
+  }
+
+  /** Span-near proximity search (ES `span_near`, Lucene proximity):
+    * docs where 'spark' and 'join' occur within `slop` token
+    * positions. Position lists per term, the pairwise distance set,
+    * min distance and near-pair count — all per-row higher-order
+    * expressions over the token array; scan-only, no shuffle. The
+    * per-row cost is |positions_a|×|positions_b|, bounded by doc
+    * length — the same bound an ES positional posting list pays.
+    */
+  def qSpanNear(spark: SparkSession, sfDir: String): DataFrame = {
+    val slop = 3
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("pa", expr(
+        "filter(transform(toks, (t, i) -> IF(t = 'spark', CAST(i AS LONG), CAST(NULL AS LONG))), x -> x IS NOT NULL)"))
+      .withColumn("pb", expr(
+        "filter(transform(toks, (t, i) -> IF(t = 'join', CAST(i AS LONG), CAST(NULL AS LONG))), x -> x IS NOT NULL)"))
+      .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .withColumn("ds", expr("flatten(transform(pa, a -> transform(pb, b -> abs(a - b))))"))
+      .select(col("doc_id"),
+        array_min(col("ds")).as("min_dist"),
+        size(expr(s"filter(ds, d -> d <= $slop)")).cast("long").as("n_near"))
+      .filter(col("min_dist") <= slop)
+      .orderBy(col("doc_id"))
+  }
+
+  /** Multi-match with field boosts (ES `multi_match` best_fields /
+    * Weaviate BM25F's weighting idea): the doc is split into a
+    * 'title' (first 5 tokens) and 'body', tf is counted per field,
+    * and the score is Σ_t weight(field)·tf·idf with title boosted
+    * 2×. idf comes from whole-doc df, so fields share one term
+    * statistics table (ES cross_fields behavior). One token explode
+    * prefiltered to the query terms, two combinable aggregates, a
+    * broadcast stats join — corpus-linear.
+    */
+  def qMultiMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "token")))
+      .filter(col("token").isin(Terms: _*))
+      .withColumn("field", when(col("i") < 5, "title").otherwise("body"))
+    val tf = pos.groupBy(col("doc_id"), col("field"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = pos.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .groupBy(col("doc_id"))
+      .agg(round(sum(
+        when(col("field") === "title", 2.0).otherwise(1.0) * col("tf") *
+          log(col("n_docs").cast("double") / col("df"))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
 }

@@ -169,4 +169,42 @@ class FullTextSpec extends SparkSpec {
     assert(freqs.sameElements(freqs.sorted.reverse))
     rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("freq")))
   }
+
+  test("q_percolate matches stored queries exactly as a driver replay") {
+    val rows = FullText.qPercolate(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("pq_id"), r.getAs[Long]("doc_id")) ->
+        r.getAs[Long]("n_matched")).toMap
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ").toSet)
+    val expected = (for {
+      (docId, toks) <- docs
+      (pqId, terms, minMatch) <- FullText.StoredQueries
+      matched = terms.count(toks.contains)
+      if matched >= minMatch
+    } yield (pqId, docId) -> matched.toLong).toMap
+    assert(rows == expected)
+  }
+
+  test("q_span_near distances agree with token positions") {
+    val rows = FullText.qSpanNear(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val texts = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text").split(" ")).toMap
+    rows.foreach { r =>
+      val toks = texts(r.getAs[Long]("doc_id"))
+      val pa = toks.zipWithIndex.collect { case ("spark", i) => i.toLong }
+      val pb = toks.zipWithIndex.collect { case ("join", i) => i.toLong }
+      val ds = for (a <- pa; b <- pb) yield math.abs(a - b)
+      assert(r.getAs[Long]("min_dist") == ds.min && ds.min <= 3)
+      assert(r.getAs[Long]("n_near") == ds.count(_ <= 3))
+    }
+  }
+
+  test("q_multi_match boosts title hits over body hits") {
+    val rows = FullText.qMultiMatch(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= FullText.K)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    assert(scores.forall(_ > 0))
+  }
 }
