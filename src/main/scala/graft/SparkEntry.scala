@@ -118,7 +118,9 @@ object SparkEntry {
     "q_cooccur_pmi"  -> (TextAnalysis.qCooccurPmi _),
     "q_percolate"    -> (FullText.qPercolate _),
     "q_span_near"    -> (FullText.qSpanNear _),
-    "q_multi_match"  -> (FullText.qMultiMatch _)
+    "q_multi_match"  -> (FullText.qMultiMatch _),
+    "q_dis_max"      -> (FullText.qDisMax _),
+    "q_composite_agg" -> (Relational.qCompositeAgg _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1012,6 +1014,32 @@ object SparkEntry {
         |  round(sum(CAST(CASE WHEN field = 'title' THEN 2 ELSE 1 END AS DOUBLE)
         |    * tf * ln(CAST(n_docs AS DOUBLE) / df)), 6) AS score
         |FROM tf JOIN df USING (token) CROSS JOIN n
-        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin
+        |GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_dis_max" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_docs FROM t),
+        |pos AS (SELECT doc_id,
+        |    CASE WHEN i < 5 THEN 'title' ELSE 'body' END AS field, toks[i+1] AS token
+        |  FROM (SELECT doc_id, toks, unnest(range(len(toks))) AS i FROM t)
+        |  WHERE toks[i+1] IN ('spark','join','vector')),
+        |tf AS (SELECT doc_id, field, token, count(*) AS tf FROM pos GROUP BY 1, 2, 3),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM pos GROUP BY 1),
+        |fs AS (SELECT doc_id,
+        |    sum(CASE WHEN field = 'title'
+        |        THEN tf * ln(CAST(n_docs AS DOUBLE) / df) ELSE CAST(0 AS DOUBLE) END) AS ts,
+        |    sum(CASE WHEN field = 'body'
+        |        THEN tf * ln(CAST(n_docs AS DOUBLE) / df) ELSE CAST(0 AS DOUBLE) END) AS bs
+        |  FROM tf JOIN df USING (token) CROSS JOIN n GROUP BY doc_id)
+        |SELECT doc_id,
+        |  round(greatest(ts, bs) + CAST(0.3 AS DOUBLE) * least(ts, bs), 6) AS score
+        |FROM fs ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_composite_agg" ->
+      """WITH b AS (SELECT date_trunc('day', ts) AS day, event_type,
+        |    count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |  FROM events GROUP BY 1, 2)
+        |SELECT day, event_type, n_events, sum_value FROM b
+        |WHERE day > TIMESTAMP '2024-01-10'
+        |   OR (day = TIMESTAMP '2024-01-10' AND event_type > 'error')
+        |ORDER BY day, event_type LIMIT 20""".stripMargin
   )
 }

@@ -295,4 +295,36 @@ object FullText {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(K)
   }
+
+  /** Dis-max scoring (ES `dis_max` with `tie_breaker`=0.3): per-field
+    * tf·idf subscores over the same title/body split as
+    * [[qMultiMatch]], combined as best-field + 0.3 × other — the
+    * "take the best matching field, don't double-count" alternative
+    * to the weighted sum. Same plan shape: one prefiltered explode,
+    * one aggregate with both field sums as conditional aggregates,
+    * broadcast stats.
+    */
+  def qDisMax(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+    val pos = docs
+      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "token")))
+      .filter(col("token").isin(Terms: _*))
+      .withColumn("field", when(col("i") < 5, "title").otherwise("body"))
+    val tf = pos.groupBy(col("doc_id"), col("field"), col("token"))
+      .agg(count(lit(1)).as("tf"))
+    val df = pos.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+    val n = docs.agg(count(lit(1)).as("n_docs"))
+    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
+      .withColumn("s", col("tf") * log(col("n_docs").cast("double") / col("df")))
+      .groupBy(col("doc_id"))
+      .agg(
+        sum(when(col("field") === "title", col("s")).otherwise(0.0)).as("ts"),
+        sum(when(col("field") === "body", col("s")).otherwise(0.0)).as("bs"))
+      .select(col("doc_id"),
+        round(greatest(col("ts"), col("bs")) + lit(0.3) * least(col("ts"), col("bs")), 6)
+          .as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
 }

@@ -226,6 +226,27 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Composite aggregation page (ES `composite` agg with `after`):
+    * the next 20 (day, event_type) buckets after a cursor key, in
+    * bucket-key order. The keyset predicate composes into the
+    * aggregate's output the same way `search_after` composes into a
+    * scan: page N costs the same one aggregation as page 1, never an
+    * offset-skip — the property that makes paging over millions of
+    * buckets viable. (The predicate filters post-aggregation on the
+    * grouped keys; the groupBy itself stays map-side combinable.)
+    */
+  def qCompositeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val (afterDay, afterType) = ("2024-01-10", "error")
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("day", col("ts")).as("day"), col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .filter(col("day") > lit(afterDay).cast("timestamp") ||
+        (col("day") === lit(afterDay).cast("timestamp") && col("event_type") > afterType))
+      .orderBy(col("day"), col("event_type"))
+      .limit(20)
+  }
+
   /** Date-histogram pipeline aggregations (ES `moving_fn` /
     * `derivative` / `cumulative_sum`): daily order revenue with a
     * 7-day moving average, day-over-day delta, and running total.

