@@ -120,7 +120,9 @@ object SparkEntry {
     "q_span_near"    -> (FullText.qSpanNear _),
     "q_multi_match"  -> (FullText.qMultiMatch _),
     "q_dis_max"      -> (FullText.qDisMax _),
-    "q_composite_agg" -> (Relational.qCompositeAgg _)
+    "q_composite_agg" -> (Relational.qCompositeAgg _),
+    "q_update_by_query" -> (Collection.qUpdateByQuery _),
+    "q_scroll_slice"    -> (Collection.qScrollSlice _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1040,6 +1042,14 @@ object SparkEntry {
         |SELECT day, event_type, n_events, sum_value FROM b
         |WHERE day > TIMESTAMP '2024-01-10'
         |   OR (day = TIMESTAMP '2024-01-10' AND event_type > 'error')
-        |ORDER BY day, event_type LIMIT 20""".stripMargin
+        |ORDER BY day, event_type LIMIT 20""".stripMargin,
+    "q_update_by_query" ->
+      """SELECT source, CASE WHEN n_chars < 150 THEN 'low' ELSE 'std' END AS tier,
+        |  count(*) AS n_docs, CAST(sum(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1, 2 ORDER BY source, tier""".stripMargin,
+    "q_scroll_slice" ->
+      """SELECT vec_id, label FROM embeddings
+        |WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 = 1
+        |ORDER BY vec_id LIMIT 100""".stripMargin
   )
 }

@@ -143,4 +143,42 @@ object Collection {
         countDistinct(col("label")).as("n_labels"),
         max(col("dim")).as("dim"),
         round(avg(col("nrm")), 6).as("avg_norm"))
+
+  /** Update-by-query (ES `update_by_query` / Qdrant `set_payload`
+    * with a filter): a payload transform applied to every row the
+    * predicate matches — short docs get tier 'low', the rest keep
+    * 'std' — reported as the per-(source, tier) profile. In a
+    * Spark-native store a filtered update is just a projected scan
+    * rewritten into the next snapshot: a per-row `when`, no join, no
+    * shuffle beyond the reporting aggregate, identical cost to a
+    * read at any scale.
+    */
+  def qUpdateByQuery(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("tier", when(col("n_chars") < 150, "low").otherwise("std"))
+      .groupBy(col("source"), col("tier"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_chars")).as("sum_chars"))
+      .orderBy(col("source"), col("tier"))
+
+  /** Number of parallel export slices for the sliced scroll. */
+  val ScrollSlices = 4
+
+  /** Sliced scroll (ES sliced scroll / Qdrant's parallel scroll
+    * recipe): the deterministic hash-slice every bulk-export client
+    * runs N of in parallel. Slice membership is an md5-derived
+    * bucket of the id — stable across runs and engines, never RNG —
+    * so the N slices partition the collection exactly. This emits
+    * slice 1's page ordered by id; the other slices are the same
+    * scan with a different literal, all pushed to the parquet scan.
+    */
+  def qScrollSlice(spark: SparkSession, sfDir: String): DataFrame = {
+    val slice = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % ScrollSlices
+    Tables.embeddings(spark, sfDir)
+      .filter(slice === 1)
+      .select(col("vec_id"), col("label"))
+      .orderBy(col("vec_id"))
+      .limit(100)
+  }
 }

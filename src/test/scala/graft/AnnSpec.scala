@@ -30,6 +30,32 @@ class AnnSpec extends SparkSpec {
     assert(recall >= scanShare + 0.2, f"IVF recall $recall%.3f not beating scan share $scanShare%.2f")
   }
 
+  test("filtered ANN planner switches strategy on filter cardinality") {
+    import org.apache.spark.sql.functions.col
+    // selective filter (one label ≈ 1/10 of the corpus) → brute force,
+    // and the result is EXACT over the filtered subset
+    val (p1, selective) = Ann.filteredIvfKnn(spark, sfDir,
+      col("label") === 3, bruteForceLimit = 100)
+    assert(p1 == "brute_force")
+    val got = selective.collect()
+    assert(got.nonEmpty)
+    val exactFiltered = topk(VectorSearch.collection(spark, sfDir)
+      .search(VectorSearch.querySet(spark, sfDir), Ann.K,
+        graft.api.Metric.Cosine, preFilter = Some(col("label") === 3)).collect())
+    assert(topk(got) == exactFiltered)
+
+    // broad filter (90% of the corpus) → the probe path, bounded recall
+    val (p2, broad) = Ann.filteredIvfKnn(spark, sfDir,
+      col("label") =!= 3, bruteForceLimit = 100)
+    assert(p2 == "ivf_probe")
+    val exactBroad = topk(VectorSearch.collection(spark, sfDir)
+      .search(VectorSearch.querySet(spark, sfDir), Ann.K,
+        graft.api.Metric.Cosine, preFilter = Some(col("label") =!= 3)).collect())
+    val recall = recallVsExact(topk(broad.collect()), exactBroad)
+    info(f"filtered-IVF recall@10 = $recall%.3f")
+    assert(recall >= Ann.NProbe.toDouble / Ann.NList + 0.2)
+  }
+
   test("q_lsh_knn: candidates rerank to high recall") {
     val rows = Ann.qLshKnn(spark, sfDir).collect()
     val approx = topk(rows)

@@ -91,4 +91,28 @@ class CollectionSpec extends SparkSpec {
       nc > 300 || (nc == 300 && id <= 250) }.take(50)
     assert(page.sameElements(expected))
   }
+
+  test("q_update_by_query tiers cover every doc exactly once") {
+    val rows = Collection.qUpdateByQuery(spark, sfDir).collect()
+    assert(rows.map(_.getAs[String]("tier")).toSet.subsetOf(Set("low", "std")))
+    assert(rows.map(_.getAs[Long]("n_docs")).sum ==
+      Tables.documents(spark, sfDir).count())
+  }
+
+  test("sliced scroll slices partition the collection exactly") {
+    import org.apache.spark.sql.functions._
+    val emb = Tables.embeddings(spark, sfDir)
+    val slice = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % Collection.ScrollSlices
+    val counts = emb.groupBy(slice.as("s")).count().collect()
+      .map(r => r.getAs[Long]("s") -> r.getAs[Long]("count")).toMap
+    assert(counts.keySet == (0L until Collection.ScrollSlices).toSet)
+    assert(counts.values.sum == emb.count())
+    // each slice holds a meaningful share (hash balance)
+    counts.values.foreach(c => assert(c > emb.count() / Collection.ScrollSlices / 2))
+    val page = Collection.qScrollSlice(spark, sfDir).collect()
+    assert(page.nonEmpty)
+    val ids = page.map(_.getAs[Long]("vec_id"))
+    assert(ids.sameElements(ids.sorted))
+  }
 }
