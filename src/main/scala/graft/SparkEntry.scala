@@ -122,7 +122,9 @@ object SparkEntry {
     "q_dis_max"      -> (FullText.qDisMax _),
     "q_composite_agg" -> (Relational.qCompositeAgg _),
     "q_update_by_query" -> (Collection.qUpdateByQuery _),
-    "q_scroll_slice"    -> (Collection.qScrollSlice _)
+    "q_scroll_slice"    -> (Collection.qScrollSlice _),
+    "q_geo_grid"        -> (Geo.qGeoGrid _),
+    "q_terms_by_metric" -> (Relational.qTermsByMetric _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1050,6 +1052,24 @@ object SparkEntry {
     "q_scroll_slice" ->
       """SELECT vec_id, label FROM embeddings
         |WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 = 1
-        |ORDER BY vec_id LIMIT 100""".stripMargin
+        |ORDER BY vec_id LIMIT 100""".stripMargin,
+    "q_geo_grid" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id,
+        |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+        |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+        |  FROM u)
+        |SELECT CAST(floor(lat / 10.0) * 10 AS BIGINT) AS cell_lat,
+        |  CAST(floor(lon / 10.0) * 10 AS BIGINT) AS cell_lon,
+        |  count(*) AS n_points,
+        |  round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
+        |FROM g GROUP BY 1, 2
+        |ORDER BY n_points DESC, cell_lat, cell_lon LIMIT 20""".stripMargin,
+    "q_terms_by_metric" ->
+      """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
+        |FROM events GROUP BY user_id
+        |ORDER BY sum_value DESC, user_id LIMIT 20""".stripMargin
   )
 }

@@ -56,4 +56,22 @@ object Geo {
       .limit(50)
       .select(col("user_id"), col("lat"), col("lon"), col("dist_km"))
   }
+
+  /** Grid aggregation (ES `geohash_grid` / `geotile_grid`): bucket
+    * every point into a 10°×10° cell, count and centroid per cell,
+    * densest 20 cells. The cell key is per-row floor arithmetic (a
+    * rectangular stand-in for the geohash string — same bucketing
+    * shape, no base-32 detour), the aggregate map-side combinable:
+    * the heat-map query stays one scan at any point count.
+    */
+  def qGeoGrid(spark: SparkSession, sfDir: String): DataFrame =
+    userGeo(spark, sfDir)
+      .withColumn("cell_lat", (floor(col("lat") / 10.0) * 10).cast("long"))
+      .withColumn("cell_lon", (floor(col("lon") / 10.0) * 10).cast("long"))
+      .groupBy(col("cell_lat"), col("cell_lon"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("lat")), 6).as("centroid_lat"),
+        round(avg(col("lon")), 6).as("centroid_lon"))
+      .orderBy(col("n_points").desc, col("cell_lat"), col("cell_lon"))
+      .limit(20)
 }

@@ -226,6 +226,22 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Terms aggregation ordered by a sub-aggregation metric (ES
+    * `terms` with `order: {sum_value: desc}`): top 20 users by total
+    * event value. ES documents this as its least-exact agg (per-shard
+    * top buckets merge approximately); the Spark plan is EXACT at the
+    * same cost shape — partial map-side aggregation, one shuffle on
+    * the term, then TakeOrderedAndProject (a per-partition top-k
+    * merge on the driver, never a full sort).
+    */
+  def qTermsByMetric(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .orderBy(col("sum_value").desc, col("user_id"))
+      .limit(20)
+
   /** Composite aggregation page (ES `composite` agg with `after`):
     * the next 20 (day, event_type) buckets after a cursor key, in
     * bucket-key order. The keyset predicate composes into the

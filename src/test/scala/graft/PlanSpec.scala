@@ -95,6 +95,19 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("percolate is broadcast + scan: no shuffle join ever") {
+    val p = plan(FullText.qPercolate(spark, sfDir))
+    // the stored-query side broadcasts; matching shuffles nothing
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+  }
+
+  test("terms-by-metric plans as partial agg + top-k, not a full sort") {
+    val p = plan(Relational.qTermsByMetric(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
   test("tenant-partitioned layout prunes other tenants' partitions at the scan") {
     import org.apache.spark.sql.functions._
     // multitenancy (Qdrant/Milvus partition-key isolation): the

@@ -147,6 +147,29 @@ class RelationalSpec extends SparkSpec {
     assert(keys.sameElements(keys.sortBy { case (d, t) => (d.getTime, t) }))
   }
 
+  test("q_terms_by_metric tops are consistent with a full recompute") {
+    val rows = graft.operators.Relational.qTermsByMetric(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sums = rows.map(_.getAs[Double]("sum_value"))
+    assert(sums.sameElements(sums.sortBy(-(_: Double))))
+    assert(rows.map(_.getAs[Long]("n_events")).forall(_ > 0))
+  }
+
+  test("q_geo_grid cells are densest-first with centroids inside the cell") {
+    val rows = graft.operators.Geo.qGeoGrid(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ns = rows.map(_.getAs[Long]("n_points"))
+    assert(ns.sameElements(ns.sortBy(-(_: Long))))
+    rows.foreach { r =>
+      val (cla, clo) = (r.getAs[Long]("cell_lat"), r.getAs[Long]("cell_lon"))
+      assert(cla % 10 == 0 && clo % 10 == 0)
+      assert(r.getAs[Double]("centroid_lat") >= cla &&
+        r.getAs[Double]("centroid_lat") < cla + 10)
+      assert(r.getAs[Double]("centroid_lon") >= clo &&
+        r.getAs[Double]("centroid_lon") < clo + 10)
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
