@@ -124,7 +124,8 @@ object SparkEntry {
     "q_update_by_query" -> (Collection.qUpdateByQuery _),
     "q_scroll_slice"    -> (Collection.qScrollSlice _),
     "q_geo_grid"        -> (Geo.qGeoGrid _),
-    "q_terms_by_metric" -> (Relational.qTermsByMetric _)
+    "q_terms_by_metric" -> (Relational.qTermsByMetric _),
+    "q_media_audio"     -> (Multimodal.qMediaAudio _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1070,6 +1071,20 @@ object SparkEntry {
     "q_terms_by_metric" ->
       """SELECT user_id, count(*) AS n_events, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY user_id
-        |ORDER BY sum_value DESC, user_id LIMIT 20""".stripMargin
+        |ORDER BY sum_value DESC, user_id LIMIT 20""".stripMargin,
+    "q_media_audio" ->
+      """WITH m AS (SELECT doc_id,
+        |    CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes FROM documents),
+        |a AS (SELECT doc_id,
+        |    8000 + (n_bytes % 3) * 4000 AS sample_rate,
+        |    1000 + (n_bytes * 13) % 9000 AS duration_ms FROM m)
+        |SELECT doc_id, CAST(sample_rate AS BIGINT) AS sample_rate,
+        |  CAST(duration_ms AS BIGINT) AS duration_ms,
+        |  CAST(unnest(range((duration_ms - 1000) // 500 + 1)) AS BIGINT) AS win_id,
+        |  CAST(unnest(range((duration_ms - 1000) // 500 + 1)) * 500 AS BIGINT) AS start_ms,
+        |  CAST(unnest(range((duration_ms - 1000) // 500 + 1)) * 500 + 1000 AS BIGINT) AS end_ms,
+        |  CAST(unnest(range((duration_ms - 1000) // 500 + 1)) * 500 * sample_rate // 1000
+        |    AS BIGINT) AS start_sample
+        |FROM a ORDER BY doc_id, win_id""".stripMargin
   )
 }

@@ -108,6 +108,28 @@ object Multimodal {
           .as("frame_key"))
       .orderBy(col("doc_id"), col("frame_idx"))
 
+  /** Audio windowing — the audio-pipeline twin of frame sampling:
+    * fixed 1 s analysis windows with a 500 ms hop over each clip
+    * (the universal STFT/feature-extraction pre-pass). Sample rate
+    * and duration derive deterministically from the payload bytes
+    * (a real decoder reads the codec header); the window plan —
+    * ids, start/end ms, start sample — is pure per-row arithmetic +
+    * one explode, no shuffle: scan-bound at any corpus size, exactly
+    * like the video frame sampler.
+    */
+  def qMediaAudio(spark: SparkSession, sfDir: String): DataFrame =
+    mediaTable(spark, sfDir)
+      .withColumn("n_bytes", length(col("payload")).cast("long"))
+      .withColumn("sample_rate", lit(8000L) + (col("n_bytes") % 3) * lit(4000L))
+      .withColumn("duration_ms", lit(1000L) + (col("n_bytes") * 13) % 9000)
+      .select(col("doc_id"), col("sample_rate"), col("duration_ms"),
+        explode(sequence(lit(0L), expr("(duration_ms - 1000) div 500"))).as("win_id"))
+      .select(col("doc_id"), col("sample_rate"), col("duration_ms"), col("win_id"),
+        (col("win_id") * 500).as("start_ms"),
+        (col("win_id") * 500 + 1000).as("end_ms"),
+        expr("win_id * 500 * sample_rate div 1000").as("start_sample"))
+      .orderBy(col("doc_id"), col("win_id"))
+
   /** Row 28 (SQL-oracled): per-source metadata over the binary
     * payload column — byte sizes and content digests, the part of the
     * multimodal path DuckDB can replicate bit-for-bit. Single scan,

@@ -69,4 +69,24 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("n_unique") <= r.getAs[Long]("n_items"))
     }
   }
+
+  test("q_media_audio windows tile each clip with a 500 ms hop") {
+    val rows = Multimodal.qMediaAudio(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (_, ws) =>
+      val sorted = ws.sortBy(_.getAs[Long]("win_id"))
+      val dur = sorted.head.getAs[Long]("duration_ms")
+      val rate = sorted.head.getAs[Long]("sample_rate")
+      assert(Set(8000L, 12000L, 16000L).contains(rate))
+      sorted.zipWithIndex.foreach { case (w, i) =>
+        assert(w.getAs[Long]("win_id") == i)
+        assert(w.getAs[Long]("start_ms") == i * 500L)
+        assert(w.getAs[Long]("end_ms") == i * 500L + 1000L)
+        assert(w.getAs[Long]("start_sample") == i * 500L * rate / 1000L)
+      }
+      // last window starts at or before duration-1000; next would overrun
+      val lastStart = sorted.last.getAs[Long]("start_ms")
+      assert(lastStart <= dur - 1000 && lastStart + 500 > dur - 1000)
+    }
+  }
 }
