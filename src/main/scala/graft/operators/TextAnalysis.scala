@@ -229,8 +229,12 @@ object TextAnalysis {
     * table broadcasts back onto the pair frame.
     */
   def qCooccurPmi(spark: SparkSession, sfDir: String): DataFrame = {
+    // the sorted-distinct token frame feeds three branches (pair
+    // explode, unigram df, corpus count) — materialize it once, the
+    // persisted-intermediate shape of every multi-branch corpus plan
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("st"))
+      .localCheckpoint()
     val t = docs.select(col("doc_id"), explode(col("st")).as("tok"))
     val dfreq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
     val nDocs = docs.agg(count(lit(1)).as("n_docs"))
