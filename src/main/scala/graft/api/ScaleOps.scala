@@ -63,7 +63,14 @@ object ScaleOps {
   /** Z-order clustered write (the Delta `OPTIMIZE ZORDER BY` role):
     * range-partition and sort the data by the interleaved key of two
     * filter columns, so each output file covers a small rectangle of
-    * the (x, y) space. A scan filtered on x AND y then skips most
+    * the (x, y) space.
+    *
+    * CONTRACT: `xCol`/`yCol` must be non-negative and < 2^bits —
+    * zValue interleaves only the low `bits` bits, so values outside
+    * that range alias (x and x + 2^bits get the same key) and the
+    * clustering silently degrades. Pre-bucket raw columns first
+    * (e.g. `pmod(hash(c), 1 << bits)`, or a range bucket that
+    * preserves order). A scan filtered on x AND y then skips most
     * files on their min/max footer statistics — the multi-dimensional
     * file-skipping a single-column sort can't give. At 100 TB this is
     * the difference between reading the whole corpus and reading the

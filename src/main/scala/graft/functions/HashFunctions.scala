@@ -147,4 +147,15 @@ object hashes {
                        prime: Long): Column =
     ColumnBridge.column(
       MinHashSignature(ColumnBridge.expression(shingleHashes), coeffA, coeffB, prime))
+
+  /** Deterministic md5 bucket of a string key in [0, mod) — the
+    * engine-portable stand-in for an RNG (stable across runs,
+    * cluster topologies, and the DuckDB oracle, where the same
+    * expression is `CAST('0x' || substring(md5(k), 1, 8) AS BIGINT)
+    * % mod`). Used for sampling, slicing, and synthetic profiles.
+    */
+  def md5Bucket(key: Column, mod: Long): Column = {
+    import org.apache.spark.sql.functions.{conv, lit, md5, pmod, substring}
+    pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(mod))
+  }
 }

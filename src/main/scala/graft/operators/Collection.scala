@@ -173,8 +173,8 @@ object Collection {
     * scan with a different literal, all pushed to the parquet scan.
     */
   def qScrollSlice(spark: SparkSession, sfDir: String): DataFrame = {
-    val slice = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % ScrollSlices
+    val slice = graft.functions.hashes.md5Bucket(
+      col("vec_id").cast("string"), ScrollSlices)
     Tables.embeddings(spark, sfDir)
       .filter(slice === 1)
       .select(col("vec_id"), col("label"))

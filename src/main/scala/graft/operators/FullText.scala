@@ -267,56 +267,62 @@ object FullText {
       .orderBy(col("doc_id"))
   }
 
-  /** Multi-match with field boosts (ES `multi_match` best_fields /
-    * Weaviate BM25F's weighting idea): the doc is split into a
-    * 'title' (first 5 tokens) and 'body', tf is counted per field,
-    * and the score is Σ_t weight(field)·tf·idf with title boosted
-    * 2×. idf comes from whole-doc df, so fields share one term
-    * statistics table (ES cross_fields behavior). One token explode
-    * prefiltered to the query terms, two combinable aggregates, a
-    * broadcast stats join — corpus-linear.
+  /** Title length (tokens) for the two-field queries: the first
+    * `TitleLen` tokens are the 'title' field, the rest the 'body'.
     */
-  def qMultiMatch(spark: SparkSession, sfDir: String): DataFrame = {
+  val TitleLen = 5
+
+  /** Shared per-field term statistics for the two-field relevance
+    * queries ([[qMultiMatch]], [[qDisMax]]): one token explode
+    * prefiltered to the query terms, per-(doc, field, term) tf with
+    * whole-doc df and corpus size attached (broadcast) — so both
+    * scorers read the identical (tf, df, n_docs) frame and can only
+    * differ in how they combine it.
+    */
+  private def fieldTermStats(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
     val pos = docs
       .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "token")))
       .filter(col("token").isin(Terms: _*))
-      .withColumn("field", when(col("i") < 5, "title").otherwise("body"))
+      .withColumn("field", when(col("i") < TitleLen, "title").otherwise("body"))
     val tf = pos.groupBy(col("doc_id"), col("field"), col("token"))
       .agg(count(lit(1)).as("tf"))
     val df = pos.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     tf.join(broadcast(df), "token").crossJoin(broadcast(n))
-      .groupBy(col("doc_id"))
-      .agg(round(sum(
-        when(col("field") === "title", 2.0).otherwise(1.0) * col("tf") *
-          log(col("n_docs").cast("double") / col("df"))), 6).as("score"))
-      .orderBy(col("score").desc, col("doc_id"))
-      .limit(K)
+      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
   }
 
+  /** Multi-match with field boosts (ES `multi_match` best_fields /
+    * Weaviate BM25F's weighting idea): the doc is split into a
+    * 'title' (first TitleLen tokens) and 'body', tf is counted per
+    * field, and the score is Σ_t weight(field)·tf·idf with title
+    * boosted 2×. idf comes from whole-doc df, so fields share one
+    * term statistics table (ES cross_fields behavior). One token
+    * explode prefiltered to the query terms, two combinable
+    * aggregates, a broadcast stats join — corpus-linear.
+    */
+  def qMultiMatch(spark: SparkSession, sfDir: String): DataFrame =
+    fieldTermStats(spark, sfDir)
+      .groupBy(col("doc_id"))
+      .agg(round(sum(
+        when(col("field") === "title", 2.0).otherwise(1.0) * col("tf") * col("idf")),
+        6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+
   /** Dis-max scoring (ES `dis_max` with `tie_breaker`=0.3): per-field
-    * tf·idf subscores over the same title/body split as
+    * tf·idf subscores over the same [[fieldTermStats]] frame as
     * [[qMultiMatch]], combined as best-field + 0.3 × other — the
     * "take the best matching field, don't double-count" alternative
     * to the weighted sum. Same plan shape: one prefiltered explode,
     * one aggregate with both field sums as conditional aggregates,
     * broadcast stats.
     */
-  def qDisMax(spark: SparkSession, sfDir: String): DataFrame = {
-    val docs = Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-    val pos = docs
-      .select(col("doc_id"), posexplode(col("toks")).as(Seq("i", "token")))
-      .filter(col("token").isin(Terms: _*))
-      .withColumn("field", when(col("i") < 5, "title").otherwise("body"))
-    val tf = pos.groupBy(col("doc_id"), col("field"), col("token"))
-      .agg(count(lit(1)).as("tf"))
-    val df = pos.groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-    val n = docs.agg(count(lit(1)).as("n_docs"))
-    tf.join(broadcast(df), "token").crossJoin(broadcast(n))
-      .withColumn("s", col("tf") * log(col("n_docs").cast("double") / col("df")))
+  def qDisMax(spark: SparkSession, sfDir: String): DataFrame =
+    fieldTermStats(spark, sfDir)
+      .withColumn("s", col("tf") * col("idf"))
       .groupBy(col("doc_id"))
       .agg(
         sum(when(col("field") === "title", col("s")).otherwise(0.0)).as("ts"),
@@ -326,5 +332,4 @@ object FullText {
           .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(K)
-  }
 }

@@ -18,7 +18,7 @@ import graft.Tables
 object Geo {
 
   private def bucket(saltedId: Column, mod: Int): Column =
-    pmod(conv(substring(md5(saltedId), 1, 8), 16, 10).cast("long"), lit(mod.toLong))
+    graft.functions.hashes.md5Bucket(saltedId, mod.toLong)
 
   /** Synthetic user coordinates: lat ∈ [-90, 90), lon ∈ [-180, 180)
     * on a 0.01° grid, from salted md5 buckets of the user id.

@@ -102,8 +102,8 @@ class CollectionSpec extends SparkSpec {
   test("sliced scroll slices partition the collection exactly") {
     import org.apache.spark.sql.functions._
     val emb = Tables.embeddings(spark, sfDir)
-    val slice = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % Collection.ScrollSlices
+    val slice = graft.functions.hashes.md5Bucket(
+      col("vec_id").cast("string"), Collection.ScrollSlices)
     val counts = emb.groupBy(slice.as("s")).count().collect()
       .map(r => r.getAs[Long]("s") -> r.getAs[Long]("count")).toMap
     assert(counts.keySet == (0L until Collection.ScrollSlices).toSet)

@@ -200,13 +200,19 @@ class FullTextSpec extends SparkSpec {
     }
   }
 
-  test("q_dis_max never exceeds multi_match's weighted sum shape bounds") {
-    val rows = FullText.qDisMax(spark, sfDir).collect()
-    assert(rows.nonEmpty && rows.length <= FullText.K)
-    val scores = rows.map(_.getAs[Double]("score"))
-    assert(scores.sameElements(scores.sortBy(-(_: Double))))
-    // dis_max with tie_breaker 0.3 is bounded by max+0.3*min <= full sum
-    assert(scores.forall(_ > 0))
+  test("q_dis_max is bounded by the unboosted field sum per doc") {
+    val dm = FullText.qDisMax(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    assert(dm.nonEmpty && dm.size <= FullText.K)
+    assert(dm.values.forall(_ > 0))
+    // multi_match with title boost 2x: score = 2*ts + bs;
+    // dis_max = max(ts,bs) + 0.3*min(ts,bs). Since ts,bs >= 0:
+    //   dis_max <= ts + bs <= 2*ts + bs = multi_match score
+    val mm = FullText.qMultiMatch(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val both = dm.keySet.intersect(mm.keySet)
+    assert(both.nonEmpty)
+    both.foreach { id => assert(dm(id) <= mm(id) + 1e-6, s"doc $id") }
   }
 
   test("q_multi_match boosts title hits over body hits") {
