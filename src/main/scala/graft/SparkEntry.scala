@@ -125,7 +125,9 @@ object SparkEntry {
     "q_scroll_slice"    -> (Collection.qScrollSlice _),
     "q_geo_grid"        -> (Geo.qGeoGrid _),
     "q_terms_by_metric" -> (Relational.qTermsByMetric _),
-    "q_media_audio"     -> (Multimodal.qMediaAudio _)
+    "q_media_audio"     -> (Multimodal.qMediaAudio _),
+    "q_rescore"         -> (FullText.qRescore _),
+    "q_pinned"          -> (FullText.qPinned _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1085,6 +1087,28 @@ object SparkEntry {
         |  CAST(unnest(range((duration_ms - 1000) // 500 + 1)) * 500 + 1000 AS BIGINT) AS end_ms,
         |  CAST(unnest(range((duration_ms - 1000) // 500 + 1)) * 500 * sample_rate // 1000
         |    AS BIGINT) AS start_sample
-        |FROM a ORDER BY doc_id, win_id""".stripMargin
+        |FROM a ORDER BY doc_id, win_id""".stripMargin,
+    "q_rescore" ->
+      s"""WITH bm AS ($oracleBm25),
+         |pool AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS vscore
+         |       FROM embeddings CROSS JOIN qv)
+         |SELECT doc_id,
+         |  round(CAST(0.3 AS DOUBLE) * bm25 + CAST(0.7 AS DOUBLE) * vscore, 6) AS rescore
+         |FROM pool JOIN vs USING (doc_id)
+         |ORDER BY rescore DESC, doc_id LIMIT 20""".stripMargin,
+    "q_pinned" ->
+      s"""WITH bm AS ($oracleBm25),
+         |org AS (SELECT doc_id,
+         |    CAST(row_number() OVER (ORDER BY bm25 DESC, doc_id) + 2 AS BIGINT) AS rank
+         |  FROM bm WHERE doc_id NOT IN (42, 7)
+         |  ORDER BY bm25 DESC, doc_id LIMIT 18)
+         |SELECT doc_id, rank, pinned FROM (
+         |  SELECT CAST(42 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS rank, TRUE AS pinned
+         |  UNION ALL SELECT 7, 2, TRUE
+         |  UNION ALL SELECT doc_id, rank, FALSE FROM org)
+         |ORDER BY rank""".stripMargin
   )
 }

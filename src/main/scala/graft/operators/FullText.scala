@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
 import graft.Tables
 import graft.api.TextIndex
 import graft.functions.vec
@@ -208,6 +209,48 @@ object FullText {
       .select(col("doc_id"), col("pos"),
         concat_ws(" ", slice(col("toks"), col("start"), lit(7))).as("snippet"))
       .orderBy(col("doc_id"))
+  }
+
+  /** Rescore (ES `rescore` window): rank the corpus lexically, keep
+    * the top-50 window, and re-score ONLY that window with the
+    * expensive signal (here the query's vector cosine) as
+    * 0.3·bm25 + 0.7·vscore — the standard cheap-retrieve /
+    * expensive-rerank split. The window is 50 rows at any corpus
+    * scale, so the rerank join broadcasts; only the lexical pass
+    * touches the corpus.
+    */
+  def qRescore(spark: SparkSession, sfDir: String): DataFrame = {
+    val pool = index(spark, sfDir).bm25(Terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+    vecScores(spark, sfDir).join(broadcast(pool), "doc_id")
+      .select(col("doc_id"),
+        round(lit(0.3) * col("bm25") + lit(0.7) * col("vscore"), 6).as("rescore"))
+      .orderBy(col("rescore").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  /** The promoted ids for the pinned query, in promotion order. */
+  val PinnedIds: Seq[Long] = Seq(42L, 7L)
+
+  /** Pinned results (ES `pinned` query): the promoted ids rank
+    * first in their given order, organic BM25 results follow
+    * (promoted ids excluded), K results total. The pinned side is a
+    * literal frame; the organic side is the usual distributed top-k
+    * — pinning costs nothing at scale.
+    */
+  def qPinned(spark: SparkSession, sfDir: String): DataFrame = {
+    val pinned = spark.createDataFrame(
+        PinnedIds.zipWithIndex.map { case (id, i) => (id, (i + 1).toLong) })
+      .toDF("doc_id", "rank")
+      .withColumn("pinned", lit(true))
+    val organic = index(spark, sfDir).bm25(Terms)
+      .filter(!col("doc_id").isin(PinnedIds: _*))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(K - PinnedIds.size)
+      .select(col("doc_id"),
+        (row_number().over(Window.partitionBy(pmod(col("doc_id"), lit(1L)))
+          .orderBy(col("bm25").desc, col("doc_id"))) + PinnedIds.size).cast("long").as("rank"),
+        lit(false).as("pinned"))
+    pinned.unionByName(organic).orderBy(col("rank"))
   }
 
   /** The percolator's stored queries: (id, should-terms, minimum

@@ -170,6 +170,36 @@ class FullTextSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Long]("df") <= r.getAs[Long]("freq")))
   }
 
+  test("q_rescore only re-ranks docs inside the lexical window") {
+    val rows = FullText.qRescore(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= FullText.K)
+    val pool = FullText.qBm25(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet // bm25 top-20 ⊆ top-50 pool
+    val scores = rows.map(_.getAs[Double]("rescore"))
+    assert(scores.sameElements(scores.sortBy(-(_: Double))))
+    // rescore can reorder but not introduce docs outside the window:
+    // every rescored doc must at least match one query term
+    val matching = Tables.documents(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("text")
+        .rlike("(^| )(spark|join|vector)( |$)"))
+      .collect().map(_.getAs[Long]("doc_id")).toSet
+    assert(rows.map(_.getAs[Long]("doc_id")).forall(matching.contains))
+  }
+
+  test("q_pinned promotes the pinned ids first, organic ranks follow") {
+    val rows = FullText.qPinned(spark, sfDir).collect()
+    assert(rows.length == FullText.K)
+    FullText.PinnedIds.zipWithIndex.foreach { case (id, i) =>
+      assert(rows(i).getAs[Long]("doc_id") == id)
+      assert(rows(i).getAs[Long]("rank") == i + 1)
+      assert(rows(i).getAs[Boolean]("pinned"))
+    }
+    val organic = rows.drop(FullText.PinnedIds.size)
+    assert(organic.forall(r => !r.getAs[Boolean]("pinned")))
+    assert(organic.forall(r => !FullText.PinnedIds.contains(r.getAs[Long]("doc_id"))))
+    assert(rows.map(_.getAs[Long]("rank")).sameElements(1L to FullText.K))
+  }
+
   test("q_percolate matches stored queries exactly as a driver replay") {
     val rows = FullText.qPercolate(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("pq_id"), r.getAs[Long]("doc_id")) ->
