@@ -127,7 +127,8 @@ object SparkEntry {
     "q_terms_by_metric" -> (Relational.qTermsByMetric _),
     "q_media_audio"     -> (Multimodal.qMediaAudio _),
     "q_rescore"         -> (FullText.qRescore _),
-    "q_pinned"          -> (FullText.qPinned _)
+    "q_pinned"          -> (FullText.qPinned _),
+    "q_matrix_stats"    -> (Relational.qMatrixStats _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1109,6 +1110,34 @@ object SparkEntry {
          |  SELECT CAST(42 AS BIGINT) AS doc_id, CAST(1 AS BIGINT) AS rank, TRUE AS pinned
          |  UNION ALL SELECT 7, 2, TRUE
          |  UNION ALL SELECT doc_id, rank, FALSE FROM org)
-         |ORDER BY rank""".stripMargin
+         |ORDER BY rank""".stripMargin,
+    "q_matrix_stats" ->
+      """WITH s AS (SELECT count(*) AS n,
+        |    sum(l_quantity) AS sq, sum(l_extendedprice) AS se, sum(l_discount) AS sd,
+        |    sum(l_quantity * l_quantity) AS sqq,
+        |    sum(l_extendedprice * l_extendedprice) AS see,
+        |    sum(l_discount * l_discount) AS sdd,
+        |    sum(l_quantity * l_extendedprice) AS sqe,
+        |    sum(l_quantity * l_discount) AS sqd,
+        |    sum(l_extendedprice * l_discount) AS sed
+        |  FROM lineitem),
+        |m AS (SELECT
+        |    round(sqe / n - (sq / n) * (se / n), 6) AS cov_qe,
+        |    round((sqe / n - (sq / n) * (se / n)) /
+        |      sqrt((sqq / n - (sq / n) * (sq / n)) * (see / n - (se / n) * (se / n))), 6)
+        |      AS corr_qe,
+        |    round(sqd / n - (sq / n) * (sd / n), 6) AS cov_qd,
+        |    round((sqd / n - (sq / n) * (sd / n)) /
+        |      sqrt((sqq / n - (sq / n) * (sq / n)) * (sdd / n - (sd / n) * (sd / n))), 6)
+        |      AS corr_qd,
+        |    round(sed / n - (se / n) * (sd / n), 6) AS cov_ed,
+        |    round((sed / n - (se / n) * (sd / n)) /
+        |      sqrt((see / n - (se / n) * (se / n)) * (sdd / n - (sd / n) * (sd / n))), 6)
+        |      AS corr_ed
+        |  FROM s)
+        |SELECT 'price_discount' AS pair, cov_ed AS covar, corr_ed AS corr FROM m
+        |UNION ALL SELECT 'quantity_discount', cov_qd, corr_qd FROM m
+        |UNION ALL SELECT 'quantity_price', cov_qe, corr_qe FROM m
+        |ORDER BY pair""".stripMargin
   )
 }

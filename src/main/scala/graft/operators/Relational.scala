@@ -226,6 +226,43 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Matrix stats (ES `matrix_stats` aggregation): pairwise
+    * covariance and correlation across numeric fields (quantity,
+    * price, discount), computed from raw co-moments (n, Σx, Σxy) so
+    * Spark and the oracle evaluate the same closed formula — one
+    * scan, ten map-side-combinable sums, a 3-row unpivoted matrix.
+    * The co-moment trick is what makes the agg mergeable (ES ships
+    * per-shard moment sketches for exactly this reason).
+    */
+  def qMatrixStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val s = Tables.lineitem(spark, sfDir)
+      .select(col("l_quantity").as("q"), col("l_extendedprice").as("e"),
+        col("l_discount").as("d"))
+      .agg(
+        count(lit(1)).as("n"),
+        sum(col("q")).as("sq"), sum(col("e")).as("se"), sum(col("d")).as("sd"),
+        sum(col("q") * col("q")).as("sqq"), sum(col("e") * col("e")).as("see"),
+        sum(col("d") * col("d")).as("sdd"),
+        sum(col("q") * col("e")).as("sqe"), sum(col("q") * col("d")).as("sqd"),
+        sum(col("e") * col("d")).as("sed"))
+    def cov(sab: String, sa: String, sb: String) =
+      col(sab) / col("n") - (col(sa) / col("n")) * (col(sb) / col("n"))
+    def corr(sab: String, sa: String, sb: String, saa: String, sbb: String) =
+      cov(sab, sa, sb) / sqrt(cov(saa, sa, sa) * cov(sbb, sb, sb))
+    s.select(
+        round(cov("sqe", "sq", "se"), 6).as("cov_qe"),
+        round(corr("sqe", "sq", "se", "sqq", "see"), 6).as("corr_qe"),
+        round(cov("sqd", "sq", "sd"), 6).as("cov_qd"),
+        round(corr("sqd", "sq", "sd", "sqq", "sdd"), 6).as("corr_qd"),
+        round(cov("sed", "se", "sd"), 6).as("cov_ed"),
+        round(corr("sed", "se", "sd", "see", "sdd"), 6).as("corr_ed"))
+      .select(expr("stack(3, " +
+        "'price_discount', cov_ed, corr_ed, " +
+        "'quantity_discount', cov_qd, corr_qd, " +
+        "'quantity_price', cov_qe, corr_qe) AS (pair, covar, corr)"))
+      .orderBy(col("pair"))
+  }
+
   /** Terms aggregation ordered by a sub-aggregation metric (ES
     * `terms` with `order: {sum_value: desc}`): top 20 users by total
     * event value. ES documents this as its least-exact agg (per-shard

@@ -170,6 +170,27 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_matrix_stats agrees with a driver-side moment replay") {
+    val rows = graft.operators.Relational.qMatrixStats(spark, sfDir).collect()
+      .map(r => r.getAs[String]("pair") ->
+        (r.getAs[Double]("covar"), r.getAs[Double]("corr"))).toMap
+    assert(rows.keySet ==
+      Set("quantity_price", "quantity_discount", "price_discount"))
+    rows.values.foreach { case (_, c) => assert(c >= -1.0 && c <= 1.0) }
+    val li = Tables.lineitem(spark, sfDir)
+      .select("l_quantity", "l_extendedprice", "l_discount").collect()
+      .map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    val n = li.length.toDouble
+    def covc(xs: Array[Double], ys: Array[Double]) =
+      xs.zip(ys).map { case (x, y) => x * y }.sum / n -
+        (xs.sum / n) * (ys.sum / n)
+    val (q, e) = (li.map(_._1), li.map(_._2))
+    val expectedCov = covc(q, e)
+    val expectedCorr = expectedCov / math.sqrt(covc(q, q) * covc(e, e))
+    assert(math.abs(rows("quantity_price")._1 - expectedCov) < 1e-3)
+    assert(math.abs(rows("quantity_price")._2 - expectedCorr) < 1e-6)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
