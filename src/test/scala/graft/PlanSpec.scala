@@ -108,6 +108,22 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p)
   }
 
+  test("rescore reranks its window through a broadcast join") {
+    val p = plan(FullText.qRescore(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin") || p.contains("BroadcastExchange"), p)
+  }
+
+  test("update-by-query is a projected scan + aggregate, never a join") {
+    val p = plan(Collection.qUpdateByQuery(spark, sfDir))
+    assert(!p.contains("Join"), p)
+    assert(p.contains("HashAggregate"), p)
+  }
+
+  test("composite-agg page ends in a top-k, not a global sort") {
+    val p = plan(Relational.qCompositeAgg(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+  }
+
   test("tenant-partitioned layout prunes other tenants' partitions at the scan") {
     import org.apache.spark.sql.functions._
     // multitenancy (Qdrant/Milvus partition-key isolation): the
