@@ -128,7 +128,8 @@ object SparkEntry {
     "q_media_audio"     -> (Multimodal.qMediaAudio _),
     "q_rescore"         -> (FullText.qRescore _),
     "q_pinned"          -> (FullText.qPinned _),
-    "q_matrix_stats"    -> (Relational.qMatrixStats _)
+    "q_matrix_stats"    -> (Relational.qMatrixStats _),
+    "q_t_test"          -> (Relational.qTTest _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1138,6 +1139,22 @@ object SparkEntry {
         |SELECT 'price_discount' AS pair, cov_ed AS covar, corr_ed AS corr FROM m
         |UNION ALL SELECT 'quantity_discount', cov_qd, corr_qd FROM m
         |UNION ALL SELECT 'quantity_price', cov_qe, corr_qe FROM m
-        |ORDER BY pair""".stripMargin
+        |ORDER BY pair""".stripMargin,
+    "q_t_test" ->
+      """WITH m AS (SELECT
+        |    CAST(count(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n1,
+        |    sum(value) FILTER (WHERE event_type = 'click') AS s1,
+        |    sum(value * value) FILTER (WHERE event_type = 'click') AS q1,
+        |    CAST(count(*) FILTER (WHERE event_type = 'view') AS BIGINT) AS n2,
+        |    sum(value) FILTER (WHERE event_type = 'view') AS s2,
+        |    sum(value * value) FILTER (WHERE event_type = 'view') AS q2
+        |  FROM events)
+        |SELECT n1, n2,
+        |  round(s1 / n1, 6) AS mean_click,
+        |  round(s2 / n2, 6) AS mean_view,
+        |  round((s1 / n1 - s2 / n2) /
+        |    sqrt(((q1 - (s1 / n1) * (s1 / n1) * n1) / (n1 - 1)) / n1
+        |       + ((q2 - (s2 / n2) * (s2 / n2) * n2) / (n2 - 1)) / n2), 6) AS t_stat
+        |FROM m""".stripMargin
   )
 }

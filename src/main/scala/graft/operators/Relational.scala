@@ -226,6 +226,33 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Welch's t-test (ES `t_test` aggregation, `heteroscedastic`):
+    * does the 'click' value distribution differ from 'view'? Both
+    * groups' moments (n, Σv, Σv²) come out of ONE conditional-sum
+    * scan — no per-group pass — and the statistic is closed-form
+    * arithmetic on the single moment row, mirrored exactly in the
+    * oracle. Sample variance (n−1), like ES.
+    */
+  def qTTest(spark: SparkSession, sfDir: String): DataFrame = {
+    def grp(t: String, suffix: String) = Seq(
+      sum(when(col("event_type") === t, 1L).otherwise(0L)).as(s"n$suffix"),
+      sum(when(col("event_type") === t, col("value")).otherwise(0.0)).as(s"s$suffix"),
+      sum(when(col("event_type") === t, col("value") * col("value")).otherwise(0.0))
+        .as(s"q$suffix"))
+    val aggs = grp("click", "1") ++ grp("view", "2")
+    val m = Tables.events(spark, sfDir).agg(aggs.head, aggs.tail: _*)
+    def mean(s: String, n: String) = col(s) / col(n)
+    def svar(q: String, s: String, n: String) =
+      (col(q) - mean(s, n) * mean(s, n) * col(n)) / (col(n) - 1)
+    m.select(
+        col("n1"), col("n2"),
+        round(mean("s1", "n1"), 6).as("mean_click"),
+        round(mean("s2", "n2"), 6).as("mean_view"),
+        round((mean("s1", "n1") - mean("s2", "n2")) /
+          sqrt(svar("q1", "s1", "n1") / col("n1") + svar("q2", "s2", "n2") / col("n2")), 6)
+          .as("t_stat"))
+  }
+
   /** Matrix stats (ES `matrix_stats` aggregation): pairwise
     * covariance and correlation across numeric fields (quantity,
     * price, discount), computed from raw co-moments (n, Σx, Σxy) so

@@ -191,6 +191,24 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(rows("quantity_price")._2 - expectedCorr) < 1e-6)
   }
 
+  test("q_t_test matches a driver-side Welch computation") {
+    val r = graft.operators.Relational.qTTest(spark, sfDir).head()
+    val vals = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1))).toMap
+    def stats(xs: Array[Double]) = {
+      val n = xs.length.toDouble
+      val m = xs.sum / n
+      (n, m, (xs.map(x => x * x).sum - m * m * n) / (n - 1))
+    }
+    val (n1, m1, v1) = stats(vals("click"))
+    val (n2, m2, v2) = stats(vals("view"))
+    assert(r.getAs[Long]("n1") == n1.toLong && r.getAs[Long]("n2") == n2.toLong)
+    assert(math.abs(r.getAs[Double]("mean_click") - m1) < 1e-5)
+    val t = (m1 - m2) / math.sqrt(v1 / n1 + v2 / n2)
+    assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-5)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
