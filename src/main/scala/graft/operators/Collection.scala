@@ -87,8 +87,8 @@ object Collection {
   val SampleMod = 5
 
   def qSampleStratified(spark: SparkSession, sfDir: String): DataFrame = {
-    val bucket = conv(substring(md5(col("vec_id").cast("string")), 1, 8), 16, 10)
-      .cast("long") % SampleMod
+    val bucket = graft.functions.hashes.md5Bucket(
+      col("vec_id").cast("string"), SampleMod)
     Tables.embeddings(spark, sfDir)
       .select(col("label"), when(bucket === 0, 1L).otherwise(0L).as("keep"))
       .groupBy(col("label"))

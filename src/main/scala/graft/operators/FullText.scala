@@ -222,9 +222,17 @@ object FullText {
   def qRescore(spark: SparkSession, sfDir: String): DataFrame = {
     val pool = index(spark, sfDir).bm25(Terms)
       .orderBy(col("bm25").desc, col("doc_id")).limit(50)
-    vecScores(spark, sfDir).join(broadcast(pool), "doc_id")
+    // join the corpus to the 50-row pool BEFORE computing the
+    // expensive signal, so the cosine really does run only on the
+    // window (a projection below the join would score corpus-wide)
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.select(col("vec_id").as("doc_id"), col("embedding"))
+      .join(broadcast(pool), "doc_id")
+      .crossJoin(broadcast(qv))
       .select(col("doc_id"),
-        round(lit(0.3) * col("bm25") + lit(0.7) * col("vscore"), 6).as("rescore"))
+        round(lit(0.3) * col("bm25") +
+          lit(0.7) * round(vec.cosine(col("q_emb"), col("embedding")), 6), 6).as("rescore"))
       .orderBy(col("rescore").desc, col("doc_id"))
       .limit(K)
   }

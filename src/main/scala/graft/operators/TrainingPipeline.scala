@@ -121,8 +121,8 @@ object TrainingPipeline {
     * sampling coin shared with the oracle.
     */
   private def bucket1000(salt: String): org.apache.spark.sql.Column =
-    pmod(conv(substring(md5(concat(lit(salt), col("doc_id").cast("string"))), 1, 8), 16, 10)
-      .cast("long"), lit(1000L))
+    graft.functions.hashes.md5Bucket(
+      concat(lit(salt), col("doc_id").cast("string")), 1000L)
 
   /** Weighted source mixing + deterministic train/val/test split:
     * each source keeps a target fraction of its docs (1.0 / 0.5 /

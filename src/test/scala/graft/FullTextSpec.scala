@@ -171,19 +171,17 @@ class FullTextSpec extends SparkSpec {
   }
 
   test("q_rescore only re-ranks docs inside the lexical window") {
+    import org.apache.spark.sql.functions.col
     val rows = FullText.qRescore(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= FullText.K)
-    val pool = FullText.qBm25(spark, sfDir).collect()
-      .map(_.getAs[Long]("doc_id")).toSet // bm25 top-20 ⊆ top-50 pool
     val scores = rows.map(_.getAs[Double]("rescore"))
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
-    // rescore can reorder but not introduce docs outside the window:
-    // every rescored doc must at least match one query term
-    val matching = Tables.documents(spark, sfDir)
-      .filter(org.apache.spark.sql.functions.col("text")
-        .rlike("(^| )(spark|join|vector)( |$)"))
+    // every rescored doc must come from the bm25 top-50 window
+    val window = graft.api.TextIndex(Tables.documents(spark, sfDir))
+      .bm25(FullText.Terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
       .collect().map(_.getAs[Long]("doc_id")).toSet
-    assert(rows.map(_.getAs[Long]("doc_id")).forall(matching.contains))
+    assert(rows.map(_.getAs[Long]("doc_id")).forall(window.contains))
   }
 
   test("q_pinned promotes the pinned ids first, organic ranks follow") {
