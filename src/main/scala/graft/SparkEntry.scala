@@ -129,7 +129,8 @@ object SparkEntry {
     "q_rescore"         -> (FullText.qRescore _),
     "q_pinned"          -> (FullText.qPinned _),
     "q_matrix_stats"    -> (Relational.qMatrixStats _),
-    "q_t_test"          -> (Relational.qTTest _)
+    "q_t_test"          -> (Relational.qTTest _),
+    "q_mad"             -> (Relational.qMad _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1155,6 +1156,13 @@ object SparkEntry {
         |  round((s1 / n1 - s2 / n2) /
         |    sqrt(((q1 - (s1 / n1) * (s1 / n1) * n1) / (n1 - 1)) / n1
         |       + ((q2 - (s2 / n2) * (s2 / n2) * n2) / (n2 - 1)) / n2), 6) AS t_stat
-        |FROM m""".stripMargin
+        |FROM m""".stripMargin,
+    "q_mad" ->
+      """WITH med AS (SELECT event_type, quantile_cont(value, 0.5) AS med
+        |             FROM events GROUP BY 1)
+        |SELECT e.event_type, round(min(med), 6) AS median,
+        |  round(quantile_cont(abs(e.value - med), 0.5), 6) AS mad
+        |FROM events e JOIN med USING (event_type)
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
   )
 }

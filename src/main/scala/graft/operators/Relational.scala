@@ -226,6 +226,27 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Median absolute deviation (ES `median_absolute_deviation`):
+    * the robust dispersion measure — median of |v − median| per
+    * event type. Genuinely two-pass (the second median depends on
+    * the first), expressed as: per-group medians (tiny frame)
+    * broadcast back onto the scan, then the deviation median. ES
+    * approximates with TDigest; exact interpolated percentiles are
+    * the Spark-native form at per-group scale, with the sketch
+    * variant (q_sketch_stats) as the 100 TB path.
+    */
+  def qMad(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val med = ev.groupBy(col("event_type"))
+      .agg(percentile(col("value"), lit(0.5)).as("med"))
+    ev.join(broadcast(med), "event_type")
+      .select(col("event_type"), abs(col("value") - col("med")).as("dev"), col("med"))
+      .groupBy(col("event_type"))
+      .agg(round(min(col("med")), 6).as("median"),
+        round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+      .orderBy(col("event_type"))
+  }
+
   /** Welch's t-test (ES `t_test` aggregation, `heteroscedastic`):
     * does the 'click' value distribution differ from 'view'? Both
     * groups' moments (n, Σv, Σv²) come out of ONE conditional-sum

@@ -209,6 +209,27 @@ class RelationalSpec extends SparkSpec {
     assert(math.abs(r.getAs[Double]("t_stat") - t) < 1e-5)
   }
 
+  test("q_mad matches a driver-side robust-dispersion replay") {
+    val rows = graft.operators.Relational.qMad(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val vals = Tables.events(spark, sfDir)
+      .select("event_type", "value").collect()
+      .groupBy(_.getString(0)).view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    def medianOf(xs: Array[Double]): Double = {
+      val n = xs.length
+      if (n % 2 == 1) xs(n / 2)
+      else (xs(n / 2 - 1) + xs(n / 2)) / 2.0
+    }
+    rows.foreach { r =>
+      val xs = vals(r.getAs[String]("event_type"))
+      val med = medianOf(xs)
+      assert(math.abs(r.getAs[Double]("median") - med) < 1e-5)
+      val mad = medianOf(xs.map(x => math.abs(x - med)).sorted)
+      assert(math.abs(r.getAs[Double]("mad") - mad) < 1e-5)
+      assert(r.getAs[Double]("mad") >= 0)
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
