@@ -48,4 +48,18 @@ object CollectionSource {
     val raw = spark.read.option("header", header.toString).csv(path)
     raw.withColumn(embCol, split(col(embCol), sep).cast("array<float>"))
   }
+
+  /** Raw media import via Spark's `binaryFile` source — the ingest
+    * half of the multimodal pipeline (one row per file: path,
+    * modification time, length, content bytes). `pathGlobFilter`
+    * prunes at the LISTING level, so ingesting the .jpg subset of a
+    * 100 TB bucket never opens the other files; downstream this
+    * frame feeds [[graft.operators.Multimodal]]'s decode/feature
+    * stages unchanged.
+    */
+  def binaryFiles(spark: SparkSession, path: String,
+                  globFilter: Option[String] = None): DataFrame = {
+    val reader = spark.read.format("binaryFile")
+    globFilter.fold(reader)(g => reader.option("pathGlobFilter", g)).load(path)
+  }
 }

@@ -44,6 +44,24 @@ class CollectionSourceSpec extends SparkSpec {
     assert(df.count() == 500)
   }
 
+  test("binaryFiles ingests raw payloads with glob pruning at listing time") {
+    val dir = Files.createTempDirectory("graft-src-bin")
+    java.nio.file.Files.write(dir.resolve("a.jpg"), Array[Byte](1, 2, 3))
+    java.nio.file.Files.write(dir.resolve("b.jpg"), Array[Byte](4, 5))
+    java.nio.file.Files.write(dir.resolve("c.txt"), Array[Byte](9))
+    val all = CollectionSource.binaryFiles(spark, dir.toString)
+    assert(all.count() == 3)
+    val jpgs = CollectionSource.binaryFiles(spark, dir.toString, Some("*.jpg"))
+      .select(col("path"), col("length"), col("content")).collect()
+    assert(jpgs.length == 2)
+    val byName = jpgs.map(r => r.getAs[String]("path").split('/').last ->
+      r.getAs[Array[Byte]]("content")).toMap
+    assert(byName("a.jpg").sameElements(Array[Byte](1, 2, 3)))
+    assert(byName("b.jpg").sameElements(Array[Byte](4, 5)))
+    assert(jpgs.forall(r => r.getAs[Long]("length") ==
+      r.getAs[Array[Byte]]("content").length))
+  }
+
   test("orc import round-trips the collection exactly") {
     val dir = Files.createTempDirectory("graft-src-orc").toString + "/data"
     reference.write.mode("overwrite").orc(dir)
