@@ -130,7 +130,9 @@ object SparkEntry {
     "q_pinned"          -> (FullText.qPinned _),
     "q_matrix_stats"    -> (Relational.qMatrixStats _),
     "q_t_test"          -> (Relational.qTTest _),
-    "q_mad"             -> (Relational.qMad _)
+    "q_mad"             -> (Relational.qMad _),
+    "q_weighted_avg"    -> (Relational.qWeightedAvg _),
+    "q_string_stats"    -> (TextAnalysis.qStringStats _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1163,6 +1165,22 @@ object SparkEntry {
         |SELECT e.event_type, round(min(med), 6) AS median,
         |  round(quantile_cont(abs(e.value - med), 0.5), 6) AS mad
         |FROM events e JOIN med USING (event_type)
-        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin
+        |GROUP BY e.event_type ORDER BY e.event_type""".stripMargin,
+    "q_weighted_avg" ->
+      """SELECT event_type,
+        |  CAST(sum(CAST(json_extract_string(props, '$.k') AS BIGINT)) AS BIGINT) AS sum_w,
+        |  round(sum(value * CAST(json_extract_string(props, '$.k') AS BIGINT))
+        |    / sum(CAST(CAST(json_extract_string(props, '$.k') AS BIGINT) AS DOUBLE)), 6)
+        |    AS weighted_avg
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_string_stats" ->
+      """WITH tc AS (SELECT lang, tok, count(*) AS c
+        |  FROM (SELECT lang, unnest(string_split(text, ' ')) AS tok FROM documents)
+        |  GROUP BY 1, 2),
+        |wt AS (SELECT lang, c, sum(c) OVER (PARTITION BY lang) AS tot FROM tc)
+        |SELECT lang, CAST(min(tot) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
+        |  round(-sum((CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot)), 6)
+        |    AS entropy
+        |FROM wt GROUP BY lang ORDER BY lang""".stripMargin
   )
 }

@@ -226,6 +226,21 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Weighted average (ES `weighted_avg`): value weighted by the
+    * JSON payload's `k` property per event type — Σ(v·w)/Σw from two
+    * combinable sums in one scan, the JSON extraction codegen'd
+    * per-row.
+    */
+  def qWeightedAvg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("w"))
+      .groupBy(col("event_type"))
+      .agg(sum(col("w")).as("sum_w"),
+        round(sum(col("value") * col("w")) / sum(col("w").cast("double")), 6)
+          .as("weighted_avg"))
+      .orderBy(col("event_type"))
+
   /** Median absolute deviation (ES `median_absolute_deviation`):
     * the robust dispersion measure — median of |v − median| per
     * event type. Genuinely two-pass (the second median depends on

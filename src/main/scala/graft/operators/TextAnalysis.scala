@@ -215,6 +215,27 @@ object TextAnalysis {
       .orderBy(col("doc_id"))
   }
 
+  /** String stats (ES `string_stats` with `show_distribution`):
+    * per-language token count, distinct count, and Shannon entropy
+    * of the token distribution — the lexical-diversity profile next
+    * to the perplexity gate. Entropy comes from the (lang, token)
+    * count table: -Σ p·ln p with p = c/total, all double arithmetic
+    * mirrored in the oracle. Two combinable aggregates, output =
+    * |langs| rows.
+    */
+  def qStringStats(spark: SparkSession, sfDir: String): DataFrame = {
+    val tc = Tables.documents(spark, sfDir)
+      .select(col("lang"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("lang"), col("tok")).agg(count(lit(1)).as("c"))
+    val p = col("c").cast("double") / col("tot")
+    tc.withColumn("tot", sum(col("c")).over(Window.partitionBy(col("lang"))))
+      .groupBy(col("lang"))
+      .agg(min(col("tot")).as("n_tokens"),
+        count(lit(1)).as("n_distinct"),
+        round(-sum(p * log(p)), 6).as("entropy"))
+      .orderBy(col("lang"))
+  }
+
   /** Minimum co-occurring-document support for a PMI pair. */
   val PmiMinSupport = 5
 

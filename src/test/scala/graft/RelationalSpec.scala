@@ -230,6 +230,22 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_weighted_avg lies within each type's value range") {
+    val rows = graft.operators.Relational.qWeightedAvg(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val ranges = Tables.events(spark, sfDir)
+      .groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.min("value").as("lo"),
+        org.apache.spark.sql.functions.max("value").as("hi"))
+      .collect().map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    rows.foreach { r =>
+      val (lo, hi) = ranges(r.getAs[String]("event_type"))
+      val wa = r.getAs[Double]("weighted_avg")
+      assert(wa >= lo && wa <= hi)
+      assert(r.getAs[Long]("sum_w") > 0)
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -135,6 +135,18 @@ class TextAnalysisSpec extends SparkSpec {
     assert(pmis.sameElements(pmis.sortBy(-(_: Double))))
   }
 
+  test("q_string_stats entropy is bounded by ln(n_distinct)") {
+    val rows = TextAnalysis.qStringStats(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val h = r.getAs[Double]("entropy")
+      val d = r.getAs[Long]("n_distinct")
+      assert(h >= 0 && h <= math.log(d.toDouble) + 1e-9,
+        s"entropy $h outside [0, ln($d)]")
+      assert(r.getAs[Long]("n_tokens") >= d)
+    }
+  }
+
   test("q_fingerprint is deterministic and in range") {
     val a = TextAnalysis.qFingerprint(spark, sfDir).collect()
     val b = TextAnalysis.qFingerprint(spark, sfDir).collect()
