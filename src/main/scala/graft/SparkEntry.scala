@@ -132,7 +132,9 @@ object SparkEntry {
     "q_t_test"          -> (Relational.qTTest _),
     "q_mad"             -> (Relational.qMad _),
     "q_weighted_avg"    -> (Relational.qWeightedAvg _),
-    "q_string_stats"    -> (TextAnalysis.qStringStats _)
+    "q_string_stats"    -> (TextAnalysis.qStringStats _),
+    "q_top_metrics"     -> (Relational.qTopMetrics _),
+    "q_diversified_sample" -> (Relational.qDiversifiedSample _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1181,6 +1183,22 @@ object SparkEntry {
         |SELECT lang, CAST(min(tot) AS BIGINT) AS n_tokens, count(*) AS n_distinct,
         |  round(-sum((CAST(c AS DOUBLE) / tot) * ln(CAST(c AS DOUBLE) / tot)), 6)
         |    AS entropy
-        |FROM wt GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM wt GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_top_metrics" ->
+      """SELECT event_type, event_id, ts AS latest_ts,
+        |  round(value, 6) AS latest_value
+        |FROM (SELECT *, row_number() OVER (
+        |    PARTITION BY event_type ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |WHERE rn = 1 ORDER BY event_type""".stripMargin,
+    "q_diversified_sample" ->
+      """WITH r AS (SELECT event_type, value, row_number() OVER (
+        |    PARTITION BY user_id
+        |    ORDER BY CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 1000000, event_id) AS rn
+        |  FROM events)
+        |SELECT event_type, count(*) AS n_sampled,
+        |  round(avg(value), 6) AS avg_value
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

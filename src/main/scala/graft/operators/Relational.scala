@@ -226,6 +226,45 @@ object Relational {
       .orderBy(col("key"))
   }
 
+  /** Top metrics (ES `top_metrics`): per event type, the payload of
+    * the LATEST event — the argmax shape (metric of the top-sorted
+    * row, not the top metric). A rank window with the deterministic
+    * (ts desc, event_id desc) order; WindowGroupLimit pre-limits
+    * per-partition, so the shuffle carries one candidate row per
+    * (partition, type).
+    */
+  def qTopMetrics(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.partitionBy(col("event_type"))
+      .orderBy(col("ts").desc, col("event_id").desc)
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("event_id"), col("ts").as("latest_ts"),
+        round(col("value"), 6).as("latest_value"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Diversified sampler (ES `diversified_sampler` + sub-agg): a
+    * deterministic per-user cap (max 3 events per user, chosen by
+    * the md5-bucket shuffle order) feeds the value aggregate, so no
+    * single hot user dominates the statistic. The cap is one rank
+    * window on the dedup key; everything after is a plain
+    * map-side-combinable aggregate over the sample.
+    */
+  def qDiversifiedSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val order = graft.functions.hashes.md5Bucket(
+      col("event_id").cast("string"), 1000000L)
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(order, col("event_id"))
+    Tables.events(spark, sfDir)
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= 3)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_sampled"),
+        round(avg(col("value")), 6).as("avg_value"))
+      .orderBy(col("event_type"))
+  }
+
   /** Weighted average (ES `weighted_avg`): value weighted by the
     * JSON payload's `k` property per event type — Σ(v·w)/Σw from two
     * combinable sums in one scan, the JSON extraction codegen'd

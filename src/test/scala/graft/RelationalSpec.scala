@@ -246,6 +246,32 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_top_metrics returns each type's ts-latest event") {
+    val rows = graft.operators.Relational.qTopMetrics(spark, sfDir).collect()
+    assert(rows.length == 5)
+    val maxTs = Tables.events(spark, sfDir).groupBy("event_type")
+      .agg(org.apache.spark.sql.functions.max("ts").as("m")).collect()
+      .map(r => r.getString(0) -> r.getAs[java.sql.Timestamp]("m")).toMap
+    rows.foreach { r =>
+      assert(r.getAs[java.sql.Timestamp]("latest_ts") ==
+        maxTs(r.getAs[String]("event_type")))
+    }
+  }
+
+  test("q_diversified_sample caps any user's contribution at 3") {
+    val rows = graft.operators.Relational.qDiversifiedSample(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_sampled")).sum
+    val ev = Tables.events(spark, sfDir)
+    val nUsers = ev.select("user_id").distinct().count()
+    assert(total <= 3 * nUsers)
+    assert(total <= ev.count())
+    // the sample is deterministic across runs
+    val again = graft.operators.Relational.qDiversifiedSample(spark, sfDir).collect()
+      .map(_.getAs[Long]("n_sampled")).sum
+    assert(again == total)
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
