@@ -1,0 +1,50 @@
+package graft
+
+import graft.sources.{CollectionCatalog, CollectionSource}
+import org.apache.spark.sql.functions._
+import java.nio.file.Files
+
+/** Error-contract coverage: the failure modes the library promises
+  * to surface loudly rather than mis-compute through.
+  */
+class RobustnessSpec extends SparkSpec {
+
+  test("collection import rejects a non-array embedding column") {
+    val dir = Files.createTempDirectory("graft-rob-src").toString + "/data"
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("vec_id").cast("string").as("embedding"))
+      .write.mode("overwrite").parquet(dir)
+    val e = intercept[IllegalArgumentException] {
+      CollectionSource.parquet(spark, dir)
+    }
+    assert(e.getMessage.contains("must be an array column"))
+  }
+
+  test("catalog restore of an unknown snapshot fails loudly") {
+    val root = Files.createTempDirectory("graft-rob-cat").toString
+    val cat = CollectionCatalog(spark, root)
+    val e = intercept[IllegalArgumentException] {
+      cat.restore("nope/0")
+    }
+    assert(e.getMessage.contains("no such snapshot"))
+  }
+
+  test("md5Bucket stays in range and is stable across evaluations") {
+    val buckets = Tables.embeddings(spark, sfDir)
+      .select(graft.functions.hashes.md5Bucket(
+        col("vec_id").cast("string"), 7L).as("b"))
+      .collect().map(_.getAs[Long]("b"))
+    assert(buckets.forall(b => b >= 0 && b < 7))
+    assert(buckets.toSet.size == 7) // 500 keys hit all 7 buckets
+  }
+
+  test("zValue stays within 2*bits bits for in-range inputs") {
+    import graft.api.ScaleOps
+    val zs = spark.range(0, 256).toDF("x")
+      .select(ScaleOps.zValue("x", "x", bits = 8).as("z"))
+      .collect().map(_.getAs[Long]("z"))
+    assert(zs.forall(z => z >= 0 && z < (1L << 16)))
+    // diagonal points interleave to pairs of identical bits
+    assert(zs.distinct.length == 256)
+  }
+}
