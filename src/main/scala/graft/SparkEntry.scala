@@ -1103,7 +1103,7 @@ object SparkEntry {
          |         round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS vscore
          |       FROM embeddings CROSS JOIN qv)
          |SELECT doc_id,
-         |  round(CAST(0.3 AS DOUBLE) * bm25 + CAST(0.7 AS DOUBLE) * vscore, 6) AS rescore
+         |  round(CAST(0.3 AS DOUBLE) * bm25 + CAST(0.7 AS DOUBLE) * vscore, 7) AS rescore
          |FROM pool JOIN vs USING (doc_id)
          |ORDER BY rescore DESC, doc_id LIMIT 20""".stripMargin,
     "q_pinned" ->

@@ -227,12 +227,16 @@ object FullText {
     // window (a projection below the join would score corpus-wide)
     val emb = Tables.embeddings(spark, sfDir)
     val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    // round to SEVEN digits: both inputs are 1e-6-grid values, so
+    // 0.3·x + 0.7·y lies exactly on the 1e-7 grid — rounding to 6
+    // would sit on .5 ties ~10% of the time, where engines' round()
+    // disagree; at 7 the value is a grid POINT, no tie possible
     emb.select(col("vec_id").as("doc_id"), col("embedding"))
       .join(broadcast(pool), "doc_id")
       .crossJoin(broadcast(qv))
       .select(col("doc_id"),
         round(lit(0.3) * col("bm25") +
-          lit(0.7) * round(vec.cosine(col("q_emb"), col("embedding")), 6), 6).as("rescore"))
+          lit(0.7) * round(vec.cosine(col("q_emb"), col("embedding")), 6), 7).as("rescore"))
       .orderBy(col("rescore").desc, col("doc_id"))
       .limit(K)
   }
