@@ -35,7 +35,10 @@ object SparkEntry {
     "q_range_search"  -> (VectorSearch.qRangeSearch _),
     "q_grouped_topk"  -> (VectorSearch.qGroupedTopk _),
     "q_recommend"     -> (VectorSearch.qRecommend _),
+    "q_recommend_best_score" -> (VectorSearch.qRecommendBestScore _),
     "q_discover"      -> (VectorSearch.qDiscover _),
+    "q_context_search" -> (VectorSearch.qContextSearch _),
+    "q_move_vector"   -> (VectorSearch.qMoveVector _),
     "q_maxsim"        -> (VectorSearch.qMaxsim _),
     "q_search_agg"    -> (VectorSearch.qSearchAgg _),
     "q_matryoshka_knn" -> (VectorSearch.qMatryoshkaKnn _),
@@ -384,6 +387,60 @@ object SparkEntry {
         |        round(list_cosine_similarity(qv.q, e.embedding::DOUBLE[]), 6) AS score
         |      FROM embeddings e CROSS JOIN qv
         |      WHERE e.vec_id NOT IN (0, 100, 200, 300, 400))
+        |SELECT vec_id, rn, score FROM (
+        |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q_recommend_best_score" ->
+      """WITH ex AS (SELECT
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)   AS p1,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 100) AS p2,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 200) AS p3,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 300) AS n1,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 400) AS n2),
+        |s AS (SELECT e.vec_id,
+        |    greatest(round(list_cosine_similarity(ex.p1, e.embedding::DOUBLE[]), 6),
+        |             round(list_cosine_similarity(ex.p2, e.embedding::DOUBLE[]), 6),
+        |             round(list_cosine_similarity(ex.p3, e.embedding::DOUBLE[]), 6)) AS bp,
+        |    greatest(round(list_cosine_similarity(ex.n1, e.embedding::DOUBLE[]), 6),
+        |             round(list_cosine_similarity(ex.n2, e.embedding::DOUBLE[]), 6)) AS bn
+        |  FROM embeddings e CROSS JOIN ex
+        |  WHERE e.vec_id NOT IN (0, 100, 200, 300, 400))
+        |SELECT vec_id, rn, score FROM (
+        |  SELECT vec_id,
+        |    round(CASE WHEN bp > bn THEN bp ELSE -(bn * bn) END, 6) AS score,
+        |    row_number() OVER (
+        |      ORDER BY round(CASE WHEN bp > bn THEN bp ELSE -(bn * bn) END, 6) DESC,
+        |        vec_id) AS rn
+        |  FROM s)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q_context_search" ->
+      """WITH ex AS (SELECT
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 100) AS p1,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 300) AS n1,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 200) AS p2,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 400) AS n2),
+        |s AS (SELECT e.vec_id,
+        |    round(least(0.0, round(list_cosine_similarity(ex.p1, e.embedding::DOUBLE[]), 6)
+        |                   - round(list_cosine_similarity(ex.n1, e.embedding::DOUBLE[]), 6))
+        |        + least(0.0, round(list_cosine_similarity(ex.p2, e.embedding::DOUBLE[]), 6)
+        |                   - round(list_cosine_similarity(ex.n2, e.embedding::DOUBLE[]), 6)), 6)
+        |      AS score
+        |  FROM embeddings e CROSS JOIN ex
+        |  WHERE e.vec_id NOT IN (100, 200, 300, 400))
+        |SELECT vec_id, rn, score FROM (
+        |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
+        |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q_move_vector" ->
+      """WITH v AS (SELECT
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)   AS q,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 100) AS t,
+        |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 300) AS a),
+        |adj AS (SELECT list_transform(range(1, 65),
+        |                 i -> q[i] + 0.5 * t[i] - 0.5 * a[i]) AS q_emb FROM v),
+        |s AS (SELECT e.vec_id,
+        |    round(list_cosine_similarity(adj.q_emb, e.embedding::DOUBLE[]), 6) AS score
+        |  FROM embeddings e CROSS JOIN adj
+        |  WHERE e.vec_id NOT IN (0, 100, 300))
         |SELECT vec_id, rn, score FROM (
         |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,

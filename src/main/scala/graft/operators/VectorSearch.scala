@@ -253,6 +253,105 @@ object VectorSearch {
       .orderBy(col("rn"))
   }
 
+  /** Qdrant recommend, `strategy=best_score` (the non-averaging
+    * variant of [[qRecommend]]): per corpus vector, best-of-positives
+    * vs best-of-negatives — score = best_pos when it beats best_neg,
+    * else −best_neg² (the documented Qdrant formula, which pushes
+    * negative-dominated vectors below every positive-dominated one).
+    * Same plan shape as [[qDiscover]]: the five example vectors fold
+    * into a one-row broadcast from pushed-down point lookups, one
+    * corpus scan, global top-10 as TakeOrderedAndProject.
+    */
+  def qRecommendBestScore(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exampleIds = RecommendPos ++ RecommendNeg
+    def pick(idV: Long, out: String) =
+      first(when(col("vec_id") === idV, col("embedding")), ignoreNulls = true).as(out)
+    val ex = emb.filter(col("vec_id").isin(exampleIds: _*))
+      .agg(pick(RecommendPos(0), "p1"), pick(RecommendPos(1), "p2"),
+        pick(RecommendPos(2), "p3"), pick(RecommendNeg(0), "n1"),
+        pick(RecommendNeg(1), "n2"))
+    def sim(e: org.apache.spark.sql.Column) = round(vec.cosine(e, col("embedding")), 6)
+    val bp = greatest(sim(col("p1")), sim(col("p2")), sim(col("p3")))
+    val bn = greatest(sim(col("n1")), sim(col("n2")))
+    val scored = emb.filter(!col("vec_id").isin(exampleIds: _*))
+      .crossJoin(broadcast(ex))
+      .select(col("vec_id"),
+        round(when(bp > bn, bp).otherwise(-(bn * bn)), 6).as("score"))
+    val w = Window.partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.orderBy(col("score").desc, col("vec_id")).limit(K)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("rn"))
+  }
+
+  /** Qdrant context search — the target-less sibling of
+    * [[qDiscover]]: score = Σ over context pairs of
+    * min(0, sim(positive) − sim(negative)), so a vector "inside" the
+    * context of every pair scores the maximum 0 and anything pulled
+    * toward a negative goes negative. Ties (the 0-score plateau is
+    * wide by design) break by vec_id. One corpus scan against the
+    * one-row broadcast of the four pair vectors.
+    */
+  def qContextSearch(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val exampleIds = DiscoverPairs.flatMap(p => Seq(p._1, p._2))
+    def pick(idV: Long, out: String) =
+      first(when(col("vec_id") === idV, col("embedding")), ignoreNulls = true).as(out)
+    val ex = emb.filter(col("vec_id").isin(exampleIds: _*))
+      .agg(pick(DiscoverPairs(0)._1, "p1"), pick(DiscoverPairs(0)._2, "n1"),
+        pick(DiscoverPairs(1)._1, "p2"), pick(DiscoverPairs(1)._2, "n2"))
+    def sim(e: org.apache.spark.sql.Column) = round(vec.cosine(e, col("embedding")), 6)
+    val ctxScore =
+      least(lit(0d), sim(col("p1")) - sim(col("n1"))) +
+      least(lit(0d), sim(col("p2")) - sim(col("n2")))
+    val scored = emb.filter(!col("vec_id").isin(exampleIds: _*))
+      .crossJoin(broadcast(ex))
+      .select(col("vec_id"), round(ctxScore, 6).as("score"))
+    val w = Window.partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.orderBy(col("score").desc, col("vec_id")).limit(K)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("rn"))
+  }
+
+  /** Move-to/move-away vector ids and force for [[qMoveVector]]. */
+  val MoveQuery = 0L
+  val MoveTo = 100L
+  val MoveAway = 300L
+  val MoveForce = 0.5
+
+  /** Weaviate `nearText`-style query steering (`moveTo`/`moveAwayFrom`
+    * with force 0.5): the query vector is adjusted element-wise —
+    * q + force·to − force·away, in double — and the adjusted vector
+    * runs an ordinary cosine top-k with the three source objects
+    * excluded. The arithmetic happens once on a one-row broadcast
+    * (never per corpus row), so the scan cost is exactly one kNN.
+    */
+  def qMoveVector(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val ids = Seq(MoveQuery, MoveTo, MoveAway)
+    def pick(idV: Long, out: String) =
+      first(when(col("vec_id") === idV, col("embedding").cast("array<double>")),
+        ignoreNulls = true).as(out)
+    val adj = emb.filter(col("vec_id").isin(ids: _*))
+      .agg(pick(MoveQuery, "q"), pick(MoveTo, "t"), pick(MoveAway, "a"))
+      .select(expr(s"transform(q, (x, i) -> x + $MoveForce * t[i] - $MoveForce * a[i])")
+        .as("q_emb"))
+    val scored = emb.filter(!col("vec_id").isin(ids: _*))
+      .crossJoin(broadcast(adj))
+      .select(col("vec_id"),
+        round(vec.cosine(col("q_emb"), col("embedding")), 6).as("score"))
+    val w = Window.partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(col("score").desc, col("vec_id"))
+    scored.orderBy(col("score").desc, col("vec_id")).limit(K)
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .select(col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("rn"))
+  }
+
   /** Per-query-filter batch search (Qdrant/Milvus batch search where
     * every query carries its own filter — here: only corpus vectors
     * sharing the query's label). Spark-first insight: a per-query

@@ -240,4 +240,53 @@ class VectorSearchSpec extends SparkSpec {
       assert(d.zip(d.tail).forall { case (x, y) => x >= y })
     }
   }
+
+  test("q_recommend_best_score excludes examples; scores descend within bounds") {
+    val rows = VectorSearch.qRecommendBestScore(spark, sfDir).collect()
+    assert(rows.length == VectorSearch.K)
+    val examples = (VectorSearch.RecommendPos ++ VectorSearch.RecommendNeg).toSet
+    assert(!rows.exists(r => examples(r.getAs[Long]("vec_id"))))
+    val s = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+    assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+    // positive branch = a cosine (≤1); negative branch = −bn² (≥ −1)
+    assert(s.forall(v => v >= -1.000001 && v <= 1.000001))
+  }
+
+  test("q_context_search: scores are ≤ 0 (0 = inside every context pair)") {
+    val rows = VectorSearch.qContextSearch(spark, sfDir).collect()
+    assert(rows.length == VectorSearch.K)
+    val examples = VectorSearch.DiscoverPairs.flatMap(p => Seq(p._1, p._2)).toSet
+    assert(!rows.exists(r => examples(r.getAs[Long]("vec_id"))))
+    val s = rows.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+    assert(s.forall(_ <= 0.0))
+    assert(s.zip(s.tail).forall { case (x, y) => x >= y })
+  }
+
+  test("q_move_vector steers toward moveTo and away from moveAway") {
+    val rows = VectorSearch.qMoveVector(spark, sfDir).collect()
+    assert(rows.length == VectorSearch.K)
+    val excluded = Set(VectorSearch.MoveQuery, VectorSearch.MoveTo, VectorSearch.MoveAway)
+    assert(!rows.exists(r => excluded(r.getAs[Long]("vec_id"))))
+    // the adjusted-query top set must rank the moveTo vector's
+    // nearest non-excluded neighbor at least as well as the plain
+    // query would: check the steering moved mean similarity-to-target
+    // above mean similarity-to-away over the result set
+    val emb = Tables.embeddings(spark, sfDir)
+    def pick(id: Long) = emb.filter(col("vec_id") === id)
+      .select(col("embedding")).head().getSeq[Float](0).toArray
+    val to = pick(VectorSearch.MoveTo)
+    val away = pick(VectorSearch.MoveAway)
+    def cos(a: Array[Float], b: Array[Float]): Double = {
+      var d = 0d; var na = 0d; var nb = 0d
+      for (i <- a.indices) { d += a(i).toDouble * b(i); na += a(i).toDouble * a(i); nb += b(i).toDouble * b(i) }
+      d / (math.sqrt(na) * math.sqrt(nb))
+    }
+    val ids = rows.map(_.getAs[Long]("vec_id")).toSet
+    val vecs = emb.filter(col("vec_id").isin(ids.toSeq: _*))
+      .select(col("embedding")).collect().map(_.getSeq[Float](0).toArray)
+    val meanTo = vecs.map(cos(_, to)).sum / vecs.length
+    val meanAway = vecs.map(cos(_, away)).sum / vecs.length
+    assert(meanTo > meanAway,
+      s"steered results should lean toward moveTo (to=$meanTo, away=$meanAway)")
+  }
 }
