@@ -123,6 +123,10 @@ object SparkEntry {
     "q_span_near"    -> (FullText.qSpanNear _),
     "q_multi_match"  -> (FullText.qMultiMatch _),
     "q_dis_max"      -> (FullText.qDisMax _),
+    "q_collapse"     -> (FullText.qCollapse _),
+    "q_phrase_prefix" -> (FullText.qPhrasePrefix _),
+    "q_intervals"    -> (FullText.qIntervals _),
+    "q_synonym_match" -> (FullText.qSynonymMatch _),
     "q_composite_agg" -> (Relational.qCompositeAgg _),
     "q_update_by_query" -> (Collection.qUpdateByQuery _),
     "q_scroll_slice"    -> (Collection.qScrollSlice _),
@@ -1058,6 +1062,45 @@ object SparkEntry {
         |  FROM t CROSS JOIN q)
         |SELECT pq_id, doc_id, n_matched FROM m
         |WHERE n_matched >= min_match ORDER BY pq_id, doc_id""".stripMargin,
+    "q_collapse" ->
+      s"""WITH bm AS ($oracleBm25)
+         |SELECT lang, doc_id, bm25, n_hits FROM (
+         |  SELECT d.lang, bm.doc_id, bm.bm25,
+         |    count(*) OVER (PARTITION BY d.lang) AS n_hits,
+         |    row_number() OVER (PARTITION BY d.lang ORDER BY bm.bm25 DESC, bm.doc_id) AS rn
+         |  FROM bm JOIN documents d USING (doc_id))
+         |WHERE rn = 1 ORDER BY bm25 DESC, lang LIMIT 5""".stripMargin,
+    "q_phrase_prefix" ->
+      """SELECT doc_id, n_occurrences FROM (
+        |  SELECT doc_id, CAST(len(list_filter(range(1, len(toks)),
+        |      i -> toks[i] = 'the' AND starts_with(toks[i + 1], 'qu'))) AS BIGINT)
+        |    AS n_occurrences
+        |  FROM (SELECT doc_id, string_split(text, ' ') AS toks FROM documents))
+        |WHERE n_occurrences > 0 ORDER BY doc_id""".stripMargin,
+    "q_intervals" ->
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
+        |p AS (SELECT doc_id,
+        |    list_filter(list_transform(range(len(toks)),
+        |      i -> CASE WHEN toks[i+1] = 'spark' THEN i END), x -> x IS NOT NULL) AS pa,
+        |    list_filter(list_transform(range(len(toks)),
+        |      i -> CASE WHEN toks[i+1] = 'join' THEN i END), x -> x IS NOT NULL) AS pb
+        |  FROM t),
+        |g AS (SELECT doc_id,
+        |    list_filter(flatten(list_transform(pa, a -> list_transform(pb, b -> b - a - 1))),
+        |      x -> x >= 0 AND x <= 2) AS gaps
+        |  FROM p WHERE len(pa) > 0 AND len(pb) > 0)
+        |SELECT doc_id, CAST(len(gaps) AS BIGINT) AS n_intervals,
+        |  CAST(list_min(gaps) AS BIGINT) AS min_gap
+        |FROM g WHERE len(gaps) > 0 ORDER BY doc_id""".stripMargin,
+    "q_synonym_match" ->
+      """WITH syn(canon, token) AS (VALUES
+        |    ('rapid', 'rapid'), ('rapid', 'fast'), ('rapid', 'quick'),
+        |    ('combine', 'combine'), ('combine', 'merge'), ('combine', 'join')),
+        |toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents)
+        |SELECT doc_id, count(*) AS score, count(DISTINCT canon) AS n_terms
+        |FROM toks JOIN syn USING (token)
+        |GROUP BY doc_id
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
     "q_span_near" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT doc_id,

@@ -387,4 +387,99 @@ object FullText {
           .as("score"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(K)
+
+  /** Field collapsing (ES `collapse` + `inner_hits`): the BM25 result
+    * collapsed to one best document per `lang`, with the group's
+    * total hit count riding along — the "one result per user/domain"
+    * SERP dedup. The lang attach is a plain corpus-key join (both
+    * sides partitioned by doc_id; at scale the field would ride the
+    * term-frequency scan projection instead), and the collapse
+    * windows partition by lang, so the only new shuffle is
+    * |langs|-wide. Top-5 collapsed groups by their best score.
+    */
+  def qCollapse(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = index(spark, sfDir).bm25(Terms)
+    val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val byLang = Window.partitionBy(col("lang"))
+    scored.join(langs, "doc_id")
+      .withColumn("n_hits", count(lit(1)).over(byLang).cast("long"))
+      .withColumn("rn",
+        row_number().over(byLang.orderBy(col("bm25").desc, col("doc_id"))))
+      .filter(col("rn") === 1)
+      .select(col("lang"), col("doc_id"), col("bm25"), col("n_hits"))
+      .orderBy(col("bm25").desc, col("lang"))
+      .limit(5)
+  }
+
+  /** Match-phrase-prefix (ES `match_phrase_prefix` — the
+    * search-as-you-type shape): positions where 'the' is immediately
+    * followed by a token starting with 'qu', counted per document in
+    * one higher-order expression over the token array. Scan-only, no
+    * shuffle; the size≥2 guard keeps sequence() ascending (Spark's
+    * sequence(0,-1) DESCENDS).
+    */
+  def qPhrasePrefix(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(col("doc_id"), expr(
+        "size(filter(sequence(0, size(toks) - 2), " +
+          "i -> toks[i] = 'the' AND startswith(toks[i + 1], 'qu')))")
+        .cast("long").as("n_occurrences"))
+      .filter(col("n_occurrences") > 0)
+      .orderBy(col("doc_id"))
+
+  /** Ordered-interval query (ES `intervals` with `ordered: true`,
+    * `max_gaps`): 'spark' followed by 'join' (in that order) with at
+    * most `maxGaps` tokens between them. The unordered sibling is
+    * [[qSpanNear]]; here direction matters, so the pair set is
+    * b − a − 1 ∈ [0, maxGaps] with b strictly after a. Per-row
+    * higher-order expressions only — scan-shaped like every
+    * positional query here.
+    */
+  def qIntervals(spark: SparkSession, sfDir: String): DataFrame = {
+    val maxGaps = 2
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .withColumn("pa", expr(
+        "filter(transform(toks, (t, i) -> IF(t = 'spark', CAST(i AS LONG), CAST(NULL AS LONG))), x -> x IS NOT NULL)"))
+      .withColumn("pb", expr(
+        "filter(transform(toks, (t, i) -> IF(t = 'join', CAST(i AS LONG), CAST(NULL AS LONG))), x -> x IS NOT NULL)"))
+      .filter(size(col("pa")) > 0 && size(col("pb")) > 0)
+      .withColumn("gaps", expr(
+        s"filter(flatten(transform(pa, a -> transform(pb, b -> b - a - 1))), g -> g >= 0 AND g <= $maxGaps)"))
+      .filter(size(col("gaps")) > 0)
+      .select(col("doc_id"),
+        size(col("gaps")).cast("long").as("n_intervals"),
+        array_min(col("gaps")).as("min_gap"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Synonym query terms: canonical term → its synonym expansion
+    * (identity included), the analyzer-time synonym graph of ES.
+    */
+  val Synonyms: Seq[(String, String)] = Seq(
+    ("rapid", "rapid"), ("rapid", "fast"), ("rapid", "quick"),
+    ("combine", "combine"), ("combine", "merge"), ("combine", "join"))
+
+  /** Synonym-expanded match (ES synonym graph filter): the query
+    * terms expand through a broadcast synonym table before scoring,
+    * so 'rapid' finds 'fast' documents and 'combine' finds
+    * 'merge'/'join'. Score = Σ tf over the expansion, per canonical
+    * term; the synonym table is a literal broadcast — the corpus
+    * token stream joins it map-side and aggregates map-combined.
+    */
+  def qSynonymMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val spark0 = spark
+    import spark0.implicits._
+    val syn = broadcast(Synonyms.toDF("canon", "token"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .join(syn, "token")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("score"),
+        countDistinct(col("canon")).as("n_terms"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
 }

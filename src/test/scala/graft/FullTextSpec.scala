@@ -250,4 +250,63 @@ class FullTextSpec extends SparkSpec {
     assert(scores.sameElements(scores.sortBy(-(_: Double))))
     assert(scores.forall(_ > 0))
   }
+
+  test("q_collapse returns one best doc per lang with group hit counts") {
+    val rows = FullText.qCollapse(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 5)
+    val langs = rows.map(_.getAs[String]("lang"))
+    assert(langs.distinct.length == langs.length, "one row per collapsed lang")
+    // each group's representative is its own best: n_hits >= 1 and
+    // scores arrive in descending collapsed order
+    assert(rows.forall(_.getAs[Long]("n_hits") >= 1))
+    val s = rows.map(_.getAs[Double]("bm25"))
+    assert(s.sameElements(s.sortBy(-(_: Double))))
+  }
+
+  test("q_phrase_prefix only counts 'the'-adjacent qu-prefixed tokens") {
+    val rows = FullText.qPhrasePrefix(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(_.getAs[Long]("n_occurrences") >= 1))
+    // cross-check one doc by hand
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text")).collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.take(5).foreach { r =>
+      val toks = docs(r.getAs[Long]("doc_id")).split(" ")
+      val expected = toks.sliding(2).count(p =>
+        p.length == 2 && p(0) == "the" && p(1).startsWith("qu"))
+      assert(r.getAs[Long]("n_occurrences") == expected)
+    }
+  }
+
+  test("q_intervals is ordered: every gap non-negative and within max_gaps") {
+    val rows = FullText.qIntervals(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("min_gap") >= 0 && r.getAs[Long]("min_gap") <= 2)
+      assert(r.getAs[Long]("n_intervals") >= 1)
+    }
+    // ordered ⊆ unordered: every intervals doc with gap g has span
+    // distance g+1, so it must appear in span_near when g+1 <= slop 3
+    val near = FullText.qSpanNear(spark, sfDir).collect()
+      .map(_.getAs[Long]("doc_id")).toSet
+    rows.filter(_.getAs[Long]("min_gap") <= 2).foreach { r =>
+      assert(near(r.getAs[Long]("doc_id")),
+        s"doc ${r.getAs[Long]("doc_id")} ordered-matched but missing from span_near")
+    }
+  }
+
+  test("q_synonym_match finds docs through the expansion only") {
+    val rows = FullText.qSynonymMatch(spark, sfDir).collect()
+    assert(rows.length == FullText.K)
+    // score counts every expanded-token occurrence; with 'join' in the
+    // expansion every returned doc matches at least once
+    assert(rows.forall(_.getAs[Long]("score") >= 1))
+    assert(rows.forall { r =>
+      val n = r.getAs[Long]("n_terms"); n >= 1 && n <= 2
+    })
+    val s = rows.map(_.getAs[Long]("score"))
+    assert(s.sameElements(s.sortBy(-(_: Long))))
+  }
 }
