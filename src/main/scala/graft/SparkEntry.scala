@@ -95,7 +95,11 @@ object SparkEntry {
     "q_search_after"   -> (Collection.qSearchAfter _),
     "q_rollup"         -> (Relational.qRollup _),
     "q_percentiles"    -> (Relational.qPercentiles _),
+    "q_percentile_ranks" -> (Relational.qPercentileRanks _),
+    "q_boxplot"        -> (Relational.qBoxplot _),
     "q_date_histogram" -> (Relational.qDateHistogram _),
+    "q_auto_date_histogram" -> (Relational.qAutoDateHistogram _),
+    "q_bucket_selector" -> (Relational.qBucketSelector _),
     "q_dist_matrix"      -> (VectorSearch.qDistMatrix _),
     "q_centroid_anomaly" -> (VectorSearch.qCentroidAnomaly _),
     "q_geo_search"     -> (Geo.qGeoSearch _),
@@ -947,6 +951,46 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_percentile_ranks" ->
+      """SELECT event_type,
+        |  round(100.0 * sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) / count(*), 6) AS r10,
+        |  round(100.0 * sum(CASE WHEN value <= 50.0 THEN 1 ELSE 0 END) / count(*), 6) AS r50,
+        |  round(100.0 * sum(CASE WHEN value <= 200.0 THEN 1 ELSE 0 END) / count(*), 6) AS r200
+        |FROM events GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_boxplot" ->
+      """SELECT l_returnflag,
+        |  round(min(l_quantity), 6) AS min_q,
+        |  round(quantile_cont(l_quantity, 0.25), 6) AS q1,
+        |  round(quantile_cont(l_quantity, 0.5), 6) AS median,
+        |  round(quantile_cont(l_quantity, 0.75), 6) AS q3,
+        |  round(quantile_cont(l_quantity, 0.75) - quantile_cont(l_quantity, 0.25), 6) AS iqr,
+        |  round(max(l_quantity), 6) AS max_q
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_auto_date_histogram" ->
+      """WITH b AS (SELECT date_diff('day', min(o_orderdate), max(o_orderdate)) + 1 AS span
+        |           FROM orders),
+        |u AS (SELECT CASE WHEN ceil(span / 1.0) <= 40 THEN 'day'
+        |                  WHEN ceil(span / 7.0) <= 40 THEN 'week'
+        |                  WHEN ceil(span / 30.0) <= 40 THEN 'month'
+        |                  WHEN ceil(span / 91.0) <= 40 THEN 'quarter'
+        |                  ELSE 'year' END AS unit FROM b)
+        |SELECT unit,
+        |  CASE unit WHEN 'day' THEN date_trunc('day', o_orderdate)
+        |            WHEN 'week' THEN date_trunc('week', o_orderdate)
+        |            WHEN 'month' THEN date_trunc('month', o_orderdate)
+        |            WHEN 'quarter' THEN date_trunc('quarter', o_orderdate)
+        |            ELSE date_trunc('year', o_orderdate) END AS bucket,
+        |  count(*) AS n_orders, round(sum(o_totalprice), 2) AS revenue
+        |FROM orders CROSS JOIN u
+        |GROUP BY 1, 2 ORDER BY bucket""".stripMargin,
+    "q_bucket_selector" ->
+      """WITH d AS (SELECT date_trunc('day', o_orderdate) AS day, count(*) AS n_orders,
+        |    sum(o_totalprice) AS rev FROM orders GROUP BY 1),
+        |a AS (SELECT avg(rev) AS avg_rev FROM d)
+        |SELECT day, n_orders, round(rev, 2) AS revenue, round(rev / avg_rev, 6) AS lift
+        |FROM d CROSS JOIN a
+        |WHERE rev > 1.1 * avg_rev
+        |ORDER BY revenue DESC, day LIMIT 10""".stripMargin,
     "q_dist_matrix" ->
       """WITH s AS (SELECT vec_id, embedding::DOUBLE[] AS emb FROM embeddings
         |           WHERE vec_id % 40 = 0),

@@ -425,4 +425,103 @@ object Relational {
           w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2).as("cum_rev"))
       .orderBy(col("day"))
   }
+
+  /** Bucket selector + bucket sort (ES `bucket_selector` /
+    * `bucket_sort` pipeline aggs): daily order buckets are kept only
+    * when their revenue exceeds 1.1× the all-days average — a
+    * selector whose parameter is a SIBLING-bucket metric, not a
+    * constant HAVING — then sorted by revenue and truncated to 10.
+    * The daily frame is |days|-sized, so the sibling average is a
+    * one-row broadcast back onto it; nothing corpus-sized happens
+    * after the first aggregate.
+    */
+  def qBucketSelector(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(date_trunc("day", col("o_orderdate")).as("day"))
+      .agg(count(lit(1)).as("n_orders"), sum(col("o_totalprice")).as("rev"))
+    val avgRev = daily.agg(avg(col("rev")).as("avg_rev"))
+    daily.crossJoin(broadcast(avgRev))
+      .filter(col("rev") > lit(1.1) * col("avg_rev"))
+      .select(col("day"), col("n_orders"),
+        round(col("rev"), 2).as("revenue"),
+        round(col("rev") / col("avg_rev"), 6).as("lift"))
+      .orderBy(col("revenue").desc, col("day"))
+      .limit(10)
+  }
+
+  /** Target bucket count for [[qAutoDateHistogram]]. */
+  val AutoHistTarget = 40
+
+  /** Auto-interval date histogram (ES `auto_date_histogram`): the
+    * calendar interval is not given but CHOSEN — the smallest unit
+    * from the day/week/month/quarter/year ladder whose bucket count
+    * stays within the target — from the data's own min/max span. The
+    * span probe is a 2-value aggregate broadcast back onto the scan;
+    * the histogram itself is the usual map-side-combinable
+    * date_trunc groupBy, so the auto variant costs one extra tiny
+    * pass over column statistics (at 100 TB the min/max come from
+    * parquet footers via the same scan pushdown).
+    */
+  def qAutoDateHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val t = AutoHistTarget
+    val span = orders.agg(
+      (datediff(max(col("o_orderdate")), min(col("o_orderdate"))) + 1).as("span"))
+    val unit = when(ceil(col("span") / lit(1.0)) <= t, "day")
+      .when(ceil(col("span") / lit(7.0)) <= t, "week")
+      .when(ceil(col("span") / lit(30.0)) <= t, "month")
+      .when(ceil(col("span") / lit(91.0)) <= t, "quarter")
+      .otherwise("year")
+    val bucket = when(col("unit") === "day", date_trunc("day", col("o_orderdate")))
+      .when(col("unit") === "week", date_trunc("week", col("o_orderdate")))
+      .when(col("unit") === "month", date_trunc("month", col("o_orderdate")))
+      .when(col("unit") === "quarter", date_trunc("quarter", col("o_orderdate")))
+      .otherwise(date_trunc("year", col("o_orderdate")))
+    orders.crossJoin(broadcast(span.select(unit.as("unit"))))
+      .groupBy(col("unit"), bucket.as("bucket"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("revenue"))
+      .orderBy(col("bucket"))
+  }
+
+  /** Percentile-rank thresholds for [[qPercentileRanks]]. */
+  val RankThresholds: Seq[Double] = Seq(10.0, 50.0, 200.0)
+
+  /** Percentile ranks (ES `percentile_ranks` — the inverse of
+    * [[qPercentiles]]): per event type, the percentage of values at
+    * or below each fixed threshold — the exact empirical CDF, three
+    * conditional counts fused into one map-side-combinable scan
+    * (where ES's TDigest answers approximately).
+    */
+  def qPercentileRanks(spark: SparkSession, sfDir: String): DataFrame = {
+    def rank(t: Double) =
+      round(lit(100.0) * sum(when(col("value") <= t, 1L).otherwise(0L)) / count(lit(1)), 6)
+    Tables.events(spark, sfDir)
+      .groupBy(col("event_type"))
+      .agg(rank(RankThresholds(0)).as("r10"),
+        rank(RankThresholds(1)).as("r50"),
+        rank(RankThresholds(2)).as("r200"))
+      .orderBy(col("event_type"))
+  }
+
+  /** Boxplot / five-number summary (ES `boxplot` agg): per return
+    * flag — min, q1, median, q3, max and the IQR of l_quantity,
+    * linear-interpolated exactly like [[qPercentiles]] (ES reports
+    * TDigest approximations; at Spark scale the exact sort-based
+    * percentile is affordable per group).
+    */
+  def qBoxplot(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .groupBy(col("l_returnflag"))
+      .agg(
+        round(min(col("l_quantity")), 6).as("min_q"),
+        percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
+        round(max(col("l_quantity")), 6).as("max_q"))
+      .select(col("l_returnflag"), col("min_q"),
+        round(col("p")(0), 6).as("q1"),
+        round(col("p")(1), 6).as("median"),
+        round(col("p")(2), 6).as("q3"),
+        round(col("p")(2) - col("p")(0), 6).as("iqr"),
+        col("max_q"))
+      .orderBy(col("l_returnflag"))
 }

@@ -272,6 +272,47 @@ class RelationalSpec extends SparkSpec {
     assert(again == total)
   }
 
+  test("q_bucket_selector keeps only above-average buckets, sorted") {
+    val rows = graft.operators.Relational.qBucketSelector(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 10)
+    // every surviving bucket's lift exceeds the 1.1 selector bound
+    assert(rows.forall(_.getAs[Double]("lift") > 1.1))
+    val rev = rows.map(_.getAs[Double]("revenue"))
+    assert(rev.sameElements(rev.sortBy(-(_: Double))))
+  }
+
+  test("q_auto_date_histogram picks the smallest unit within target") {
+    val rows = graft.operators.Relational.qAutoDateHistogram(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.length <= graft.operators.Relational.AutoHistTarget)
+    // one unit for the whole histogram; orders' ~6.5-year span lands on quarter
+    assert(rows.map(_.getAs[String]("unit")).distinct.sameElements(Array("quarter")))
+    // buckets are distinct and cover the span in order
+    val buckets = rows.map(_.getAs[java.sql.Timestamp]("bucket"))
+    assert(buckets.distinct.length == buckets.length)
+  }
+
+  test("q_percentile_ranks is a monotone CDF per event type") {
+    val rows = graft.operators.Relational.qPercentileRanks(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b, c) = (r.getAs[Double]("r10"), r.getAs[Double]("r50"), r.getAs[Double]("r200"))
+      assert(a >= 0 && c <= 100)
+      assert(a <= b && b <= c, s"CDF must be monotone: $a, $b, $c")
+    }
+  }
+
+  test("q_boxplot five-number summaries are ordered with exact IQR") {
+    val rows = graft.operators.Relational.qBoxplot(spark, sfDir).collect()
+    assert(rows.length == 3) // A, N, R
+    rows.foreach { r =>
+      val (mn, q1, md, q3, mx) = (r.getAs[Double]("min_q"), r.getAs[Double]("q1"),
+        r.getAs[Double]("median"), r.getAs[Double]("q3"), r.getAs[Double]("max_q"))
+      assert(mn <= q1 && q1 <= md && md <= q3 && q3 <= mx)
+      assert(math.abs(r.getAs[Double]("iqr") - (q3 - q1)) < 1e-6)
+    }
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }
