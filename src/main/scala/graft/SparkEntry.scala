@@ -91,7 +91,9 @@ object SparkEntry {
     "q_pack_sequences" -> (TrainingPipeline.qPackSequences _),
     "q_more_like_this"     -> (FullText.qMoreLikeThis _),
     "q_significant_terms"  -> (FullText.qSignificantTerms _),
+    "q_significant_text"   -> (FullText.qSignificantText _),
     "q_highlight"          -> (FullText.qHighlight _),
+    "q_media_dedup"        -> (Multimodal.qMediaDedup _),
     "q_search_after"   -> (Collection.qSearchAfter _),
     "q_rollup"         -> (Relational.qRollup _),
     "q_percentiles"    -> (Relational.qPercentiles _),
@@ -922,6 +924,37 @@ object SparkEntry {
         |        ((CAST(b.df_bg AS DOUBLE) + 1) / n.n_bg), 6) AS score
         |FROM fg f JOIN bg b USING (token) CROSS JOIN n
         |ORDER BY score DESC, token LIMIT 20""".stripMargin,
+    "q_significant_text" ->
+      s"""WITH bm AS ($oracleBm25),
+         |samp AS (SELECT doc_id FROM bm ORDER BY bm25 DESC, doc_id LIMIT 100),
+         |toks AS (SELECT doc_id,
+         |    unnest(list_distinct(string_split(text, ' '))) AS token FROM documents),
+         |fg AS (SELECT token, count(*) AS df_fg FROM toks
+         |       WHERE doc_id IN (SELECT doc_id FROM samp)
+         |       GROUP BY 1 HAVING count(*) >= 3),
+         |bg AS (SELECT token, count(*) AS df_bg FROM toks
+         |       WHERE token IN (SELECT token FROM fg) GROUP BY 1),
+         |n AS (SELECT (SELECT count(*) FROM documents) AS n_bg,
+         |             (SELECT count(*) FROM samp) AS n_fg)
+         |SELECT f.token, f.df_fg, b.df_bg,
+         |  round((CAST(f.df_fg AS DOUBLE) / n.n_fg) /
+         |        ((CAST(b.df_bg AS DOUBLE) + 1) / n.n_bg), 6) AS score
+         |FROM fg f JOIN bg b USING (token) CROSS JOIN n
+         |ORDER BY score DESC, token LIMIT 20""".stripMargin,
+    "q_media_dedup" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0)
+        |SELECT md5(text) AS digest, min(doc_id) AS keeper_id,
+        |  count(*) AS n_copies,
+        |  CAST(sum(strlen(text)) - max(strlen(text)) AS BIGINT) AS wasted_bytes
+        |FROM all_docs
+        |GROUP BY 1 HAVING count(*) > 1 ORDER BY keeper_id""".stripMargin,
     "q_highlight" ->
       """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents),
         |p AS (SELECT doc_id, toks,

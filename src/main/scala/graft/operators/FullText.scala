@@ -158,6 +158,42 @@ object FullText {
       .limit(K)
   }
 
+  /** Sampler pool size for [[qSignificantText]]. */
+  val SamplerPool = 100
+
+  /** Significant text under a sampler (the canonical ES composition
+    * `sampler` → `significant_text`): the foreground is not a fixed
+    * metadata slice (that's [[qSignificantTerms]]) but the top-100
+    * BM25 documents of the live query — "which words characterize
+    * this query's result neighborhood". The sample is a bounded
+    * broadcast (top-k ties broken by doc_id), the token universe is
+    * pruned to sample tokens before the corpus-wide background
+    * count, and the rate-ratio scoring matches significant_terms.
+    */
+  def qSignificantText(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val sample = index(spark, sfDir).bm25(Terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(SamplerPool)
+      .select(col("doc_id"))
+    val toks = docs.select(col("doc_id"),
+      explode(array_distinct(split(col("text"), " "))).as("token"))
+    val fgDf = toks.join(broadcast(sample), "doc_id")
+      .groupBy(col("token")).agg(count(lit(1)).as("df_fg"))
+      .filter(col("df_fg") >= 3)
+    val counts = docs.agg(count(lit(1)).as("n_bg"))
+      .crossJoin(sample.agg(count(lit(1)).as("n_fg")))
+    toks.join(broadcast(fgDf.select(col("token"))), "token")
+      .groupBy(col("token")).agg(count(lit(1)).as("df_bg"))
+      .join(broadcast(fgDf), "token")
+      .crossJoin(broadcast(counts))
+      .withColumn("score", round(
+        (col("df_fg").cast("double") / col("n_fg")) /
+          ((col("df_bg").cast("double") + 1) / col("n_bg")), 6))
+      .select(col("token"), col("df_fg"), col("df_bg"), col("score"))
+      .orderBy(col("score").desc, col("token"))
+      .limit(K)
+  }
+
   /** Completion suggest (ES completion/term suggester, the
     * autocomplete box behind every search bar): corpus tokens
     * matching a prefix, ranked by total term frequency with the
@@ -282,10 +318,19 @@ object FullText {
     * the scan. ES builds a query index to prune; at Spark scale the
     * broadcast-and-filter IS the prune (queries fit in memory).
     */
-  def qPercolate(spark: SparkSession, sfDir: String): DataFrame = {
-    val queries = spark.createDataFrame(StoredQueries)
+  def qPercolate(spark: SparkSession, sfDir: String): DataFrame =
+    percolate(Tables.documents(spark, sfDir))
+      .orderBy(col("pq_id"), col("doc_id"))
+
+  /** The percolate core over any (doc_id, text) frame — shared by
+    * [[qPercolate]] and the streaming alerting twin
+    * ([[graft.streaming.PercolateStream]]), so batch and streaming
+    * percolation are provably the same operator.
+    */
+  def percolate(docs: DataFrame): DataFrame = {
+    val queries = docs.sparkSession.createDataFrame(StoredQueries)
       .toDF("pq_id", "q_terms", "min_match")
-    Tables.documents(spark, sfDir)
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .crossJoin(broadcast(queries))
       .select(col("pq_id"), col("doc_id"),
@@ -294,7 +339,6 @@ object FullText {
         col("min_match"))
       .filter(col("n_matched") >= col("min_match"))
       .select(col("pq_id"), col("doc_id"), col("n_matched"))
-      .orderBy(col("pq_id"), col("doc_id"))
   }
 
   /** Span-near proximity search (ES `span_near`, Lucene proximity):

@@ -146,4 +146,27 @@ object Multimodal {
         round(avg(col("n_bytes")), 6).as("avg_bytes"),
         countDistinct(col("digest")).as("n_unique"))
       .orderBy(col("source"))
+
+  /** Exact media dedup (content-addressable-storage shape): the
+    * binary payloads of the duplicate-augmented corpus grouped by
+    * content digest — one row per duplicate group with its keeper,
+    * copy count, and reclaimable bytes. Unlike text dedup there is no
+    * normalization: media bytes either match or don't, so the digest
+    * groupBy (16-byte keys, map-side combinable) IS the whole
+    * operator — the petabyte-scale dedup every multimodal lake runs
+    * at ingest.
+    */
+  def qMediaDedup(spark: SparkSession, sfDir: String): DataFrame =
+    Dedup.augmentedDocs(spark, sfDir)
+      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
+      .select(col("doc_id"), md5(col("payload")).as("digest"),
+        length(col("payload")).cast("long").as("n_bytes"))
+      .groupBy(col("digest"))
+      .agg(min(col("doc_id")).as("keeper_id"),
+        count(lit(1)).as("n_copies"),
+        // copies are byte-identical, so every member has the same
+        // size; reclaimable = all but the keeper
+        (sum(col("n_bytes")) - max(col("n_bytes"))).as("wasted_bytes"))
+      .filter(col("n_copies") > 1)
+      .orderBy(col("keeper_id"))
 }

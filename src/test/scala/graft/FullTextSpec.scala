@@ -297,6 +297,21 @@ class FullTextSpec extends SparkSpec {
     }
   }
 
+  test("q_significant_text: sample terms lift above their corpus rate") {
+    val rows = FullText.qSignificantText(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= FullText.K)
+    // the query terms themselves must surface in the sampled
+    // neighborhood and carry positive lift
+    val tokens = rows.map(_.getAs[String]("token")).toSet
+    assert(FullText.Terms.exists(tokens.contains),
+      s"expected a query term among significant tokens: $tokens")
+    rows.foreach { r =>
+      assert(r.getAs[Long]("df_fg") >= 3)
+      assert(r.getAs[Long]("df_bg") >= r.getAs[Long]("df_fg"))
+      assert(r.getAs[Double]("score") > 0)
+    }
+  }
+
   test("q_synonym_match finds docs through the expansion only") {
     val rows = FullText.qSynonymMatch(spark, sfDir).collect()
     assert(rows.length == FullText.K)

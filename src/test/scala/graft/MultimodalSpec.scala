@@ -89,4 +89,23 @@ class MultimodalSpec extends SparkSpec {
       assert(lastStart <= dur - 1000 && lastStart + 500 > dur - 1000)
     }
   }
+
+  test("q_media_dedup finds exactly the constructed byte-identical copies") {
+    import org.apache.spark.sql.functions.col
+    val rows = Multimodal.qMediaDedup(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // every constructed exact copy (doc_id % 7 == 0 → +10000) lands in
+    // a group keyed by its original
+    val originals = Tables.documents(spark, sfDir)
+      .filter(col("doc_id") % 7 === 0).select("doc_id")
+      .collect().map(_.getLong(0)).toSet
+    val keepers = rows.map(_.getAs[Long]("keeper_id")).toSet
+    assert(originals.subsetOf(keepers))
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_copies") >= 2)
+      assert(r.getAs[Long]("wasted_bytes") >= 0)
+      // wasted = (n_copies - 1) × size: divisible check without size
+      assert(r.getAs[Long]("wasted_bytes") % (r.getAs[Long]("n_copies") - 1) == 0)
+    }
+  }
 }

@@ -64,6 +64,27 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select(md5(lower(trim(col("text"))))).distinct().count() == nDistinct)
   }
 
+  test("streaming percolate alerts equal the batch percolation") {
+    import org.apache.spark.sql.functions.col
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val srcDir = Files.createTempDirectory("graft-perc-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long, Long)]()
+    val q = graft.streaming.PercolateStream.alertStream(
+      spark.readStream.schema(docs.schema).parquet(srcDir)) { res =>
+      res.collect().foreach(r => collected.add((r.getAs[Long]("pq_id"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("n_matched"))))
+    }
+    q.awaitTermination(120000)
+
+    val batch = graft.operators.FullText.qPercolate(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("pq_id"), r.getAs[Long]("doc_id"),
+        r.getAs[Long]("n_matched"))).toSet
+    val streamed = scala.jdk.CollectionConverters.CollectionHasAsScala(collected).asScala.toSet
+    assert(streamed == batch)
+  }
+
   test("streaming vector search per micro-batch equals the batch search") {
     import org.apache.spark.sql.functions.col
     val queries = graft.operators.VectorSearch.querySet(spark, sfDir)
