@@ -49,7 +49,10 @@ object SparkEntry {
     "q_get_by_ids"       -> (Collection.qGetByIds _),
     "q_scroll"           -> (Collection.qScroll _),
     "q_collection_stats" -> (Collection.qCollectionStats _),
+    "q_count_filtered"   -> (Collection.qCountFiltered _),
     "q_facet"            -> (Collection.qFacet _),
+    "q_filters_agg"      -> (Relational.qFiltersAgg _),
+    "q_global_agg"       -> (FullText.qGlobalAgg _),
     "q_keyword_match" -> (FullText.qKeywordMatch _),
     "q_phrase_match"  -> (FullText.qPhraseMatch _),
     "q_fuzzy_match"   -> (FullText.qFuzzyMatch _),
@@ -559,6 +562,36 @@ object SparkEntry {
         |  max(len(embedding)) AS dim,
         |  round(avg(sqrt(list_inner_product(embedding::DOUBLE[], embedding::DOUBLE[]))), 6) AS avg_norm
         |FROM embeddings""".stripMargin,
+    "q_count_filtered" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0)
+        |SELECT count(*) AS n_vectors, count(DISTINCT label) AS n_labels
+        |FROM embeddings CROSS JOIN qv
+        |WHERE label < 5
+        |  AND round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) >= 0.2""".stripMargin,
+    "q_filters_agg" ->
+      """WITH e AS (SELECT event_type, value,
+        |    CAST(json_extract_string(props, '$.k') AS BIGINT) AS k FROM events),
+        |s AS (SELECT
+        |    CAST(sum(CASE WHEN value > 100 THEN 1 ELSE 0 END) AS BIGINT) AS c1,
+        |    round(avg(CASE WHEN value > 100 THEN value END), 6) AS a1,
+        |    CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS c2,
+        |    round(avg(CASE WHEN event_type = 'click' THEN value END), 6) AS a2,
+        |    CAST(sum(CASE WHEN k >= 50 THEN 1 ELSE 0 END) AS BIGINT) AS c3,
+        |    round(avg(CASE WHEN k >= 50 THEN value END), 6) AS a3
+        |  FROM e)
+        |SELECT 'high_value' AS bucket, c1 AS n_events, a1 AS avg_value FROM s
+        |UNION ALL SELECT 'clicks', c2, a2 FROM s
+        |UNION ALL SELECT 'big_k', c3, a3 FROM s
+        |ORDER BY bucket""".stripMargin,
+    "q_global_agg" ->
+      """SELECT lang,
+        |  CAST(sum(CASE WHEN list_contains(string_split(text, ' '), 'vector')
+        |               THEN 1 ELSE 0 END) AS BIGINT) AS n_matched,
+        |  round(avg(CASE WHEN list_contains(string_split(text, ' '), 'vector')
+        |                THEN n_chars END), 6) AS avg_chars_matched,
+        |  count(*) AS n_all,
+        |  round(avg(n_chars), 6) AS avg_chars_all
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_keyword_match" ->
       """SELECT doc_id, lang,
         |  (CAST(list_contains(string_split(text, ' '), 'spark') AS BIGINT)

@@ -144,6 +144,25 @@ object Collection {
         max(col("dim")).as("dim"),
         round(avg(col("nrm")), 6).as("avg_norm"))
 
+  /** Filtered count (the Qdrant `count` API with a filter, exact
+    * mode): how many vectors satisfy a metadata + geometry predicate
+    * — label under 5 AND within cosine 0.2 of the query vector (the
+    * count twin of range search) — with the label spread alongside.
+    * The metadata half pushes into the scan; the similarity half is
+    * one codegen'd expression against a one-row broadcast; the
+    * aggregate is a two-value map-side combine. The cheapest
+    * possible full-filter pass at any corpus size.
+    */
+  def qCountFiltered(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    emb.filter(col("label") < 5)
+      .crossJoin(broadcast(qv))
+      .filter(round(vec.cosine(col("q_emb"), col("embedding")), 6) >= 0.2)
+      .agg(count(lit(1)).as("n_vectors"),
+        countDistinct(col("label")).as("n_labels"))
+  }
+
   /** Update-by-query (ES `update_by_query` / Qdrant `set_payload`
     * with a filter): a payload transform applied to every row the
     * predicate matches — short docs get tier 'low', the rest keep

@@ -158,6 +158,26 @@ object FullText {
       .limit(K)
   }
 
+  /** Global aggregation (ES `global` agg): per language, the matched
+    * slice ('vector' docs) and the UNFILTERED corpus statistics side
+    * by side — the "your results vs everything" comparator every
+    * search analytics page shows. ES escapes the query scope with a
+    * `global` bucket; Spark-first this is one scan with conditional
+    * aggregates — the match flag is a per-row expression, so no
+    * second pass and no join.
+    */
+  def qGlobalAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val matched = array_contains(split(col("text"), " "), "vector")
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"))
+      .agg(
+        sum(when(matched, 1L).otherwise(0L)).as("n_matched"),
+        round(avg(when(matched, col("n_chars"))), 6).as("avg_chars_matched"),
+        count(lit(1)).as("n_all"),
+        round(avg(col("n_chars")), 6).as("avg_chars_all"))
+      .orderBy(col("lang"))
+  }
+
   /** Sampler pool size for [[qSignificantText]]. */
   val SamplerPool = 100
 
@@ -172,9 +192,13 @@ object FullText {
     */
   def qSignificantText(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
+    // the ≤100-row sample feeds three branches (foreground df, the
+    // n_fg count, and the broadcast prune) — materialize it once so
+    // the corpus-wide BM25 underneath runs once, not three times
     val sample = index(spark, sfDir).bm25(Terms)
       .orderBy(col("bm25").desc, col("doc_id")).limit(SamplerPool)
       .select(col("doc_id"))
+      .localCheckpoint()
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
     val fgDf = toks.join(broadcast(sample), "doc_id")

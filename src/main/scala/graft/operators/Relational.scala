@@ -504,6 +504,30 @@ object Relational {
       .orderBy(col("event_type"))
   }
 
+  /** Named-filters aggregation (ES `filters` agg): three independent
+    * named predicates — a value band, an event type, a JSON-payload
+    * condition — each with its count and mean, computed as ONE
+    * conditional-aggregate scan and unpivoted to (bucket, metrics)
+    * rows. The sibling of [[qAdjacencyMatrix]] (which adds the
+    * pairwise intersections); neither runs more than one pass.
+    */
+  def qFiltersAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value"),
+        get_json_object(col("props"), "$.k").cast("long").as("k"))
+    def bucket(name: String, cond: org.apache.spark.sql.Column) = struct(
+      lit(name).as("bucket"),
+      sum(when(cond, 1L).otherwise(0L)).as("n_events"),
+      round(avg(when(cond, col("value"))), 6).as("avg_value"))
+    ev.agg(bucket("high_value", col("value") > 100).as("b1"),
+        bucket("clicks", col("event_type") === "click").as("b2"),
+        bucket("big_k", col("k") >= 50).as("b3"))
+      .select(explode(array(col("b1"), col("b2"), col("b3"))).as("b"))
+      .select(col("b.bucket").as("bucket"), col("b.n_events").as("n_events"),
+        col("b.avg_value").as("avg_value"))
+      .orderBy(col("bucket"))
+  }
+
   /** Boxplot / five-number summary (ES `boxplot` agg): per return
     * flag — min, q1, median, q3, max and the IQR of l_quantity,
     * linear-interpolated exactly like [[qPercentiles]] (ES reports

@@ -115,4 +115,15 @@ class CollectionSpec extends SparkSpec {
     val ids = page.map(_.getAs[Long]("vec_id"))
     assert(ids.sameElements(ids.sorted))
   }
+
+  test("q_count_filtered counts a strict subset of the collection") {
+    import org.apache.spark.sql.functions.col
+    val r = Collection.qCountFiltered(spark, sfDir).head()
+    val labelOnly = Tables.embeddings(spark, sfDir).filter(col("label") < 5).count()
+    // vector 0 has label 0 < 5 and cosine 1.0 with itself, so the
+    // count is never empty; the similarity half must prune further
+    assert(r.getAs[Long]("n_vectors") > 0)
+    assert(r.getAs[Long]("n_vectors") < labelOnly)
+    assert(r.getAs[Long]("n_labels") <= 5)
+  }
 }

@@ -297,6 +297,18 @@ class FullTextSpec extends SparkSpec {
     }
   }
 
+  test("q_global_agg reports matched slice against unfiltered totals") {
+    val rows = FullText.qGlobalAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_matched") <= r.getAs[Long]("n_all"))
+      assert(r.getAs[Long]("n_all") > 0)
+    }
+    // global totals must equal the corpus partition by lang
+    val total = rows.map(_.getAs[Long]("n_all")).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+  }
+
   test("q_significant_text: sample terms lift above their corpus rate") {
     val rows = FullText.qSignificantText(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= FullText.K)

@@ -302,6 +302,16 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_filters_agg buckets count independently in one scan") {
+    val rows = graft.operators.Relational.qFiltersAgg(spark, sfDir).collect()
+    assert(rows.length == 3)
+    val byName = rows.map(r => r.getAs[String]("bucket") -> r).toMap
+    assert(byName.keySet == Set("high_value", "clicks", "big_k"))
+    // high_value bucket's mean must exceed its own filter bound
+    assert(byName("high_value").getAs[Double]("avg_value") > 100)
+    rows.foreach(r => assert(r.getAs[Long]("n_events") > 0))
+  }
+
   test("q_boxplot five-number summaries are ordered with exact IQR") {
     val rows = graft.operators.Relational.qBoxplot(spark, sfDir).collect()
     assert(rows.length == 3) // A, N, R
