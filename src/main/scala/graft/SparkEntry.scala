@@ -39,6 +39,7 @@ object SparkEntry {
     "q_discover"      -> (VectorSearch.qDiscover _),
     "q_context_search" -> (VectorSearch.qContextSearch _),
     "q_move_vector"   -> (VectorSearch.qMoveVector _),
+    "q_autocut"       -> (VectorSearch.qAutocut _),
     "q_maxsim"        -> (VectorSearch.qMaxsim _),
     "q_search_agg"    -> (VectorSearch.qSearchAgg _),
     "q_matryoshka_knn" -> (VectorSearch.qMatryoshkaKnn _),
@@ -443,6 +444,19 @@ object SparkEntry {
         |SELECT vec_id, rn, score FROM (
         |  SELECT vec_id, score, row_number() OVER (ORDER BY score DESC, vec_id) AS rn FROM s)
         |WHERE rn <= 10 ORDER BY rn""".stripMargin,
+    "q_autocut" ->
+      """WITH qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+        |pool AS (SELECT vec_id,
+        |    round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS score
+        |  FROM embeddings CROSS JOIN qv
+        |  WHERE vec_id <> 0 ORDER BY score DESC, vec_id LIMIT 50),
+        |r AS (SELECT vec_id, score,
+        |    row_number() OVER (ORDER BY score DESC, vec_id) AS rn,
+        |    lag(score) OVER (ORDER BY score DESC, vec_id) - score AS gap FROM pool),
+        |st AS (SELECT (max(score) - min(score)) / (count(*) - 1) * 3.0 AS thr FROM r),
+        |c AS (SELECT min(rn) AS cut_rn FROM r CROSS JOIN st WHERE gap > thr)
+        |SELECT vec_id, rn, score FROM r CROSS JOIN c
+        |WHERE c.cut_rn IS NULL OR rn < c.cut_rn ORDER BY rn""".stripMargin,
     "q_move_vector" ->
       """WITH v AS (SELECT
         |    (SELECT embedding::DOUBLE[] FROM embeddings WHERE vec_id = 0)   AS q,

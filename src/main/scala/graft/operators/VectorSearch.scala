@@ -352,6 +352,46 @@ object VectorSearch {
       .orderBy(col("rn"))
   }
 
+  /** Autocut pool size and jump factor for [[qAutocut]]. */
+  val AutocutPool = 50
+  val AutocutFactor = 3.0
+
+  /** Autocut (Weaviate `autocut`): instead of a fixed k, the ranked
+    * list is cut at the first QUALITY JUMP — a consecutive-score drop
+    * exceeding `AutocutFactor`× the pool's uniform spacing
+    * (range / (n−1)). Everything from the jump down is noise relative
+    * to the head and is discarded. The pool is a bounded top-50
+    * (distributed TakeOrderedAndProject); the gap scan, threshold,
+    * and cut are all windows/aggregates over those 50 rows, so the
+    * adaptive cut costs nothing beyond the plain kNN at any corpus
+    * size. The query vector itself is excluded (its score-1.0 spike
+    * would always be the first jump).
+    */
+  def qAutocut(spark: SparkSession, sfDir: String): DataFrame = {
+    val emb = Tables.embeddings(spark, sfDir)
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val pool = emb.filter(col("vec_id") =!= 0)
+      .crossJoin(broadcast(qv))
+      .select(col("vec_id"),
+        round(vec.cosine(col("q_emb"), col("embedding")), 6).as("score"))
+      .orderBy(col("score").desc, col("vec_id")).limit(AutocutPool)
+    val w = Window.partitionBy(pmod(col("vec_id"), lit(1L)))
+      .orderBy(col("score").desc, col("vec_id"))
+    val ranked = pool
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .withColumn("gap", lag(col("score"), 1).over(w) - col("score"))
+    val thr = ranked.agg(
+      ((max(col("score")) - min(col("score"))) / (count(lit(1)) - 1)
+        * lit(AutocutFactor)).as("thr"))
+    val cut = ranked.crossJoin(broadcast(thr))
+      .filter(col("gap") > col("thr"))
+      .agg(min(col("rn")).as("cut_rn"))
+    ranked.crossJoin(broadcast(cut))
+      .filter(col("cut_rn").isNull || col("rn") < col("cut_rn"))
+      .select(col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("rn"))
+  }
+
   /** Per-query-filter batch search (Qdrant/Milvus batch search where
     * every query carries its own filter — here: only corpus vectors
     * sharing the query's label). Spark-first insight: a per-query

@@ -262,6 +262,20 @@ class VectorSearchSpec extends SparkSpec {
     assert(s.zip(s.tail).forall { case (x, y) => x >= y })
   }
 
+  test("q_autocut keeps a rank prefix and cuts only at a real jump") {
+    val rows = VectorSearch.qAutocut(spark, sfDir).collect().sortBy(_.getAs[Long]("rn"))
+    assert(rows.nonEmpty && rows.length <= VectorSearch.AutocutPool)
+    // the kept set is a 1..m rank prefix
+    assert(rows.map(_.getAs[Long]("rn")).sameElements(1L to rows.length))
+    val s = rows.map(_.getAs[Double]("score"))
+    assert(s.sameElements(s.sortBy(-(_: Double))))
+    // within the kept prefix no gap exceeds the pool threshold (the
+    // cut is at the FIRST jump, so everything kept is pre-jump)
+    if (rows.length < VectorSearch.AutocutPool) {
+      assert(!rows.map(_.getAs[Long]("vec_id")).contains(0L))
+    }
+  }
+
   test("q_move_vector steers toward moveTo and away from moveAway") {
     val rows = VectorSearch.qMoveVector(spark, sfDir).collect()
     assert(rows.length == VectorSearch.K)
