@@ -124,6 +124,44 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p)
   }
 
+  test("positional text queries are scan-only: no join, no shuffle agg") {
+    // phrase-prefix and ordered-intervals match inside per-row HOFs;
+    // the only exchange allowed is the presentation sort
+    Seq(FullText.qPhrasePrefix(spark, sfDir), FullText.qIntervals(spark, sfDir))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("Join"), p)
+        assert(!p.contains("Exchange hashpartitioning"), p)
+      }
+  }
+
+  test("steered and example-based searches fold examples into one-row broadcasts") {
+    // move-vector / best-score / context-search: the example vectors
+    // arrive via pushed-down point lookups folded to a single
+    // broadcast row — the corpus is scanned exactly once, unshuffled
+    Seq(VectorSearch.qMoveVector(spark, sfDir),
+        VectorSearch.qRecommendBestScore(spark, sfDir),
+        VectorSearch.qContextSearch(spark, sfDir))
+      .foreach { df =>
+        val p = plan(df)
+        assert(p.contains("BroadcastNestedLoopJoin"), p)
+        assert(!p.contains("SortMergeJoin") && !p.contains("ShuffledHashJoin"), p)
+      }
+  }
+
+  test("autocut's adaptive cut adds no corpus-sized work beyond the kNN pool") {
+    val p = plan(VectorSearch.qAutocut(spark, sfDir))
+    // pool = distributed top-k; gap/threshold/cut live on ≤50 rows
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("filtered count pushes the metadata predicate into the scan") {
+    val p = plan(Collection.qCountFiltered(spark, sfDir))
+    assert(p.contains("LessThan(label,5)"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("tenant-partitioned layout prunes other tenants' partitions at the scan") {
     import org.apache.spark.sql.functions._
     // multitenancy (Qdrant/Milvus partition-key isolation): the
