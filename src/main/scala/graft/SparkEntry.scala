@@ -151,7 +151,16 @@ object SparkEntry {
     "q_weighted_avg"    -> (Relational.qWeightedAvg _),
     "q_string_stats"    -> (TextAnalysis.qStringStats _),
     "q_top_metrics"     -> (Relational.qTopMetrics _),
-    "q_diversified_sample" -> (Relational.qDiversifiedSample _)
+    "q_diversified_sample" -> (Relational.qDiversifiedSample _),
+    "q_range_agg"       -> (Relational.qRangeAgg _),
+    "q_bucket_script"   -> (Relational.qBucketScript _),
+    "q_stats_bucket"    -> (Relational.qStatsBucket _),
+    "q_cumulative_cardinality" -> (Relational.qCumulativeCardinality _),
+    "q_nested_match"    -> (Relational.qNestedMatch _),
+    "q_boosting"        -> (FullText.qBoosting _),
+    "q_terms_set"       -> (FullText.qTermsSet _),
+    "q_top_hits"        -> (FullText.qTopHits _),
+    "q_gopher_quality"  -> (TextAnalysis.qGopherQuality _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1423,6 +1432,111 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, count(*) AS n_sampled,
         |  round(avg(value), 6) AS avg_value
-        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin
+        |FROM r WHERE rn <= 3 GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_range_agg" ->
+      """SELECT CASE WHEN n_chars < 200 THEN 'short'
+        |            WHEN n_chars < 350 THEN 'medium'
+        |            WHEN n_chars < 500 THEN 'long'
+        |            ELSE 'xlong' END AS bucket,
+        |  count(*) AS n_docs,
+        |  round(avg(n_chars), 6) AS avg_chars,
+        |  count(DISTINCT lang) AS n_langs
+        |FROM documents GROUP BY 1 ORDER BY bucket""".stripMargin,
+    "q_bucket_script" ->
+      """SELECT ts::DATE AS day,
+        |  CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS n_clicks,
+        |  CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS n_views,
+        |  round(CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS DOUBLE)
+        |        / sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END), 6) AS ctr,
+        |  round(round(sum(value), 2) / count(*), 6) AS value_per_event
+        |FROM events GROUP BY 1 ORDER BY day""".stripMargin,
+    "q_stats_bucket" ->
+      """WITH b AS (SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev
+        |           FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_buckets,
+        |  round(min(rev), 2) AS min_rev,
+        |  round(max(rev), 2) AS max_rev,
+        |  round(avg(rev), 6) AS avg_rev,
+        |  round(sum(rev), 2) AS sum_rev
+        |FROM b""".stripMargin,
+    "q_cumulative_cardinality" ->
+      """WITH ev AS (SELECT ts::DATE AS day, user_id FROM events),
+        |d AS (SELECT day, count(*) AS n_events FROM ev GROUP BY 1),
+        |fs AS (SELECT user_id, min(day) AS day FROM ev GROUP BY 1),
+        |nu AS (SELECT day, count(*) AS new_users FROM fs GROUP BY 1)
+        |SELECT d.day, d.n_events,
+        |  coalesce(nu.new_users, 0) AS new_users,
+        |  CAST(sum(coalesce(nu.new_users, 0)) OVER (ORDER BY d.day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_users
+        |FROM d LEFT JOIN nu USING (day) ORDER BY day""".stripMargin,
+    "q_nested_match" ->
+      """SELECT c_custkey, c_name, count(*) AS n_inner_hits,
+        |  round(max(o_totalprice), 2) AS best_price
+        |FROM customer JOIN orders ON c_custkey = o_custkey
+        |WHERE o_totalprice > 250000 AND o_orderpriority = '1-URGENT'
+        |GROUP BY 1, 2 ORDER BY c_custkey""".stripMargin,
+    "q_boosting" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tf AS (SELECT doc_id, token, count(*) AS tf FROM toks
+        |       WHERE token IN ('spark','join') GROUP BY 1, 2),
+        |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
+        |       WHERE token IN ('spark','join') GROUP BY 1),
+        |st AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents),
+        |bm AS (SELECT tf.doc_id, round(sum(
+        |    ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+        |    (CAST(tf.tf AS DOUBLE) * (1.2 + 1) /
+        |     (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)))), 6) AS bm25
+        |  FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+        |  GROUP BY tf.doc_id),
+        |neg AS (SELECT doc_id, list_contains(string_split(text, ' '), 'slow') AS demoted
+        |        FROM documents)
+        |SELECT bm.doc_id,
+        |  round(bm.bm25 * CASE WHEN neg.demoted THEN 0.5 ELSE 1.0 END, 7) AS score,
+        |  neg.demoted
+        |FROM bm JOIN neg USING (doc_id)
+        |ORDER BY score DESC, doc_id LIMIT 20""".stripMargin,
+    "q_terms_set" ->
+      """SELECT doc_id, lang,
+        |  CAST(CASE WHEN lang = 'en' THEN 4 ELSE 3 END AS BIGINT) AS msm,
+        |  (CAST(list_contains(string_split(text, ' '), 'spark') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'join') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'vector') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'data') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'query') AS BIGINT)) AS n_matched
+        |FROM documents
+        |WHERE (CAST(list_contains(string_split(text, ' '), 'spark') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'join') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'vector') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'data') AS BIGINT)
+        |   + CAST(list_contains(string_split(text, ' '), 'query') AS BIGINT))
+        |  >= CASE WHEN lang = 'en' THEN 4 ELSE 3 END
+        |ORDER BY doc_id""".stripMargin,
+    "q_top_hits" ->
+      """WITH h AS (SELECT lang, doc_id, n_chars,
+        |    count(*) OVER (PARTITION BY lang) AS n_hits,
+        |    row_number() OVER (PARTITION BY lang
+        |      ORDER BY n_chars DESC, doc_id) AS rank
+        |  FROM documents)
+        |SELECT lang, n_hits, rank, doc_id, n_chars
+        |FROM h WHERE rank <= 3 ORDER BY lang, rank""".stripMargin,
+    "q_gopher_quality" ->
+      """WITH m AS (SELECT doc_id,
+        |    len(string_split(text, ' ')) AS n_words,
+        |    round(CAST(list_sum(list_transform(string_split(text, ' '), t -> length(t)))
+        |          AS DOUBLE) / len(string_split(text, ' ')), 6) AS mean_word_len,
+        |    len(list_filter(string_split(text, ' '), t -> t IN ('the', 'a'))) AS n_stop,
+        |    round(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+        |          / len(string_split(text, ' ')), 6) AS distinct_ratio
+        |  FROM documents)
+        |SELECT doc_id, n_words, mean_word_len, n_stop, distinct_ratio,
+        |  (n_words >= 50 AND n_words <= 100000) AS pass_words,
+        |  (mean_word_len >= 3.0 AND mean_word_len <= 10.0) AS pass_wordlen,
+        |  (n_stop >= 2) AS pass_stop,
+        |  (distinct_ratio > 0.3) AS pass_repeat,
+        |  ((n_words >= 50 AND n_words <= 100000)
+        |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
+        |   AND (n_stop >= 2) AND (distinct_ratio > 0.3)) AS pass_all
+        |FROM m ORDER BY doc_id""".stripMargin
   )
 }

@@ -550,4 +550,74 @@ object FullText {
       .orderBy(col("score").desc, col("doc_id"))
       .limit(K)
   }
+
+  /** Boosting query (ES `boosting`: positive / negative /
+    * negative_boost 0.5): BM25 over the positive terms, demoted by
+    * half when the doc also matches the negative term. The negative
+    * test is a per-row array_contains folded into the same corpus
+    * scan that feeds the BM25 tf aggregate — matching ES's "demote,
+    * don't exclude" contract with zero extra passes (contrast
+    * [[qPinned]], which reorders, and boolean must_not, which
+    * filters).
+    */
+  def qBoosting(spark: SparkSession, sfDir: String): DataFrame = {
+    val negBoost = 0.5
+    val neg = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_contains(split(col("text"), " "), "slow").as("neg"))
+    // round to SEVEN digits (the qRescore trick): bm25 sits on the
+    // 1e-6 grid, so bm25·0.5 is exactly a 1e-7 grid POINT — rounding
+    // to 6 would hit .5 ties where engines' round() disagree
+    index(spark, sfDir).bm25(Seq("spark", "join"))
+      .join(neg, "doc_id")
+      .select(col("doc_id"),
+        round(col("bm25") * when(col("neg"), lit(negBoost)).otherwise(lit(1.0)), 7)
+          .as("score"),
+        col("neg").as("demoted"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  /** The terms_set vocabulary. */
+  val TermsSet: Seq[String] = Seq("spark", "join", "vector", "data", "query")
+
+  /** Terms-set query (ES `terms_set` with
+    * `minimum_should_match_field`): each document carries its OWN
+    * required match count (here: English docs demand 4 of the 5
+    * terms, others 3 — in ES the msm lives in a doc field). The
+    * per-doc msm is what separates this from a plain boolean
+    * minimum_should_match ([[qKeywordMatch]]). Scan-only: five
+    * codegen'd array_contains adds and a per-row comparison; no
+    * shuffle at all.
+    */
+  def qTermsSet(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    val nMatched = TermsSet.map(t => array_contains(toks, t).cast("long")).reduce(_ + _)
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        when(col("lang") === "en", 4L).otherwise(3L).as("msm"),
+        nMatched.as("n_matched"))
+      .filter(col("n_matched") >= col("msm"))
+      .orderBy(col("doc_id"))
+  }
+
+  /** Top-hits aggregation (ES `top_hits`, size 3): per language
+    * bucket, the bucket's doc count plus its top-3 documents by
+    * length (id tie-break) with their in-bucket rank. The generalized
+    * sibling of [[qCollapse]] (which keeps only rank 1): Spark 4
+    * plans the rank filter as WindowGroupLimit, pre-limiting each
+    * partition to 3 rows BEFORE the |langs|-keyed shuffle — the
+    * per-bucket hit lists never materialize beyond k anywhere.
+    */
+  def qTopHits(spark: SparkSession, sfDir: String): DataFrame = {
+    val byLang = Window.partitionBy(col("lang"))
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"), col("n_chars"))
+      .withColumn("n_hits", count(lit(1)).over(byLang).cast("long"))
+      .withColumn("rank",
+        row_number().over(byLang.orderBy(col("n_chars").desc, col("doc_id"))))
+      .filter(col("rank") <= 3)
+      .select(col("lang"), col("n_hits"), col("rank").cast("long").as("rank"),
+        col("doc_id"), col("n_chars"))
+      .orderBy(col("lang"), col("rank"))
+  }
 }

@@ -548,4 +548,106 @@ object Relational {
         round(col("p")(2) - col("p")(0), 6).as("iqr"),
         col("max_q"))
       .orderBy(col("l_returnflag"))
+
+  /** Range aggregation (ES `range` agg): contiguous named length
+    * bands over documents.n_chars, each with doc count, mean length
+    * and distinct-language cardinality. Because the bands are
+    * contiguous, the bucket key is a per-row expression and the whole
+    * agg is one map-side-combinable groupBy — no conditional-sum
+    * unpivot needed (that shape, [[qFiltersAgg]], is reserved for
+    * genuinely overlapping predicates). Scales as a single scan with
+    * |bands| output rows.
+    */
+  def qRangeAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .withColumn("bucket",
+        when(col("n_chars") < 200, "short")
+          .when(col("n_chars") < 350, "medium")
+          .when(col("n_chars") < 500, "long")
+          .otherwise("xlong"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars")), 6).as("avg_chars"),
+        count_distinct(col("lang")).as("n_langs"))
+      .orderBy(col("bucket"))
+
+  /** Bucket-script pipeline agg (ES `bucket_script`): per event day,
+    * metrics derived from sibling sub-aggregates of the same bucket —
+    * click-through rate (clicks/views) and mean value per event. The
+    * derived columns are plain projections over the one-scan daily
+    * conditional aggregate; nothing is recomputed per script.
+    */
+  def qBucketScript(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(
+        sum(when(col("event_type") === "click", 1L).otherwise(0L)).as("n_clicks"),
+        sum(when(col("event_type") === "view", 1L).otherwise(0L)).as("n_views"),
+        count(lit(1)).as("n_events"),
+        round(sum(col("value")), 2).as("sum_value"))
+      .select(col("day"), col("n_clicks"), col("n_views"),
+        round(col("n_clicks") / col("n_views"), 6).as("ctr"),
+        round(col("sum_value") / col("n_events"), 6).as("value_per_event"))
+      .orderBy(col("day"))
+
+  /** Sibling stats over buckets (ES `stats_bucket`): daily order
+    * revenue buckets reduced to one row of bucket-level stats. The
+    * inner date-histogram partial-aggregates map-side to |days| rows;
+    * the outer stats run over that tiny frame — the second "pipeline"
+    * pass costs nothing at any scale.
+    */
+  def qStatsBucket(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .agg(count(lit(1)).as("n_buckets"),
+        round(min(col("rev")), 2).as("min_rev"),
+        round(max(col("rev")), 2).as("max_rev"),
+        round(avg(col("rev")), 6).as("avg_rev"),
+        round(sum(col("rev")), 2).as("sum_rev"))
+
+  /** Cumulative cardinality (ES `cumulative_cardinality` pipeline
+    * agg): distinct users seen up to and including each event day.
+    * Computed exactly WITHOUT rescanning the prefix per day: each
+    * user contributes only its first-seen day (one groupBy on
+    * user_id), daily first-seen counts roll up with a running sum
+    * over the |days|-sized frame, and days with no new users still
+    * appear via the daily-activity left join. Two narrow aggregates +
+    * one tiny window — linear in users, constant in days².
+    */
+  def qCumulativeCardinality(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(to_date(col("ts")).as("day"), col("user_id"))
+    val days = ev.groupBy(col("day")).agg(count(lit(1)).as("n_events"))
+    val firstSeen = ev.groupBy(col("user_id")).agg(min(col("day")).as("day"))
+      .groupBy(col("day")).agg(count(lit(1)).as("new_users"))
+    val w = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    days.join(firstSeen, Seq("day"), "left")
+      .withColumn("new_users", coalesce(col("new_users"), lit(0L)))
+      .withColumn("cum_users", sum(col("new_users")).over(w))
+      .select(col("day"), col("n_events"), col("new_users"), col("cum_users"))
+      .orderBy(col("day"))
+  }
+
+  /** Nested-object query (ES `nested` query + `inner_hits`): parents
+    * whose SAME child satisfies every branch of the inner bool —
+    * customers with at least one order that is both high-value AND
+    * urgent. The semantic point of `nested` vs a flattened mapping:
+    * both predicates must hold on one child row, not one-each across
+    * different children. Planned as filter-then-aggregate on the
+    * child side (orders shrinks before it moves) and a join to the
+    * parent; the child agg is the only shuffle and carries just
+    * (custkey, count, max).
+    */
+  def qNestedMatch(spark: SparkSession, sfDir: String): DataFrame = {
+    val innerHits = Tables.orders(spark, sfDir)
+      .filter(col("o_totalprice") > 250000 && col("o_orderpriority") === "1-URGENT")
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_inner_hits"),
+        round(max(col("o_totalprice")), 2).as("best_price"))
+    Tables.customer(spark, sfDir)
+      .join(innerHits, col("c_custkey") === col("o_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("n_inner_hits"), col("best_price"))
+      .orderBy(col("c_custkey"))
+  }
 }

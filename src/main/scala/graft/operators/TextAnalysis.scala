@@ -293,4 +293,39 @@ object TextAnalysis {
           (acc, t) => (acc * 31 + conv(substring(md5(t), 1, 8), 16, 10).cast("long")) % 1000000007L)
           .as("fp"))
       .orderBy(col("doc_id"))
+
+  /** Gopher-style rule battery (Rae et al. 2021 §A1.1, the Dolma /
+    * RefinedWeb pretraining gate): per-document PASS/FAIL flags for
+    * each rule plus the overall gate —
+    *   - word count within [50, 100000],
+    *   - mean word length within [3, 10],
+    *   - at least 2 stopword hits,
+    *   - distinct-token ratio > 0.3 (the repetition section's
+    *     document-level proxy; the windowed dup-n-gram gates live in
+    *     [[graft.operators.TrainingPipeline.qRepetition]]).
+    * The composite SCORE twin is [[qQualityScore]]; this one is the
+    * boolean filter a 100 TB corpus clean actually runs, and it is
+    * scan-only: every metric is a higher-order expression over one
+    * token split, no shuffle, trivially parallel over any partition
+    * count.
+    */
+  def qGopherQuality(spark: SparkSession, sfDir: String): DataFrame = {
+    val stop = Seq("the", "a")
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_words"),
+        round(aggregate(col("toks"), lit(0L), (acc, t) => acc + length(t))
+          .cast("double") / size(col("toks")), 6).as("mean_word_len"),
+        size(filter(col("toks"), t => t.isin(stop: _*))).cast("long").as("n_stop"),
+        round(size(array_distinct(col("toks"))).cast("double") / size(col("toks")), 6)
+          .as("distinct_ratio"))
+      .withColumn("pass_words", col("n_words") >= 50 && col("n_words") <= 100000)
+      .withColumn("pass_wordlen", col("mean_word_len") >= 3.0 && col("mean_word_len") <= 10.0)
+      .withColumn("pass_stop", col("n_stop") >= 2)
+      .withColumn("pass_repeat", col("distinct_ratio") > 0.3)
+      .withColumn("pass_all",
+        col("pass_words") && col("pass_wordlen") && col("pass_stop") && col("pass_repeat"))
+      .orderBy(col("doc_id"))
+  }
 }
