@@ -160,7 +160,12 @@ object SparkEntry {
     "q_boosting"        -> (FullText.qBoosting _),
     "q_terms_set"       -> (FullText.qTermsSet _),
     "q_top_hits"        -> (FullText.qTopHits _),
-    "q_gopher_quality"  -> (TextAnalysis.qGopherQuality _)
+    "q_gopher_quality"  -> (TextAnalysis.qGopherQuality _),
+    "q_knn_hamming"     -> (VectorSearch.qKnnHamming _),
+    "q_random_sample"   -> (VectorSearch.qRandomSample _),
+    "q_hybrid_dbsf"     -> (FullText.qHybridDbsf _),
+    "q_rank_feature"    -> (FullText.qRankFeature _),
+    "q_multi_terms"     -> (Collection.qMultiTerms _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1537,6 +1542,53 @@ object SparkEntry {
         |  ((n_words >= 50 AND n_words <= 100000)
         |   AND (mean_word_len >= 3.0 AND mean_word_len <= 10.0)
         |   AND (n_stop >= 2) AND (distinct_ratio > 0.3)) AS pass_all
-        |FROM m ORDER BY doc_id""".stripMargin
+        |FROM m ORDER BY doc_id""".stripMargin,
+    "q_knn_hamming" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding AS q_emb FROM embeddings
+         |           WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |        len(list_filter(range(1, 65),
+         |          i -> (q.q_emb[i] >= 0) <> (e.embedding[i] >= 0))) AS hamming
+         |      FROM q CROSS JOIN embeddings e)
+         |SELECT q_id, vec_id, rn, hamming FROM (
+         |  SELECT q_id, vec_id, hamming,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY hamming, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q_random_sample" ->
+      """SELECT vec_id, label FROM (
+        |  SELECT vec_id, label,
+        |    CAST('0x' || substring(md5('smp' || CAST(vec_id AS VARCHAR)), 1, 8)
+        |      AS BIGINT) % 1000000 AS h
+        |  FROM embeddings)
+        |ORDER BY h, vec_id LIMIT 20""".stripMargin,
+    "q_hybrid_dbsf" ->
+      s"""WITH bm AS ($oracleBm25),
+         |lexp AS (SELECT doc_id, bm25 FROM bm ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |lexn AS (SELECT doc_id,
+         |    coalesce((bm25 - (mu - 3.0 * sd)) / nullif(6.0 * sd, 0), 1.0) AS nl
+         |  FROM lexp CROSS JOIN (SELECT avg(bm25) AS mu, stddev_samp(bm25) AS sd FROM lexp)),
+         |qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS vscore
+         |       FROM embeddings CROSS JOIN qv),
+         |vp AS (SELECT doc_id, vscore FROM vs ORDER BY vscore DESC, doc_id LIMIT 50),
+         |vn AS (SELECT doc_id,
+         |    coalesce((vscore - (mu - 3.0 * sd)) / nullif(6.0 * sd, 0), 1.0) AS nv
+         |  FROM vp CROSS JOIN (SELECT avg(vscore) AS mu, stddev_samp(vscore) AS sd FROM vp))
+         |SELECT doc_id, round(coalesce(nl, 0) + coalesce(nv, 0), 6) AS dbsf
+         |FROM lexn FULL OUTER JOIN vn USING (doc_id)
+         |ORDER BY dbsf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_rank_feature" ->
+      s"""WITH bm AS ($oracleBm25)
+         |SELECT bm.doc_id,
+         |  round(bm.bm25 + 2.0 * (d.n_chars / (d.n_chars + 300.0)), 6) AS score
+         |FROM bm JOIN documents d ON bm.doc_id = d.doc_id
+         |ORDER BY score DESC, bm.doc_id LIMIT 20""".stripMargin,
+    "q_multi_terms" ->
+      """SELECT lang, source, count(*) AS n_docs,
+        |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
+        |FROM documents GROUP BY 1, 2
+        |ORDER BY n_docs DESC, lang, source LIMIT 10""".stripMargin
   )
 }

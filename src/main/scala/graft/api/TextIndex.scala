@@ -211,4 +211,31 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
         round(lit(alpha) * coalesce(col("nv"), lit(0.0)) +
           lit(1.0 - alpha) * coalesce(col("nl"), lit(0.0)), 6).as("hybrid"))
   }
+
+  /** Distribution-based score fusion (Qdrant `fusion: dbsf`): each
+    * pool's scores normalize by its mean ± 3σ band — (s − (μ−3σ)) /
+    * 6σ — instead of min-max, so outliers don't compress the rest of
+    * the distribution; fused = Σ normalized. Same bounded-pool
+    * mechanics as [[hybridWeighted]]: the μ/σ window runs over the
+    * ≤`pool`-row frame, never the corpus.
+    */
+  def hybridDbsf(terms: Seq[String], otherScores: DataFrame, scoreCol: String,
+                 pool: Int = 50): DataFrame = {
+    def normalized(scored: DataFrame, sCol: String, out: String): DataFrame = {
+      val wAll = Window.partitionBy(pmod(col(idCol), lit(1L)))
+      scored.orderBy(col(sCol).desc, col(idCol)).limit(pool)
+        .select(col(idCol), col(sCol),
+          avg(col(sCol)).over(wAll).as("__mu"),
+          stddev_samp(col(sCol)).over(wAll).as("__sd"))
+        .select(col(idCol),
+          coalesce((col(sCol) - (col("__mu") - lit(3.0) * col("__sd"))) /
+            nullif(lit(6.0) * col("__sd"), lit(0.0)), lit(1.0)).as(out))
+    }
+    val lex = normalized(bm25(terms), "bm25", "nl")
+    val vec = normalized(otherScores, scoreCol, "nv")
+    lex.join(vec, Seq(idCol), "full_outer")
+      .select(col(idCol),
+        round(coalesce(col("nl"), lit(0.0)) + coalesce(col("nv"), lit(0.0)), 6)
+          .as("dbsf"))
+  }
 }

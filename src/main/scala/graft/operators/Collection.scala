@@ -130,6 +130,21 @@ object Collection {
         round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
       .orderBy(col("source"))
 
+  /** Multi-terms aggregation (ES `multi_terms`): the compound
+    * (lang, source) key histogram, top-10 buckets by count with key
+    * tie-break — ES materializes the key tuple per doc exactly like
+    * this groupBy does. One scan, map-side-combinable; the top-10 is
+    * a TakeOrdered over |langs|·|sources| partials, never a full
+    * sort.
+    */
+  def qMultiTerms(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .groupBy(col("lang"), col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(avg(col("n_chars").cast("double")), 6).as("avg_chars"))
+      .orderBy(col("n_docs").desc, col("lang"), col("source"))
+      .limit(10)
+
   /** Row 14: collection stats — count / dims / label cardinality /
     * norm aggregate, the reference's collection.stats()/count()
     * endpoint. Single scan, single-row output.

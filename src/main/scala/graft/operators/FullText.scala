@@ -551,6 +551,35 @@ object FullText {
       .limit(K)
   }
 
+  /** Distribution-based score fusion (Qdrant `fusion: dbsf`, the
+    * third fusion next to [[qHybridRrf]] and [[qHybridWeighted]]):
+    * per-pool μ±3σ normalization, summed. Same pools, same bounded
+    * windows.
+    */
+  def qHybridDbsf(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).hybridDbsf(Terms, vecScores(spark, sfDir), "vscore")
+      .orderBy(col("dbsf").desc, col("doc_id"))
+      .limit(K)
+
+  /** Rank-feature query (ES `rank_feature` with the `saturation`
+    * function): relevance = BM25 + boost · f/(f + pivot) over a
+    * static numeric document feature (here doc length standing in
+    * for pagerank/popularity). The feature term is a per-row
+    * projection folded onto the BM25 frame — one extra broadcast-free
+    * column read, no new shuffle.
+    */
+  def qRankFeature(spark: SparkSession, sfDir: String): DataFrame = {
+    val (pivot, boost) = (300.0, 2.0)
+    val feat = Tables.documents(spark, sfDir).select(col("doc_id"), col("n_chars"))
+    index(spark, sfDir).bm25(Terms)
+      .join(feat, "doc_id")
+      .select(col("doc_id"),
+        round(col("bm25") +
+          lit(boost) * (col("n_chars") / (col("n_chars") + lit(pivot))), 6).as("score"))
+      .orderBy(col("score").desc, col("doc_id"))
+      .limit(K)
+  }
+
   /** Boosting query (ES `boosting`: positive / negative /
     * negative_boost 0.5): BM25 over the positive terms, demoted by
     * half when the doc also matches the negative term. The negative

@@ -488,4 +488,47 @@ object VectorSearch {
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"))
       .orderBy(col("label"))
+
+  /** Binary-vector Hamming search (Milvus BINARY_VECTOR with the
+    * HAMMING metric): each embedding binarized to its sign-bit word
+    * (bit i ⇔ component i ≥ 0), exact top-k by Hamming distance on
+    * the packed 64-bit words — one xor + popcount per candidate,
+    * the cheapest exact metric there is. Unlike [[Quantization.qBqKnn]]
+    * (where the word is a PREFILTER for a float rerank), here the
+    * binary metric IS the ranking, so the whole operator is
+    * SQL-oracled (the oracle counts per-dim sign disagreements; same
+    * function, unpacked). At scale: corpus → 8 bytes/vector, scan +
+    * WindowGroupLimit top-k, no shuffle beyond |queries|·k rows.
+    */
+  def qKnnHamming(spark: SparkSession, sfDir: String): DataFrame = {
+    import graft.functions.matrixops
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), matrixops.signBits(col("embedding")).as("w"))
+    val qs = querySet(spark, sfDir)
+      .select(col("q_id"), matrixops.signBits(col("q_emb")).as("qw"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
+    corpus.crossJoin(broadcast(qs))
+      .select(col("q_id"), col("vec_id"),
+        bit_count(col("w").bitwiseXOR(col("qw"))).cast("long").as("hamming"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("hamming"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
+  /** Random sampling (Qdrant `sample: random` query API): a
+    * deterministic pseudo-random draw of 20 points — order by the
+    * md5-bucket of the id (salted), id tie-break. The hash order is
+    * uniform but reproducible, so the draw is oracle-checkable; at
+    * scale it is a scan + global top-k on the hash key (TakeOrdered,
+    * no full sort materialization).
+    */
+  def qRandomSample(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("label"),
+        graft.functions.hashes.md5Bucket(
+          concat(lit("smp"), col("vec_id").cast("string")), 1000000L).as("h"))
+      .orderBy(col("h"), col("vec_id"))
+      .limit(20)
+      .select(col("vec_id"), col("label"))
 }

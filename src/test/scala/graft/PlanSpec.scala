@@ -162,6 +162,49 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("hamming search broadcasts the packed query words and pre-limits the top-k") {
+    val p = plan(VectorSearch.qKnnHamming(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("WindowGroupLimit").length - 1 >= 2, p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("top-hits pre-limits each bucket before the lang shuffle") {
+    val p = plan(FullText.qTopHits(spark, sfDir))
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("Join"), p)
+  }
+
+  test("nested query pushes both child predicates into the orders scan") {
+    val p = plan(Relational.qNestedMatch(spark, sfDir))
+    assert(p.contains("GreaterThan(o_totalprice,250000.0)"), p)
+    assert(p.contains("EqualTo(o_orderpriority,1-URGENT)"), p)
+  }
+
+  test("scan-only text gates have no join and no aggregate shuffle") {
+    // terms_set (per-doc msm) and the Gopher rule battery are pure
+    // per-row expression pipelines — only the presentation sort moves
+    Seq(FullText.qTermsSet(spark, sfDir),
+        TextAnalysis.qGopherQuality(spark, sfDir))
+      .foreach { df =>
+        val p = plan(df)
+        assert(!p.contains("Join"), p)
+        assert(!p.contains("Exchange hashpartitioning"), p)
+      }
+  }
+
+  test("range agg is one map-side-combinable aggregate, not an unpivot") {
+    val p = plan(Relational.qRangeAgg(spark, sfDir))
+    assert(p.split("HashAggregate").length - 1 >= 2, p) // partial + final
+    assert(!p.contains("Join") && !p.contains("Generate"), p)
+  }
+
+  test("random sample is a global top-k on the hash key, not a full sort") {
+    val p = plan(VectorSearch.qRandomSample(spark, sfDir))
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("Exchange rangepartitioning"), p)
+  }
+
   test("tenant-partitioned layout prunes other tenants' partitions at the scan") {
     import org.apache.spark.sql.functions._
     // multitenancy (Qdrant/Milvus partition-key isolation): the
