@@ -165,7 +165,10 @@ object SparkEntry {
     "q_random_sample"   -> (VectorSearch.qRandomSample _),
     "q_hybrid_dbsf"     -> (FullText.qHybridDbsf _),
     "q_rank_feature"    -> (FullText.qRankFeature _),
-    "q_multi_terms"     -> (Collection.qMultiTerms _)
+    "q_multi_terms"     -> (Collection.qMultiTerms _),
+    "q_range_band_search" -> (VectorSearch.qRangeBandSearch _),
+    "q_geo_rings"       -> (Geo.qGeoRings _),
+    "q_percentiles_bucket" -> (Relational.qPercentilesBucket _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1589,6 +1592,42 @@ object SparkEntry {
       """SELECT lang, source, count(*) AS n_docs,
         |  round(avg(CAST(n_chars AS DOUBLE)), 6) AS avg_chars
         |FROM documents GROUP BY 1, 2
-        |ORDER BY n_docs DESC, lang, source LIMIT 10""".stripMargin
+        |ORDER BY n_docs DESC, lang, source LIMIT 10""".stripMargin,
+    "q_range_band_search" ->
+      s"""WITH q AS ($oracleQuerySet)
+         |SELECT q.q_id, e.vec_id,
+         |  round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |FROM q CROSS JOIN embeddings e
+         |WHERE round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) >= 0.2
+         |  AND round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) < 0.3
+         |ORDER BY q_id, vec_id""".stripMargin,
+    "q_geo_rings" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id,
+        |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+        |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+        |  FROM u),
+        |d AS (SELECT round(2.0 * 6371.0 * asin(sqrt(pow(sin(radians(lat - 10.0) / 2), 2)
+        |    + cos(radians(10.0)) * cos(radians(lat)) * pow(sin(radians(lon - 20.0) / 2), 2))), 6)
+        |    AS dist_km
+        |  FROM g)
+        |SELECT CASE WHEN dist_km < 1000 THEN 'r0'
+        |            WHEN dist_km < 3000 THEN 'r1'
+        |            WHEN dist_km < 6000 THEN 'r2'
+        |            WHEN dist_km < 10000 THEN 'r3'
+        |            ELSE 'r4' END AS ring,
+        |  count(*) AS n_users,
+        |  round(avg(dist_km), 6) AS avg_dist_km
+        |FROM d GROUP BY 1 ORDER BY ring""".stripMargin,
+    "q_percentiles_bucket" ->
+      """WITH b AS (SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev
+        |           FROM orders GROUP BY 1)
+        |SELECT count(*) AS n_buckets,
+        |  round(quantile_cont(rev, 0.25), 2) AS p25,
+        |  round(quantile_cont(rev, 0.5), 2) AS p50,
+        |  round(quantile_cont(rev, 0.75), 2) AS p75
+        |FROM b""".stripMargin
   )
 }

@@ -248,27 +248,60 @@ object Dedup {
   def qDedupMinhash(spark: SparkSession, sfDir: String): DataFrame =
     minhashPairs(augmentedDocs(spark, sfDir))
 
+  /** Per-doc hashed shingle sets: shingles are hashed to 64-bit longs
+    * once, and the hashed sets feed BOTH the signatures and the final
+    * Jaccard verification — the raw shingle strings never leave the
+    * first projection (longs, ~4x smaller than the strings they
+    * replace).
+    */
+  private[graft] def hashedShingles(docs: DataFrame): DataFrame =
+    trigrams(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"),
+        array_distinct(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
+
+  /** (doc_id, band_id, band_key) LSH band postings from the hashed
+    * shingle sets — signature = 64 min-hashes, key = 4 rows per band.
+    */
+  private[graft] def bandPostings(triH: DataFrame): DataFrame =
+    triH
+      .withColumn("sig", hashes.minhashSignature(col("gh"),
+        Perms.map(_._1), Perms.map(_._2), MinhashPrime))
+      .select(col("doc_id"),
+        posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
+          s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
+          .as(Seq("band_id", "band_key")))
+
+  /** Exact-Jaccard verification of an id-only candidate pair set:
+    * broadcast ONLY the pair ids into each shingle attach scan (the
+    * corpus-sized shingle frames are never shuffled, and the
+    * broadcast payload is bounded by the candidate count — never
+    * candidate × shingle-array width), then join the two
+    * candidate-sized attach results on the pair key. That last join
+    * shuffles candidate-pair-sized data, which distributes; a
+    * shingle-carrying broadcast would concentrate it on the driver.
+    */
+  private def verifyJaccard(candidates: DataFrame, shA: DataFrame, shB: DataFrame,
+                            threshold: Double): DataFrame = {
+    val withA = shA.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"))
+      .join(broadcast(candidates), "doc_a")
+    val withB = shB.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"))
+      .join(broadcast(candidates), "doc_b")
+    withA.join(withB, Seq("doc_a", "doc_b"))
+      .withColumn("common", size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
+      .withColumn("jaccard", round(col("common") /
+        (size(col("gh_a")) + size(col("gh_b")) - col("common")), 6))
+      .filter(col("jaccard") >= threshold)
+      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+  }
+
   /** Generic MinHash+LSH near-dup pairs over any (doc_id, text)
     * DataFrame — the reusable pipeline stage.
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
-    // shingles are hashed to 64-bit longs once, and the hashed sets
-    // feed BOTH the signatures and the final Jaccard verification —
-    // the raw shingle strings never leave the first projection
-    val triH = trigrams(docs.select(col("doc_id"), col("text")))
-      .select(col("doc_id"),
-        array_distinct(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
-      // feeds the signature pipeline AND both verification attach
-      // scans — materialize the hashed arrays once (longs, ~4x
-      // smaller than the shingle strings they replace)
-      .localCheckpoint()
-    val withSig = triH
-      .withColumn("sig", hashes.minhashSignature(col("gh"),
-        Perms.map(_._1), Perms.map(_._2), MinhashPrime))
-    val bands = withSig.select(col("doc_id"),
-      posexplode(expr(s"transform(sequence(0, ${Bands - 1}), " +
-        s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
-        .as(Seq("band_id", "band_key")))
+    // materialize the hashed arrays once — they feed the signature
+    // pipeline AND both verification attach scans
+    val triH = hashedShingles(docs).localCheckpoint()
+    val bands = bandPostings(triH)
     // candidate pairs via a bucket postings groupBy, not a band
     // self-join: the signature pipeline executes (and compiles) once,
     // the only corpus-sized shuffle ships (band, id) rows, and
@@ -280,23 +313,70 @@ object Dedup {
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
-    // verification: broadcast ONLY the id-only candidate set into
-    // each corpus scan (the corpus-sized triH is never shuffled, and
-    // the broadcast payload is bounded by the candidate count — never
-    // candidate × shingle-array width), then join the two
-    // candidate-sized attach results on the pair key. That last join
-    // shuffles candidate-pair-sized data, which distributes; a
-    // shingle-carrying broadcast would concentrate it on the driver.
-    val withA = triH.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"))
-      .join(broadcast(candidates), "doc_a")
-    val withB = triH.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"))
-      .join(broadcast(candidates), "doc_b")
-    withA.join(withB, Seq("doc_a", "doc_b"))
-      .withColumn("common", size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
-      .withColumn("jaccard", round(col("common") /
-        (size(col("gh_a")) + size(col("gh_b")) - col("common")), 6))
-      .filter(col("jaccard") >= 0.3)
-      .select(col("doc_a"), col("doc_b"), col("jaccard"))
+    verifyJaccard(candidates, triH, triH, 0.3)
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** At-rest MinHash/LSH dedup index — the INCREMENTAL dedup story a
+    * 100 TB pipeline actually needs: dedup each new crawl against the
+    * standing corpus WITHOUT recomputing the corpus's signatures.
+    * Layout under `path`:
+    *   - `postings/` — (band_id, band_key, doc_id), partitioned by
+    *     band_id (at cluster scale additionally bucketed by band_key,
+    *     making the batch-vs-index band join co-located);
+    *   - `shingles/` — (doc_id, gh) hashed shingle sets for exact
+    *     Jaccard verification.
+    * Signatures use fixed seeded permutations ([[Perms]]), so index
+    * rows written in different jobs/batches are mutually comparable —
+    * the same contract that makes [[Ann.appendToIvfIndex]] sound.
+    */
+  def writeMinhashIndex(docs: DataFrame, path: String): Unit = {
+    val triH = hashedShingles(docs).localCheckpoint()
+    bandPostings(triH).write.mode("overwrite")
+      .partitionBy("band_id").parquet(s"$path/postings")
+    triH.write.mode("overwrite").parquet(s"$path/shingles")
+  }
+
+  /** Fold a new batch into the at-rest index: batch-sized appends
+    * into the existing partition layout; nothing standing is read or
+    * rewritten.
+    */
+  def appendToMinhashIndex(docs: DataFrame, path: String): Unit = {
+    val triH = hashedShingles(docs).localCheckpoint()
+    bandPostings(triH).write.mode("append")
+      .partitionBy("band_id").parquet(s"$path/postings")
+    triH.write.mode("append").parquet(s"$path/shingles")
+  }
+
+  /** Near-dup pairs of `batch` against the standing index PLUS within
+    * the batch itself — exactly the pairs a full [[minhashPairs]] run
+    * over (indexed ∪ batch) would emit that touch a batch doc, at
+    * batch-scan cost: the batch's bands broadcast into one pass over
+    * the at-rest postings (doc_a = indexed side, doc_b = batch side),
+    * batch-internal candidates come from the batch's own band
+    * buckets, and verification fetches indexed shingle sets by
+    * id-only broadcast. The standing corpus is never re-shingled,
+    * re-signed, or shuffled.
+    */
+  def dedupAgainstIndex(spark: SparkSession, batch: DataFrame, path: String,
+                        threshold: Double = 0.3): DataFrame = {
+    val triB = hashedShingles(batch).localCheckpoint()
+    val bandsB = bandPostings(triB)
+    val postings = spark.read.parquet(s"$path/postings")
+    val cross = postings
+      .join(broadcast(bandsB.select(col("band_id"), col("band_key"),
+        col("doc_id").as("doc_b"))), Seq("band_id", "band_key"))
+      .filter(col("doc_id") =!= col("doc_b"))
+      .select(col("doc_id").as("doc_a"), col("doc_b"))
+      .dropDuplicates("doc_a", "doc_b")
+    val internal = postingPairs(
+        bandsB.groupBy(col("band_id"), col("band_key"))
+          .agg(collect_list(col("doc_id")).as("ds"))
+          .filter(size(col("ds")) > 1))
+      .dropDuplicates("doc_a", "doc_b")
+    val shOld = spark.read.parquet(s"$path/shingles")
+    verifyJaccard(cross, shOld, triB, threshold)
+      .unionByName(verifyJaccard(internal, triB, triB, threshold))
       .orderBy(col("doc_a"), col("doc_b"))
   }
 

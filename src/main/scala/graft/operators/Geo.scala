@@ -74,4 +74,28 @@ object Geo {
         round(avg(col("lon")), 6).as("centroid_lon"))
       .orderBy(col("n_points").desc, col("cell_lat"), col("cell_lon"))
       .limit(20)
+
+  /** Distance-ring aggregation (ES `geo_distance` agg): concentric
+    * bands around a query point, each with its point count and mean
+    * distance. The ring key is a per-row expression over the same
+    * haversine as [[qGeoSearch]], so the histogram is one
+    * map-side-combinable scan — the "how far are my users" heat query
+    * at any point count.
+    */
+  def qGeoRings(spark: SparkSession, sfDir: String): DataFrame = {
+    val (qLat, qLon) = (10.0, 20.0)
+    userGeo(spark, sfDir)
+      .withColumn("dist_km",
+        round(haversineKm(lit(qLat), lit(qLon), col("lat"), col("lon")), 6))
+      .withColumn("ring",
+        when(col("dist_km") < 1000, "r0")
+          .when(col("dist_km") < 3000, "r1")
+          .when(col("dist_km") < 6000, "r2")
+          .when(col("dist_km") < 10000, "r3")
+          .otherwise("r4"))
+      .groupBy(col("ring"))
+      .agg(count(lit(1)).as("n_users"),
+        round(avg(col("dist_km")), 6).as("avg_dist_km"))
+      .orderBy(col("ring"))
+  }
 }

@@ -606,6 +606,23 @@ object Relational {
         round(avg(col("rev")), 6).as("avg_rev"),
         round(sum(col("rev")), 2).as("sum_rev"))
 
+  /** Sibling percentiles over buckets (ES `percentiles_bucket`):
+    * exact interpolated quartiles of the per-day revenue metric. Like
+    * [[qStatsBucket]], the inner histogram partial-aggregates to
+    * |days| rows and the percentile runs over that tiny frame — the
+    * pipeline agg is free at any scale.
+    */
+  def qPercentilesBucket(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(sum(col("o_totalprice")).as("rev"))
+      .agg(count(lit(1)).as("n_buckets"),
+        percentile(col("rev"), array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
+      .select(col("n_buckets"),
+        round(col("p")(0), 2).as("p25"),
+        round(col("p")(1), 2).as("p50"),
+        round(col("p")(2), 2).as("p75"))
+
   /** Cumulative cardinality (ES `cumulative_cardinality` pipeline
     * agg): distinct users seen up to and including each event day.
     * Computed exactly WITHOUT rescanning the prefix per day: each

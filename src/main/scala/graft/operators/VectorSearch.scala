@@ -516,6 +516,18 @@ object VectorSearch {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Annulus (band) range search — Milvus `radius` + `range_filter`,
+    * Qdrant range conditions on score: corpus vectors whose cosine
+    * similarity lies in [0.2, 0.3) of a query. Same single-scan
+    * shape as [[qRangeSearch]]; the band is two score predicates on
+    * the scored frame, still no shuffle beyond presentation.
+    */
+  def qRangeBandSearch(spark: SparkSession, sfDir: String): DataFrame =
+    collection(spark, sfDir).rangeSearch(querySet(spark, sfDir), 0.2)
+      .filter(col("score") < 0.3)
+      .select(col("q_id"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("vec_id"))
+
   /** Random sampling (Qdrant `sample: random` query API): a
     * deterministic pseudo-random draw of 20 points — order by the
     * md5-bucket of the id (salted), id tie-break. The hash order is

@@ -47,6 +47,38 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("incremental minhash index dedups new batches without recomputing the corpus") {
+    val all = Dedup.augmentedDocs(spark, sfDir)
+    // corpus split: standing index (originals), then two "crawls"
+    val base = all.filter(col("doc_id") < 10000L)
+    val batch1 = all.filter(col("doc_id") >= 10000L && col("doc_id") < 20000L)
+    val batch2 = all.filter(col("doc_id") >= 20000L)
+    val path = java.nio.file.Files.createTempDirectory("graft-mh-index").toString + "/idx"
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+
+    Dedup.writeMinhashIndex(base, path)
+    val inc1 = pairSet(Dedup.dedupAgainstIndex(spark, batch1, path))
+    Dedup.appendToMinhashIndex(batch1, path)
+    val inc2 = pairSet(Dedup.dedupAgainstIndex(spark, batch2, path))
+
+    // ground truth: the full-corpus run, restricted to pairs touching
+    // each batch (same signatures — fixed seeded permutations — so
+    // the incremental path must find EXACTLY the same pairs)
+    val full = pairSet(Dedup.minhashPairs(all))
+    def touches(lo: Long, hi: Long)(p: (Long, Long)): Boolean =
+      (p._1 >= lo && p._1 < hi) || (p._2 >= lo && p._2 < hi)
+    val want1 = full.filter(touches(10000L, 20000L))
+      .filter(p => p._1 < 20000L && p._2 < 20000L) // batch2 not ingested yet
+    val want2 = full.filter(touches(20000L, Long.MaxValue))
+    assert(inc1 == want1, s"batch1: got ${inc1.size}, want ${want1.size}")
+    assert(inc2 == want2, s"batch2: got ${inc2.size}, want ${want2.size}")
+    assert(inc1.nonEmpty && inc2.nonEmpty) // the constructed dups guarantee hits
+  }
+
   test("q_dedup_ngram top pairs are valid Jaccard scores in [0,1] descending") {
     val rows = Dedup.qDedupNgram(spark, sfDir).collect()
     assert(rows.length == 50)

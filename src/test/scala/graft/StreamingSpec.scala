@@ -241,6 +241,46 @@ class StreamingSpec extends SparkSpec {
       lag >= 0 && lag <= graft.streaming.StreamJoin.WindowSec * 1000L })
   }
 
+  test("streaming near-dup gate over the at-rest index covers the full-corpus pairs") {
+    import org.apache.spark.sql.functions._
+    val all = graft.operators.Dedup.augmentedDocs(spark, sfDir)
+      .select("doc_id", "text")
+    val base = all.filter(col("doc_id") < 10000L)
+    val idx = Files.createTempDirectory("graft-mh-stream-idx").toString + "/idx"
+    graft.operators.Dedup.writeMinhashIndex(base, idx)
+    // two appended files + maxFilesPerTrigger=1 → two sequential
+    // micro-batches over the remaining "crawl"
+    val srcDir = Files.createTempDirectory("graft-neardup-src").toString
+    val rest = all.filter(col("doc_id") >= 10000L)
+    rest.filter(col("doc_id") < 20000L).coalesce(1).write.mode("append").parquet(srcDir)
+    rest.filter(col("doc_id") >= 20000L).coalesce(1).write.mode("append").parquet(srcDir)
+
+    val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
+    val q = graft.streaming.NearDupStream.gateStream(
+      spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir), idx) { res =>
+      res.collect().foreach { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        collected.add((math.min(a, b), math.max(a, b)))
+      }
+    }
+    q.awaitTermination(180000)
+
+    // batching-independent invariant: union of per-trigger pairs ==
+    // all full-corpus pairs touching a streamed doc, each exactly once
+    val streamedList = scala.jdk.CollectionConverters
+      .CollectionHasAsScala(collected).asScala.toList
+    val streamed = streamedList.toSet
+    assert(streamedList.size == streamed.size, "a pair surfaced in two triggers")
+    val full = graft.operators.Dedup.minhashPairs(all).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+      .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
+      .filter(p => p._1 >= 10000L || p._2 >= 10000L)
+      .toSet
+    assert(streamed == full, s"got ${streamed.size}, want ${full.size}")
+    assert(streamed.nonEmpty)
+  }
+
   test("streaming CDC upsert folds batch-by-batch to the whole-log merge") {
     import org.apache.spark.sql.functions._
     val base = Tables.embeddings(spark, sfDir)
