@@ -168,7 +168,9 @@ object SparkEntry {
     "q_multi_terms"     -> (Collection.qMultiTerms _),
     "q_range_band_search" -> (VectorSearch.qRangeBandSearch _),
     "q_geo_rings"       -> (Geo.qGeoRings _),
-    "q_percentiles_bucket" -> (Relational.qPercentilesBucket _)
+    "q_percentiles_bucket" -> (Relational.qPercentilesBucket _),
+    "q_change_point"    -> (Relational.qChangePoint _),
+    "q_hard_negatives"  -> (VectorSearch.qHardNegatives _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1628,6 +1630,34 @@ object SparkEntry {
         |  round(quantile_cont(rev, 0.25), 2) AS p25,
         |  round(quantile_cont(rev, 0.5), 2) AS p50,
         |  round(quantile_cont(rev, 0.75), 2) AS p75
-        |FROM b""".stripMargin
+        |FROM b""".stripMargin,
+    "q_change_point" ->
+      """WITH daily AS (SELECT o_orderdate::DATE AS day,
+        |    round(sum(o_totalprice), 2) AS rev FROM orders GROUP BY 1),
+        |t AS (SELECT count(*) AS n_all, sum(rev) AS sum_all FROM daily),
+        |s AS (SELECT day,
+        |    count(*) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS n_before,
+        |    sum(rev) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS sum_before
+        |  FROM daily),
+        |c AS (SELECT day,
+        |    round(sum_before / n_before, 2) AS mean_before,
+        |    round((t.sum_all - sum_before) / (t.n_all - n_before), 2) AS mean_after
+        |  FROM s CROSS JOIN t WHERE n_before >= 1)
+        |SELECT day AS change_day, mean_before, mean_after,
+        |  round(abs(mean_after - mean_before), 2) AS delta
+        |FROM c ORDER BY abs(mean_after - mean_before) DESC, day LIMIT 1""".stripMargin,
+    "q_hard_negatives" ->
+      s"""WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+         |           FROM embeddings WHERE vec_id % 100 = 0),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |      FROM q CROSS JOIN embeddings e WHERE e.label <> q.q_label)
+         |SELECT q_id, vec_id, rn, score FROM (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
   )
 }

@@ -646,6 +646,42 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Change-point detection (ES `change_point` agg): find the day
+    * where the daily-revenue series' mean shifts most — the split
+    * maximizing |mean(before) − mean(after)|, the exact two-sample
+    * form of ES's step-change detector. The series is the |days|-row
+    * date histogram; candidate splits are evaluated with running
+    * sums over that tiny frame (no per-split rescan), so detection
+    * costs nothing beyond the one-scan inner histogram at any input
+    * size.
+    */
+  def qChangePoint(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val totals = daily.agg(
+      count(lit(1)).as("n_all"), sum(col("rev")).as("sum_all"))
+    val wBefore = Window.orderBy(col("day"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    daily.crossJoin(broadcast(totals))
+      .withColumn("n_before", count(lit(1)).over(wBefore))
+      .withColumn("sum_before", sum(col("rev")).over(wBefore))
+      .filter(col("n_before") >= 1)
+      // means round to CENTS, not 1e-6: near the series tail the
+      // after-sum is a cancellation of two ~1e9 running sums, whose
+      // engine-dependent accumulation order leaves ~5e-7 noise —
+      // above the 1e-6 grid, far below the 0.01 one. delta then
+      // derives from identical rounded inputs on both engines.
+      .withColumn("mean_before", round(col("sum_before") / col("n_before"), 2))
+      .withColumn("mean_after", round(
+        (col("sum_all") - col("sum_before")) / (col("n_all") - col("n_before")), 2))
+      .withColumn("delta", abs(col("mean_after") - col("mean_before")))
+      .orderBy(col("delta").desc, col("day"))
+      .limit(1)
+      .select(col("day").as("change_day"), col("mean_before"), col("mean_after"),
+        round(col("delta"), 2).as("delta"))
+  }
+
   /** Nested-object query (ES `nested` query + `inner_hits`): parents
     * whose SAME child satisfies every branch of the inner bool —
     * customers with at least one order that is both high-value AND

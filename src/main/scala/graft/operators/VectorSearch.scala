@@ -516,6 +516,26 @@ object VectorSearch {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Hard-negative mining — the contrastive-training data op every
+    * embedding pipeline runs (DPR/Contriever-style): for each query,
+    * the top-5 most similar corpus vectors whose label DIFFERS from
+    * the query's (similar-but-wrong = the informative negatives).
+    * The label inequality is a per-pair predicate on the scored
+    * frame — same broadcast-queries single-scan shape as plain kNN,
+    * filter before the WindowGroupLimit top-k.
+    */
+  def qHardNegatives(spark: SparkSession, sfDir: String): DataFrame = {
+    val scored = Tables.embeddings(spark, sfDir)
+      .crossJoin(broadcast(querySet(spark, sfDir)))
+      .filter(col("label") =!= col("q_label"))
+      .withColumn("score", round(vec.cosine(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Annulus (band) range search — Milvus `radius` + `range_filter`,
     * Qdrant range conditions on score: corpus vectors whose cosine
     * similarity lies in [0.2, 0.3) of a query. Same single-scan
