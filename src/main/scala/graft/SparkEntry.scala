@@ -170,7 +170,8 @@ object SparkEntry {
     "q_geo_rings"       -> (Geo.qGeoRings _),
     "q_percentiles_bucket" -> (Relational.qPercentilesBucket _),
     "q_change_point"    -> (Relational.qChangePoint _),
-    "q_hard_negatives"  -> (VectorSearch.qHardNegatives _)
+    "q_hard_negatives"  -> (VectorSearch.qHardNegatives _),
+    "q_where_document"  -> (VectorSearch.qWhereDocument _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1658,6 +1659,18 @@ object SparkEntry {
          |  SELECT q_id, vec_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
          |  FROM s)
-         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin
+         |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
+    "q_where_document" ->
+      s"""WITH q AS ($oracleQuerySet),
+         |m AS (SELECT doc_id AS vec_id FROM documents
+         |      WHERE list_contains(string_split(text, ' '), 'vector')),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |      FROM q CROSS JOIN embeddings e JOIN m USING (vec_id))
+         |SELECT q_id, vec_id, rn, score FROM (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
   )
 }

@@ -516,6 +516,30 @@ object VectorSearch {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** Document-content filtered search (Chroma `where_document`
+    * `$contains`): kNN restricted to points whose paired DOCUMENT
+    * contains a token — the content predicate lives on the document
+    * store, not the vector payload, so it arrives via a doc_id join
+    * (Chroma stores both sides together; the unified engine keeps
+    * them as two tables). The filtered id set shrinks at the
+    * documents scan before joining the embeddings scan on the id key;
+    * scoring and top-k then run on the reduced corpus only.
+    */
+  def qWhereDocument(spark: SparkSession, sfDir: String): DataFrame = {
+    val matching = Tables.documents(spark, sfDir)
+      .filter(array_contains(split(col("text"), " "), "vector"))
+      .select(col("doc_id").as("vec_id"))
+    val corpus = Tables.embeddings(spark, sfDir).join(matching, "vec_id")
+    val qs = querySet(spark, sfDir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(qs))
+      .withColumn("score", round(vec.cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Hard-negative mining — the contrastive-training data op every
     * embedding pipeline runs (DPR/Contriever-style): for each query,
     * the top-5 most similar corpus vectors whose label DIFFERS from
