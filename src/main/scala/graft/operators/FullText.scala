@@ -468,12 +468,18 @@ object FullText {
   def qCollapse(spark: SparkSession, sfDir: String): DataFrame = {
     val scored = index(spark, sfDir).bm25(Terms)
     val langs = Tables.documents(spark, sfDir).select(col("doc_id"), col("lang"))
+    val hits = scored.join(langs, "doc_id")
+    // group sizes via a map-side-combinable aggregate joined back
+    // onto the rank-1 rows — NOT an unbounded count().over(lang): a
+    // non-rank window function would disable the WindowGroupLimit
+    // pre-limit and pour the whole matched set into |langs| tasks
+    val counts = hits.groupBy(col("lang")).agg(count(lit(1)).as("n_hits"))
     val byLang = Window.partitionBy(col("lang"))
-    scored.join(langs, "doc_id")
-      .withColumn("n_hits", count(lit(1)).over(byLang).cast("long"))
+    hits
       .withColumn("rn",
         row_number().over(byLang.orderBy(col("bm25").desc, col("doc_id"))))
       .filter(col("rn") === 1)
+      .join(broadcast(counts), "lang")
       .select(col("lang"), col("doc_id"), col("bm25"), col("n_hits"))
       .orderBy(col("bm25").desc, col("lang"))
       .limit(5)
@@ -638,13 +644,19 @@ object FullText {
     * per-bucket hit lists never materialize beyond k anywhere.
     */
   def qTopHits(spark: SparkSession, sfDir: String): DataFrame = {
-    val byLang = Window.partitionBy(col("lang"))
-    Tables.documents(spark, sfDir)
+    val docs = Tables.documents(spark, sfDir)
       .select(col("doc_id"), col("lang"), col("n_chars"))
-      .withColumn("n_hits", count(lit(1)).over(byLang).cast("long"))
-      .withColumn("rank",
-        row_number().over(byLang.orderBy(col("n_chars").desc, col("doc_id"))))
+    // doc_count per bucket as a combinable aggregate joined back onto
+    // the pre-limited top rows — mixing count().over into the rank
+    // window would disable WindowGroupLimit and shuffle the whole
+    // corpus into |langs| tasks (see qCollapse)
+    val counts = docs.groupBy(col("lang")).agg(count(lit(1)).as("n_hits"))
+    val byLang = Window.partitionBy(col("lang"))
+      .orderBy(col("n_chars").desc, col("doc_id"))
+    docs
+      .withColumn("rank", row_number().over(byLang))
       .filter(col("rank") <= 3)
+      .join(broadcast(counts), "lang")
       .select(col("lang"), col("n_hits"), col("rank").cast("long").as("rank"),
         col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("rank"))

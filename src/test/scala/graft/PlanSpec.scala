@@ -169,10 +169,14 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
-  test("top-hits pre-limits each bucket before the lang shuffle") {
-    val p = plan(FullText.qTopHits(spark, sfDir))
-    assert(p.contains("WindowGroupLimit"), p)
-    assert(!p.contains("Join"), p)
+  test("top-hits and collapse pre-limit each bucket before the lang shuffle") {
+    // partial + final WindowGroupLimit: the rank window must stay
+    // rank-only (bucket counts join back from a combinable aggregate
+    // instead of a count().over, which would disable the pre-limit)
+    Seq(plan(FullText.qTopHits(spark, sfDir)),
+        plan(FullText.qCollapse(spark, sfDir))).foreach { p =>
+      assert(p.split("WindowGroupLimit").length - 1 >= 2, p)
+    }
   }
 
   test("nested query pushes both child predicates into the orders scan") {
