@@ -27,9 +27,16 @@ class PlanSpec extends SparkSpec {
   }
 
   test("kNN plans broadcast the query set and pre-limit window groups") {
-    val p = plan(VectorSearch.qKnnCosine(spark, sfDir))
-    assert(p.contains("BroadcastNestedLoopJoin"), p)
-    assert(p.split("WindowGroupLimit").length - 1 >= 2, "partial+final WindowGroupLimit expected\n" + p)
+    // also the label-inequality (hard negatives) and doc-content
+    // (where_document) variants — the extra predicate/join must not
+    // cost the broadcast or the partial top-k
+    Seq(plan(VectorSearch.qKnnCosine(spark, sfDir)),
+        plan(VectorSearch.qHardNegatives(spark, sfDir)),
+        plan(VectorSearch.qWhereDocument(spark, sfDir))).foreach { p =>
+      assert(p.contains("BroadcastNestedLoopJoin"), p)
+      assert(p.split("WindowGroupLimit").length - 1 >= 2,
+        "partial+final WindowGroupLimit expected\n" + p)
+    }
   }
 
   test("filtered kNN pushes the label predicate to the corpus scan") {
