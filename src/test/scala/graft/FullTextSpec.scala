@@ -336,4 +336,63 @@ class FullTextSpec extends SparkSpec {
     val s = rows.map(_.getAs[Long]("score"))
     assert(s.sameElements(s.sortBy(-(_: Long))))
   }
+
+  test("q_boosting demotes exactly the negative-term docs by the boost factor") {
+    val bm = graft.api.TextIndex(Tables.documents(spark, sfDir))
+      .bm25(Seq("spark", "join")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val rows = FullText.qBoosting(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val s = r.getAs[Double]("score")
+      val expect = if (r.getAs[Boolean]("demoted")) bm(id) * 0.5 else bm(id)
+      assert(math.abs(s - expect) < 1e-9, s"doc $id: $s vs $expect")
+    }
+  }
+
+  test("q_terms_set enforces each doc's own minimum-should-match") {
+    val rows = FullText.qTermsSet(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val msm = r.getAs[Long]("msm")
+      assert(msm == (if (r.getAs[String]("lang") == "en") 4L else 3L))
+      assert(r.getAs[Long]("n_matched") >= msm)
+    }
+  }
+
+  test("q_hybrid_dbsf ranks over the same pools as the weighted fusion") {
+    val dbsf = FullText.qHybridDbsf(spark, sfDir).collect()
+    assert(dbsf.length == FullText.K)
+    val s = dbsf.map(_.getAs[Double]("dbsf"))
+    assert(s.sameElements(s.sorted.reverse))
+    // μ±3σ normalization keeps in-pool scores inside [-?, ~1]-ish
+    // bands; fused values stay finite and distinct pools both count
+    assert(s.forall(x => !x.isNaN && !x.isInfinite))
+  }
+
+  test("q_rank_feature saturation boost is bounded by the boost weight") {
+    val bm = graft.api.TextIndex(Tables.documents(spark, sfDir))
+      .bm25(Seq("spark", "join", "vector")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val rows = FullText.qRankFeature(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val id = r.getAs[Long]("doc_id"); val s = r.getAs[Double]("score")
+      val lift = s - bm(id)
+      assert(lift > 0 && lift < 2.0 + 1e-9, s"doc $id lift $lift") // boost = 2, sat < 1
+    }
+  }
+
+  test("q_top_hits emits exactly three ranked hits per lang with the bucket count") {
+    val total = Tables.documents(spark, sfDir).count()
+    val rows = FullText.qTopHits(spark, sfDir).collect()
+    val byLang = rows.groupBy(_.getAs[String]("lang"))
+    byLang.foreach { case (_, rs) =>
+      assert(rs.map(_.getAs[Long]("rank")).sorted.sameElements(Array(1L, 2L, 3L)))
+      val chars = rs.sortBy(_.getAs[Long]("rank")).map(_.getAs[Long]("n_chars"))
+      assert(chars.zip(chars.tail).forall { case (a, b) => a >= b })
+      assert(rs.map(_.getAs[Long]("n_hits")).distinct.length == 1)
+    }
+    assert(byLang.map { case (_, rs) => rs.head.getAs[Long]("n_hits") }.sum == total)
+  }
 }

@@ -323,6 +323,47 @@ class RelationalSpec extends SparkSpec {
     }
   }
 
+  test("q_change_point splits inside the series with consistent means") {
+    val r = Relational.qChangePoint(spark, sfDir).collect()
+    assert(r.length == 1)
+    val row = r.head
+    val delta = row.getAs[Double]("delta")
+    assert(delta >= 0)
+    assert(math.abs(math.abs(row.getAs[Double]("mean_after") -
+      row.getAs[Double]("mean_before")) - delta) < 1e-9)
+  }
+
+  test("q_cumulative_cardinality is monotone and ends at the total user count") {
+    val rows = Relational.qCumulativeCardinality(spark, sfDir).collect()
+      .sortBy(_.getAs[java.sql.Date]("day").getTime)
+    assert(rows.nonEmpty)
+    val cum = rows.map(_.getAs[Long]("cum_users"))
+    assert(cum.zip(cum.tail).forall { case (a, b) => a <= b })
+    assert(cum.head == rows.head.getAs[Long]("new_users"))
+    val totalUsers = Tables.events(spark, sfDir)
+      .select("user_id").distinct().count()
+    assert(cum.last == totalUsers)
+    assert(rows.map(_.getAs[Long]("new_users")).sum == totalUsers)
+  }
+
+  test("q_range_agg bands partition the corpus exactly") {
+    val rows = Relational.qRangeAgg(spark, sfDir).collect()
+    val total = Tables.documents(spark, sfDir).count()
+    assert(rows.map(_.getAs[Long]("n_docs")).sum == total)
+    assert(rows.map(_.getAs[String]("bucket")).toSet
+      .subsetOf(Set("short", "medium", "long", "xlong")))
+  }
+
+  test("q_stats_bucket and q_percentiles_bucket agree on the bucket frame") {
+    val s = Relational.qStatsBucket(spark, sfDir).head()
+    val p = Relational.qPercentilesBucket(spark, sfDir).head()
+    assert(s.getAs[Long]("n_buckets") == p.getAs[Long]("n_buckets"))
+    assert(s.getAs[Double]("min_rev") <= p.getAs[Double]("p25"))
+    assert(p.getAs[Double]("p25") <= p.getAs[Double]("p50"))
+    assert(p.getAs[Double]("p50") <= p.getAs[Double]("p75"))
+    assert(p.getAs[Double]("p75") <= s.getAs[Double]("max_rev"))
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

@@ -157,4 +157,19 @@ class TextAnalysisSpec extends SparkSpec {
     // identical texts hash identically, different texts (overwhelmingly) differ
     assert(a.map(_.getAs[Long]("fp")).distinct.length > 490)
   }
+
+  test("q_gopher_quality pass_all is exactly the conjunction of the rule flags") {
+    val rows = TextAnalysis.qGopherQuality(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val conj = r.getAs[Boolean]("pass_words") && r.getAs[Boolean]("pass_wordlen") &&
+        r.getAs[Boolean]("pass_stop") && r.getAs[Boolean]("pass_repeat")
+      assert(r.getAs[Boolean]("pass_all") == conj)
+      assert(r.getAs[Double]("distinct_ratio") > 0 && r.getAs[Double]("distinct_ratio") <= 1)
+      assert(r.getAs[Double]("mean_word_len") > 0)
+    }
+    // the gate must actually discriminate on this corpus
+    assert(rows.exists(_.getAs[Boolean]("pass_all")))
+    assert(rows.exists(!_.getAs[Boolean]("pass_all")))
+  }
 }

@@ -40,6 +40,54 @@ class VectorSearchSpec extends SparkSpec {
     }
   }
 
+  test("q_knn_hamming: self is the zero-distance top hit, distances bounded and ascending") {
+    val rows = VectorSearch.qKnnHamming(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val sorted = rs.sortBy(_.getAs[Long]("rn"))
+      // the query IS a corpus vector: its own word xors to 0
+      assert(sorted.head.getAs[Long]("vec_id") == q)
+      assert(sorted.head.getAs[Long]("hamming") == 0L)
+      val h = sorted.map(_.getAs[Long]("hamming"))
+      assert(h.forall(x => x >= 0 && x <= 64))
+      assert(h.zip(h.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("q_hard_negatives never returns the query's own label") {
+    val labels = graft.Tables.embeddings(spark, sfDir)
+      .select("vec_id", "label").collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Int]("label")).toMap
+    val rows = VectorSearch.qHardNegatives(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val q = r.getAs[Long]("q_id"); val v = r.getAs[Long]("vec_id")
+      assert(labels(v) != labels(q), s"query $q returned same-label $v")
+    }
+    // exactly 5 negatives per query, scores descending
+    rows.groupBy(_.getAs[Long]("q_id")).foreach { case (_, rs) =>
+      assert(rs.length == 5)
+      val s = rs.sortBy(_.getAs[Long]("rn")).map(_.getAs[Double]("score"))
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
+  test("q_where_document results all satisfy the content predicate") {
+    val matching = graft.Tables.documents(spark, sfDir)
+      .filter(array_contains(split(col("text"), " "), "vector"))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val rows = VectorSearch.qWhereDocument(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    assert(rows.forall(r => matching.contains(r.getAs[Long]("vec_id"))))
+  }
+
+  test("q_random_sample is deterministic and uniform-ish across labels") {
+    val a = VectorSearch.qRandomSample(spark, sfDir).collect().map(_.getAs[Long]("vec_id"))
+    val b = VectorSearch.qRandomSample(spark, sfDir).collect().map(_.getAs[Long]("vec_id"))
+    assert(a.sameElements(b)) // seeded draw: stable across runs
+    assert(a.length == 20 && a.distinct.length == 20)
+  }
+
   test("q_near_object excludes each seed from its own neighbors") {
     val rows = VectorSearch.qNearObject(spark, sfDir).collect()
     assert(rows.nonEmpty)
