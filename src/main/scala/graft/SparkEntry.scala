@@ -171,7 +171,8 @@ object SparkEntry {
     "q_percentiles_bucket" -> (Relational.qPercentilesBucket _),
     "q_change_point"    -> (Relational.qChangePoint _),
     "q_hard_negatives"  -> (VectorSearch.qHardNegatives _),
-    "q_where_document"  -> (VectorSearch.qWhereDocument _)
+    "q_where_document"  -> (VectorSearch.qWhereDocument _),
+    "q_normalize_agg"   -> (Relational.qNormalizeAgg _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1671,6 +1672,12 @@ object SparkEntry {
          |  SELECT q_id, vec_id, score,
          |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
          |  FROM s)
-         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q_normalize_agg" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*) AS n_events FROM events GROUP BY 1),
+        |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM d)
+        |SELECT day, n_events,
+        |  round(100.0 * n_events / n_total, 6) AS pct_of_total
+        |FROM d CROSS JOIN t ORDER BY day""".stripMargin
   )
 }

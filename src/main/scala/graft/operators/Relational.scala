@@ -646,6 +646,21 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Normalize pipeline agg (ES `normalize`, method
+    * `percent_of_sum`): each daily bucket's share of the total. The
+    * total is a one-row broadcast over the |days|-sized histogram —
+    * the second pass is free, the corpus is scanned once.
+    */
+  def qNormalizeAgg(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+    daily.crossJoin(broadcast(daily.agg(sum(col("n_events")).as("n_total"))))
+      .select(col("day"), col("n_events"),
+        round(lit(100.0) * col("n_events") / col("n_total"), 6).as("pct_of_total"))
+      .orderBy(col("day"))
+  }
+
   /** Change-point detection (ES `change_point` agg): find the day
     * where the daily-revenue series' mean shifts most — the split
     * maximizing |mean(before) − mean(after)|, the exact two-sample
