@@ -172,7 +172,8 @@ object SparkEntry {
     "q_change_point"    -> (Relational.qChangePoint _),
     "q_hard_negatives"  -> (VectorSearch.qHardNegatives _),
     "q_where_document"  -> (VectorSearch.qWhereDocument _),
-    "q_normalize_agg"   -> (Relational.qNormalizeAgg _)
+    "q_normalize_agg"   -> (Relational.qNormalizeAgg _),
+    "q_has_parent"      -> (Relational.qHasParent _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1678,6 +1679,13 @@ object SparkEntry {
         |t AS (SELECT CAST(sum(n_events) AS BIGINT) AS n_total FROM d)
         |SELECT day, n_events,
         |  round(100.0 * n_events / n_total, 6) AS pct_of_total
-        |FROM d CROSS JOIN t ORDER BY day""".stripMargin
+        |FROM d CROSS JOIN t ORDER BY day""".stripMargin,
+    "q_has_parent" ->
+      """SELECT o_orderpriority, count(*) AS n_orders,
+        |  round(sum(o_totalprice), 2) AS sum_price
+        |FROM orders
+        |WHERE o_custkey IN (SELECT c_custkey FROM customer
+        |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

@@ -697,6 +697,25 @@ object Relational {
         round(col("delta"), 2).as("delta"))
   }
 
+  /** Has-parent query (ES `has_parent`, the reverse of [[qNestedMatch]]'s
+    * child-condition direction): return CHILD documents whose parent
+    * matches — orders belonging to BUILDING-segment customers,
+    * counted per priority. The parent side shrinks at its scan
+    * (segment filter pushed down) and broadcasts into the child scan
+    * as a semi-join; the only shuffle is the final tiny aggregate.
+    */
+  def qHasParent(spark: SparkSession, sfDir: String): DataFrame = {
+    val parents = Tables.customer(spark, sfDir)
+      .filter(col("c_mktsegment") === "BUILDING")
+      .select(col("c_custkey"))
+    Tables.orders(spark, sfDir)
+      .join(broadcast(parents), col("o_custkey") === col("c_custkey"), "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"),
+        round(sum(col("o_totalprice")), 2).as("sum_price"))
+      .orderBy(col("o_orderpriority"))
+  }
+
   /** Nested-object query (ES `nested` query + `inner_hits`): parents
     * whose SAME child satisfies every branch of the inner bool —
     * customers with at least one order that is both high-value AND

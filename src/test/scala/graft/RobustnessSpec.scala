@@ -29,6 +29,14 @@ class RobustnessSpec extends SparkSpec {
     assert(e.getMessage.contains("no such snapshot"))
   }
 
+  test("dedup-against-index fails loudly on a missing index path") {
+    val batch = Tables.documents(spark, sfDir).select("doc_id", "text").limit(5)
+    intercept[Exception] {
+      graft.operators.Dedup.dedupAgainstIndex(spark, batch,
+        "/tmp/graft-no-such-index").collect()
+    }
+  }
+
   test("md5Bucket stays in range and is stable across evaluations") {
     val buckets = Tables.embeddings(spark, sfDir)
       .select(graft.functions.hashes.md5Bucket(
