@@ -173,7 +173,8 @@ object SparkEntry {
     "q_hard_negatives"  -> (VectorSearch.qHardNegatives _),
     "q_where_document"  -> (VectorSearch.qWhereDocument _),
     "q_normalize_agg"   -> (Relational.qNormalizeAgg _),
-    "q_has_parent"      -> (Relational.qHasParent _)
+    "q_has_parent"      -> (Relational.qHasParent _),
+    "q_geo_bounds"      -> (Geo.qGeoBounds _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1686,6 +1687,20 @@ object SparkEntry {
         |FROM orders
         |WHERE o_custkey IN (SELECT c_custkey FROM customer
         |                    WHERE c_mktsegment = 'BUILDING')
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_geo_bounds" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id,
+        |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+        |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+        |  FROM u)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(min(lat), 6) AS min_lat, round(max(lat), 6) AS max_lat,
+        |  round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
+        |  round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
+        |FROM events JOIN g USING (user_id)
         |GROUP BY 1 ORDER BY 1""".stripMargin
   )
 }

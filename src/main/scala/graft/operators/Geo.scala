@@ -75,6 +75,27 @@ object Geo {
       .orderBy(col("n_points").desc, col("cell_lat"), col("cell_lon"))
       .limit(20)
 
+  /** Bounding-box + centroid aggregation (ES `geo_bounds` +
+    * `geo_centroid`): per event type, the box and centroid of the
+    * acting users' locations. The user-profile join is a plain key
+    * join on user_id (both sides shrink to two doubles per row
+    * before moving); the aggregate is min/max/avg — map-side
+    * combinable, |event types| output rows.
+    */
+  def qGeoBounds(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .select(col("user_id"), col("event_type"))
+      .join(userGeo(spark, sfDir), "user_id")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(min(col("lat")), 6).as("min_lat"),
+        round(max(col("lat")), 6).as("max_lat"),
+        round(min(col("lon")), 6).as("min_lon"),
+        round(max(col("lon")), 6).as("max_lon"),
+        round(avg(col("lat")), 6).as("centroid_lat"),
+        round(avg(col("lon")), 6).as("centroid_lon"))
+      .orderBy(col("event_type"))
+
   /** Distance-ring aggregation (ES `geo_distance` agg): concentric
     * bands around a query point, each with its point count and mean
     * distance. The ring key is a per-row expression over the same
