@@ -174,7 +174,8 @@ object SparkEntry {
     "q_where_document"  -> (VectorSearch.qWhereDocument _),
     "q_normalize_agg"   -> (Relational.qNormalizeAgg _),
     "q_has_parent"      -> (Relational.qHasParent _),
-    "q_geo_bounds"      -> (Geo.qGeoBounds _)
+    "q_geo_bounds"      -> (Geo.qGeoBounds _),
+    "q_phrase_suggest"  -> (FullText.qPhraseSuggest _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1701,6 +1702,25 @@ object SparkEntry {
         |  round(min(lon), 6) AS min_lon, round(max(lon), 6) AS max_lon,
         |  round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
         |FROM events JOIN g USING (user_id)
-        |GROUP BY 1 ORDER BY 1""".stripMargin
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_phrase_suggest" ->
+      """WITH vocab AS (SELECT token, count(*) AS df FROM (
+        |    SELECT doc_id, unnest(list_distinct(string_split(text, ' '))) AS token
+        |    FROM documents) GROUP BY 1),
+        |c1 AS (SELECT token AS c1, CAST(levenshtein(token, 'spark') AS BIGINT) AS d1
+        |       FROM vocab WHERE levenshtein(token, 'spark') <= 1),
+        |c2 AS (SELECT token AS c2, CAST(levenshtein(token, 'joim') AS BIGINT) AS d2
+        |       FROM vocab WHERE levenshtein(token, 'joim') <= 1),
+        |t AS (SELECT string_split(text, ' ') AS toks FROM documents
+        |      WHERE len(string_split(text, ' ')) >= 2),
+        |bg AS (SELECT toks[i + 1] AS b1, toks[i + 2] AS b2, count(*) AS bigram_count
+        |       FROM t, unnest(range(0, len(toks) - 1)) AS r(i)
+        |       GROUP BY 1, 2)
+        |SELECT c1, c2,
+        |  coalesce(bg.bigram_count, 0) AS bigram_count,
+        |  (d1 + d2) AS total_edits
+        |FROM c1 CROSS JOIN c2
+        |LEFT JOIN bg ON bg.b1 = c1 AND bg.b2 = c2
+        |ORDER BY bigram_count DESC, total_edits, c1, c2 LIMIT 5""".stripMargin
   )
 }

@@ -586,6 +586,46 @@ object FullText {
       .limit(K)
   }
 
+  /** The misspelled phrase the suggester corrects. */
+  val SuggestPhrase: (String, String) = ("spark", "joim")
+
+  /** Phrase suggester (ES `phrase` suggester — did-you-mean): for
+    * the two-term query, generate per-term candidates within edit
+    * distance 1 of the corpus vocabulary, then score candidate PAIRS
+    * by how often they occur adjacently in the corpus (the bigram
+    * language model ES builds from the index). Scale shape: the
+    * vocabulary and bigram tables are corpus-sized combinable
+    * aggregates (one token/bigram explode each); the candidate sets
+    * are tiny (edit-1 neighborhoods) and broadcast, so the final
+    * scoring join moves |cands₁|·|cands₂| rows. Top-5 corrections by
+    * bigram support, then total edit distance, then keys.
+    */
+  def qPhraseSuggest(spark: SparkSession, sfDir: String): DataFrame = {
+    val (t1, t2) = SuggestPhrase
+    val docs = Tables.documents(spark, sfDir)
+    val vocab = docs
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
+      .groupBy(col("token")).agg(count(lit(1)).as("df"))
+    def cands(term: String, out: String, dist: String) = vocab
+      .filter(levenshtein(col("token"), lit(term)) <= 1)
+      .select(col("token").as(out), levenshtein(col("token"), lit(term)).as(dist))
+    val bigrams = docs
+      .select(split(col("text"), " ").as("toks"))
+      .filter(size(col("toks")) >= 2)
+      .select(explode(expr(
+        "transform(sequence(0, size(toks) - 2), i -> struct(toks[i] AS c1, toks[i + 1] AS c2))"))
+        .as("b"))
+      .groupBy(col("b.c1").as("c1"), col("b.c2").as("c2"))
+      .agg(count(lit(1)).as("bigram_count"))
+    broadcast(cands(t1, "c1", "d1")).crossJoin(broadcast(cands(t2, "c2", "d2")))
+      .join(bigrams, Seq("c1", "c2"), "left")
+      .select(col("c1"), col("c2"),
+        coalesce(col("bigram_count"), lit(0L)).as("bigram_count"),
+        (col("d1") + col("d2")).cast("long").as("total_edits"))
+      .orderBy(col("bigram_count").desc, col("total_edits"), col("c1"), col("c2"))
+      .limit(5)
+  }
+
   /** Boosting query (ES `boosting`: positive / negative /
     * negative_boost 0.5): BM25 over the positive terms, demoted by
     * half when the doc also matches the negative term. The negative
