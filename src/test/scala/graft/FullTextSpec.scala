@@ -383,6 +383,18 @@ class FullTextSpec extends SparkSpec {
     }
   }
 
+  test("q_phrase_suggest corrects the typo to the corpus-attested bigram") {
+    val rows = FullText.qPhraseSuggest(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val top = rows.head
+    assert(top.getAs[String]("c1") == "spark")
+    assert(top.getAs[String]("c2") == "join")
+    // "spark join" genuinely occurs adjacently in the corpus
+    assert(top.getAs[Long]("bigram_count") > 0)
+    val counts = rows.map(_.getAs[Long]("bigram_count"))
+    assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
+  }
+
   test("q_top_hits emits exactly three ranked hits per lang with the bucket count") {
     val total = Tables.documents(spark, sfDir).count()
     val rows = FullText.qTopHits(spark, sfDir).collect()

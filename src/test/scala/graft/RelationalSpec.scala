@@ -364,6 +364,25 @@ class RelationalSpec extends SparkSpec {
     assert(p.getAs[Double]("p75") <= s.getAs[Double]("max_rev"))
   }
 
+  test("q_has_parent covers exactly the orders of matching parents") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.qHasParent(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val expect = Tables.orders(spark, sfDir)
+      .join(Tables.customer(spark, sfDir)
+          .filter(col("c_mktsegment") === "BUILDING").select("c_custkey"),
+        col("o_custkey") === col("c_custkey"))
+      .count()
+    assert(rows.map(_.getAs[Long]("n_orders")).sum == expect)
+  }
+
+  test("q_normalize_agg percentages sum to 100") {
+    val rows = Relational.qNormalizeAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val pct = rows.map(_.getAs[Double]("pct_of_total")).sum
+    assert(math.abs(pct - 100.0) < 1e-3, s"sum $pct")
+  }
+
   test("entry returns rows") {
     assert(SparkEntry.entry(spark).count() > 0)
   }

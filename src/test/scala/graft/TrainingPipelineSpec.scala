@@ -82,6 +82,20 @@ class TrainingPipelineSpec extends SparkSpec {
     }
   }
 
+  test("q_geo_bounds boxes contain their centroids") {
+    val rows = Geo.qGeoBounds(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (mnLat, mxLat) = (r.getAs[Double]("min_lat"), r.getAs[Double]("max_lat"))
+      val (mnLon, mxLon) = (r.getAs[Double]("min_lon"), r.getAs[Double]("max_lon"))
+      assert(mnLat <= mxLat && mnLon <= mxLon)
+      val cLat = r.getAs[Double]("centroid_lat"); val cLon = r.getAs[Double]("centroid_lon")
+      assert(cLat >= mnLat && cLat <= mxLat, s"$cLat outside [$mnLat,$mxLat]")
+      assert(cLon >= mnLon && cLon <= mxLon, s"$cLon outside [$mnLon,$mxLon]")
+      assert(r.getAs[Long]("n_events") > 0)
+    }
+  }
+
   test("q_boilerplate marks every segment of an exact copy pair as shared") {
     val rows = TrainingPipeline.qBoilerplate(spark, sfDir).collect()
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap

@@ -86,4 +86,25 @@ class VectorPropertySpec extends SparkSpec {
       .collect().map(_.getLong(0))
     assert(sigs.sameElements(sigShuf), "simhash must be order-invariant")
   }
+
+  test("sign_bits xor popcount equals the per-dimension sign disagreement count") {
+    import spark.implicits._
+    val pairs = Gen.listOfN(60, genVecPair).sample.get
+    val rows = pairs.toDF("a", "b")
+      .select(bit_count(graft.functions.matrixops.signBits($"a")
+        .bitwiseXOR(graft.functions.matrixops.signBits($"b"))).as("h"))
+      .collect().map(_.getInt(0))
+    pairs.zip(rows).foreach { case ((a, b), h) =>
+      val n = math.min(64, math.min(a.length, b.length))
+      // dims beyond the shorter vector contribute that vector's 0-bit
+      // vs the longer one's sign bit — mirror SignBits' padding rule
+      val (long, short) = if (a.length >= b.length) (a, b) else (b, a)
+      val ref = (0 until math.min(64, long.length)).count { i =>
+        val sLong = long(i) >= 0
+        val sShort = if (i < short.length) short(i) >= 0 else false
+        sLong != sShort
+      }
+      assert(h == ref, s"hamming $h != ref $ref (n=$n)")
+    }
+  }
 }
