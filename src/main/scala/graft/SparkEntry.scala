@@ -175,7 +175,8 @@ object SparkEntry {
     "q_normalize_agg"   -> (Relational.qNormalizeAgg _),
     "q_has_parent"      -> (Relational.qHasParent _),
     "q_geo_bounds"      -> (Geo.qGeoBounds _),
-    "q_phrase_suggest"  -> (FullText.qPhraseSuggest _)
+    "q_phrase_suggest"  -> (FullText.qPhraseSuggest _),
+    "q_serial_diff"     -> (Relational.qSerialDiff _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1721,6 +1722,11 @@ object SparkEntry {
         |  (d1 + d2) AS total_edits
         |FROM c1 CROSS JOIN c2
         |LEFT JOIN bg ON bg.b1 = c1 AND bg.b2 = c2
-        |ORDER BY bigram_count DESC, total_edits, c1, c2 LIMIT 5""".stripMargin
+        |ORDER BY bigram_count DESC, total_edits, c1, c2 LIMIT 5""".stripMargin,
+    "q_serial_diff" ->
+      """WITH d AS (SELECT ts::DATE AS day, count(*) AS n_events FROM events GROUP BY 1)
+        |SELECT day, n_events,
+        |  n_events - lag(n_events, 7) OVER (ORDER BY day) AS wow_diff
+        |FROM d ORDER BY day""".stripMargin
   )
 }

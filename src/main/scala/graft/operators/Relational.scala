@@ -661,6 +661,23 @@ object Relational {
       .orderBy(col("day"))
   }
 
+  /** Serial differencing (ES `serial_diff`, lag 7): the week-over-week
+    * delta of the daily event count — the seasonality-removing
+    * sibling of [[qMovingAgg]]'s lag-1 derivative. The lag window
+    * runs over the |days|-row histogram, so like every pipeline agg
+    * here the second pass is free.
+    */
+  def qSerialDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val w = Window.orderBy(col("day"))
+    Tables.events(spark, sfDir)
+      .groupBy(to_date(col("ts")).as("day"))
+      .agg(count(lit(1)).as("n_events"))
+      .withColumn("lag7", lag(col("n_events"), 7).over(w))
+      .select(col("day"), col("n_events"),
+        (col("n_events") - col("lag7")).as("wow_diff"))
+      .orderBy(col("day"))
+  }
+
   /** Change-point detection (ES `change_point` agg): find the day
     * where the daily-revenue series' mean shifts most — the split
     * maximizing |mean(before) − mean(after)|, the exact two-sample
