@@ -176,7 +176,11 @@ object SparkEntry {
     "q_has_parent"      -> (Relational.qHasParent _),
     "q_geo_bounds"      -> (Geo.qGeoBounds _),
     "q_phrase_suggest"  -> (FullText.qPhraseSuggest _),
-    "q_serial_diff"     -> (Relational.qSerialDiff _)
+    "q_serial_diff"     -> (Relational.qSerialDiff _),
+    "q_categorize_text" -> (TextAnalysis.qCategorizeText _),
+    "q_var_width_histogram" -> (Relational.qVarWidthHistogram _),
+    "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
+    "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1727,6 +1731,53 @@ object SparkEntry {
       """WITH d AS (SELECT ts::DATE AS day, count(*) AS n_events FROM events GROUP BY 1)
         |SELECT day, n_events,
         |  n_events - lag(n_events, 7) OVER (ORDER BY day) AS wow_diff
-        |FROM d ORDER BY day""".stripMargin
+        |FROM d ORDER BY day""".stripMargin,
+    "q_categorize_text" ->
+      """WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
+        |tc AS (SELECT doc_id, token, count(*) AS c FROM tok GROUP BY 1, 2),
+        |rk AS (SELECT doc_id, token,
+        |       row_number() OVER (PARTITION BY doc_id ORDER BY c DESC, token) AS rn FROM tc),
+        |cat AS (SELECT doc_id, string_agg(token, ' ' ORDER BY rn) AS category
+        |        FROM rk WHERE rn <= 3 GROUP BY doc_id)
+        |SELECT category, CAST(count(*) AS BIGINT) AS n_docs, min(doc_id) AS sample_doc
+        |FROM cat GROUP BY 1 ORDER BY n_docs DESC, category LIMIT 20""".stripMargin,
+    "q_var_width_histogram" ->
+      """WITH b AS (SELECT o_orderdate::DATE AS day, round(sum(o_totalprice), 2) AS rev
+        |           FROM orders GROUP BY 1),
+        |st AS (SELECT 2.0 * (max(rev) - min(rev)) / count(*) AS thr FROM b),
+        |g AS (SELECT rev, day, rev - lag(rev) OVER (ORDER BY rev, day) AS gap FROM b),
+        |cl AS (SELECT rev, sum(CASE WHEN gap IS NULL OR gap <= (SELECT thr FROM st)
+        |                            THEN 0 ELSE 1 END)
+        |         OVER (ORDER BY rev, day ROWS UNBOUNDED PRECEDING) AS bucket_id FROM g)
+        |SELECT CAST(bucket_id AS BIGINT) AS bucket_id,
+        |  CAST(count(*) AS BIGINT) AS n_days,
+        |  round(min(rev), 2) AS min_rev, round(max(rev), 2) AS max_rev,
+        |  round(avg(rev), 6) AS centroid
+        |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_grouping_search" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings
+        |           WHERE vec_id % 100 = 0),
+        |s AS (SELECT q_id, vec_id, label,
+        |        round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS score
+        |      FROM q, embeddings),
+        |h AS (SELECT *, row_number() OVER (PARTITION BY q_id, label
+        |                                   ORDER BY score DESC, vec_id) AS hit_rank FROM s),
+        |t AS (SELECT * FROM h WHERE hit_rank <= 2),
+        |lb AS (SELECT q_id, label, max(score) AS best FROM t GROUP BY 1, 2),
+        |lr AS (SELECT q_id, label,
+        |       row_number() OVER (PARTITION BY q_id ORDER BY best DESC, label) AS group_rank
+        |       FROM lb)
+        |SELECT t.q_id, CAST(lr.group_rank AS BIGINT) AS group_rank, t.label,
+        |  CAST(t.hit_rank AS BIGINT) AS hit_rank, t.vec_id, t.score
+        |FROM t JOIN lr ON t.q_id = lr.q_id AND t.label = lr.label
+        |WHERE lr.group_rank <= 3
+        |ORDER BY t.q_id, lr.group_rank, t.hit_rank""".stripMargin,
+    "q_bpe_pairs" ->
+      """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+        |wc AS (SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY 1),
+        |pairs AS (SELECT substr(w, CAST(i AS INT), 2) AS pair, c
+        |          FROM wc, LATERAL unnest(range(1, length(w))) AS t(i))
+        |SELECT pair, CAST(sum(c) AS BIGINT) AS n
+        |FROM pairs GROUP BY 1 ORDER BY n DESC, pair LIMIT 20""".stripMargin
   )
 }

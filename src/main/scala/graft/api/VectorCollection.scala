@@ -92,6 +92,35 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
       .filter(col("rn") <= k)
   }
 
+  /** Grouping search (Milvus `grouping_search` with `group_by_field`
+    * + `group_size`): the top `groups` groups per query, each
+    * represented by its `groupSize` best hits, groups ranked by their
+    * best hit's score. Differs from [[groupedSearch]] (which returns
+    * top-k for EVERY group): here the groups themselves compete, so a
+    * query returns `groups × groupSize` rows no matter how many
+    * distinct group values the corpus holds.
+    *
+    * Plan shape (the window-scale rule): the per-(query, group) hit
+    * limit is a pure row_number window — Spark runs it as a partial
+    * WindowGroupLimit before the shuffle — and the group ranking is
+    * computed on the post-limit |q|·|groups|-sized frame as a
+    * combinable max + a second tiny window, then joined back. Mixing
+    * the group-best aggregate into the first window would disable the
+    * group-limit and pour the corpus into |q|·|groups| tasks.
+    */
+  def groupingSearch(queries: DataFrame, groups: Int, groupSize: Int,
+                     groupCol: String, metric: Metric = Metric.Cosine): DataFrame = {
+    val hits = groupedSearch(queries, groupSize, groupCol, metric)
+    val best = hits.groupBy(col("q_id"), col(groupCol))
+      .agg((if (metric.ascending) min(col("score")) else max(col("score"))).as("best"))
+    val ordB = if (metric.ascending) col("best").asc else col("best").desc
+    val wg = Window.partitionBy(col("q_id")).orderBy(ordB, col(groupCol))
+    val top = best.withColumn("group_rank", row_number().over(wg).cast("long"))
+      .filter(col("group_rank") <= groups)
+      .select(col("q_id"), col(groupCol), col("group_rank"))
+    hits.join(broadcast(top), Seq("q_id", groupCol))
+  }
+
   /** Late-interaction (MaxSim) search over fixed-width sub-vectors:
     * the embedding column is read as `subs` token vectors of `subDim`
     * dims (Qdrant multivectors / ColBERT), scored as Σ over query

@@ -754,4 +754,40 @@ object Relational {
       .select(col("c_custkey"), col("c_name"), col("n_inner_hits"), col("best_price"))
       .orderBy(col("c_custkey"))
   }
+
+  /** Variable-width histogram (ES `variable_width_histogram`):
+    * buckets whose bounds come from the DATA, not a fixed interval —
+    * the data-driven sibling of `q_histogram_numeric` the way
+    * `q_auto_date_histogram` is of `q_date_histogram`. ES clusters
+    * values with an online sketch (approximate, order-dependent); the
+    * deterministic variant here is single-linkage on the value axis:
+    * sort the per-day revenue metric, start a new bucket wherever the
+    * gap to the previous value exceeds 2× the mean spacing
+    * (max−min)/n. Per bucket: size, bounds, centroid.
+    *
+    * Scale shape: the clustered frame is the PRE-AGGREGATED daily
+    * histogram (|days| rows — one combinable shuffle at any corpus
+    * size), so the sort window and the running bucket-id sum run over
+    * a tiny frame; this "cluster the aggregate, not the corpus" split
+    * is the only shape where a global sorted window survives 100 TB.
+    */
+  def qVarWidthHistogram(spark: SparkSession, sfDir: String): DataFrame = {
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+    val thr = daily.agg(
+      (lit(2.0) * (max(col("rev")) - min(col("rev"))) / count(lit(1))).as("thr"))
+    val w = Window.orderBy(col("rev"), col("day"))
+    daily.crossJoin(broadcast(thr))
+      .withColumn("gap", col("rev") - lag(col("rev"), 1).over(w))
+      .withColumn("bucket_id",
+        sum(when(col("gap").isNull || col("gap") <= col("thr"), 0L).otherwise(1L))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .groupBy(col("bucket_id"))
+      .agg(count(lit(1)).as("n_days"),
+        round(min(col("rev")), 2).as("min_rev"),
+        round(max(col("rev")), 2).as("max_rev"),
+        round(avg(col("rev")), 6).as("centroid"))
+      .orderBy(col("bucket_id"))
+  }
 }

@@ -328,4 +328,32 @@ object TextAnalysis {
         col("pass_words") && col("pass_wordlen") && col("pass_stop") && col("pass_repeat"))
       .orderBy(col("doc_id"))
   }
+
+  /** Text categorization (ES `categorize_text` agg): group
+    * semi-structured messages by their dominant vocabulary. ES uses
+    * an online drain-tree clusterer; the deterministic (and so
+    * oracle-able) variant here keys each document by its top-3 tokens
+    * ordered by (frequency desc, token asc) — documents sharing a
+    * dominant vocabulary land in one category. Top-20 categories by
+    * size with a sample doc id.
+    *
+    * Scale shape: per-doc token counts are one map-side-combinable
+    * aggregate; the per-doc top-3 is a sort of a per-doc-sized array
+    * inside the agg (no window over the corpus); the category
+    * histogram is a wordcount. Three combinable shuffles, no joins.
+    */
+  def qCategorizeText(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id"))
+      // struct sort is lexicographic: (-c) ascending = count descending,
+      // then token ascending — the deterministic per-doc top-3.
+      .agg(concat_ws(" ", expr(
+        "transform(slice(array_sort(collect_list(named_struct('nc', -c, 'tok', token))), 1, 3), s -> s.tok)"))
+        .as("category"))
+      .groupBy(col("category"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc"))
+      .orderBy(col("n_docs").desc, col("category"))
+      .limit(20)
 }

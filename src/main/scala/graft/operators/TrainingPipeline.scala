@@ -167,4 +167,110 @@ object TrainingPipeline {
       .agg(count(lit(1)).as("n_docs"), sum(col("n_tokens")).as("sum_tokens"))
       .orderBy(col("source"), col("bin_id"))
   }
+
+  /** The distinct-word frequency table — the frame every byte-pair-
+    * encoding step runs over. BPE's key scale property: after the
+    * first wordcount, all iterations touch |vocab| rows (≪ corpus),
+    * never the corpus again.
+    */
+  private def wordCounts(docs: DataFrame): DataFrame =
+    docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy(col("w")).agg(count(lit(1)).as("c"))
+
+  /** Adjacent-symbol pair counts over `sym` (space-joined symbol
+    * strings) weighted by word frequency `c` — one BPE iteration's
+    * statistics as a combinable aggregate.
+    */
+  private def pairCounts(words: DataFrame): DataFrame =
+    words.filter(size(split(col("sym"), " ")) >= 2)  // sequence(1,0) would DESCEND, not return empty
+      .select(explode(expr(
+      "transform(sequence(1, size(split(sym, ' ')) - 1), " +
+        "i -> concat(split(sym, ' ')[i-1], ' ', split(sym, ' ')[i]))")).as("pair"),
+      col("c"))
+      .groupBy(col("pair")).agg(sum(col("c")).as("n"))
+
+  /** First-iteration BPE pair statistics (the corpus-side half of
+    * tokenizer training): adjacent CHARACTER pair counts over the
+    * corpus, weighted by word frequency — the argmax of this table is
+    * the first merge every BPE/WordPiece trainer performs. Top-20 by
+    * (count desc, pair asc).
+    *
+    * Scale shape: the wordcount is the only corpus-sized shuffle;
+    * pair explosion runs over the DISTINCT-word table (Zipf: tiny
+    * relative to the corpus) with counts carried as weights. This is
+    * exactly how SentencePiece/HF tokenizer trainers shard the
+    * counting step over a 100 TB corpus.
+    */
+  def qBpePairs(spark: SparkSession, sfDir: String): DataFrame =
+    pairCounts(
+      wordCounts(Tables.documents(spark, sfDir))
+        .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("c")))
+      // first-iteration symbols are single chars: "e r" → "er", the
+      // 2-char substring form the oracle counts directly.
+      .select(regexp_replace(col("pair"), " ", "").as("pair"), col("n"))
+      .orderBy(col("n").desc, col("pair"))
+      .limit(20)
+
+  /** Byte-pair-encoding trainer (Sennrich et al. 2016; the
+    * SentencePiece/HF `trainers.BpeTrainer` role): learn `nMerges`
+    * merge rules from the corpus. Distributed shape per iteration:
+    * one combinable pair-count aggregate over the CACHED distinct-word
+    * symbol table, an `limit(1)`-sized argmax collected to the driver
+    * (count desc, pair asc — the deterministic tie-break), then the
+    * merge applied as a whole-symbol left-to-right regexp replace.
+    * The corpus is read once (the initial wordcount); every
+    * iteration's working set is |vocab| rows, so training cost is
+    * independent of corpus size after the first scan — the property
+    * that makes BPE trainable on a 100 TB corpus at all.
+    *
+    * Returns the learned merges in order.
+    */
+  def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
+    var words = wordCounts(docs)
+      .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("c"))
+      .cache()
+    words.count()
+    val merges = Seq.newBuilder[(String, String)]
+    var i = 0
+    var done = false
+    while (i < nMerges && !done) {
+      val top = pairCounts(words)
+        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      if (top.isEmpty) done = true
+      else {
+        val pair = top(0).getString(0)
+        val Array(a, b) = pair.split(" ", 2)
+        merges += ((a, b))
+        // whole-symbol match: the pair only merges where `a` and `b`
+        // are complete space-separated symbols; regexp_replace scans
+        // left-to-right non-overlapping = standard BPE application.
+        val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?=$| )"
+        val next = words
+          .withColumn("sym", regexp_replace(col("sym"), pat, a + b))
+          .cache()
+        next.count()
+        words.unpersist()
+        words = next
+        i += 1
+      }
+    }
+    words.unpersist()
+    merges.result()
+  }
+
+  /** Apply learned merges to a corpus: tokenize each word by
+    * replaying the merge list in order (the inference half of BPE).
+    * Per-row expression chain — scan-only, no shuffle.
+    */
+  def bpeEncode(docs: DataFrame, merges: Seq[(String, String)]): DataFrame = {
+    val sym = merges.foldLeft(concat_ws(" ", split(col("w"), ""))) { case (acc, (a, b)) =>
+      regexp_replace(acc,
+        "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?=$| )", a + b)
+    }
+    docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
+      .withColumn("bpe_tokens", split(sym, " "))
+  }
 }

@@ -84,6 +84,19 @@ object VectorSearch {
       .select(col("q_id"), col("label"), col("vec_id"), col("rn"), col("score"))
       .orderBy(col("q_id"), col("label"), col("rn"))
 
+  /** Milvus grouping_search: top-3 labels per query by best-hit
+    * cosine, 2 hits per label — the "diverse sources" search shape
+    * (one result per document, several chunks each). See
+    * [[graft.api.VectorCollection.groupingSearch]] for the
+    * WindowGroupLimit-preserving plan.
+    */
+  def qGroupingSearch(spark: SparkSession, sfDir: String): DataFrame =
+    collection(spark, sfDir)
+      .groupingSearch(querySet(spark, sfDir), groups = 3, groupSize = 2, "label")
+      .select(col("q_id"), col("group_rank"), col("label"),
+        col("rn").as("hit_rank"), col("vec_id"), col("score"))
+      .orderBy(col("q_id"), col("group_rank"), col("hit_rank"))
+
   /** Recommend example ids (Qdrant-style positive/negative search). */
   val RecommendPos: Seq[Long] = Seq(0L, 100L, 200L)
   val RecommendNeg: Seq[Long] = Seq(300L, 400L)

@@ -186,6 +186,16 @@ class PlanSpec extends SparkSpec {
     }
   }
 
+  test("grouping search keeps the corpus window group-limited and broadcasts the group ranking") {
+    // the per-(query,group) hit window must stay rank-only so the
+    // corpus-sized frame is pre-limited; the group ranking runs over
+    // the post-limit frame and joins back as a broadcast
+    val p = plan(VectorSearch.qGroupingSearch(spark, sfDir))
+    assert(p.split("WindowGroupLimit").length - 1 >= 2, p)
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
   test("nested query pushes both child predicates into the orders scan") {
     val p = plan(Relational.qNestedMatch(spark, sfDir))
     assert(p.contains("GreaterThan(o_totalprice,250000.0)"), p)

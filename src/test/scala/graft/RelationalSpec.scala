@@ -390,4 +390,29 @@ class RelationalSpec extends SparkSpec {
   test("every oracleSql key has a queries entry") {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
+
+  test("variable-width histogram buckets are disjoint, ordered, separated by > threshold") {
+    val rows = Relational.qVarWidthHistogram(spark, sfDir).collect()
+    assert(rows.length > 1)
+    // dense bucket ids from 0 in value order
+    assert(rows.map(_.getAs[Long]("bucket_id")).toSeq == rows.indices.map(_.toLong))
+    rows.foreach { r =>
+      assert(r.getAs[Double]("min_rev") <= r.getAs[Double]("centroid") + 1e-6)
+      assert(r.getAs[Double]("centroid") <= r.getAs[Double]("max_rev") + 1e-6)
+      assert(r.getAs[Long]("n_days") >= 1)
+    }
+    // recompute the 2×-mean-spacing threshold the operator derives
+    import org.apache.spark.sql.functions._
+    val daily = Tables.orders(spark, sfDir)
+      .groupBy(to_date(col("o_orderdate")).as("day"))
+      .agg(round(sum(col("o_totalprice")), 2).as("rev"))
+      .agg(min(col("rev")), max(col("rev")), count(lit(1))).collect()(0)
+    val thr = 2.0 * (daily.getDouble(1) - daily.getDouble(0)) / daily.getLong(2)
+    rows.sliding(2).foreach { case Array(a, b) =>
+      val gap = b.getAs[Double]("min_rev") - a.getAs[Double]("max_rev")
+      assert(gap > thr - 1e-9,
+        s"buckets ${a.getAs[Long]("bucket_id")}/${b.getAs[Long]("bucket_id")} gap $gap ≤ thr $thr")
+      case _ => ()
+    }
+  }
 }

@@ -172,4 +172,23 @@ class TextAnalysisSpec extends SparkSpec {
     assert(rows.exists(_.getAs[Boolean]("pass_all")))
     assert(rows.exists(!_.getAs[Boolean]("pass_all")))
   }
+
+  test("categorize_text categories are the sample doc's top-3 tokens, sizes descending") {
+    val rows = TextAnalysis.qCategorizeText(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val sizes = rows.map(_.getAs[Long]("n_docs")).toSeq
+    assert(sizes == sizes.sorted.reverse)
+    assert(sizes.head >= 2, "top category should actually group documents")
+    // recompute the category key for each sample doc with the same
+    // deterministic rule (count desc, token asc)
+    val texts = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1)).toMap
+    rows.foreach { r =>
+      val expected = texts(r.getAs[Long]("sample_doc"))
+        .split(" ").groupBy(identity).map { case (t, o) => (t, o.length) }
+        .toSeq.sortBy { case (t, c) => (-c, t) }.take(3).map(_._1).mkString(" ")
+      assert(r.getAs[String]("category") == expected)
+    }
+  }
 }

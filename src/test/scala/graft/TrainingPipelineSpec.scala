@@ -119,4 +119,61 @@ class TrainingPipelineSpec extends SparkSpec {
       assert(r.getAs[Long]("n_segments") > 0)
     }
   }
+
+  /** In-memory reference BPE trainer (Sennrich-style: argmax pair by
+    * (count desc, "a b" asc), left-to-right non-overlapping merge).
+    */
+  private def refBpe(wc: Map[String, Long], n: Int): Seq[(String, String)] = {
+    var words = wc.toSeq.map { case (w, c) => (w.map(_.toString), c) }
+    val out = collection.mutable.Buffer[(String, String)]()
+    var continue = true
+    while (out.size < n && continue) {
+      val pc = collection.mutable.Map[(String, String), Long]().withDefaultValue(0L)
+      for ((syms, c) <- words; i <- 0 until syms.length - 1)
+        pc((syms(i), syms(i + 1))) += c
+      if (pc.isEmpty) continue = false
+      else {
+        val best = pc.toSeq.minBy { case ((a, b), cnt) => (-cnt, a + " " + b) }._1
+        out += best
+        words = words.map { case (syms, c) =>
+          val buf = collection.mutable.Buffer[String]()
+          var i = 0
+          while (i < syms.length) {
+            if (i < syms.length - 1 && syms(i) == best._1 && syms(i + 1) == best._2) {
+              buf += best._1 + best._2; i += 2
+            } else { buf += syms(i); i += 1 }
+          }
+          (buf.toIndexedSeq, c)
+        }
+      }
+    }
+    out.toSeq
+  }
+
+  test("bpeTrain learns the same merge sequence as an in-memory reference trainer") {
+    val docs = Tables.documents(spark, sfDir)
+    val wc = docs.select(explode(split(col("text"), " ")).as("w"))
+      .filter(length(col("w")) >= 2)
+      .groupBy("w").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val merges = TrainingPipeline.bpeTrain(docs, 8)
+    assert(merges == refBpe(wc, 8), s"distributed merges $merges diverge from reference")
+    assert(merges.size == 8)
+  }
+
+  test("bpeEncode losslessly re-segments every word with the learned merges") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = TrainingPipeline.bpeTrain(docs, 4)
+    val enc = TrainingPipeline.bpeEncode(docs, merges).limit(2000).collect()
+    assert(enc.nonEmpty)
+    def toks(r: org.apache.spark.sql.Row): scala.collection.Seq[String] =
+      r.getSeq[String](r.fieldIndex("bpe_tokens"))
+    enc.foreach { r =>
+      val w = r.getAs[String]("w")
+      assert(toks(r).mkString("") == w, s"tokens ${toks(r)} do not reassemble $w")
+    }
+    // at least one learned merge actually fires somewhere
+    val merged = merges.map { case (a, b) => a + b }.toSet
+    assert(enc.exists(r => toks(r).exists(merged.contains)))
+  }
 }

@@ -351,4 +351,29 @@ class VectorSearchSpec extends SparkSpec {
     assert(meanTo > meanAway,
       s"steered results should lean toward moveTo (to=$meanTo, away=$meanAway)")
   }
+
+  test("grouping search returns the top groups by best hit, group_size hits each") {
+    val rows = VectorSearch.qGroupingSearch(spark, sfDir).collect()
+    val byQ = rows.groupBy(_.getAs[Long]("q_id"))
+    byQ.foreach { case (q, rs) =>
+      // 3 groups × 2 hits, distinct labels, ranks dense from 1
+      val byGroup = rs.groupBy(_.getAs[Long]("group_rank"))
+      assert(byGroup.keySet == Set(1L, 2L, 3L), s"q=$q ranks ${byGroup.keySet}")
+      assert(rs.map(_.getAs[Int]("label")).distinct.length == 3, s"q=$q labels not distinct")
+      byGroup.foreach { case (_, g) =>
+        assert(g.map(_.getAs[Long]("hit_rank")).sorted.toSeq == Seq(1L, 2L))
+        assert(g.map(_.getAs[Int]("label")).distinct.length == 1)
+      }
+      // groups ordered by their best hit's score, descending
+      val bests = byGroup.toSeq.sortBy(_._1)
+        .map(_._2.map(_.getAs[Double]("score")).max)
+      assert(bests == bests.sorted.reverse, s"q=$q group order $bests")
+      // within a group, hits ordered by score
+      byGroup.values.foreach { g =>
+        val s = g.sortBy(_.getAs[Long]("hit_rank")).map(_.getAs[Double]("score")).toSeq
+        assert(s == s.sorted.reverse)
+      }
+    }
+    assert(byQ.nonEmpty)
+  }
 }
