@@ -180,7 +180,9 @@ object SparkEntry {
     "q_categorize_text" -> (TextAnalysis.qCategorizeText _),
     "q_var_width_histogram" -> (Relational.qVarWidthHistogram _),
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
-    "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _)
+    "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
+    "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
+    "q_eql_sequence"    -> (Relational.qEqlSequence _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1772,6 +1774,21 @@ object SparkEntry {
         |FROM t JOIN lr ON t.q_id = lr.q_id AND t.label = lr.label
         |WHERE lr.group_rank <= 3
         |ORDER BY t.q_id, lr.group_rank, t.hit_rank""".stripMargin,
+    // served from the at-rest inverted index; must hash-match the
+    // on-the-fly BM25 oracle exactly
+    "q_bm25_indexed" ->
+      s"""SELECT doc_id, bm25 FROM ($oracleBm25)
+         |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_eql_sequence" ->
+      """WITH v AS (SELECT user_id, ts AS ts_v FROM events WHERE event_type = 'view'),
+        |c AS (SELECT user_id, ts AS ts_c FROM events WHERE event_type = 'click'),
+        |p AS (SELECT user_id, ts AS ts_p FROM events WHERE event_type = 'purchase')
+        |SELECT v.user_id, CAST(count(*) AS BIGINT) AS n_sequences,
+        |       min(ts_v) AS first_start
+        |FROM v JOIN c ON c.user_id = v.user_id AND ts_c > ts_v
+        |       JOIN p ON p.user_id = v.user_id AND ts_p > ts_c
+        |                 AND ts_p <= ts_v + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |wc AS (SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY 1),

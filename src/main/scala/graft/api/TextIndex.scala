@@ -238,4 +238,76 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
         round(coalesce(col("nl"), lit(0.0)) + coalesce(col("nv"), lit(0.0)), 6)
           .as("dbsf"))
   }
+
+  /** Persist this index's inverted form — see [[TextIndex.write]]. */
+  def writeIndex(path: String): Unit = TextIndex.write(docs, path, idCol, textCol)
+}
+
+/** The at-rest inverted index — the third standing index next to the
+  * IVF vector layout ([[graft.operators.Ann]]) and the MinHash/LSH
+  * dedup index ([[graft.operators.Dedup]]). An ES/Lucene deployment
+  * never re-tokenizes its corpus per query; this is that property in
+  * parquet: postings (token, doc, tf, doc-length) live partitioned by
+  * a token hash bucket, so a query's terms prune the scan to
+  * ≤ |terms| of [[TextIndex.TokenBuckets]] partitions — the
+  * partition-pruning trick the IVF layout uses for centroids, applied
+  * to the vocabulary. df and corpus stats are tiny side tables that
+  * broadcast into the scoring join.
+  */
+object TextIndex {
+
+  /** Postings partition count. At 100 TB this is the vocabulary
+    * sharding knob: postings for one bucket ≈ corpus tokens /
+    * TokenBuckets, and a q-term query reads q buckets.
+    */
+  val TokenBuckets = 64
+
+  /** Build the at-rest layout: bucket-partitioned postings + vocab df
+    * + corpus stats. One corpus scan; the postings aggregate is the
+    * only corpus-sized shuffle, exactly as in the on-the-fly
+    * [[TextIndex.bm25]].
+    */
+  def write(docs: DataFrame, path: String,
+            idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val toks = split(col(textCol), " ")
+    val post = docs
+      .select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+      .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(TokenBuckets.toLong)))
+      .localCheckpoint() // feeds both the postings and the vocab write
+    post.write.mode("overwrite").partitionBy("tok_bucket").parquet(s"$path/postings")
+    post.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .write.mode("overwrite").parquet(s"$path/vocab")
+    docs.agg(count(lit(1)).as("n_docs"), avg(size(toks).cast("long")).as("avgdl"))
+      .write.mode("overwrite").parquet(s"$path/stats")
+  }
+
+  /** BM25 over the standing index: identical scores to the on-the-fly
+    * [[TextIndex.bm25]] (same formula, same rounding), but the corpus
+    * text is never read — the postings scan is partition-pruned to
+    * the query terms' hash buckets and row-filtered to the terms
+    * themselves (both reach the parquet reader), df/stats broadcast.
+    * Per-query cost scales with posting-list length, not corpus size.
+    */
+  def bm25AtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    // planning-time bucket ids for the terms (must be Spark's own
+    // xxhash64 so driver and layout agree) — |terms| rows, local
+    val buckets = spark.range(1).select(
+      terms.map(t => pmod(xxhash64(lit(t)), lit(TokenBuckets.toLong))): _*)
+      .collect()(0).toSeq.map(_.asInstanceOf[Long]).distinct
+    val post = spark.read.parquet(s"$path/postings")
+      .filter(col("tok_bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    val df = spark.read.parquet(s"$path/vocab").filter(col("token").isin(terms: _*))
+    val stats = spark.read.parquet(s"$path/stats")
+    val k1l = lit(k1); val bl = lit(b)
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
+    val idCols = post.columns.filterNot(Set("token", "tf", "dl", "tok_bucket"))
+    post.join(broadcast(df), "token")
+      .crossJoin(broadcast(stats))
+      .groupBy(idCols.map(col): _*)
+      .agg(round(sum(idf * w), 6).as("bm25"))
+  }
 }

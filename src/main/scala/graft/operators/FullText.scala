@@ -46,6 +46,32 @@ object FullText {
     index(spark, sfDir).bm25(Terms)
       .orderBy(col("bm25").desc, col("doc_id")).limit(K)
 
+  /** Session-scoped at-rest text index per corpus dir (built once —
+    * the ingest-time artifact, like [[IndexCache]] for the encoded
+    * vector corpora).
+    */
+  private val textIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def textIndexPath(spark: SparkSession, sfDir: String): String =
+    textIndexPaths.computeIfAbsent(
+      System.identityHashCode(spark) + "#" + sfDir, { _ =>
+        val p = java.nio.file.Files.createTempDirectory("graft-textindex").toString
+        index(spark, sfDir).writeIndex(p)
+        p
+      })
+
+  /** BM25 served from the at-rest inverted index
+    * ([[graft.api.TextIndex.bm25AtRest]]): same query, same scores as
+    * [[qBm25]] — hash-checked against the same oracle — but the
+    * corpus text is never re-read; the postings scan prunes to the
+    * terms' hash-bucket partitions.
+    */
+  def qBm25Indexed(spark: SparkSession, sfDir: String): DataFrame =
+    TextIndex.bm25AtRest(spark, textIndexPath(spark, sfDir), Terms)
+      .select(col("doc_id"), col("bm25"))
+      .orderBy(col("bm25").desc, col("doc_id")).limit(K)
+
   /** Exact-phrase containment with occurrence counts (ES match_phrase). */
   def qPhraseMatch(spark: SparkSession, sfDir: String): DataFrame =
     index(spark, sfDir).phraseMatch("spark join")

@@ -755,6 +755,36 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Event-sequence matching (ES EQL `sequence by user_id with
+    * maxspan=7d [view] [click] [purchase]` — the SIEM/funnel query
+    * class): per user, count the ordered (view < click < purchase)
+    * event triples whose whole span fits in 7 days, with the earliest
+    * sequence start.
+    *
+    * Plan shape: three filtered projections of one events scan,
+    * equi-joined on `user_id` (shuffle-hash on the sequence key —
+    * exactly how a distributed EQL engine shards), with the temporal
+    * predicates as post-join filters. The maxspan bound is ALSO
+    * applied to the first (view, click) join, so the intermediate
+    * pair frame is span-bounded rather than all-history — at 100 TB
+    * the per-user block product is what explodes; the redundant bound
+    * is the standard guard.
+    */
+  def qEqlSequence(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+    def stage(t: String, a: String) = ev.filter(col("event_type") === t)
+      .select(col("user_id"), col("ts").as(a))
+    val span = expr("INTERVAL 7 DAYS")
+    stage("view", "ts_v")
+      .join(stage("click", "ts_c"), Seq("user_id"))
+      .filter(col("ts_c") > col("ts_v") && col("ts_c") < col("ts_v") + span)
+      .join(stage("purchase", "ts_p"), Seq("user_id"))
+      .filter(col("ts_p") > col("ts_c") && col("ts_p") <= col("ts_v") + span)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_sequences"), min(col("ts_v")).as("first_start"))
+      .orderBy(col("user_id"))
+  }
+
   /** Variable-width histogram (ES `variable_width_histogram`):
     * buckets whose bounds come from the DATA, not a fixed interval —
     * the data-driven sibling of `q_histogram_numeric` the way

@@ -103,4 +103,84 @@ class ApiSpec extends SparkSpec {
     val byDoc = bm.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
     assert(byDoc(2L) > byDoc(1L))
   }
+
+  test("at-rest text index serves identical BM25 scores to the on-the-fly scan") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ti-spec").toString
+    TextIndex(docs).writeIndex(path)
+    val terms = Seq("spark", "join", "vector")
+    val live = TextIndex(docs).bm25(terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val atRest = TextIndex.bm25AtRest(spark, path, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(atRest == live, "at-rest BM25 must equal the on-the-fly scores exactly")
+    assert(live.nonEmpty)
+  }
+
+  test("text-index search prunes the postings scan to the terms' bucket partitions") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ti-prune").toString
+    TextIndex(docs).writeIndex(path)
+    val p = TextIndex.bm25AtRest(spark, path, Seq("spark")).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PartitionFilters") && p.contains("tok_bucket"), p)
+    // one term → exactly one of the TokenBuckets partitions is read
+    val dirs = new java.io.File(s"$path/postings").listFiles()
+      .filter(f => f.isDirectory && f.getName.startsWith("tok_bucket=")).map(_.getName)
+    assert(dirs.length > 1, "corpus vocabulary should span several buckets")
+  }
+
+  test("FilterDsl compiles must/should/must_not to the same rows as hand-written predicates") {
+    import graft.api.FilterDsl._
+    val docs = Tables.documents(spark, sfDir)
+    val f = Filter(
+      must = Seq(MatchValue("lang", "en"), Range("n_chars", gte = Some(100), lt = Some(900))),
+      mustNot = Seq(MatchAny("source", Seq("src0", "src1"))),
+      should = Seq(TextContains("text", "spark"), TextContains("text", "join")),
+      minShould = 1)
+    val got = docs.filter(f.toColumn).select("doc_id").collect().map(_.getLong(0)).toSet
+    val want = docs.filter(
+      col("lang") === "en" && col("n_chars") >= 100 && col("n_chars") < 900 &&
+        !col("source").isin("src0", "src1") &&
+        (col("text").contains("spark") || col("text").contains("join")))
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("FilterDsl parses the Qdrant JSON wire form to the same predicate") {
+    import graft.api.FilterDsl._
+    val docs = Tables.documents(spark, sfDir)
+    val json =
+      """{ "must": [ {"key": "lang", "match": {"value": "en"}},
+        |            {"key": "n_chars", "range": {"gte": 100, "lt": 900}} ],
+        |  "must_not": [ {"key": "source", "match": {"any": ["src0", "src1"]}} ],
+        |  "should": [ {"key": "text", "match": {"text": "spark"}},
+        |              {"key": "text", "match": {"text": "join"}} ],
+        |  "min_should": 1 }""".stripMargin
+    val ast = Filter(
+      must = Seq(MatchValue("lang", "en"), Range("n_chars", gte = Some(100), lt = Some(900))),
+      mustNot = Seq(MatchAny("source", Seq("src0", "src1"))),
+      should = Seq(TextContains("text", "spark"), TextContains("text", "join")))
+    val a = docs.filter(fromJson(json).toColumn).count()
+    val b = docs.filter(ast.toColumn).count()
+    assert(a == b && a > 0)
+    // nested bool-in-bool parses and is at least as selective
+    val nested = fromJson(
+      """{ "must": [ {"key": "lang", "match": {"value": "en"}},
+        |            { "should": [ {"key": "source", "match": {"value": "src2"}},
+        |                          {"key": "source", "match": {"value": "src3"}} ] } ] }""".stripMargin)
+    val n = docs.filter(nested.toColumn)
+    assert(n.count() > 0)
+    assert(n.select("source").distinct().collect().map(_.getString(0)).toSet
+      .subsetOf(Set("src2", "src3")))
+  }
+
+  test("FilterDsl flat predicates push down to the parquet scan") {
+    import graft.api.FilterDsl._
+    val f = Filter(must = Seq(MatchValue("label", 3), Range("vec_id", lt = Some(400))))
+    val p = Tables.embeddings(spark, sfDir).filter(f.toColumn).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("PushedFilters"), p)
+    assert(p.contains("EqualTo(label,3)") && p.contains("LessThan(vec_id"), p)
+  }
 }

@@ -391,6 +391,27 @@ class RelationalSpec extends SparkSpec {
     assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
   }
 
+  test("q_eql_sequence matches a brute-force triple count for a sample user") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.qEqlSequence(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Long]("n_sequences") >= 1))
+    val u = rows.head.getAs[Long]("user_id")
+    def micros(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val evs = Tables.events(spark, sfDir).filter(col("user_id") === u)
+      .select("event_type", "ts").collect()
+      .map(r => (r.getString(0), micros(r.getTimestamp(1))))
+    val span = 7L * 24 * 3600 * 1000000L
+    def of(t: String) = evs.filter(_._1 == t).map(_._2)
+    val n = (for {
+      v <- of("view"); c <- of("click") if c > v
+      p <- of("purchase") if p > c && p <= v + span
+    } yield 1).size.toLong
+    assert(rows.head.getAs[Long]("n_sequences") == n,
+      s"user $u: distributed count ${rows.head.getAs[Long]("n_sequences")} vs local $n")
+  }
+
   test("variable-width histogram buckets are disjoint, ordered, separated by > threshold") {
     val rows = Relational.qVarWidthHistogram(spark, sfDir).collect()
     assert(rows.length > 1)
