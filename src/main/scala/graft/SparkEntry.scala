@@ -182,7 +182,9 @@ object SparkEntry {
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
-    "q_eql_sequence"    -> (Relational.qEqlSequence _)
+    "q_eql_sequence"    -> (Relational.qEqlSequence _),
+    "q_filter_dsl"      -> (Collection.qFilterDsl _),
+    "q_has_child"       -> (Relational.qHasChild _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1788,6 +1790,23 @@ object SparkEntry {
         |FROM v JOIN c ON c.user_id = v.user_id AND ts_c > ts_v
         |       JOIN p ON p.user_id = v.user_id AND ts_p > ts_c
         |                 AND ts_p <= ts_v + INTERVAL 7 DAY
+        |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_filter_dsl" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 900
+        |  AND source NOT IN ('src0', 'src1')
+        |  AND (contains(text, 'spark') OR contains(text, 'join'))
+        |ORDER BY doc_id""".stripMargin,
+    "q_has_child" ->
+      """WITH kids AS (SELECT o_custkey, count(*) AS n_child,
+        |                     sum(o_totalprice) AS child_price
+        |              FROM orders
+        |              WHERE o_orderpriority = '1-URGENT' AND o_totalprice > 200000
+        |              GROUP BY 1)
+        |SELECT c_mktsegment, CAST(count(*) AS BIGINT) AS n_customers,
+        |  CAST(sum(n_child) AS BIGINT) AS n_orders,
+        |  round(sum(child_price), 2) AS sum_price
+        |FROM customer JOIN kids ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),

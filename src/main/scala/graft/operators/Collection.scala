@@ -215,4 +215,25 @@ object Collection {
       .orderBy(col("vec_id"))
       .limit(100)
   }
+
+  /** The structured-filter surface ([[graft.api.FilterDsl]]) as a
+    * driver-verified query: a Qdrant-wire-form JSON bool filter —
+    * must (match + range) / must_not (match any) / should (text
+    * contains, min 1) — compiled to one Catalyst predicate over the
+    * document store. The flat conditions reach the parquet scan as
+    * pushed filters; the whole query is scan + presentation sort.
+    */
+  def qFilterDsl(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = graft.api.FilterDsl.fromJson(
+      """{ "must": [ {"key": "lang", "match": {"value": "en"}},
+        |            {"key": "n_chars", "range": {"gte": 100, "lt": 900}} ],
+        |  "must_not": [ {"key": "source", "match": {"any": ["src0", "src1"]}} ],
+        |  "should": [ {"key": "text", "match": {"text": "spark"}},
+        |              {"key": "text", "match": {"text": "join"}} ],
+        |  "min_should": 1 }""".stripMargin)
+    Tables.documents(spark, sfDir)
+      .filter(f.toColumn)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -733,6 +733,28 @@ object Relational {
       .orderBy(col("o_orderpriority"))
   }
 
+  /** `has_child` (ES join-field, the inverse of [[qHasParent]]):
+    * parents with at least one child matching — customers with any
+    * urgent order over 200k, reported per market segment with the
+    * matched-parent count and their child-order total. The child side
+    * shrinks at its scan (both predicates pushed down) and
+    * pre-aggregates to one row per parent key BEFORE the join, so the
+    * join input is |matching parents|, not |matching orders|.
+    */
+  def qHasChild(spark: SparkSession, sfDir: String): DataFrame = {
+    val kids = Tables.orders(spark, sfDir)
+      .filter(col("o_orderpriority") === "1-URGENT" && col("o_totalprice") > 200000)
+      .groupBy(col("o_custkey"))
+      .agg(count(lit(1)).as("n_child"), sum(col("o_totalprice")).as("child_price"))
+    Tables.customer(spark, sfDir)
+      .join(kids, col("c_custkey") === col("o_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum(col("n_child")).as("n_orders"),
+        round(sum(col("child_price")), 2).as("sum_price"))
+      .orderBy(col("c_mktsegment"))
+  }
+
   /** Nested-object query (ES `nested` query + `inner_hits`): parents
     * whose SAME child satisfies every branch of the inner bool —
     * customers with at least one order that is both high-value AND
