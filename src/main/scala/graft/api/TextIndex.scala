@@ -266,9 +266,30 @@ object TextIndex {
     * + corpus stats. One corpus scan; the postings aggregate is the
     * only corpus-sized shuffle, exactly as in the on-the-fly
     * [[TextIndex.bm25]].
+    *
+    * The side tables hold MERGEABLE deltas — vocab rows are per-batch
+    * (token, df) partials and stats rows per-batch (n_docs, sum_dl) —
+    * so [[append]] is a pure parquet append on all three tables and
+    * the query side folds the deltas (a broadcast-sized aggregate).
+    * Same design as the MinHash dedup index: index maintenance never
+    * reads or rewrites standing data.
     */
   def write(docs: DataFrame, path: String,
-            idCol: String = "doc_id", textCol: String = "text"): Unit = {
+            idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBatch(docs, path, idCol, textCol, "overwrite")
+
+  /** Fold a new document batch into the standing index: batch-sized
+    * appends into the postings partition layout plus delta rows in
+    * vocab/stats. Searches afterwards score EXACTLY as a full rebuild
+    * over (standing ∪ batch) — df and avgdl fold from the deltas.
+    * Callers own id disjointness (an upsert would compact first).
+    */
+  def append(docs: DataFrame, path: String,
+             idCol: String = "doc_id", textCol: String = "text"): Unit =
+    writeBatch(docs, path, idCol, textCol, "append")
+
+  private def writeBatch(docs: DataFrame, path: String,
+                         idCol: String, textCol: String, mode: String): Unit = {
     val toks = split(col(textCol), " ")
     val post = docs
       .select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("token"))
@@ -276,11 +297,12 @@ object TextIndex {
       .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(TokenBuckets.toLong)))
       .localCheckpoint() // feeds both the postings and the vocab write
-    post.write.mode("overwrite").partitionBy("tok_bucket").parquet(s"$path/postings")
+    post.write.mode(mode).partitionBy("tok_bucket").parquet(s"$path/postings")
     post.groupBy(col("token")).agg(count(lit(1)).as("df"))
-      .write.mode("overwrite").parquet(s"$path/vocab")
-    docs.agg(count(lit(1)).as("n_docs"), avg(size(toks).cast("long")).as("avgdl"))
-      .write.mode("overwrite").parquet(s"$path/stats")
+      .write.mode(mode).parquet(s"$path/vocab")
+    docs.agg(count(lit(1)).as("n_docs"),
+        sum(size(toks).cast("long")).as("sum_dl"))
+      .write.mode(mode).parquet(s"$path/stats")
   }
 
   /** BM25 over the standing index: identical scores to the on-the-fly
@@ -299,8 +321,12 @@ object TextIndex {
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).distinct
     val post = spark.read.parquet(s"$path/postings")
       .filter(col("tok_bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    // fold the per-batch deltas (broadcast-sized side tables)
     val df = spark.read.parquet(s"$path/vocab").filter(col("token").isin(terms: _*))
+      .groupBy(col("token")).agg(sum(col("df")).as("df"))
     val stats = spark.read.parquet(s"$path/stats")
+      .agg(sum(col("n_docs")).as("n_docs"),
+        (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
     val k1l = lit(k1); val bl = lit(b)
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))

@@ -117,6 +117,20 @@ class ApiSpec extends SparkSpec {
     assert(live.nonEmpty)
   }
 
+  test("text-index append folds a new batch — scores equal a full-corpus rebuild") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ti-append").toString
+    TextIndex(docs.filter(col("doc_id") % 3 =!= 0)).writeIndex(path)
+    TextIndex.append(docs.filter(col("doc_id") % 3 === 0), path)
+    val terms = Seq("spark", "join", "vector")
+    val atRest = TextIndex.bm25AtRest(spark, path, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val live = TextIndex(docs).bm25(terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(atRest == live,
+      "incrementally-maintained index must score exactly as a full rebuild")
+  }
+
   test("text-index search prunes the postings scan to the terms' bucket partitions") {
     val docs = Tables.documents(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("graft-ti-prune").toString
