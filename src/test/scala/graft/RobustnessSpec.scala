@@ -55,4 +55,27 @@ class RobustnessSpec extends SparkSpec {
     // diagonal points interleave to pairs of identical bits
     assert(zs.distinct.length == 256)
   }
+
+  test("FilterDsl rejects malformed wire-form filters with the offending fragment") {
+    import graft.api.FilterDsl
+    // a condition with no key
+    val e1 = intercept[RuntimeException] {
+      FilterDsl.fromJson("""{ "must": [ {"match": {"value": 3}} ] }""")
+    }
+    assert(e1.getMessage.contains("key"))
+    // an unknown condition shape
+    val e2 = intercept[RuntimeException] {
+      FilterDsl.fromJson("""{ "must": [ {"key": "x", "frobnicate": 1} ] }""")
+    }
+    assert(e2.getMessage.contains("unsupported"))
+    // a non-numeric range bound
+    val e3 = intercept[RuntimeException] {
+      FilterDsl.fromJson("""{ "must": [ {"key": "x", "range": {"gte": "low"}} ] }""")
+    }
+    assert(e3.getMessage.contains("range bound"))
+    // an empty filter is valid and matches everything
+    val n = Tables.documents(spark, sfDir)
+      .filter(FilterDsl.fromJson("{}").toColumn).count()
+    assert(n == Tables.documents(spark, sfDir).count())
+  }
 }

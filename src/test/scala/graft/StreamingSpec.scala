@@ -281,6 +281,30 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.nonEmpty)
   }
 
+  test("streaming text-index maintenance scores like a full rebuild after every trigger's folds") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
+    val idx = Files.createTempDirectory("graft-ti-stream").toString
+    // standing index = first third; stream the rest in two micro-batches
+    graft.api.TextIndex(docs.filter(col("doc_id") % 3 === 0)).writeIndex(idx)
+    val rest = docs.filter(col("doc_id") % 3 =!= 0)
+    val srcDir = Files.createTempDirectory("graft-ti-stream-src").toString
+    rest.filter(col("doc_id") % 3 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    rest.filter(col("doc_id") % 3 === 2).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.TextIndexStream.indexStream(
+      spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir), idx)
+    q.awaitTermination(180000)
+    val terms = Seq("spark", "join", "vector")
+    val atRest = graft.api.TextIndex.bm25AtRest(spark, idx, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val live = graft.api.TextIndex(docs).bm25(terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(atRest == live,
+      "stream-maintained index must score exactly as a full-corpus rebuild")
+    assert(atRest.nonEmpty)
+  }
+
   test("streaming CDC upsert folds batch-by-batch to the whole-log merge") {
     import org.apache.spark.sql.functions._
     val base = Tables.embeddings(spark, sfDir)
