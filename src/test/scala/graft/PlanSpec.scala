@@ -196,6 +196,25 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("dedup index probe broadcasts the batch — the standing postings never shuffle") {
+    val docs = Tables.documents(spark, sfDir)
+      .select(org.apache.spark.sql.functions.col("doc_id"),
+        org.apache.spark.sql.functions.col("text"))
+    val idx = java.nio.file.Files.createTempDirectory("graft-planspec-idx").toString
+    Dedup.writeMinhashIndex(docs.filter("doc_id % 2 = 0"), idx)
+    val p = plan(Dedup.dedupAgainstIndex(spark, docs.filter("doc_id % 2 = 1"), idx))
+    // every join that touches the standing postings/shingles scans is
+    // a broadcast of batch-derived (id-only) frames — the at-rest
+    // corpus itself never shuffles; the ONLY sort-merge joins allowed
+    // are the final pairwise verifications, whose two inputs are
+    // candidate-bounded (broadcasting those would grow the payload
+    // with candidate count × shingle width — the round-2 regression)
+    // tree lines only ("<op> Inner (<id>)") — the details section
+    // repeats every operator name once more
+    assert(p.split("BroadcastHashJoin Inner Build").length - 1 >= 3, p)
+    assert(p.split("SortMergeJoin Inner \\(").length - 1 <= 2, p)
+  }
+
   test("nested query pushes both child predicates into the orders scan") {
     val p = plan(Relational.qNestedMatch(spark, sfDir))
     assert(p.contains("GreaterThan(o_totalprice,250000.0)"), p)
