@@ -184,7 +184,8 @@ object SparkEntry {
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),
-    "q_has_child"       -> (Relational.qHasChild _)
+    "q_has_child"       -> (Relational.qHasChild _),
+    "q_crawl_diff"      -> (TrainingPipeline.qCrawlDiff _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1808,6 +1809,24 @@ object SparkEntry {
         |  round(sum(child_price), 2) AS sum_price
         |FROM customer JOIN kids ON c_custkey = o_custkey
         |GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_crawl_diff" ->
+      """WITH old AS (SELECT doc_id, md5(text) AS h_old, n_chars AS b_old
+        |             FROM documents WHERE doc_id % 5 <> 4),
+        |neu AS (SELECT doc_id,
+        |          md5(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END) AS h_new,
+        |          CAST(length(CASE WHEN doc_id % 3 = 0 THEN text || ' v2' ELSE text END)
+        |               AS BIGINT) AS b_new
+        |        FROM documents WHERE doc_id % 5 <> 0),
+        |d AS (SELECT coalesce(old.doc_id, neu.doc_id) AS doc_id, h_old, h_new, b_new,
+        |        CASE WHEN h_old IS NULL THEN 'added'
+        |             WHEN h_new IS NULL THEN 'removed'
+        |             WHEN h_old <> h_new THEN 'changed'
+        |             ELSE 'unchanged' END AS status
+        |      FROM old FULL OUTER JOIN neu USING (doc_id))
+        |SELECT status, CAST(count(*) AS BIGINT) AS n_docs,
+        |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
+        |  CAST(coalesce(sum(b_new), 0) AS BIGINT) AS new_bytes
+        |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |wc AS (SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY 1),

@@ -84,4 +84,20 @@ object ScaleOps {
       .sortWithinPartitions(col("__z"))
       .drop("__z")
       .write.mode("overwrite").parquet(path)
+
+  /** Deterministic shard export — the dataset→trainer handoff: rows
+    * land in `shards` stable shards by id hash (NOT repartitionByRange,
+    * whose sampled boundaries differ run to run), each shard a
+    * directory with its rows sorted by id. Re-exporting the same
+    * frame reproduces byte-identical shard membership, so downstream
+    * training-data loaders can resume / compare across exports. At
+    * 100 TB this is one hash shuffle; shard count is the parallelism
+    * knob for the consumer, not Spark.
+    */
+  def exportShards(df: DataFrame, path: String, shards: Int,
+                   idCol: String = "doc_id"): Unit =
+    df.withColumn("shard", pmod(xxhash64(col(idCol)), lit(shards.toLong)))
+      .repartition(shards, col("shard"))
+      .sortWithinPartitions(col("shard"), col(idCol))
+      .write.mode("overwrite").partitionBy("shard").parquet(path)
 }

@@ -168,6 +168,44 @@ object TrainingPipeline {
       .orderBy(col("source"), col("bin_id"))
   }
 
+  /** Crawl-snapshot diff — the change audit between two corpus
+    * snapshots every recurring-crawl pipeline runs before deciding
+    * what to re-process: per doc, `added` (only in the new crawl),
+    * `removed` (only in the old), `changed` (content digest differs),
+    * `unchanged`. Snapshots are derived deterministically from the
+    * base table (old = doc_id % 5 ≠ 4; new = doc_id % 5 ≠ 0, with
+    * every third doc's text edited) so the oracle sees the same two
+    * frames. Reported per (status): doc count, id bounds, changed
+    * bytes.
+    *
+    * Plan shape: two pruned scans of the same table, one full-outer
+    * equi-join on the id, digests compared as md5 — at 100 TB both
+    * snapshots would be bucketed by doc_id and the join co-locates
+    * with zero shuffle; the status aggregate is combinable.
+    */
+  def qCrawlDiff(spark: SparkSession, sfDir: String): DataFrame = {
+    val base = Tables.documents(spark, sfDir)
+    val old = base.filter(col("doc_id") % 5 =!= 4)
+      .select(col("doc_id"), md5(col("text")).as("h_old"),
+        col("n_chars").as("b_old"))
+    val neu = base.filter(col("doc_id") % 5 =!= 0)
+      .withColumn("text2",
+        when(col("doc_id") % 3 === 0, concat(col("text"), lit(" v2"))).otherwise(col("text")))
+      .select(col("doc_id"), md5(col("text2")).as("h_new"),
+        length(col("text2")).cast("long").as("b_new"))
+    old.join(neu, Seq("doc_id"), "full_outer")
+      .withColumn("status",
+        when(col("h_old").isNull, "added")
+          .when(col("h_new").isNull, "removed")
+          .when(col("h_old") =!= col("h_new"), "changed")
+          .otherwise("unchanged"))
+      .groupBy(col("status"))
+      .agg(count(lit(1)).as("n_docs"),
+        min(col("doc_id")).as("min_doc"), max(col("doc_id")).as("max_doc"),
+        coalesce(sum(col("b_new")), lit(0L)).as("new_bytes"))
+      .orderBy(col("status"))
+  }
+
   /** The distinct-word frequency table — the frame every byte-pair-
     * encoding step runs over. BPE's key scale property: after the
     * first wordcount, all iterations touch |vocab| rows (≪ corpus),

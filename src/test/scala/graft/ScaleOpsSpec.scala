@@ -80,4 +80,26 @@ class ScaleOpsSpec extends SparkSpec {
     // same rows either way
     assert(spark.read.parquet(zDir).count() == events.count())
   }
+
+  test("exportShards is deterministic, balanced, and lossless") {
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text", "source")
+    val dir1 = java.nio.file.Files.createTempDirectory("graft-shards1").toString
+    val dir2 = java.nio.file.Files.createTempDirectory("graft-shards2").toString
+    ScaleOps.exportShards(docs, dir1, shards = 8)
+    ScaleOps.exportShards(docs, dir2, shards = 8)
+    val r1 = spark.read.parquet(dir1)
+    // lossless round trip
+    assert(r1.count() == docs.count())
+    assert(r1.select("doc_id").except(docs.select("doc_id")).isEmpty)
+    // membership is the stable id hash — identical across exports
+    val m1 = r1.select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    val m2 = spark.read.parquet(dir2).select("doc_id", "shard").collect()
+      .map(r => r.getLong(0) -> r.getAs[Number](1).longValue()).toMap
+    assert(m1 == m2, "re-export must reproduce shard membership")
+    // every shard present and no shard dominates (hash balance)
+    val sizes = m1.values.groupBy(identity).map(_._2.size)
+    assert(m1.values.toSet.size == 8)
+    assert(sizes.max <= 3 * sizes.min, s"imbalanced shards: $sizes")
+  }
 }
