@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 import graft.Tables
@@ -310,5 +310,51 @@ object TrainingPipeline {
     }
     docs.select(col("doc_id"), explode(split(col("text"), " ")).as("w"))
       .withColumn("bpe_tokens", split(sym, " "))
+  }
+
+  /** The merge chain as a per-element expression (for use inside a
+    * higher-order `transform` lambda).
+    */
+  private def applyMerges(w: Column, merges: Seq[(String, String)]): Column =
+    merges.foldLeft(concat_ws(" ", split(w, ""))) { case (acc, (a, b)) =>
+      regexp_replace(acc,
+        "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+          java.util.regex.Pattern.quote(b) + "(?=$| )", a + b)
+    }
+
+  /** Tokenize-and-pack — the LAST stage of the pretraining pipeline:
+    * every document becomes its BPE token stream (the learned merges
+    * replayed per word, all inside one higher-order expression — no
+    * per-word explode), documents pack into per-source bins in id
+    * order (the [[qPackSequences]] assignment over BPE token counts),
+    * and each bin is cut into fixed-`budget` training rows. Output:
+    * (source, bin_id, seq_no, n_tokens, tokens).
+    *
+    * Scale shape: tokenization is scan-only; the bin window
+    * partitions by source shard; the only data movement is the
+    * per-bin gather, whose groups are budget-bounded by construction
+    * (a bin holds ≤ budget + max-doc tokens). Token order is fully
+    * deterministic: docs sort by id inside a bin, rows slice
+    * sequentially — a re-run reproduces the exact token stream, which
+    * is what makes checkpoint-resume of a tokenizer job possible.
+    */
+  def tokenizeAndPack(docs: DataFrame, merges: Seq[(String, String)],
+                      budget: Int): DataFrame = {
+    val toks = docs.select(col("source"), col("doc_id"),
+      flatten(transform(split(col("text"), " "),
+        w => split(applyMerges(w, merges), " "))).as("btoks"))
+      .withColumn("n", size(col("btoks")).cast("long"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+    val binned = toks.withColumn("cum", sum(col("n")).over(w))
+      .withColumn("bin_id", expr(s"(cum - n) DIV $budget"))
+    binned
+      .groupBy(col("source"), col("bin_id"))
+      .agg(flatten(transform(array_sort(collect_list(struct(col("doc_id"), col("btoks")))),
+        s => s.getField("btoks"))).as("seq"))
+      .select(col("source"), col("bin_id"),
+        posexplode(expr(
+          s"transform(sequence(0, (size(seq) - 1) DIV $budget), i -> slice(seq, i * $budget + 1, $budget))")))
+      .select(col("source"), col("bin_id"), col("pos").cast("long").as("seq_no"),
+        size(col("col")).cast("long").as("n_tokens"), col("col").as("tokens"))
   }
 }

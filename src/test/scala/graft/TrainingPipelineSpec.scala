@@ -176,4 +176,43 @@ class TrainingPipelineSpec extends SparkSpec {
     val merged = merges.map { case (a, b) => a + b }.toSet
     assert(enc.exists(r => toks(r).exists(merged.contains)))
   }
+
+  /** Local reference BPE application (left-to-right, merge order). */
+  private def refApply(w: String, merges: Seq[(String, String)]): Seq[String] = {
+    var syms: Seq[String] = w.map(_.toString)
+    merges.foreach { case (a, b) =>
+      val buf = collection.mutable.Buffer[String]()
+      var i = 0
+      while (i < syms.length) {
+        if (i < syms.length - 1 && syms(i) == a && syms(i + 1) == b) {
+          buf += a + b; i += 2
+        } else { buf += syms(i); i += 1 }
+      }
+      syms = buf.toSeq
+    }
+    syms
+  }
+
+  test("tokenizeAndPack rows are budget-bounded and reassemble the per-source token stream") {
+    val docs = Tables.documents(spark, sfDir)
+    val merges = TrainingPipeline.bpeTrain(docs, 4)
+    val budget = 256
+    val packed = TrainingPipeline.tokenizeAndPack(docs, merges, budget).collect()
+    packed.foreach { r =>
+      val n = r.getAs[Long]("n_tokens")
+      assert(n >= 1 && n <= budget, s"row size $n outside (0, $budget]")
+      assert(r.getSeq[String](r.fieldIndex("tokens")).length == n)
+    }
+    // docs fill bins in id order and rows slice bins sequentially, so
+    // (bin_id, seq_no) order reproduces the source's exact token stream
+    val src = "src1"
+    val got = packed.filter(_.getAs[String]("source") == src)
+      .sortBy(r => (r.getAs[Long]("bin_id"), r.getAs[Long]("seq_no")))
+      .flatMap(r => r.getSeq[String](r.fieldIndex("tokens"))).toSeq
+    val want = docs.filter(org.apache.spark.sql.functions.col("source") === src)
+      .orderBy("doc_id").select("text").collect()
+      .flatMap(_.getString(0).split(" ").toSeq.flatMap(refApply(_, merges))).toSeq
+    assert(got == want, s"stream mismatch: got ${got.length} want ${want.length} tokens")
+    assert(got.nonEmpty)
+  }
 }
