@@ -358,11 +358,21 @@ object Dedup {
     * id-only broadcast. The standing corpus is never re-shingled,
     * re-signed, or shuffled.
     */
+  /** At-rest layouts are read with EXPLICIT schemas: no inference
+    * cost at scale, and an EMPTY standing index (a fresh deployment's
+    * first crawl) reads as an empty frame instead of failing schema
+    * inference on a directory with no files.
+    */
+  private val postingsSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, band_key STRING, band_id INT")
+  private val shinglesSchema = org.apache.spark.sql.types.StructType.fromDDL(
+    "doc_id BIGINT, gh ARRAY<BIGINT>")
+
   def dedupAgainstIndex(spark: SparkSession, batch: DataFrame, path: String,
                         threshold: Double = 0.3): DataFrame = {
     val triB = hashedShingles(batch).localCheckpoint()
     val bandsB = bandPostings(triB)
-    val postings = spark.read.parquet(s"$path/postings")
+    val postings = spark.read.schema(postingsSchema).parquet(s"$path/postings")
     val cross = postings
       .join(broadcast(bandsB.select(col("band_id"), col("band_key"),
         col("doc_id").as("doc_b"))), Seq("band_id", "band_key"))
@@ -374,7 +384,7 @@ object Dedup {
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
-    val shOld = spark.read.parquet(s"$path/shingles")
+    val shOld = spark.read.schema(shinglesSchema).parquet(s"$path/shingles")
     verifyJaccard(cross, shOld, triB, threshold)
       .unionByName(verifyJaccard(internal, triB, triB, threshold))
       .orderBy(col("doc_a"), col("doc_b"))
