@@ -313,27 +313,37 @@ object TextIndex {
     * Per-query cost scales with posting-list length, not corpus size.
     */
   def bm25AtRest(spark: org.apache.spark.sql.SparkSession, path: String,
-                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+                 terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
+                 idCol: String = "doc_id"): DataFrame = {
     // planning-time bucket ids for the terms (must be Spark's own
     // xxhash64 so driver and layout agree) — |terms| rows, local
     val buckets = spark.range(1).select(
       terms.map(t => pmod(xxhash64(lit(t)), lit(TokenBuckets.toLong))): _*)
       .collect()(0).toSeq.map(_.asInstanceOf[Long]).distinct
-    val post = spark.read.parquet(s"$path/postings")
+    // explicit schemas: no inference at scale, and an EMPTY standing
+    // index (fresh deployment) reads as an empty frame (long ids —
+    // the collection contract throughout)
+    val post = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(
+        s"$idCol BIGINT, token STRING, tf BIGINT, dl BIGINT, tok_bucket BIGINT"))
+      .parquet(s"$path/postings")
       .filter(col("tok_bucket").isin(buckets: _*) && col("token").isin(terms: _*))
     // fold the per-batch deltas (broadcast-sized side tables)
-    val df = spark.read.parquet(s"$path/vocab").filter(col("token").isin(terms: _*))
+    val df = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("token STRING, df BIGINT"))
+      .parquet(s"$path/vocab").filter(col("token").isin(terms: _*))
       .groupBy(col("token")).agg(sum(col("df")).as("df"))
-    val stats = spark.read.parquet(s"$path/stats")
+    val stats = spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL("n_docs BIGINT, sum_dl BIGINT"))
+      .parquet(s"$path/stats")
       .agg(sum(col("n_docs")).as("n_docs"),
         (sum(col("sum_dl")).cast("double") / sum(col("n_docs"))).as("avgdl"))
     val k1l = lit(k1); val bl = lit(b)
     val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
     val w = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
-    val idCols = post.columns.filterNot(Set("token", "tf", "dl", "tok_bucket"))
     post.join(broadcast(df), "token")
       .crossJoin(broadcast(stats))
-      .groupBy(idCols.map(col): _*)
+      .groupBy(col(idCol))
       .agg(round(sum(idf * w), 6).as("bm25"))
   }
 }
