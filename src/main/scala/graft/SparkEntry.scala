@@ -185,7 +185,8 @@ object SparkEntry {
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),
     "q_has_child"       -> (Relational.qHasChild _),
-    "q_crawl_diff"      -> (TrainingPipeline.qCrawlDiff _)
+    "q_crawl_diff"      -> (TrainingPipeline.qCrawlDiff _),
+    "q_star_join"       -> (Relational.qStarJoin _)
   )
 
   /** Shared oracle fragments for the full-text family (token CTEs). */
@@ -1827,6 +1828,15 @@ object SparkEntry {
         |  min(doc_id) AS min_doc, max(doc_id) AS max_doc,
         |  CAST(coalesce(sum(b_new), 0) AS BIGINT) AS new_bytes
         |FROM d GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_star_join" ->
+      """SELECT r_name, n_name, CAST(count(*) AS BIGINT) AS n_items,
+        |  round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+        |FROM lineitem
+        |JOIN part ON l_partkey = p_partkey AND p_type = 'PROMO'
+        |JOIN supplier ON l_suppkey = s_suppkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_bpe_pairs" ->
       """WITH words AS (SELECT unnest(string_split(text, ' ')) AS w FROM documents),
         |wc AS (SELECT w, count(*) AS c FROM words WHERE length(w) >= 2 GROUP BY 1),

@@ -777,6 +777,31 @@ object Relational {
       .orderBy(col("c_custkey"))
   }
 
+  /** Star-join revenue rollup (TPC-H Q5 shape — the OLAP star query
+    * every host engine next to a vector store runs): lineitem fact ×
+    * part/supplier/nation/region dimension chain, PROMO-part slice,
+    * revenue per (region, nation). Every dimension broadcasts — the
+    * fact table never shuffles before the final combinable aggregate,
+    * and the part-type filter pushes into the dimension scan so the
+    * fact join is against the pre-filtered broadcast. The 100 TB
+    * shape: one fact scan, four broadcast hash joins, one tiny
+    * aggregate.
+    */
+  def qStarJoin(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.lineitem(spark, sfDir)
+      .join(broadcast(Tables.part(spark, sfDir).filter(col("p_type") === "PROMO")),
+        col("l_partkey") === col("p_partkey"))
+      .join(broadcast(Tables.supplier(spark, sfDir)),
+        col("l_suppkey") === col("s_suppkey"))
+      .join(broadcast(Tables.nation(spark, sfDir)),
+        col("s_nationkey") === col("n_nationkey"))
+      .join(broadcast(Tables.region(spark, sfDir)),
+        col("n_regionkey") === col("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(count(lit(1)).as("n_items"),
+        round(sum(col("l_extendedprice") * (lit(1) - col("l_discount"))), 2).as("revenue"))
+      .orderBy(col("r_name"), col("n_name"))
+
   /** Event-sequence matching (ES EQL `sequence by user_id with
     * maxspan=7d [view] [click] [purchase]` — the SIEM/funnel query
     * class): per user, count the ordered (view < click < purchase)

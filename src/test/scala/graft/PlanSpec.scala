@@ -21,6 +21,13 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"))
   }
 
+  test("star join broadcasts all four dimensions and pushes the part-type filter") {
+    val p = plan(Relational.qStarJoin(spark, sfDir))
+    assert(p.split("BroadcastHashJoin Inner Build").length - 1 >= 4, p)
+    assert(!p.contains("SortMergeJoin"), p)
+    assert(p.contains("EqualTo(p_type,PROMO)"), p)
+  }
+
   test("q1_agg pushes the shipdate filter into the parquet scan") {
     val p = plan(Relational.q1Agg(spark, sfDir))
     assert(p.contains("PushedFilters") && p.contains("LessThan(l_shipdate"), p)
