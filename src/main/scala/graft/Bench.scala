@@ -33,18 +33,36 @@ object Bench {
     // host-load spike otherwise lands on whichever query it hits and
     // distorts that line by 5-10x
     val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
-    def pass(): Map[String, Double] = ordered.map { case (name, fn) =>
+    // a failing query must NOT bench as "fast": record the error and
+    // surface it in the JSON (errors field + nonzero err count) so a
+    // regression is visible in BENCH_r{N}.json itself, not only in the
+    // independent correctness gate
+    def pass(): Map[String, (Double, Option[String])] = ordered.map { case (name, fn) =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      val err = try { fn(spark, sfDir).count(); None } catch {
+        case e: Throwable =>
+          Some((e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(160))
+      }
+      name -> ((System.nanoTime() - t0) / 1e9, err)
     }.toMap
     val (p1, p2) = (pass(), pass())
     val results = ordered.map { case (name, _) =>
-      name -> math.min(p1(name), p2(name)) }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+      (name, math.min(p1(name)._1, p2(name)._1), p1(name)._2.orElse(p2(name)._2)) }
+    def jstr(s: String) = "\"" + s.replace("\\", "\\\\").replace("\"", "\\\"")
+      .replaceAll("[\\n\\r\\t]", " ") + "\""
+    val qs = results.map { case (k, v, _) => jstr(k) + ":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val errs = results.collect { case (k, _, Some(e)) => jstr(k) + ":" + jstr(e) }
+      .mkString("{", ",", "}")
+    val times = results.map(_._2).sorted
+    val total = times.sum
+    val median =
+      if (times.isEmpty) 0.0
+      else if (times.size % 2 == 1) times(times.size / 2)
+      else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
+    println(s"""{"metric":"total","value":$total,"unit":"sec","median":$median,""" +
+      s""""n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},""" +
+      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -118,7 +118,13 @@ object FilterDsl {
               case JNothing => None
               case other => sys.error(s"non-numeric range bound $f: $other")
             }
-            Range(key, num("gte"), num("gt"), num("lte"), num("lt"))
+            val rng = Range(key, num("gte"), num("gt"), num("lte"), num("lt"))
+            // a bound-less range would compile to match-all — uphold
+            // the fail-fast contract instead of silently selecting
+            // everything on a malformed wire filter
+            if (rng.gte.isEmpty && rng.gt.isEmpty && rng.lte.isEmpty && rng.lt.isEmpty)
+              sys.error(s"range for key '$key' has no bounds: $r")
+            rng
           case (JNothing, JNothing, JBool(true)) => IsNull(key)
           case other => sys.error(s"unsupported condition shape: $other")
         }

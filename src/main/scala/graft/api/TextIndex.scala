@@ -300,8 +300,15 @@ object TextIndex {
     post.write.mode(mode).partitionBy("tok_bucket").parquet(s"$path/postings")
     post.groupBy(col("token")).agg(count(lit(1)).as("df"))
       .write.mode(mode).parquet(s"$path/vocab")
-    docs.agg(count(lit(1)).as("n_docs"),
-        sum(size(toks).cast("long")).as("sum_dl"))
+    // stats derive from the SAME checkpointed postings that were just
+    // written (dl repeats per token row; one first() per doc recovers
+    // it) — re-aggregating `docs` would scan and re-tokenize the input
+    // a second time, and an expensive or non-deterministic upstream
+    // frame could then yield stats inconsistent with the postings.
+    // Even a doc whose text is empty has one posting row (split("")
+    // is [""]), so n_docs matches a direct count of `docs`.
+    post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode(mode).parquet(s"$path/stats")
   }
 

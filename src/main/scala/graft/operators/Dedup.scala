@@ -373,10 +373,15 @@ object Dedup {
     val triB = hashedShingles(batch).localCheckpoint()
     val bandsB = bandPostings(triB)
     val postings = spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    // no doc_id =!= doc_b self-pair filter: a batch doc legitimately
+    // never shares an id with a standing row, so an id collision means
+    // the SAME doc is being re-ingested (e.g. a crash-retry after the
+    // index append already ran) — matching its indexed twin at
+    // Jaccard 1.0 and rejecting it is exactly the idempotence
+    // IncrementalIngest promises
     val cross = postings
       .join(broadcast(bandsB.select(col("band_id"), col("band_key"),
         col("doc_id").as("doc_b"))), Seq("band_id", "band_key"))
-      .filter(col("doc_id") =!= col("doc_b"))
       .select(col("doc_id").as("doc_a"), col("doc_b"))
       .dropDuplicates("doc_a", "doc_b")
     val internal = postingPairs(

@@ -55,8 +55,8 @@ object FullText {
 
   private def textIndexPath(spark: SparkSession, sfDir: String): String =
     textIndexPaths.computeIfAbsent(
-      System.identityHashCode(spark) + "#" + sfDir, { _ =>
-        val p = java.nio.file.Files.createTempDirectory("graft-textindex").toString
+      IndexCache.sessionKey(spark) + "#" + sfDir, { _ =>
+        val p = IndexCache.tempDir("graft-textindex")
         index(spark, sfDir).writeIndex(p)
         p
       })

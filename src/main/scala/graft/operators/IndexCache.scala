@@ -14,14 +14,42 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * trees (per-centroid dot products expanded for codegen) out of
   * every query's plan — they are paid once per corpus, as at ingest.
   *
-  * Keyed by (session identity, corpus dir, variant) so independent
-  * test sessions never share checkpointed RDDs.
+  * Keyed by (session UUID, corpus dir, variant) so independent test
+  * sessions never share checkpointed RDDs. The UUID is the session's
+  * own stable identifier — unlike an identity hash it can neither
+  * collide between two live sessions nor be reused for a new session
+  * after an old one is collected.
   */
 private[graft] object IndexCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Stable unique id for a session (classic sessions expose their
+    * sessionUUID; any other implementation falls back to identity,
+    * scoped by class name so the two schemes can't collide).
+    */
+  private[graft] def sessionKey(spark: SparkSession): String =
+    org.apache.spark.sql.graftbridge.ColumnBridge.sessionUUID(spark)
+      .getOrElse(spark.getClass.getName + "@" + System.identityHashCode(spark))
+
+  /** Session-lifetime temp directories (index layouts built for the
+    * duration of a test/bench session). Registered for recursive
+    * cleanup at JVM exit — createTempDirectory alone leaks the tree.
+    */
+  private[graft] def tempDir(prefix: String): String = {
+    val p = java.nio.file.Files.createTempDirectory(prefix)
+    Runtime.getRuntime.addShutdownHook(new Thread(() => {
+      import java.nio.file._
+      import java.util.Comparator
+      try {
+        Files.walk(p).sorted(Comparator.reverseOrder())
+          .forEach(f => { try Files.deleteIfExists(f) catch { case _: Throwable => () } })
+      } catch { case _: Throwable => () }
+    }))
+    p.toString
+  }
+
   def materialized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(System.identityHashCode(spark) + "#" + key,
+    cache.computeIfAbsent(sessionKey(spark) + "#" + key,
       _ => build.localCheckpoint())
 }

@@ -64,11 +64,15 @@ object Quantization {
     codebookCache.computeIfAbsent(sfDir, _ => trainPqCodebooksUncached(spark, sfDir))
 
   /** Driver-side per-subspace Lloyd k-means on the deterministic
-    * sample (cost independent of corpus size).
+    * fixed-SIZE sample (every 3rd vector by id, capped at
+    * [[Ann.TrainSampleCap]] rows — orderBy+limit compiles to a
+    * per-partition top-k, so both scan and driver memory are bounded
+    * at any corpus scale).
     */
   private def trainPqCodebooksUncached(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] = {
     val sample = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 3 === 0).orderBy(col("vec_id"))
+      .limit(Ann.TrainSampleCap)
       .select(col("embedding")).collect()
       .map(_.getSeq[Float](0).toArray.map(_.toDouble))
     (0 until M).map { j =>

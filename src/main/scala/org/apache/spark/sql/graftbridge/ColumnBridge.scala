@@ -13,4 +13,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
 object ColumnBridge {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
+
+  /** The session's own stable UUID (`private[sql]` on classic
+    * sessions) — unlike an identity hash it can neither collide
+    * between two live sessions nor be reused after a GC, which makes
+    * it the correct cache key for session-scoped index state.
+    */
+  def sessionUUID(spark: org.apache.spark.sql.SparkSession): Option[String] =
+    spark match {
+      case c: org.apache.spark.sql.classic.SparkSession => Some(c.sessionUUID)
+      case _ => None
+    }
 }
