@@ -22,10 +22,14 @@ object Quantization {
   val K = 10
 
   /** Quantize: per-vector min/scale affine map onto 0..255 (stored
-    * -128..127 as int8-ish ints).
+    * -128..127 as int8-ish ints). `dropEmb = false` keeps the float
+    * column alongside the codes — the at-rest layout stores both (the
+    * codes serve the scan, the floats serve the rerank) and relies on
+    * parquet column pruning so a code-only read never touches them.
     */
-  def quantize(df: DataFrame, embCol: String = "embedding"): DataFrame =
-    df
+  def quantize(df: DataFrame, embCol: String = "embedding",
+               dropEmb: Boolean = true): DataFrame = {
+    val q = df
       .withColumn("__mn", array_min(col(embCol)).cast("double"))
       .withColumn("__mx", array_max(col(embCol)).cast("double"))
       .withColumn("sq8_scale",
@@ -33,7 +37,9 @@ object Quantization {
       .withColumn("sq8_min", col("__mn"))
       .withColumn("sq8", expr(
         s"transform($embCol, x -> cast(round((x - __mn) / sq8_scale) - 128 as tinyint))"))
-      .drop("__mn", "__mx", embCol)
+      .drop("__mn", "__mx")
+    if (dropEmb) q.drop(embCol) else q
+  }
 
   /** Dequantize back to array<double> for scoring. */
   def dequantized(qEmbCol: String = "sq8"): org.apache.spark.sql.Column =
@@ -105,8 +111,8 @@ object Quantization {
     * codegen loop, instead of an M·KStar-term literal tree re-planned
     * and re-compiled per query.
     */
-  private def adcTable(embCol: org.apache.spark.sql.Column, codebooks: Seq[Seq[Seq[Float]]],
-                       absolute: Boolean): org.apache.spark.sql.Column =
+  private[operators] def adcTable(embCol: org.apache.spark.sql.Column, codebooks: Seq[Seq[Seq[Float]]],
+                                  absolute: Boolean): org.apache.spark.sql.Column =
     graft.functions.matrixops.pqAdcTable(embCol, codebooks, SubDim, absolute)
 
   /** Encode: per-subspace nearest-centroid codes, M tinyints per row.
@@ -125,28 +131,8 @@ object Quantization {
     * whole-stage codegen — the `aggregate()` higher-order form is
     * evaluated interpreted and was the hot path's bottleneck.
     */
-  private def adcDist: org.apache.spark.sql.Column =
+  private[operators] def adcDist: org.apache.spark.sql.Column =
     (0 until M).map(j => col("adc")(j)(col("pq_codes")(j).cast("int"))).reduce(_ + _)
-
-  /** Exact rerank of an id-only (q_id, vec_id) candidate pool: the
-    * pool (|queries|·pool rows) is broadcast against the corpus scan,
-    * so the full-precision embeddings are read once and never
-    * shuffled; query vectors re-attach by a second broadcast join.
-    */
-  private def rerank(spark: SparkSession, sfDir: String, pool: DataFrame,
-                     score: (org.apache.spark.sql.Column, org.apache.spark.sql.Column) => org.apache.spark.sql.Column = vec.l2(_, _),
-                     metricAsc: Boolean = true): DataFrame = {
-    val ord = if (metricAsc) col("score").asc else col("score").desc
-    val w = Window.partitionBy(col("q_id")).orderBy(ord, col("vec_id"))
-    Tables.embeddings(spark, sfDir).select(col("vec_id"), col("embedding"))
-      .join(broadcast(pool), "vec_id")
-      .join(broadcast(VectorSearch.querySet(spark, sfDir).select(col("q_id"), col("q_emb"))), "q_id")
-      .withColumn("score", round(score(col("q_emb"), col("embedding")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= K)
-      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
-      .orderBy(col("q_id"), col("rn"))
-  }
 
   // ----------------------------------------------------------------
   // Binary quantization (Qdrant BQ / FAISS binary index): one sign
@@ -165,99 +151,49 @@ object Quantization {
   def bqWord(embCol: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
     graft.functions.matrixops.signBits(embCol)
 
-  /** BQ kNN (rows-only): Hamming prefilter on the packed words, exact
-    * cosine rerank. The candidate scan reads 8 bytes per vector —
-    * at 100 TB the entire sign index of a 10^11-vector collection
-    * fits in ~1 TB, and the Hamming pass shuffles only
+  /** BQ kNN (rows-only), served from the AT-REST index's persisted
+    * sign words ([[VectorIndex.searchBq]]): Hamming prefilter reading
+    * 8 bytes per vector — at 100 TB the entire sign index of a
+    * 10^11-vector collection fits in ~1 TB — then exact cosine rerank
+    * from the stored floats. The Hamming pass shuffles only
     * (q_id, vec_id, hamming) triples pre-pruned by WindowGroupLimit.
     */
-  def qBqKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val corpus = IndexCache.materialized(spark, sfDir + "#bq") {
-      Tables.embeddings(spark, sfDir)
-        .select(col("vec_id"), bqWord(col("embedding")).as("w"))
-    }
-    val queries = VectorSearch.querySet(spark, sfDir)
-      .select(col("q_id"), bqWord(col("q_emb")).as("qw"))
-    val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
-    val pool = corpus.crossJoin(broadcast(queries))
-      .select(col("q_id"), col("vec_id"),
-        bit_count(col("w").bitwiseXOR(col("qw"))).as("hamming"))
-      .withColumn("hrn", row_number().over(wHam))
-      .filter(col("hrn") <= BqPool)
-      .select(col("q_id"), col("vec_id"))
-    rerank(spark, sfDir, pool, vec.cosine(_, _), metricAsc = false)
-  }
+  def qBqKnn(spark: SparkSession, sfDir: String): DataFrame =
+    VectorIndex.searchBq(spark, VectorIndex.sessionIndexPath(spark, sfDir),
+      VectorSearch.querySet(spark, sfDir))
 
-  /** PQ kNN (rows-only): ADC scoring over the M-byte codes, exact
-    * rerank of the top `pool` candidates per query. The corpus-side
-    * ADC scan touches only vec_id + codes — at 100 TB it reads 32×
-    * fewer bytes than a float scan — and the ADC top-pool window
-    * shuffles only (q_id, vec_id, adc_dist) triples, pre-pruned per
-    * task by WindowGroupLimit.
+  /** PQ kNN (rows-only), served from the AT-REST index's persisted
+    * codes ([[VectorIndex.searchPq]] — encoded once at ingest, a
+    * restart re-encodes nothing): ADC scoring over the M-byte codes,
+    * exact rerank of the top `pool` candidates per query. The ADC
+    * scan touches only vec_id + codes — at 100 TB it reads 32× fewer
+    * bytes than a float scan — and the top-pool window shuffles only
+    * (q_id, vec_id, adc_dist) triples, pre-pruned per task by
+    * WindowGroupLimit.
     */
-  def qPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val codebooks = trainPqCodebooks(spark, sfDir)
-    val corpus = IndexCache.materialized(spark, sfDir + "#pq-flat") {
-      pqEncode(Tables.embeddings(spark, sfDir), codebooks)
-        .select(col("vec_id"), col("pq_codes"))
-    }
-    val queries = VectorSearch.querySet(spark, sfDir)
-      .withColumn("adc", adcTable(col("q_emb"), codebooks, absolute = true))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val pool = corpus.select(col("vec_id"), col("pq_codes"))
-      .crossJoin(broadcast(queries.select(col("q_id"), col("adc"))))
-      .select(col("q_id"), col("vec_id"), adcDist.as("adc_dist"))
-      .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= PqRerankPool)
-      .select(col("q_id"), col("vec_id"))
-    rerank(spark, sfDir, pool, metricAsc = true)
-  }
+  def qPqKnn(spark: SparkSession, sfDir: String): DataFrame =
+    VectorIndex.searchPq(spark, VectorIndex.sessionIndexPath(spark, sfDir),
+      VectorSearch.querySet(spark, sfDir))
 
   /** IVF_PQ (rows-only): the combined index every Milvus/FAISS
-    * deployment defaults to at scale — IVF centroids prune the
-    * candidate set to nprobe/nlist of the corpus, PQ codes make the
-    * surviving scan 32× narrower, ADC (codegen'd) scores it, and the
-    * top pool is exactly reranked via broadcast joins. Composes
-    * [[Ann]]'s probe machinery with the PQ path above.
+    * deployment defaults to at scale, served from the at-rest layout
+    * ([[VectorIndex.searchIvfPq]]) — IVF probes PARTITION-prune the
+    * index scan to nprobe/nlist of the files, the persisted PQ codes
+    * make the surviving scan 32× narrower, ADC (codegen'd) scores it,
+    * and the top pool is exactly reranked via broadcast joins.
     */
-  def qIvfPqKnn(spark: SparkSession, sfDir: String): DataFrame = {
-    val codebooks = trainPqCodebooks(spark, sfDir)
-    val corpus = IndexCache.materialized(spark, sfDir + "#pq-ivf") {
-      pqEncode(Ann.assignedCorpus(spark, sfDir), codebooks)
-        .select(col("vec_id"), col("pq_codes"), col("cluster_id"))
-    }
-    val queries = Ann.probes(spark, sfDir)
-      .withColumn("adc", adcTable(col("q_emb"), codebooks, absolute = true))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val pool = corpus.select(col("vec_id"), col("pq_codes"), col("cluster_id"))
-      .join(broadcast(queries.select(col("q_id"), col("adc"), col("cluster_id"))), "cluster_id")
-      .select(col("q_id"), col("vec_id"), adcDist.as("adc_dist"))
-      .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= PqRerankPool)
-      .select(col("q_id"), col("vec_id"))
-    rerank(spark, sfDir, pool, metricAsc = true)
-  }
+  def qIvfPqKnn(spark: SparkSession, sfDir: String): DataFrame =
+    VectorIndex.searchIvfPq(spark, VectorIndex.sessionIndexPath(spark, sfDir),
+      VectorSearch.querySet(spark, sfDir))
 
-  /** SQ8 kNN (rows-only): cosine top-k over the dequantized corpus —
-    * the scan reads 1/4 the bytes of the float corpus; scoring stays
-    * in whole-stage codegen via the double-array overload of the
-    * native cosine expression.
+  /** SQ8 kNN (rows-only), served from the AT-REST index's persisted
+    * int8 codes ([[VectorIndex.searchSq8]]): cosine top-k over the
+    * scan-time-dequantized corpus — the scan reads 1/4 the bytes of
+    * the float corpus (which is never touched); scoring stays in
+    * whole-stage codegen via the double-array overload of the native
+    * cosine expression.
     */
-  def qSq8Knn(spark: SparkSession, sfDir: String): DataFrame = {
-    // the stored artifact is the int8 corpus; dequantization happens
-    // at scan time in the query (it must not be materialized — that
-    // would store the floats back)
-    val corpus = IndexCache.materialized(spark, sfDir + "#sq8") {
-        quantize(Tables.embeddings(spark, sfDir))
-      }
-      .withColumn("demb", dequantized())
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    corpus
-      .crossJoin(broadcast(VectorSearch.querySet(spark, sfDir)))
-      .withColumn("score", round(vec.cosine(col("q_emb"), col("demb")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= K)
-      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
-      .orderBy(col("q_id"), col("rn"))
-  }
+  def qSq8Knn(spark: SparkSession, sfDir: String): DataFrame =
+    VectorIndex.searchSq8(spark, VectorIndex.sessionIndexPath(spark, sfDir),
+      VectorSearch.querySet(spark, sfDir))
 }

@@ -18,16 +18,17 @@ class AnnSpec extends SparkSpec {
   lazy val exact: Map[Long, Set[Long]] =
     topk(VectorSearch.qKnnCosine(spark, sfDir).collect())
 
-  test("q_ivf_knn: k results per query, recall beats random scan share") {
+  test("q_ivf_knn: k results per query, recall meets the documented >=0.9 budget") {
     val rows = Ann.qIvfKnn(spark, sfDir).collect()
     val approx = topk(rows)
     assert(approx.keySet == exact.keySet)
     val recall = recallVsExact(approx, exact)
-    info(f"IVF recall@10 = $recall%.3f (nprobe ${Ann.NProbe}/${Ann.NList})")
-    // probing nprobe/nlist clusters scans roughly that share of the
-    // corpus; a useful index must recall well beyond it
-    val scanShare = Ann.NProbe.toDouble / Ann.NList
-    assert(recall >= scanShare + 0.2, f"IVF recall $recall%.3f not beating scan share $scanShare%.2f")
+    info(f"IVF recall@10 = $recall%.3f (nprobe ${Ann.NProbe}/${Ann.NList}, spill ${Ann.SpillAssign})")
+    // the documented operating point: spilled assignment + the default
+    // probe budget recalls >=0.9 of the exact top-k (the HNSW-class
+    // bar the native backends default to); the full recall-vs-nprobe
+    // curve is pinned in IvfRecallSweepSpec
+    assert(recall >= 0.9, f"IVF recall $recall%.3f below the 0.9 budgeted target")
   }
 
   test("filtered ANN planner switches strategy on filter cardinality") {
@@ -89,7 +90,10 @@ class AnnSpec extends SparkSpec {
       .select((col("q_id") + 500000L).as("vec_id"),
         col("q_emb").as("embedding"), col("q_label").as("label"))
     graft.operators.Ann.appendToIvfIndex(batch, centroids, path)
-    assert(spark.read.parquet(path).count() == before + batch.count())
+    // spilled assignment stores each appended vector in SpillAssign
+    // cluster partitions
+    assert(spark.read.parquet(path).count() ==
+      before + Ann.SpillAssign * batch.count())
     val res = Ann.searchIvfIndex(spark, path, centroids,
       VectorSearch.querySet(spark, sfDir)).collect()
     res.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>

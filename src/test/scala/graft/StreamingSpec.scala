@@ -342,4 +342,40 @@ class StreamingSpec extends SparkSpec {
       .head().getAs[Int]("label"))                 // untouched
     assert(got.size == base.count() + 1)
   }
+
+  test("streaming vector-index maintenance searches like a full rebuild after every trigger") {
+    import org.apache.spark.sql.functions._
+    import graft.operators.{VectorIndex, VectorSearch}
+    val corpus = Tables.embeddings(spark, sfDir)
+    val idx = Files.createTempDirectory("graft-vi-stream").toString + "/idx"
+    // geometry + standing index = first third; stream the rest in two
+    // micro-batches — each is encoded against the PERSISTED meta
+    val meta = VectorIndex.readMeta(spark,
+      VectorIndex.sessionIndexPath(spark, sfDir))
+    VectorIndex.writeCorpus(spark, corpus.filter(col("vec_id") % 3 === 0), idx, meta)
+    val rest = corpus.filter(col("vec_id") % 3 =!= 0)
+    val srcDir = Files.createTempDirectory("graft-vi-stream-src").toString
+    rest.filter(col("vec_id") % 3 === 1).coalesce(1).write.mode("append").parquet(srcDir)
+    rest.filter(col("vec_id") % 3 === 2).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.VectorIndexStream.ingestStream(
+      spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir), idx)
+    q.awaitTermination(180000)
+    val full = Files.createTempDirectory("graft-vi-stream-full").toString + "/idx"
+    VectorIndex.writeCorpus(spark, corpus, full, meta)
+    val queries = VectorSearch.querySet(spark, sfDir)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+        r.getAs[Long]("rn"), r.getAs[Double]("score"))).sortBy(t => (t._1, t._3)).toSeq
+    Seq[(String, (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame)](
+      "ivf" -> ((s, p) => VectorIndex.searchIvf(s, p, queries)),
+      "pq" -> ((s, p) => VectorIndex.searchPq(s, p, queries)),
+      "lsh" -> ((s, p) => VectorIndex.searchLsh(s, p, queries)))
+      .foreach { case (n, f) =>
+        val streamed = canon(f(spark, idx))
+        assert(streamed == canon(f(spark, full)),
+          s"family $n: stream-maintained index != full rebuild")
+        assert(streamed.nonEmpty)
+      }
+  }
 }

@@ -1,0 +1,124 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.execution.ExplainMode
+import graft.operators.{Ann, Quantization, VectorIndex, VectorSearch}
+
+/** The at-rest vector index contract: every search family serves from
+  * the persisted layout alone (a fresh session re-encodes NOTHING),
+  * incremental appends are equivalent to a full rebuild, and the
+  * layout's pruning properties are visible in the physical plan.
+  */
+class VectorIndexSpec extends SparkSpec {
+
+  private def canon(df: org.apache.spark.sql.DataFrame) =
+    df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("vec_id"),
+      r.getAs[Long]("rn"), r.getAs[Double]("score"))).sortBy(t => (t._1, t._3)).toSeq
+
+  private lazy val path = VectorIndex.sessionIndexPath(spark, sfDir)
+  private def queries = VectorSearch.querySet(spark, sfDir)
+
+  private def families(s: org.apache.spark.sql.SparkSession, p: String,
+                       q: org.apache.spark.sql.DataFrame) = Seq(
+    "ivf" -> VectorIndex.searchIvf(s, p, q),
+    "pq" -> VectorIndex.searchPq(s, p, q),
+    "ivfpq" -> VectorIndex.searchIvfPq(s, p, q),
+    "sq8" -> VectorIndex.searchSq8(s, p, q),
+    "bq" -> VectorIndex.searchBq(s, p, q),
+    "lsh" -> VectorIndex.searchLsh(s, p, q))
+
+  test("a fresh session serves all six families from the layout alone — no retrain, no re-encode") {
+    val expected = families(spark, path, queries).map { case (n, df) => n -> canon(df) }
+    // newSession shares the context but has its own UUID: its meta
+    // comes off disk (readMeta), and the training/codebook caches are
+    // never consulted — this is the restart story
+    val s2 = spark.newSession()
+    val got = families(s2, path, VectorSearch.querySet(s2, sfDir))
+      .map { case (n, df) => n -> canon(df) }
+    expected.zip(got).foreach { case ((n, e), (_, g)) =>
+      assert(e == g, s"family $n differs across sessions")
+      assert(e.nonEmpty, s"family $n returned nothing")
+    }
+  }
+
+  test("appending a batch is equivalent to rebuilding over the union — for every family") {
+    val meta = VectorIndex.readMeta(spark, path)
+    val corpus = Tables.embeddings(spark, sfDir)
+    val pA = graft.operators.IndexCache.tempDir("graft-vi-rebuild") + "/idx"
+    val pB = graft.operators.IndexCache.tempDir("graft-vi-append") + "/idx"
+    VectorIndex.writeCorpus(spark, corpus, pA, meta)
+    VectorIndex.writeCorpus(spark, corpus.filter(col("vec_id") % 2 === 0), pB, meta)
+    VectorIndex.append(spark, corpus.filter(col("vec_id") % 2 === 1), pB)
+    families(spark, pA, queries).zip(families(spark, pB, queries)).foreach {
+      case ((n, a), (_, b)) =>
+        assert(canon(a) == canon(b), s"family $n: append != rebuild")
+    }
+  }
+
+  test("IVF probe prunes index partitions at the file listing") {
+    val p = VectorIndex.searchIvf(spark, path, queries)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the probed-cluster set compiles to a static partition predicate
+    // on the scan — files of unprobed clusters are skipped before any
+    // row is decoded (explain renders a compiled IN as INSET)
+    assert(p.contains("PartitionFilters") &&
+      (p.contains("cluster_id IN") || p.split("\n").exists(l =>
+        l.contains("PartitionFilters") && l.contains("INSET"))), p)
+  }
+
+  /** ReadSchema of each scan over the index's `vectors/` table (the
+    * query-set scan over the source corpus also reads floats — only
+    * the index-side scans are under test).
+    */
+  private def indexScanSchemas(p: String): Seq[String] = {
+    val lines = p.linesIterator.toIndexedSeq
+    lines.indices.collect {
+      case i if lines(i).contains("Location") && lines(i).contains("/vectors") =>
+        lines.drop(i).find(_.contains("ReadSchema")).getOrElse("")
+    }
+  }
+
+  test("PQ scan reads only the code columns; SQ8 and BQ scans never read the floats") {
+    val pq = VectorIndex.searchPq(spark, path, queries)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the ADC candidate scan must be vec_id + pq_codes only; the
+    // rerank scan reads vec_id + embedding — NO index scan reads both
+    // wide columns at once
+    assert(pq.contains("struct<vec_id:bigint,pq_codes:array<tinyint>>"), pq)
+    assert(indexScanSchemas(pq).forall(s =>
+      !(s.contains("pq_codes") && s.contains("embedding"))), pq)
+    val sq8 = VectorIndex.searchSq8(spark, path, queries)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(indexScanSchemas(sq8).nonEmpty &&
+      indexScanSchemas(sq8).forall(!_.contains("embedding")), sq8)
+    val bq = VectorIndex.searchBq(spark, path, queries)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    assert(bq.contains("struct<vec_id:bigint,bq_word:bigint>"), bq)
+  }
+
+  test("LSH candidates come from the persisted postings, id-only until the rerank") {
+    val p = VectorIndex.searchLsh(spark, path, queries)
+      .queryExecution.explainString(ExplainMode.fromString("formatted"))
+    // the postings scan carries no vectors (bucket+id rows), and every
+    // join is a broadcast — the standing postings never shuffle
+    assert(p.contains("struct<bucket:int,vec_id:bigint>"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("appended vectors are immediately searchable in their probed cluster") {
+    val meta = VectorIndex.readMeta(spark, path)
+    val pC = graft.operators.IndexCache.tempDir("graft-vi-live") + "/idx"
+    VectorIndex.writeCorpus(spark, Tables.embeddings(spark, sfDir), pC, meta)
+    // exact copies of each query vector under fresh ids: a probe MUST
+    // surface them at similarity 1.0 with no rebuild of old files
+    val batch = queries.select((col("q_id") + 700000L).as("vec_id"),
+      col("q_emb").as("embedding"), col("q_label").as("label"))
+    VectorIndex.append(spark, batch, pC)
+    val res = VectorIndex.searchIvf(spark, pC, queries).collect()
+    res.groupBy(_.getAs[Long]("q_id")).foreach { case (q, rs) =>
+      val hit = rs.find(_.getAs[Long]("vec_id") == q + 700000L)
+      assert(hit.isDefined, s"appended twin of query $q not recalled")
+      assert(hit.get.getAs[Double]("score") == 1.0)
+    }
+  }
+}
