@@ -184,6 +184,7 @@ object SparkEntry {
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),
+    "q_payload_index_scan" -> (Collection.qPayloadIndexScan _),
     "q_has_child"       -> (Relational.qHasChild _),
     "q_crawl_diff"      -> (TrainingPipeline.qCrawlDiff _),
     "q_star_join"       -> (Relational.qStarJoin _)
@@ -1798,6 +1799,10 @@ object SparkEntry {
         |WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 900
         |  AND source NOT IN ('src0', 'src1')
         |  AND (contains(text, 'spark') OR contains(text, 'join'))
+        |ORDER BY doc_id""".stripMargin,
+    "q_payload_index_scan" ->
+      """SELECT doc_id, lang, source, n_chars FROM documents
+        |WHERE lang IN ('en', 'de') AND n_chars >= 120 AND n_chars < 400
         |ORDER BY doc_id""".stripMargin,
     "q_has_child" ->
       """WITH kids AS (SELECT o_custkey, count(*) AS n_child,

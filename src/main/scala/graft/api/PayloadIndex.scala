@@ -1,0 +1,87 @@
+package graft.api
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Payload secondary indexing — the Qdrant `create_payload_index` /
+  * Milvus scalar-index / ES doc-values role, re-expressed as LAYOUT:
+  * in a scan engine the index that survives 100 TB is not a B-tree,
+  * it is a file organization under which a selective payload
+  * predicate skips FILES (listing-level for partition columns,
+  * footer min/max for clustered columns) instead of decoding and
+  * discarding rows.
+  *
+  * A layout declares, per filterable field, how it is materialized:
+  *  - KEYWORD fields (low-cardinality tags: lang, source, tenant,
+  *    label) become PARTITION columns — equality/IN prune whole
+  *    directories at the file listing, before any I/O;
+  *  - NUMERIC fields become the range-clustering key — files cover
+  *    disjoint value ranges (within each keyword partition), so a
+  *    range predicate touches only files whose min/max footer stats
+  *    intersect it.
+  *
+  * [[plan]] is the query-side half (the strategy switch Qdrant's
+  * filtered-search planner performs): it classifies each condition of
+  * a [[FilterDsl.Filter]] against the declared layout, so callers —
+  * and the spec — can see which predicates prune files and which
+  * merely filter rows. The scan itself needs no custom reader:
+  * `FilterDsl.toColumn` predicates reach Catalyst, which performs the
+  * partition pruning and parquet pushdown the layout was written for.
+  */
+object PayloadIndex {
+
+  /** Per-field layout declaration. */
+  final case class Layout(keyword: Seq[String] = Nil, numeric: Seq[String] = Nil)
+
+  /** Write `df` under the declared layout: keyword fields partition
+    * the directory tree; numeric fields range-cluster the files
+    * inside each partition (`numFiles` range buckets, sorted within,
+    * so footer min/max are tight and disjoint). One range shuffle —
+    * the same cost class as any clustered write.
+    */
+  def write(df: DataFrame, path: String, layout: Layout, numFiles: Int = 8): Unit = {
+    val clusterCols = (layout.keyword ++ layout.numeric).map(col)
+    val clustered =
+      if (clusterCols.isEmpty) df
+      else df.repartitionByRange(numFiles, clusterCols: _*)
+        .sortWithinPartitions(clusterCols: _*)
+    val w = clustered.write.mode("overwrite")
+    (if (layout.keyword.nonEmpty) w.partitionBy(layout.keyword: _*) else w)
+      .parquet(path)
+  }
+
+  /** How each top-level condition of `filter` is served by `layout`:
+    * `partition_pruned` (keyword equality/IN — directories skipped at
+    * the listing), `file_stats_skipped` (numeric range/equality on
+    * the clustering key — files skipped on footer min/max), or
+    * `row_filtered` (no index help; still pushed down, but every file
+    * is opened). `should`/`mustNot` clauses never prune files (they
+    * are not conjunctive), so they classify as `row_filtered`.
+    */
+  def plan(filter: FilterDsl.Filter, layout: Layout): Seq[(String, String)] = {
+    def classify(c: FilterDsl.Condition): (String, String) = c match {
+      case FilterDsl.MatchValue(k, _) if layout.keyword.contains(k) => k -> "partition_pruned"
+      case FilterDsl.MatchAny(k, _) if layout.keyword.contains(k) => k -> "partition_pruned"
+      case FilterDsl.MatchValue(k, _) if layout.numeric.contains(k) => k -> "file_stats_skipped"
+      case FilterDsl.Range(k, _, _, _, _) if layout.numeric.contains(k) => k -> "file_stats_skipped"
+      case other => fieldOf(other) -> "row_filtered"
+    }
+    def fieldOf(c: FilterDsl.Condition): String = c match {
+      case FilterDsl.MatchValue(k, _) => k
+      case FilterDsl.MatchAny(k, _) => k
+      case FilterDsl.Range(k, _, _, _, _) => k
+      case FilterDsl.TextContains(k, _) => k
+      case FilterDsl.IsNull(k) => k
+      case FilterDsl.Nested(_) => "(nested)"
+    }
+    filter.must.map(classify) ++
+      (filter.should ++ filter.mustNot).map(c => fieldOf(c) -> "row_filtered")
+  }
+
+  /** Scan the layout under a structured filter: one parquet read,
+    * predicates compiled by [[FilterDsl]] — pruning follows from the
+    * layout, not from custom read logic.
+    */
+  def scan(spark: SparkSession, path: String, filter: FilterDsl.Filter): DataFrame =
+    spark.read.parquet(path).filter(filter.toColumn)
+}

@@ -223,6 +223,40 @@ object Collection {
     * document store. The flat conditions reach the parquet scan as
     * pushed filters; the whole query is scan + presentation sort.
     */
+  /** Session-scoped payload-indexed layout of the documents table
+    * (keyword-partitioned by lang, range-clustered by n_chars) —
+    * built once at ingest like the text/vector indexes.
+    */
+  private val payloadIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def payloadIndexPath(spark: SparkSession, sfDir: String): String =
+    payloadIndexPaths.computeIfAbsent(
+      IndexCache.sessionKey(spark) + "#" + sfDir, { _ =>
+        val p = IndexCache.tempDir("graft-payloadindex") + "/docs"
+        graft.api.PayloadIndex.write(Tables.documents(spark, sfDir), p,
+          graft.api.PayloadIndex.Layout(keyword = Seq("lang"), numeric = Seq("n_chars")))
+        p
+      })
+
+  /** Payload-index scan (Qdrant `create_payload_index` + filtered
+    * read): the same wire-filter semantics as [[qFilterDsl]], but
+    * served from the AT-REST indexed layout — the lang equality
+    * prunes partition directories at the listing and the n_chars
+    * range skips files on footer stats ([[graft.api.PayloadIndex]];
+    * pruning proven in PayloadIndexSpec). Hash-checked against the
+    * same DuckDB oracle as a raw-table scan would be: layout changes
+    * bytes on disk, never results.
+    */
+  def qPayloadIndexScan(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = graft.api.FilterDsl.fromJson(
+      """{ "must": [ {"key": "lang", "match": {"any": ["en", "de"]}},
+        |            {"key": "n_chars", "range": {"gte": 120, "lt": 400}} ] }""".stripMargin)
+    graft.api.PayloadIndex.scan(spark, payloadIndexPath(spark, sfDir), f)
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy(col("doc_id"))
+  }
+
   def qFilterDsl(spark: SparkSession, sfDir: String): DataFrame = {
     val f = graft.api.FilterDsl.fromJson(
       """{ "must": [ {"key": "lang", "match": {"value": "en"}},

@@ -252,29 +252,39 @@ object TrainingPipeline {
 
   /** Byte-pair-encoding trainer (Sennrich et al. 2016; the
     * SentencePiece/HF `trainers.BpeTrainer` role): learn `nMerges`
-    * merge rules from the corpus. Distributed shape per iteration:
-    * one combinable pair-count aggregate over the CACHED distinct-word
-    * symbol table, an `limit(1)`-sized argmax collected to the driver
-    * (count desc, pair asc — the deterministic tie-break), then the
-    * merge applied as a whole-symbol left-to-right regexp replace.
-    * The corpus is read once (the initial wordcount); every
-    * iteration's working set is |vocab| rows, so training cost is
-    * independent of corpus size after the first scan — the property
-    * that makes BPE trainable on a 100 TB corpus at all.
+    * merge rules from the corpus. The corpus is read once (the
+    * initial wordcount); every iteration's working set is |vocab|
+    * rows, so training cost is independent of corpus size after the
+    * first scan — the property that makes BPE trainable on a 100 TB
+    * corpus at all.
+    *
+    * Pair statistics are DELTA-MAINTAINED, the trick every reference
+    * trainer uses: the global (pair, n) table is built once, and each
+    * merge updates it from only the words that CONTAIN the merged
+    * pair — subtract those words' old pair counts, add their
+    * post-merge pair counts, fold into the standing table with one
+    * combinable aggregate over |pairs| + |delta| rows. Under Zipf,
+    * affected words shrink rapidly as merges specialize, so the
+    * per-merge shuffle is a sliver of the full recount (which touched
+    * every adjacent pair of every vocab word, every iteration).
+    * The argmax reads the standing table directly: count desc, pair
+    * asc — the deterministic tie-break. Both iterated frames are
+    * localCheckpoint'd per merge, so plan size (and per-iteration
+    * planning cost) stays flat across thousands of merges instead of
+    * accreting one projection per merge.
     *
     * Returns the learned merges in order.
     */
   def bpeTrain(docs: DataFrame, nMerges: Int): Seq[(String, String)] = {
     var words = wordCounts(docs)
       .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("c"))
-      .cache()
-    words.count()
+      .localCheckpoint()
+    var pc = pairCounts(words).localCheckpoint()
     val merges = Seq.newBuilder[(String, String)]
     var i = 0
     var done = false
     while (i < nMerges && !done) {
-      val top = pairCounts(words)
-        .orderBy(col("n").desc, col("pair")).limit(1).collect()
+      val top = pc.orderBy(col("n").desc, col("pair")).limit(1).collect()
       if (top.isEmpty) done = true
       else {
         val pair = top(0).getString(0)
@@ -285,16 +295,21 @@ object TrainingPipeline {
         // left-to-right non-overlapping = standard BPE application.
         val pat = "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
           java.util.regex.Pattern.quote(b) + "(?=$| )"
-        val next = words
+        val hit = col("sym").rlike(pat)
+        val affected = words.filter(hit).localCheckpoint()
+        val merged = affected
           .withColumn("sym", regexp_replace(col("sym"), pat, a + b))
-          .cache()
-        next.count()
-        words.unpersist()
-        words = next
+          .localCheckpoint()
+        words = words.filter(!hit).unionByName(merged).localCheckpoint()
+        pc = pc
+          .unionByName(pairCounts(merged))
+          .unionByName(pairCounts(affected).withColumn("n", -col("n")))
+          .groupBy(col("pair")).agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()
         i += 1
       }
     }
-    words.unpersist()
     merges.result()
   }
 

@@ -56,6 +56,61 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
   /** Drop a collection (removes the directory). */
   def drop(name: String): Boolean = fs.delete(dir(name), true)
 
+  // ---------------------------------------------------------------
+  // Aliases (Qdrant update_aliases / ES index aliases) — the
+  // zero-downtime reindex primitive: clients address the ALIAS, a
+  // rebuild writes a fresh collection, and one atomic swap repoints
+  // every subsequent read. An alias is a one-line file under the
+  // dot-prefixed system dir whose content is the target collection
+  // name; the swap is a write-aside + rename, atomic on HDFS-like
+  // stores (on S3-class stores the native engines use the same
+  // single-small-object PUT, atomic by object semantics).
+  // ---------------------------------------------------------------
+
+  private def aliasPath(alias: String): Path = new Path(root, s".aliases/$alias")
+
+  /** Point `alias` at collection `target` (create or repoint —
+    * the repoint IS the atomic swap).
+    */
+  def setAlias(alias: String, target: String): Unit = {
+    require(exists(target), s"alias target does not exist: $target")
+    fs.mkdirs(new Path(root, ".aliases"))
+    val tmp = new Path(root, s".aliases/.$alias.tmp")
+    val out = fs.create(tmp, true)
+    out.write(target.getBytes("UTF-8"))
+    out.close()
+    fs.delete(aliasPath(alias), false)
+    fs.rename(tmp, aliasPath(alias))
+  }
+
+  /** The collection an alias points at, if the alias exists. */
+  def resolveAlias(alias: String): Option[String] =
+    if (!fs.exists(aliasPath(alias))) None
+    else {
+      val in = fs.open(aliasPath(alias))
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      Some(s)
+    }
+
+  /** All aliases as (alias, target), sorted. */
+  def listAliases(): Seq[(String, String)] = {
+    val aRoot = new Path(root, ".aliases")
+    if (!fs.exists(aRoot)) Nil
+    else fs.listStatus(aRoot).filter(f => !f.getPath.getName.startsWith("."))
+      .map(f => f.getPath.getName)
+      .map(a => a -> resolveAlias(a).get).toSeq.sorted
+  }
+
+  def dropAlias(alias: String): Boolean = fs.delete(aliasPath(alias), false)
+
+  /** Open a collection by name OR alias (aliases win, like ES search
+    * routing): the indirection every client call sits behind, so a
+    * reindex + [[setAlias]] swap is invisible to readers.
+    */
+  def open(nameOrAlias: String): DataFrame =
+    load(resolveAlias(nameOrAlias).getOrElse(nameOrAlias))
+
   /** Point-in-time snapshot (the Qdrant snapshot / ES snapshot API):
     * copies the collection's current immutable files under
     * `.snapshots/<name>/<n>` and returns the snapshot id. Snapshots

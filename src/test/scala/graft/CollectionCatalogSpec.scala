@@ -80,4 +80,42 @@ class CollectionCatalogSpec extends SparkSpec {
       org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
     assert(plan.contains("PartitionFilters"), plan)
   }
+
+  test("alias swap repoints readers atomically across a reindex — zero downtime") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-catalog-alias").toString
+    val cat = CollectionCatalog(spark, root)
+    val emb = Tables.embeddings(spark, sfDir)
+    cat.create("vectors_v1", emb)
+    cat.setAlias("vectors", "vectors_v1")
+    assert(cat.resolveAlias("vectors").contains("vectors_v1"))
+    assert(cat.listAliases() == Seq("vectors" -> "vectors_v1"))
+
+    // clients search through the alias — a kNN against cat.open
+    val q = graft.operators.VectorSearch.querySet(spark, sfDir).limit(1)
+    def searchViaAlias(): Set[Long] =
+      cat.open("vectors").crossJoin(broadcast(q))
+        .withColumn("score", graft.functions.vec.cosine(col("q_emb"), col("embedding")))
+        .orderBy(col("score").desc, col("vec_id")).limit(5)
+        .collect().map(_.getAs[Long]("vec_id")).toSet
+    val before = searchViaAlias()
+    assert(before.nonEmpty)
+
+    // reindex: rebuild into a NEW collection (here: only even ids so
+    // the swap is observable), then one atomic alias swap
+    cat.create("vectors_v2", emb.filter(col("vec_id") % 2 === 0))
+    cat.setAlias("vectors", "vectors_v2")
+    val after = searchViaAlias()
+    assert(after.forall(_ % 2 == 0), s"post-swap read saw v1 rows: $after")
+    assert(cat.resolveAlias("vectors").contains("vectors_v2"))
+
+    // the old generation is still addressable by real name, then drops
+    assert(cat.open("vectors_v1").count() == emb.count())
+    cat.drop("vectors_v1")
+    assert(searchViaAlias() == after)
+    // alias to a missing target refuses; plain names pass through open()
+    intercept[IllegalArgumentException] { cat.setAlias("vectors", "nope") }
+    assert(cat.open("vectors_v2").count() == emb.filter(col("vec_id") % 2 === 0).count())
+    assert(cat.dropAlias("vectors") && cat.listAliases().isEmpty)
+  }
 }
