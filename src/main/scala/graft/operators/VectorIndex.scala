@@ -296,6 +296,46 @@ object VectorIndex {
     rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k)
   }
 
+  /** Compact the index's small-file tail (the Qdrant segment
+    * optimizer role for the vector layout): continuous
+    * [[append]]/[[graft.streaming.VectorIndexStream]] ingest leaves
+    * per-batch files in every partition directory, and at 100 TB scan
+    * task count and footer overhead are governed by file count, not
+    * bytes. Rewrites `vectors/` and `lsh/` with `targetFileBytes`-
+    * sized files per partition via write-aside + atomic rename, so a
+    * failed compaction never corrupts the live index; `meta/` is
+    * untouched (compaction never re-encodes). Returns parquet file
+    * counts (before, after).
+    */
+  def compact(spark: SparkSession, path: String,
+              targetFileBytes: Long = 128L << 20): (Long, Long) = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def countFiles(p: Path): Long = {
+      val it = fs.listFiles(p, true)
+      var n = 0L
+      while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
+      n
+    }
+    def rewrite(sub: String, schema: StructType, partCols: Seq[String]): Unit = {
+      val live = new Path(s"$path/$sub")
+      val bytes = fs.getContentSummary(live).getLength
+      val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
+      val tmp = new Path(s"$path/.compact-$sub")
+      fs.delete(tmp, true)
+      spark.read.schema(schema).parquet(live.toString)
+        .repartition(nFiles, partCols.map(col): _*)
+        .write.partitionBy(partCols: _*).parquet(tmp.toString)
+      fs.delete(live, true)
+      fs.rename(tmp, live)
+    }
+    val before = countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh"))
+    rewrite("vectors", vectorsSchema, Seq("cluster_id", "assign_rank"))
+    rewrite("lsh", lshSchema, Seq("band_id"))
+    (before,
+      countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh")))
+  }
+
   /** Session-scoped at-rest index per corpus dir (built once at first
     * use — the ingest-time artifact all six search families then
     * serve from; mirrors the text index's session layout).

@@ -105,6 +105,25 @@ class VectorIndexSpec extends SparkSpec {
     assert(!p.contains("SortMergeJoin"), p)
   }
 
+  test("compaction collapses the append small-file tail; every family's results survive unchanged") {
+    val meta = VectorIndex.readMeta(spark, path)
+    val pC = graft.operators.IndexCache.tempDir("graft-vi-compact") + "/idx"
+    val corpus = Tables.embeddings(spark, sfDir)
+    VectorIndex.writeCorpus(spark, corpus.filter(col("vec_id") % 4 === 0), pC, meta)
+    // three batch appends = three file generations in every partition
+    (1 to 3).foreach { r =>
+      VectorIndex.append(spark, corpus.filter(col("vec_id") % 4 === r), pC)
+    }
+    val before = families(spark, pC, queries).map { case (n, df) => n -> canon(df) }
+    val (nBefore, nAfter) = VectorIndex.compact(spark, pC)
+    assert(nAfter < nBefore, s"compaction did not shrink files: $nBefore -> $nAfter")
+    val after = families(spark, pC, queries).map { case (n, df) => n -> canon(df) }
+    before.zip(after).foreach { case ((n, b), (_, a)) =>
+      assert(b == a, s"family $n changed across compaction")
+      assert(b.nonEmpty)
+    }
+  }
+
   test("appended vectors are immediately searchable in their probed cluster") {
     val meta = VectorIndex.readMeta(spark, path)
     val pC = graft.operators.IndexCache.tempDir("graft-vi-live") + "/idx"
