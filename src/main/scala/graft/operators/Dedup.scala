@@ -271,6 +271,16 @@ object Dedup {
           s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
           .as(Seq("band_id", "band_key")))
 
+  /** Candidate-pair count above which [[verifyJaccard]] abandons the
+    * id-only broadcast for plain shuffle joins: ~10M (doc_a, doc_b)
+    * longs ≈ 160 MB broadcast — the sane ceiling for shipping the
+    * pair set to every executor. A corpus whose duplicate density
+    * produces more candidates than that (pathological near-identical
+    * crawls) distributes the attach by shuffle instead; results are
+    * identical, only the join strategy moves.
+    */
+  val VerifyBroadcastLimit = 10000000L
+
   /** Exact-Jaccard verification of an id-only candidate pair set:
     * broadcast ONLY the pair ids into each shingle attach scan (the
     * corpus-sized shingle frames are never shuffled, and the
@@ -279,13 +289,21 @@ object Dedup {
     * candidate-sized attach results on the pair key. That last join
     * shuffles candidate-pair-sized data, which distributes; a
     * shingle-carrying broadcast would concentrate it on the driver.
+    *
+    * The candidate set is materialized once (it feeds both attach
+    * scans) and counted; past [[VerifyBroadcastLimit]] the attach
+    * joins fall back to shuffles — the bounded-driver guarantee for
+    * pathological duplicate densities.
     */
   private def verifyJaccard(candidates: DataFrame, shA: DataFrame, shB: DataFrame,
                             threshold: Double): DataFrame = {
+    val cand = candidates.localCheckpoint()
+    val side: DataFrame => DataFrame =
+      if (cand.count() <= VerifyBroadcastLimit) broadcast(_) else identity
     val withA = shA.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"))
-      .join(broadcast(candidates), "doc_a")
+      .join(side(cand), "doc_a")
     val withB = shB.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"))
-      .join(broadcast(candidates), "doc_b")
+      .join(side(cand), "doc_b")
     withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("common", size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
       .withColumn("jaccard", round(col("common") /

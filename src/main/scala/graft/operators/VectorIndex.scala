@@ -242,6 +242,35 @@ object VectorIndex {
     rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k)
   }
 
+  /** Filtered ANN from rest with the Qdrant-style strategy switch:
+    * estimate the payload filter's cardinality on the primary-copy
+    * view (at scale, partition statistics when the filter hits the
+    * payload-index partition columns), then —
+    *  - SELECTIVE (≤ `bruteForceLimit` rows): exact-score the
+    *    filtered subset, recall 1.0, cheaper than probing;
+    *  - BROAD: spilled IVF probe with the filter applied to probed
+    *    candidates — the scan still prunes to probed partitions.
+    * Returns the chosen plan's name with the result.
+    */
+  def searchIvfFiltered(spark: SparkSession, path: String, queries: DataFrame,
+                        filter: Column, bruteForceLimit: Long,
+                        nprobe: Int = Ann.NProbe, k: Int = Ann.K): (String, DataFrame) = {
+    val matching = vectors(spark, path, primaryOnly = true).filter(filter)
+    val cardinality = matching.count()
+    if (cardinality <= bruteForceLimit)
+      ("brute_force", Ann.presentTopK(
+        matching.crossJoin(broadcast(queries)), k))
+    else {
+      val probes = Ann.probeFrame(queries, readMeta(spark, path).centroids, nprobe)
+      ("ivf_probe", Ann.dedupSpilledTopK(
+        vectors(spark, path).select(col("vec_id"), col("embedding"),
+            col("label"), col("cluster_id"))
+          .filter(filter)
+          .filter(probedClusterFilter(probes))
+          .join(broadcast(probes), "cluster_id"), k))
+    }
+  }
+
   /** SQ8 from rest: cosine top-k over dequantized stored codes — the
     * scan reads the int8 codes + two doubles per vector, 1/4 the
     * bytes of the float corpus; the floats are never touched.

@@ -54,7 +54,11 @@ class AnnSpec extends SparkSpec {
         graft.api.Metric.Cosine, preFilter = Some(col("label") =!= 3)).collect())
     val recall = recallVsExact(topk(broad.collect()), exactBroad)
     info(f"filtered-IVF recall@10 = $recall%.3f")
-    assert(recall >= Ann.NProbe.toDouble / Ann.NList + 0.2)
+    // broad-filtered probes serve from the same spilled at-rest index
+    // as the unfiltered path, so recall sits in the same band (0.88
+    // measured vs 0.90 unfiltered; the filter only shrinks cluster
+    // contents, it doesn't move the probe geometry)
+    assert(recall >= 0.85, f"filtered-IVF recall $recall%.3f below 0.85")
   }
 
   test("q_lsh_knn: candidates rerank to the >=0.9 recall bar") {
