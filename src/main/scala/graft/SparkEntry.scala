@@ -93,6 +93,8 @@ object SparkEntry {
     "q_repetition"     -> (TrainingPipeline.qRepetition _),
     "q_mix_sources"    -> (TrainingPipeline.qMixSources _),
     "q_pack_sequences" -> (TrainingPipeline.qPackSequences _),
+    "q_shuffle_train"  -> (TrainingPipeline.qShuffleTrain _),
+    "q_length_buckets" -> (TrainingPipeline.qLengthBuckets _),
     "q_more_like_this"     -> (FullText.qMoreLikeThis _),
     "q_significant_terms"  -> (FullText.qSignificantTerms _),
     "q_significant_text"   -> (FullText.qSignificantText _),
@@ -975,6 +977,25 @@ object SparkEntry {
         |SELECT source, (cum - n_tokens - 1) // 256 AS bin_id, count(*) AS n_docs,
         |  CAST(sum(n_tokens) AS BIGINT) AS sum_tokens
         |FROM c GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_shuffle_train" ->
+      """SELECT doc_id, md5(CAST(doc_id AS VARCHAR) || ':42') AS shuffle_key,
+        |  CAST(row_number() OVER (ORDER BY md5(CAST(doc_id AS VARCHAR) || ':42'))
+        |       AS BIGINT) AS train_pos
+        |FROM documents ORDER BY train_pos""".stripMargin,
+    "q_length_buckets" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tokens FROM documents),
+        |b AS (SELECT doc_id, n_tokens,
+        |  CAST(power(2, ceil(log2(greatest(n_tokens, 1)))) AS BIGINT) AS band FROM t),
+        |r AS (SELECT band, n_tokens,
+        |  (row_number() OVER (PARTITION BY band ORDER BY doc_id) - 1) // 16 AS batch_no
+        |  FROM b)
+        |SELECT band, CAST(batch_no AS BIGINT) AS batch_no,
+        |  count(*) AS n_docs, CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |  max(n_tokens) AS pad_to,
+        |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (max(n_tokens) * count(*)), 6)
+        |    AS pad_waste
+        |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
     "q_more_like_this" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |seed_tf AS (SELECT doc_id AS seed_id, token, count(*) AS tf FROM toks

@@ -168,6 +168,63 @@ object TrainingPipeline {
       .orderBy(col("source"), col("bin_id"))
   }
 
+  /** Seeded deterministic corpus shuffle — the data-order step every
+    * pretraining run performs before sharding: examples must arrive
+    * in a pseudo-random order that is exactly REPRODUCIBLE (resume,
+    * re-run, audit) and independent of partitioning. The shuffle key
+    * is md5(doc_id ":" seed); the global position is assigned
+    * DISTRIBUTEDLY: per-bucket ranks (window partitioned by the key's
+    * first byte) plus broadcast running bucket offsets (256 longs
+    * collected to the driver) — a global total order with no
+    * single-partition window, the only shape that survives 100 TB.
+    * Oracle: DuckDB's row_number over the same md5 order (md5 agrees
+    * byte-for-byte across engines).
+    */
+  def qShuffleTrain(spark: SparkSession, sfDir: String): DataFrame = {
+    val seed = 42
+    val keyed = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat(col("doc_id").cast("string"), lit(":" + seed))).as("shuffle_key"))
+      .withColumn("bucket", substring(col("shuffle_key"), 1, 2))
+    val counts = keyed.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+      .orderBy(col("bucket")).collect()
+      .map(r => (r.getString(0), r.getLong(1)))
+    val offsets = counts.map(_._1)
+      .zip(counts.map(_._2).scanLeft(0L)(_ + _).init).toSeq
+    val offCol = map(offsets.flatMap { case (b, o) => Seq(lit(b), lit(o)) }: _*)
+    val wb = Window.partitionBy(col("bucket")).orderBy(col("shuffle_key"))
+    keyed
+      .withColumn("train_pos",
+        (row_number().over(wb).cast("long") + element_at(offCol, col("bucket"))))
+      .select(col("doc_id"), col("shuffle_key"), col("train_pos"))
+      .orderBy(col("train_pos"))
+  }
+
+  /** Length-grouped batching (the padding-efficiency trick of every
+    * LLM fine-tuning loader): docs bucket into power-of-2 token-count
+    * bands, and each band is cut into fixed-size batches in id order
+    * — batching similar lengths together bounds padding waste to the
+    * band ratio. The window partitions by band, so at 100 TB each
+    * band batches independently; the report aggregates per batch.
+    */
+  def qLengthBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val batchSize = 16
+    val t = Tables.documents(spark, sfDir)
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+      .withColumn("band",
+        pow(lit(2.0), ceil(log2(greatest(col("n_tokens"), lit(1L))))).cast("long"))
+    val w = Window.partitionBy(col("band")).orderBy(col("doc_id"))
+    t.withColumn("batch_no", ((row_number().over(w) - 1) / batchSize).cast("long"))
+      .groupBy(col("band"), col("batch_no"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).as("sum_tokens"),
+        max(col("n_tokens")).as("pad_to"))
+      .withColumn("pad_waste",
+        round(lit(1.0) - col("sum_tokens") / (col("pad_to") * col("n_docs")), 6))
+      .orderBy(col("band"), col("batch_no"))
+  }
+
   /** Crawl-snapshot diff — the change audit between two corpus
     * snapshots every recurring-crawl pipeline runs before deciding
     * what to re-process: per doc, `added` (only in the new crawl),
