@@ -326,4 +326,23 @@ final case class VectorCollection(df: DataFrame, idCol: String = "id",
         round(avg(col("nrm")), 6).as("avg_norm"),
         round(min(col("nrm")), 6).as("min_norm"),
         round(max(col("nrm")), 6).as("max_norm"))
+
+  /** Persist the full at-rest index for this collection
+    * ([[graft.operators.VectorIndex]] — spilled IVF partitions,
+    * PQ/SQ8/BQ codes, LSH postings, trained geometry under `meta/`):
+    * the ingest-time build after which any session serves every
+    * approximate search family from the layout alone via
+    * `VectorIndex.searchIvf/searchPq/…`, appends fold in with
+    * `VectorIndex.append`, and the payload `labelCol` (int, default a
+    * zero literal when absent) rides along for filtered search.
+    */
+  def writeIndex(spark: org.apache.spark.sql.SparkSession, path: String,
+                 labelCol: String = "label"): graft.operators.VectorIndex.Meta = {
+    val label =
+      if (df.columns.contains(labelCol)) col(labelCol).cast("int")
+      else lit(0)
+    graft.operators.VectorIndex.buildFrom(spark,
+      df.select(id.cast("long").as("vec_id"), emb.as("embedding"),
+        label.as("label")), path)
+  }
 }

@@ -75,8 +75,11 @@ object Quantization {
     * per-partition top-k, so both scan and driver memory are bounded
     * at any corpus scale).
     */
-  private def trainPqCodebooksUncached(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] = {
-    val sample = Tables.embeddings(spark, sfDir)
+  private def trainPqCodebooksUncached(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] =
+    trainPqCodebooksFrom(Tables.embeddings(spark, sfDir))
+
+  private[operators] def trainPqCodebooksFrom(corpus: DataFrame): Seq[Seq[Seq[Float]]] = {
+    val sample = corpus
       .filter(col("vec_id") % 3 === 0).orderBy(col("vec_id"))
       .limit(Ann.TrainSampleCap)
       .select(col("embedding")).collect()

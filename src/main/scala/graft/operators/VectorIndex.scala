@@ -69,6 +69,19 @@ object VectorIndex {
     meta
   }
 
+  /** Build the index from ANY normalized (vec_id BIGINT, embedding
+    * ARRAY<FLOAT>, label INT) collection frame — the user-collection
+    * entry point behind `VectorCollection.writeIndex`: trains the
+    * geometry from the frame (fixed-size sample) and writes the full
+    * layout.
+    */
+  def buildFrom(spark: SparkSession, corpus: DataFrame, path: String): Meta = {
+    val meta = Meta(Ann.trainCentroidsFrom(corpus),
+      Quantization.trainPqCodebooksFrom(corpus))
+    writeCorpus(spark, corpus, path, meta)
+    meta
+  }
+
   /** Write a corpus under an explicitly supplied geometry — the
     * offline-rebuild path (periodic retrain, compaction, re-shard)
     * and the harness behind the spec's append ≡ rebuild proof.

@@ -197,4 +197,28 @@ class ApiSpec extends SparkSpec {
     assert(p.contains("PushedFilters"), p)
     assert(p.contains("EqualTo(label,3)") && p.contains("LessThan(vec_id"), p)
   }
+
+  test("writeIndex persists a user collection's full index; exhaustive probe equals exact search") {
+    import graft.operators.{Ann, VectorIndex}
+    // a user collection with its OWN column names and no label column
+    val coll = VectorCollection(
+      Tables.embeddings(spark, sfDir)
+        .selectExpr("vec_id AS item_id", "embedding AS vec"),
+      idCol = "item_id", embCol = "vec")
+    val path = graft.operators.IndexCache.tempDir("graft-api-index") + "/idx"
+    coll.writeIndex(spark, path)
+    val queries = graft.operators.VectorSearch.querySet(spark, sfDir)
+    // nprobe = nlist probes everything: the index must reproduce the
+    // exact top-k — same ids, same rank, same scores
+    val viaIndex = VectorIndex.searchIvf(spark, path, queries, nprobe = Ann.NList)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("vec_id"), r.getAs[Double]("score"))).sortBy(t => (t._1, t._2))
+    val exact = coll.search(queries, Ann.K, Metric.Cosine)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn"),
+        r.getAs[Long]("item_id"), r.getAs[Double]("score"))).sortBy(t => (t._1, t._2))
+    assert(viaIndex.nonEmpty && viaIndex.sameElements(exact))
+    // quantized families serve from the same layout
+    assert(VectorIndex.searchPq(spark, path, queries).count() > 0)
+    assert(VectorIndex.searchBq(spark, path, queries).count() > 0)
+  }
 }
