@@ -95,6 +95,11 @@ object SparkEntry {
     "q_pack_sequences" -> (TrainingPipeline.qPackSequences _),
     "q_shuffle_train"  -> (TrainingPipeline.qShuffleTrain _),
     "q_length_buckets" -> (TrainingPipeline.qLengthBuckets _),
+    "q_mixture_plan"      -> (TrainingPipeline.qMixturePlan _),
+    "q_temperature_sample" -> (TrainingPipeline.qTemperatureSample _),
+    "q_perplexity_buckets" -> (TextAnalysis.qPerplexityBuckets _),
+    "q_dedup_prefix"   -> (Dedup.qDedupPrefix _),
+    "q_rank_eval"      -> (VectorSearch.qRankEval _),
     "q_more_like_this"     -> (FullText.qMoreLikeThis _),
     "q_significant_terms"  -> (FullText.qSignificantTerms _),
     "q_significant_text"   -> (FullText.qSignificantText _),
@@ -996,6 +1001,87 @@ object SparkEntry {
         |  round(1.0 - CAST(sum(n_tokens) AS DOUBLE) / (max(n_tokens) * count(*)), 6)
         |    AS pad_waste
         |FROM r GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_mixture_plan" ->
+      """WITH s AS (SELECT source, count(*) AS n_docs,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |w AS (SELECT source, n_docs, n_tokens,
+        |        power(CAST(n_tokens AS DOUBLE), 0.5) AS w FROM s),
+        |t AS (SELECT sum(w) AS total_w FROM w)
+        |SELECT source, n_docs, n_tokens,
+        |  round(w / total_w, 6) AS share,
+        |  round(CAST(1000000 AS DOUBLE) * round(w / total_w, 6) / n_tokens, 6) AS epochs
+        |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_temperature_sample" ->
+      """WITH s AS (SELECT source,
+        |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens
+        |  FROM documents GROUP BY 1),
+        |m AS (SELECT min(n_tokens) AS min_tokens FROM s),
+        |f AS (SELECT source,
+        |        round(power(CAST(min_tokens AS DOUBLE) / n_tokens, 0.5), 6) AS keep_frac
+        |      FROM s CROSS JOIN m)
+        |SELECT d.doc_id, d.source, f.keep_frac
+        |FROM documents d JOIN f USING (source)
+        |WHERE CAST('0x' || substring(md5(CAST(d.doc_id AS VARCHAR)), 1, 8) AS BIGINT) % 1000000
+        |      < f.keep_frac * 1000000
+        |ORDER BY d.doc_id""".stripMargin,
+    "q_perplexity_buckets" ->
+      """WITH tk AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |v AS (SELECT tok, count(*) AS c FROM tk GROUP BY tok),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS total FROM v),
+        |nll AS (SELECT doc_id, round(avg(-ln(CAST(c AS DOUBLE) / total)), 6) AS nll
+        |        FROM tk JOIN v USING (tok) CROSS JOIN tot GROUP BY doc_id),
+        |cuts AS (SELECT quantile_cont(nll, CAST(1 AS DOUBLE) / 3) AS c1,
+        |                quantile_cont(nll, CAST(2 AS DOUBLE) / 3) AS c2 FROM nll)
+        |SELECT CASE WHEN nll <= c1 THEN 'head' WHEN nll <= c2 THEN 'middle'
+        |       ELSE 'tail' END AS bucket,
+        |  count(*) AS n_docs, round(min(nll), 6) AS min_nll,
+        |  round(max(nll), 6) AS max_nll, round(avg(nll), 6) AS avg_nll
+        |FROM nll CROSS JOIN cuts GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_prefix" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 20000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |p AS (SELECT doc_id,
+        |        md5(array_to_string(string_split(text, ' ')[1:16], ' ')) AS ph
+        |      FROM all_docs)
+        |SELECT min(doc_id) AS keep_id, count(*) AS n_docs,
+        |  string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS members
+        |FROM p GROUP BY ph HAVING count(*) >= 2 ORDER BY keep_id""".stripMargin,
+    "q_rank_eval" ->
+      """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb, label AS q_label
+        |           FROM embeddings WHERE vec_id % 100 = 0),
+        |s AS (SELECT q.q_id, q.q_label, e.vec_id, e.label,
+        |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+        |      FROM q CROSS JOIN embeddings e WHERE e.vec_id <> q.q_id),
+        |t AS (SELECT q_id, q_label, label,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+        |      FROM s),
+        |top AS (SELECT q_id, q_label, rn,
+        |          CASE WHEN label = q_label THEN 1 ELSE 0 END AS rel
+        |        FROM t WHERE rn <= 10),
+        |perq AS (SELECT q_id, q_label,
+        |    CAST(sum(rel) AS BIGINT) AS n_rel,
+        |    round(CAST(sum(rel) AS DOUBLE) / 10, 6) AS p_at_k,
+        |    round(coalesce(max(CASE WHEN rel = 1 THEN CAST(1 AS DOUBLE) / rn END), 0.0), 6)
+        |      AS mrr,
+        |    sum(CASE WHEN rel = 1 THEN CAST(1 AS DOUBLE) / log2(rn + 1) ELSE 0 END) AS dcg
+        |  FROM top GROUP BY 1, 2),
+        |lc AS (SELECT label, count(*) AS n_label FROM embeddings GROUP BY 1),
+        |r AS (SELECT perq.*, least(n_label - 1, 10) AS r_total
+        |      FROM perq JOIN lc ON perq.q_label = lc.label),
+        |i AS (SELECT q_id, sum(CAST(1 AS DOUBLE) / log2(i + 1)) AS idcg
+        |      FROM (SELECT q_id, unnest(generate_series(1, CAST(r_total AS BIGINT))) AS i
+        |            FROM r)
+        |      GROUP BY 1)
+        |SELECT r.q_id, n_rel, p_at_k, mrr,
+        |  CASE WHEN r_total >= 1 THEN round(dcg / idcg, 6) ELSE 0.0 END AS ndcg
+        |FROM r LEFT JOIN i USING (q_id) ORDER BY r.q_id""".stripMargin,
     "q_more_like_this" ->
       """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents),
         |seed_tf AS (SELECT doc_id AS seed_id, token, count(*) AS tf FROM toks

@@ -543,4 +543,30 @@ object Dedup {
       .select(col("doc_a"), col("doc_b"), col("hamming"))
       .orderBy(col("doc_a"), col("doc_b"))
   }
+
+  /** Prefix tokens hashed by [[qDedupPrefix]]. */
+  val PrefixTokens = 16
+
+  /** Prefix-hash dedup — the mirror/boilerplate-head detector of
+    * crawl curation: docs whose first [[PrefixTokens]] tokens are
+    * identical (site templates, scraped mirrors, retried fetches)
+    * cluster under one md5 of the prefix; each cluster keeps its
+    * min-id doc. Cheaper and earlier in the funnel than shingle
+    * dedup: the hash is a per-row expression over a fixed-length
+    * slice (never the whole text), the only shuffle groups 16-byte
+    * digests, and output is |clusters| rows — the same 24-byte-row
+    * linearity as [[qDedupExact]] with a fraction of its hash input.
+    */
+  def qDedupPrefix(spark: SparkSession, sfDir: String): DataFrame = {
+    val all = augmentedDocs(spark, sfDir)
+      .select(col("doc_id"),
+        md5(concat_ws(" ", slice(split(col("text"), " "), 1, PrefixTokens))).as("ph"))
+    all.groupBy(col("ph"))
+      .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("keep_id"),
+        concat_ws(",", transform(sort_array(collect_list(col("doc_id"))),
+          _.cast("string"))).as("members"))
+      .filter(col("n_docs") >= 2)
+      .select(col("keep_id"), col("n_docs"), col("members"))
+      .orderBy(col("keep_id"))
+  }
 }

@@ -202,7 +202,16 @@ object TextAnalysis {
     * one attaches probabilities to every token position and averages
     * per doc. No driver collection; the LM join is broadcast-hash.
     */
-  def qPerplexity(spark: SparkSession, sfDir: String): DataFrame = {
+  def qPerplexity(spark: SparkSession, sfDir: String): DataFrame =
+    docNll(spark, sfDir)
+      .select(col("doc_id"), col("n_tok"), col("nll"))
+      .orderBy(col("doc_id"))
+
+  /** Per-doc (n_tok, nll) under the corpus unigram LM — shared by
+    * [[qPerplexity]] and [[qPerplexityBuckets]]; nll lands on the
+    * 1e-6 grid so everything downstream is engine-deterministic.
+    */
+  private def docNll(spark: SparkSession, sfDir: String): DataFrame = {
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
@@ -212,7 +221,42 @@ object TextAnalysis {
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         round(avg(-log(col("c").cast("double") / col("total"))), 6).as("nll"))
-      .orderBy(col("doc_id"))
+  }
+
+  /** CCNet-style perplexity bucketing: split the corpus into
+    * head / middle / tail terciles of the unigram-LM nll (head =
+    * most-fluent third) — the quality-stratification step CCNet
+    * applies before keeping head+middle for training. Cut points are
+    * the exact 1/3 and 2/3 percentiles of the rounded per-doc nll;
+    * buckets then aggregate to (count, nll bounds, mean).
+    *
+    * Scale shape: the nll pass is [[docNll]]'s two combinable scans;
+    * the percentile is a single-aggregate reduction whose exact form
+    * is memory-bounded by |docs| scores — at true 100 TB scale swap
+    * `percentile` for `approx_percentile` (same plan shape, sketch
+    * state); the cut points come back as a one-row broadcast and the
+    * bucket assignment is a per-row comparison, so nothing
+    * corpus-sized shuffles after the nll aggregate. Ties sit exactly
+    * ON the rounded grid (interpolated cuts either fall strictly
+    * between grid points or collapse onto one), so `<=` is
+    * engine-stable.
+    */
+  def qPerplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
+    val nll = docNll(spark, sfDir).select(col("doc_id"), col("nll"))
+    val cuts = nll.agg(
+      percentile(col("nll"), lit(1.0 / 3)).as("c1"),
+      percentile(col("nll"), lit(2.0 / 3)).as("c2"))
+    nll.crossJoin(broadcast(cuts))
+      .withColumn("bucket",
+        when(col("nll") <= col("c1"), "head")
+          .when(col("nll") <= col("c2"), "middle")
+          .otherwise("tail"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("n_docs"),
+        round(min(col("nll")), 6).as("min_nll"),
+        round(max(col("nll")), 6).as("max_nll"),
+        round(avg(col("nll")), 6).as("avg_nll"))
+      .orderBy(col("bucket"))
   }
 
   /** String stats (ES `string_stats` with `show_distribution`):

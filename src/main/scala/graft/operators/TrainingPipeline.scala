@@ -429,4 +429,78 @@ object TrainingPipeline {
       .select(col("source"), col("bin_id"), col("pos").cast("long").as("seq_no"),
         size(col("col")).cast("long").as("n_tokens"), col("col").as("tokens"))
   }
+
+  /** Temperature exponent for the mixture plan / sampler: α < 1
+    * flattens the source distribution toward uniform (the
+    * multilingual/multi-domain reweighting every published
+    * pretraining mix uses).
+    */
+  val MixAlpha = 0.5
+
+  /** Token budget the mixture plan allocates (a config constant; at
+    * production scale this is the run's total training-token target).
+    */
+  val MixBudget = 1000000L
+
+  /** Per-source (n_docs, n_tokens) — one map-side-combinable
+    * aggregate over the corpus, |sources| output rows.
+    */
+  private def sourceStats(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("source"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"), sum(col("n_tok")).as("n_tokens"))
+
+  /** Temperature-weighted mixture plan — the per-source sampling
+    * table of a pretraining run (the "data mixture" table every
+    * model report publishes): source weight ∝ n_tokens^α, normalized
+    * to shares, converted to a per-source token allocation of the
+    * run's budget and an epoch count (allocation / available tokens;
+    * >1 means the source is upsampled and repeats). α < 1 shifts
+    * mass from huge sources to small ones.
+    *
+    * Scale shape: one combinable aggregate (corpus scan → |sources|
+    * rows), then a one-row total broadcast back onto the tiny frame —
+    * the plan itself costs one scan at any corpus size. The epoch
+    * column derives from the ROUNDED share so the arithmetic is
+    * grid-deterministic across engines.
+    */
+  def qMixturePlan(spark: SparkSession, sfDir: String): DataFrame = {
+    val weighted = sourceStats(spark, sfDir)
+      .withColumn("w", pow(col("n_tokens").cast("double"), MixAlpha))
+    val totalW = weighted.agg(sum(col("w")).as("total_w"))
+    weighted.crossJoin(broadcast(totalW))
+      .withColumn("share", round(col("w") / col("total_w"), 6))
+      .select(col("source"), col("n_docs"), col("n_tokens"), col("share"),
+        round(lit(MixBudget.toDouble) * col("share") / col("n_tokens"), 6).as("epochs"))
+      .orderBy(col("source"))
+  }
+
+  /** Temperature-weighted downsampling — the executable twin of
+    * [[qMixturePlan]]: each source keeps a deterministic
+    * (min_tokens / n_tokens)^(1−α) fraction of its docs, so the
+    * smallest source survives whole and larger sources shed mass
+    * until the retained mixture matches the α-tempered shares. The
+    * sampling coin is the salted-md5 bucket shared with
+    * [[qMixSources]]' oracle — reproducible across engines and runs,
+    * and a per-row expression: the whole sampler is one corpus scan
+    * with a broadcast |sources|-row fraction table attached, no
+    * shuffle of the corpus at any scale. keep_frac is rounded to the
+    * 1e-6 grid before the bucket comparison so the threshold is
+    * engine-independent.
+    */
+  def qTemperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
+    val stats = sourceStats(spark, sfDir)
+    val minT = stats.agg(min(col("n_tokens")).as("min_tokens"))
+    val fracs = stats.crossJoin(broadcast(minT))
+      .withColumn("keep_frac", round(
+        pow(col("min_tokens").cast("double") / col("n_tokens"), 1 - MixAlpha), 6))
+      .select(col("source"), col("keep_frac"))
+    Tables.documents(spark, sfDir)
+      .join(broadcast(fracs), "source")
+      .filter(graft.functions.hashes.md5Bucket(col("doc_id").cast("string"), 1000000L) <
+        col("keep_frac") * 1000000L)
+      .select(col("doc_id"), col("source"), col("keep_frac"))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -600,4 +600,50 @@ object VectorSearch {
       .orderBy(col("h"), col("vec_id"))
       .limit(20)
       .select(col("vec_id"), col("label"))
+
+  /** Ranked-search evaluation (the ES `rank_eval` API): per-query
+    * precision@k, reciprocal rank, and NDCG@k for the cosine top-k,
+    * with binary relevance = corpus label matches the query's label
+    * (the query vector itself is excluded — it is not a judgment).
+    * The ideal DCG normalizes against min(total relevant in corpus,
+    * k), so a query whose label has fewer than k members is not
+    * penalized for the missing slots — ES's `ndcg` metric semantics.
+    * This is also the harness that measures ANN recall degradation
+    * at corpus scale: run it over any `queries()` search family and
+    * compare.
+    *
+    * Scale shape: one scored corpus scan (queries broadcast,
+    * WindowGroupLimit pre-limits the per-query top-k before the
+    * shuffle), then everything downstream — metrics, label totals,
+    * the ≤k-term IDCG expansion — operates on |queries|·k rows. The
+    * label histogram is a combinable aggregate broadcast back; no
+    * second corpus pass.
+    */
+  def qRankEval(spark: SparkSession, sfDir: String): DataFrame = {
+    val q = querySet(spark, sfDir)
+    val corpus = Tables.embeddings(spark, sfDir)
+    val scored = corpus.crossJoin(broadcast(q))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", round(Metric.Cosine.score(col("q_emb"), col("embedding")), 6))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val top = scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .withColumn("rel", (col("label") === col("q_label")).cast("int"))
+    val labelCounts = corpus.groupBy(col("label")).agg(count(lit(1)).as("n_label"))
+    top.groupBy(col("q_id"), col("q_label"))
+      .agg(sum(col("rel")).cast("long").as("n_rel"),
+        round(sum(col("rel")).cast("double") / K, 6).as("p_at_k"),
+        round(coalesce(max(when(col("rel") === 1, lit(1.0) / col("rn"))), lit(0.0)), 6)
+          .as("mrr"),
+        sum(when(col("rel") === 1, lit(1.0) / log2(col("rn") + 1)).otherwise(0.0)).as("dcg"))
+      .join(broadcast(labelCounts), col("q_label") === col("label"))
+      .withColumn("r_total", least(col("n_label") - 1, lit(K.toLong)))
+      // sequence(1, 0) would DESCEND; a query label with no other
+      // member has idcg undefined → ndcg 0 by convention
+      .withColumn("ndcg", when(col("r_total") >= 1, round(col("dcg") / expr(
+        "aggregate(sequence(1L, r_total), 0.0D, (acc, i) -> acc + 1.0D / log2(CAST(i AS DOUBLE) + 1))"),
+        6)).otherwise(0.0))
+      .select(col("q_id"), col("n_rel"), col("p_at_k"), col("mrr"), col("ndcg"))
+      .orderBy(col("q_id"))
+  }
 }
