@@ -271,4 +271,29 @@ class PlanSpec extends SparkSpec {
     assert(col0.count() == nTenant)
     assert(nTenant > 0)
   }
+
+  test("rank eval broadcasts queries and pre-limits the top-k before the metric aggregate") {
+    val p = plan(VectorSearch.qRankEval(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.split("WindowGroupLimit").length - 1 >= 2,
+      "partial+final WindowGroupLimit expected\n" + p)
+    // the label histogram attaches as a broadcast, never a shuffle join
+    assert(!p.contains("SortMergeJoin"), p)
+  }
+
+  test("temperature sampler is one corpus scan with a broadcast fraction table") {
+    val p = plan(TrainingPipeline.qTemperatureSample(spark, sfDir))
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("SortMergeJoin"), p)
+    // the doc-level coin is a per-row expression: the corpus never
+    // shuffles on its way to the filter (the only exchanges are the
+    // |sources|-row stats aggregate and the presentation sort)
+    assert(!p.contains("Exchange hashpartitioning(doc_id"), p)
+  }
+
+  test("perplexity buckets attach cut points as a one-row broadcast") {
+    val p = plan(TextAnalysis.qPerplexityBuckets(spark, sfDir))
+    assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
