@@ -100,4 +100,28 @@ object ScaleOps {
       .repartition(shards, col("shard"))
       .sortWithinPartitions(col("shard"), col(idCol))
       .write.mode("overwrite").partitionBy("shard").parquet(path)
+
+  /** Recall@k of an approximate search result against the exact one —
+    * the continuous quality monitor an ANN deployment runs after
+    * every index rebuild/append (the measured counterpart of the
+    * nprobe sweep in SURVEY §4). Both inputs are (q_id, vec_id, …)
+    * top-k frames, e.g. `VectorIndex.searchIvf` vs
+    * `VectorCollection.search`. Returns one row per query
+    * (q_id, n_exact, n_hit, recall) plus the ordering-insensitive
+    * overlap is exact by construction (inner join on the id pair).
+    *
+    * Scale shape: both sides are |queries|·k rows regardless of
+    * corpus size — the join and aggregate are trivially cheap, and at
+    * a million queries they shuffle on q_id like any per-query
+    * metric. No corpus access at all.
+    */
+  def recallAtK(exact: DataFrame, approx: DataFrame): DataFrame = {
+    val e = exact.select(col("q_id"), col("vec_id"))
+    val a = approx.select(col("q_id"), col("vec_id")).withColumn("hit", lit(1))
+    e.join(a, Seq("q_id", "vec_id"), "left")
+      .groupBy(col("q_id"))
+      .agg(count(lit(1)).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
+      .withColumn("recall", round(col("n_hit").cast("double") / col("n_exact"), 6))
+  }
 }

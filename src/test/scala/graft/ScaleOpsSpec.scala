@@ -102,4 +102,18 @@ class ScaleOpsSpec extends SparkSpec {
     assert(m1.values.toSet.size == 8)
     assert(sizes.max <= 3 * sizes.min, s"imbalanced shards: $sizes")
   }
+
+  test("recallAtK: exact vs itself is 1.0; IVF at the default budget meets its documented recall") {
+    import graft.operators.{Ann, VectorIndex, VectorSearch}
+    val exact = VectorSearch.qKnnCosine(spark, sfDir)
+    val self = ScaleOps.recallAtK(exact, exact).collect()
+    assert(self.nonEmpty && self.forall(_.getAs[Double]("recall") == 1.0))
+    // the monitor reproduces the sweep spec's operating-point number
+    val path = VectorIndex.sessionIndexPath(spark, sfDir)
+    val approx = VectorIndex.searchIvf(spark, path,
+      VectorSearch.querySet(spark, sfDir), nprobe = Ann.NProbe)
+    val r = ScaleOps.recallAtK(exact, approx)
+      .agg(avg(col("recall")).as("mean_recall")).collect()(0).getAs[Double]("mean_recall")
+    assert(r >= 0.9, f"mean recall $r%.3f below the documented 0.9 budget")
+  }
 }
