@@ -105,6 +105,7 @@ object SparkEntry {
     "q_significant_text"   -> (FullText.qSignificantText _),
     "q_highlight"          -> (FullText.qHighlight _),
     "q_media_dedup"        -> (Multimodal.qMediaDedup _),
+    "q_media_knn"          -> (Multimodal.qMediaKnn _),
     "q_search_after"   -> (Collection.qSearchAfter _),
     "q_rollup"         -> (Relational.qRollup _),
     "q_percentiles"    -> (Relational.qPercentiles _),
@@ -914,6 +915,24 @@ object SparkEntry {
         |  md5(CAST(doc_id AS VARCHAR) || '_' ||
         |      CAST(unnest(range(0, n_frames, 4)) AS VARCHAR)) AS frame_key
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_knn" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM c
+        |        WHERE ch BETWEEN 'a' AND 'z' GROUP BY 1, 2),
+        |alpha AS (SELECT chr(CAST(96 + i AS INTEGER)) AS ch, i FROM range(1, 27) t(i)),
+        |vec AS (SELECT d.doc_id, list(CAST(coalesce(cnt.c, 0) AS DOUBLE) ORDER BY a.i) AS v
+        |        FROM documents d CROSS JOIN alpha a
+        |        LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.ch = a.ch
+        |        GROUP BY d.doc_id),
+        |q AS (SELECT doc_id AS q_id, v AS qv FROM vec WHERE doc_id % 100 = 0),
+        |s AS (SELECT q.q_id, vec.doc_id,
+        |        round(list_cosine_similarity(q.qv, vec.v), 6) AS score
+        |      FROM q CROSS JOIN vec)
+        |SELECT q_id, doc_id, rn, score FROM (
+        |  SELECT q_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+        |  FROM s)
+        |WHERE rn <= 5 ORDER BY q_id, rn""".stripMargin,
     "q_multimodal_meta" ->
       """SELECT source, count(*) AS n_items,
         |  CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,

@@ -169,4 +169,37 @@ object Multimodal {
         (sum(col("n_bytes")) - max(col("n_bytes"))).as("wasted_bytes"))
       .filter(col("n_copies") > 1)
       .orderBy(col("keeper_id"))
+
+  /** Near-media search (Weaviate `near_image` / `near_audio`): the
+    * stub "decoder" turns each payload into a dense feature vector —
+    * here the 26-dim letter-frequency histogram of the payload bytes,
+    * deterministic so the whole query is SQL-oracle-able; a real
+    * codec would emit CLIP/CLAP embeddings from the same
+    * mapPartitions stage — and search is then plain cosine top-k over
+    * the feature column, sharing every scale property of the vector
+    * family (broadcast query set, WindowGroupLimit partial top-k).
+    * The query item itself ranks first at similarity 1 — near_image
+    * is "find items like this one", self included.
+    */
+  def qMediaKnn(spark: SparkSession, sfDir: String): DataFrame = {
+    // the feature extraction is entirely per-row and shuffle-free:
+    // each histogram slot is a constant-folded translate-and-length
+    // count (native codegen'd string ops — no char explode, no HOF
+    // lambda re-evaluating its non-foldable bounds 26×); only the
+    // top-k window moves data
+    val decoded = decode(col("payload"), "UTF-8")
+    val v = array(('a' to 'z').map(ch =>
+      (length(decoded) - length(translate(decoded, ch.toString, ""))).cast("double")): _*)
+    val feats = mediaTable(spark, sfDir).select(col("doc_id"), v.as("v"))
+    val q = feats.filter(col("doc_id") % 100 === 0)
+      .select(col("doc_id").as("q_id"), col("v").as("qv"))
+    val scored = feats.crossJoin(broadcast(q))
+      .withColumn("score", round(graft.functions.vec.cosine(col("qv"), col("v")), 6))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("score").desc, col("doc_id"))
+    scored.withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 5)
+      .select(col("q_id"), col("doc_id"), col("rn"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
 }
