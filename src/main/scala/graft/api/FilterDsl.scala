@@ -31,6 +31,14 @@ object FilterDsl {
     def toColumn: Column = col(key).isin(values: _*)
   }
 
+  /** Match-none-of (Qdrant `match.except` / Chroma `$nin`): the
+    * negated terms filter, kept as NOT(In(...)) so it still pushes
+    * to the scan.
+    */
+  final case class MatchExcept(key: String, values: Seq[Any]) extends Condition {
+    def toColumn: Column = !col(key).isin(values: _*)
+  }
+
   /** Numeric range (Qdrant `range` / ES `range`): any bound subset.
     * Bounds keep their integral/floating type — a double literal
     * against a long column would force a cast and lose parquet
@@ -105,10 +113,11 @@ object FilterDsl {
         }
         (o \ "match", o \ "range", o \ "is_null") match {
           case (m: JObject, JNothing, JNothing) =>
-            (m \ "value", m \ "any", m \ "text") match {
-              case (JNothing, JNothing, JString(t)) => TextContains(key, t)
-              case (JNothing, JArray(vs), JNothing) => MatchAny(key, vs.map(scalar))
-              case (v2, JNothing, JNothing) if v2 != JNothing => MatchValue(key, scalar(v2))
+            (m \ "value", m \ "any", m \ "text", m \ "except") match {
+              case (JNothing, JNothing, JString(t), JNothing) => TextContains(key, t)
+              case (JNothing, JArray(vs), JNothing, JNothing) => MatchAny(key, vs.map(scalar))
+              case (JNothing, JNothing, JNothing, JArray(vs)) => MatchExcept(key, vs.map(scalar))
+              case (v2, JNothing, JNothing, JNothing) if v2 != JNothing => MatchValue(key, scalar(v2))
               case other => sys.error(s"unsupported match shape: $other")
             }
           case (JNothing, r: JObject, JNothing) =>

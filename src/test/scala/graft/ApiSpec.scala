@@ -198,6 +198,18 @@ class ApiSpec extends SparkSpec {
     assert(p.contains("EqualTo(label,3)") && p.contains("LessThan(vec_id"), p)
   }
 
+  test("FilterDsl match.except negates the terms filter and still pushes down") {
+    import graft.api.FilterDsl._
+    val docs = Tables.documents(spark, sfDir)
+    val f = fromJson("""{ "must": [ {"key": "source", "match": {"except": ["src0", "src1"]}} ] }""")
+    val got = docs.filter(f.toColumn).select("source").distinct()
+      .collect().map(_.getString(0)).toSet
+    assert(got.nonEmpty && !got.contains("src0") && !got.contains("src1"))
+    val p = docs.filter(f.toColumn).queryExecution
+      .explainString(org.apache.spark.sql.execution.ExplainMode.fromString("formatted"))
+    assert(p.contains("Not(In(source"), p)
+  }
+
   test("writeIndex persists a user collection's full index; exhaustive probe equals exact search") {
     import graft.operators.{Ann, VectorIndex}
     // a user collection with its OWN column names and no label column
