@@ -296,4 +296,17 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastNestedLoopJoin") || p.contains("BroadcastExchange"), p)
     assert(!p.contains("CartesianProduct"), p)
   }
+
+  test("plan lint: no query in the whole surface compiles to a cartesian product") {
+    // the sweeping invariant behind every per-operator guard above:
+    // a CartesianProduct (a non-broadcast cross join) is never an
+    // acceptable physical plan at 100 TB — every intentional cross
+    // join in the library pairs a broadcast side with a corpus scan
+    // and must compile to BroadcastNestedLoopJoin instead
+    val offenders = SparkEntry.queries.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
+      val p = plan(fn(spark, sfDir))
+      if (p.contains("CartesianProduct")) Some(name) else None
+    }
+    assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
+  }
 }
