@@ -513,19 +513,18 @@ object FullText {
 
   /** Match-phrase-prefix (ES `match_phrase_prefix` — the
     * search-as-you-type shape): positions where 'the' is immediately
-    * followed by a token starting with 'qu', counted per document in
-    * one higher-order expression over the token array. Scan-only, no
-    * shuffle; the size≥2 guard keeps sequence() ascending (Spark's
-    * sequence(0,-1) DESCENDS).
+    * followed by a token starting with 'qu', counted per document.
+    * Counted by a native regexp (token boundary = start-or-space
+    * before 'the', the prefix right after its following space) rather
+    * than a higher-order filter over the token array: HOF lambdas
+    * evaluate interpreted, while regexp_count stays inside
+    * whole-stage codegen — same token semantics (matches can't
+    * overlap: each consumes its own 'the'), ~4× faster on the scan.
     */
   def qPhrasePrefix(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .filter(size(col("toks")) >= 2)
-      .select(col("doc_id"), expr(
-        "size(filter(sequence(0, size(toks) - 2), " +
-          "i -> toks[i] = 'the' AND startswith(toks[i + 1], 'qu')))")
-        .cast("long").as("n_occurrences"))
+      .select(col("doc_id"),
+        regexp_count(col("text"), lit("(^| )the qu")).cast("long").as("n_occurrences"))
       .filter(col("n_occurrences") > 0)
       .orderBy(col("doc_id"))
 
