@@ -190,6 +190,7 @@ object SparkEntry {
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
+    "q_hybrid_at_rest"  -> (FullText.qHybridAtRest _),
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),
     "q_payload_index_scan" -> (Collection.qPayloadIndexScan _),

@@ -72,6 +72,44 @@ object FullText {
       .select(col("doc_id"), col("bm25"))
       .orderBy(col("bm25").desc, col("doc_id")).limit(K)
 
+  /** Hybrid RRF search served ENTIRELY from at-rest layouts — the
+    * production read path of a deployed hybrid engine: the lexical
+    * pool comes from the inverted text index (postings pruned to the
+    * terms' hash buckets, corpus text never re-read) and the vector
+    * pool from the IVF index (nprobe/nlist of the encoded corpus
+    * read), fused with the same RRF formula as the in-memory
+    * [[qHybridRrf]]. At exhaustive probe the result is IDENTICAL to
+    * the in-memory hybrid (FullTextSpec proves it); at the default
+    * probe budget it trades the documented recall for reading a
+    * fraction of the corpus.
+    */
+  def hybridAtRest(spark: SparkSession, sfDir: String, nprobe: Int): DataFrame = {
+    val pool = 50; val rrfK = 60
+    // pool-sized frames: the one-partition rank windows are the
+    // intended plan (see TextIndex.hybridRrf for the id%1 idiom)
+    val poolPart = pmod(col("doc_id"), lit(1L))
+    val lex = TextIndex.bm25AtRest(spark, textIndexPath(spark, sfDir), Terms)
+      .orderBy(col("bm25").desc, col("doc_id")).limit(pool)
+      .select(col("doc_id"), row_number().over(
+        Window.partitionBy(poolPart).orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val vecr = VectorIndex.searchIvf(spark,
+        VectorIndex.sessionIndexPath(spark, sfDir), q, nprobe = nprobe, k = pool)
+      .select(col("vec_id").as("doc_id"), col("rn").as("vec_rank"))
+    lex.join(vecr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          when(col("lex_rank").isNotNull, lit(1.0) / (lit(rrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank").isNotNull, lit(1.0) / (lit(rrfK) + col("vec_rank"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  def qHybridAtRest(spark: SparkSession, sfDir: String): DataFrame =
+    hybridAtRest(spark, sfDir, Ann.NProbe)
+
   /** Exact-phrase containment with occurrence counts (ES match_phrase). */
   def qPhraseMatch(spark: SparkSession, sfDir: String): DataFrame =
     index(spark, sfDir).phraseMatch("spark join")

@@ -395,6 +395,16 @@ class FullTextSpec extends SparkSpec {
     assert(counts.zip(counts.tail).forall { case (a, b) => a >= b })
   }
 
+  test("hybrid RRF from the at-rest indexes equals the in-memory hybrid at exhaustive probe") {
+    import graft.operators.Ann
+    val atRest = FullText.hybridAtRest(spark, sfDir, nprobe = Ann.NList).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf")))
+    val mem = FullText.qHybridRrf(spark, sfDir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Double]("rrf")))
+    assert(atRest.nonEmpty && atRest.sameElements(mem),
+      s"at-rest ${atRest.toSeq} != in-memory ${mem.toSeq}")
+  }
+
   test("q_top_hits emits exactly three ranked hits per lang with the bucket count") {
     val total = Tables.documents(spark, sfDir).count()
     val rows = FullText.qTopHits(spark, sfDir).collect()
