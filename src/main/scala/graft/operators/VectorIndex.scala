@@ -151,13 +151,41 @@ object VectorIndex {
       Meta(cents, cbs)
     })
 
+  private val tombstonesSchema = StructType.fromDDL("vec_id BIGINT")
+
+  /** Point delete (Qdrant `delete` / Milvus `delete` by id): ids land
+    * in `path/tombstones` as an appended parquet file — the standing
+    * corpus is NOT rewritten (the delete costs |batch|, like append).
+    * Every search family filters tombstoned ids at read via a
+    * broadcast anti-join (the tombstone set is bounded by the
+    * compaction cadence — Milvus's delta-log / Qdrant's deleted-flags
+    * model); [[compact]] applies tombstones physically and clears
+    * them.
+    */
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
+    import spark.implicits._
+    ids.toDF("vec_id").coalesce(1)
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.schema(tombstonesSchema).parquet(p.toString))
+    else None
+  }
+
   /** `primaryOnly = true` prunes to the `assign_rank=0` partitions —
     * the 1×-storage view every non-IVF family scans; IVF probes read
-    * all ranks of their probed clusters.
+    * all ranks of their probed clusters. Tombstoned ids are dropped
+    * here, so every family (including LSH, whose candidates rerank
+    * through this scan) serves deletes immediately.
     */
   private def vectors(spark: SparkSession, path: String,
                       primaryOnly: Boolean = false): DataFrame = {
-    val v = spark.read.schema(vectorsSchema).parquet(s"$path/vectors")
+    val v0 = spark.read.schema(vectorsSchema).parquet(s"$path/vectors")
+    val v = tombstones(spark, path)
+      .fold(v0)(t => v0.join(broadcast(t), Seq("vec_id"), "left_anti"))
     if (primaryOnly) v.filter(col("assign_rank") === 0) else v
   }
 
@@ -359,13 +387,19 @@ object VectorIndex {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
+    // compaction also APPLIES pending tombstones (the delta-merge
+    // step of Milvus/Qdrant segment maintenance): rewritten files
+    // drop deleted rows in both the vector table and the LSH
+    // postings, then the tombstone set is cleared
+    val tomb = tombstones(spark, path)
     def rewrite(sub: String, schema: StructType, partCols: Seq[String]): Unit = {
       val live = new Path(s"$path/$sub")
       val bytes = fs.getContentSummary(live).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val tmp = new Path(s"$path/.compact-$sub")
       fs.delete(tmp, true)
-      spark.read.schema(schema).parquet(live.toString)
+      val base = spark.read.schema(schema).parquet(live.toString)
+      tomb.fold(base)(t => base.join(broadcast(t), Seq("vec_id"), "left_anti"))
         .repartition(nFiles, partCols.map(col): _*)
         .write.partitionBy(partCols: _*).parquet(tmp.toString)
       fs.delete(live, true)
@@ -374,6 +408,7 @@ object VectorIndex {
     val before = countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh"))
     rewrite("vectors", vectorsSchema, Seq("cluster_id", "assign_rank"))
     rewrite("lsh", lshSchema, Seq("band_id"))
+    fs.delete(new Path(s"$path/tombstones"), true)
     (before,
       countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh")))
   }

@@ -140,4 +140,35 @@ class VectorIndexSpec extends SparkSpec {
       assert(hit.get.getAs[Double]("score") == 1.0)
     }
   }
+
+  test("point deletes serve immediately via tombstones and compact to the rebuilt-without layout") {
+    val meta = VectorIndex.readMeta(spark, path)
+    val corpus = Tables.embeddings(spark, sfDir)
+    val pD = graft.operators.IndexCache.tempDir("graft-vi-delete") + "/idx"
+    val pRef = graft.operators.IndexCache.tempDir("graft-vi-delete-ref") + "/idx"
+    VectorIndex.writeCorpus(spark, corpus, pD, meta)
+    // delete every query's exact nearest non-self neighbor plus some
+    // bulk ids — then every family must answer as if the index had
+    // been built without them
+    val victims = VectorIndex.searchIvf(spark, pD, queries, nprobe = Ann.NList)
+      .filter(col("vec_id") =!= col("q_id") && col("rn") <= 2)
+      .select("vec_id").collect().map(_.getLong(0)).toSeq.distinct
+    VectorIndex.delete(spark, pD, victims)
+    VectorIndex.writeCorpus(spark, corpus.filter(!col("vec_id").isin(victims: _*)), pRef, meta)
+    families(spark, pD, queries).zip(families(spark, pRef, queries)).foreach {
+      case ((n, d), (_, r)) =>
+        val (cd, cr) = (canon(d), canon(r))
+        assert(cd == cr, s"family $n: tombstoned != rebuilt-without")
+        assert(cd.nonEmpty && cd.forall(t => !victims.contains(t._2)),
+          s"family $n still returns a deleted id")
+    }
+    // compaction applies the tombstones physically and clears them
+    VectorIndex.compact(spark, pD)
+    val fs = new org.apache.hadoop.fs.Path(pD).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pD/tombstones")))
+    families(spark, pD, queries).zip(families(spark, pRef, queries)).foreach {
+      case ((n, d), (_, r)) => assert(canon(d) == canon(r), s"family $n changed after compact")
+    }
+  }
 }
