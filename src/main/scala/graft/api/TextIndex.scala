@@ -290,11 +290,7 @@ object TextIndex {
 
   private def writeBatch(docs: DataFrame, path: String,
                          idCol: String, textCol: String, mode: String): Unit = {
-    val toks = split(col(textCol), " ")
-    val post = docs
-      .select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("token"))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+    val post = tokenized(docs, idCol, textCol)
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(TokenBuckets.toLong)))
       .localCheckpoint() // feeds both the postings and the vocab write
     post.write.mode(mode).partitionBy("tok_bucket").parquet(s"$path/postings")
@@ -310,6 +306,87 @@ object TextIndex {
     post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode(mode).parquet(s"$path/stats")
+  }
+
+  /** Per-(doc, token) tf + doc length — the shared indexing scan. */
+  private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val toks = split(col(textCol), " ")
+    docs
+      .select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("token"))
+      .groupBy(col(idCol), col("token"))
+      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  }
+
+  /** Remove a document batch from the standing index (ES delete /
+    * delete_by_query with its Lucene delete-docs + segment-merge
+    * lifecycle): the deleted ids land in `path/tombstones` and the
+    * batch's df / corpus-stats contributions append as NEGATIVE delta
+    * rows to the same mergeable side tables [[append]] uses — the
+    * standing postings are never read or rewritten, and searches
+    * afterwards score EXACTLY as a rebuild without the batch (df,
+    * n_docs, avgdl all fold the negatives). Cost is |batch|, like
+    * append. `docs` must be the indexed rows themselves (id + the
+    * same text that was indexed) and each id deleted at most once —
+    * the delete-by-query shape, where the caller holds the matched
+    * rows; [[compact]] applies tombstones physically and clears them.
+    */
+  def delete(docs: DataFrame, path: String,
+             idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val post = tokenized(docs, idCol, textCol).localCheckpoint()
+    post.groupBy(col("token")).agg((-count(lit(1))).as("df"))
+      .write.mode("append").parquet(s"$path/vocab")
+    post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+      .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("sum_dl"))
+      .write.mode("append").parquet(s"$path/stats")
+    post.select(col(idCol)).distinct()
+      .write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private def tombstones(spark: org.apache.spark.sql.SparkSession, path: String,
+                         idCol: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read
+      .schema(org.apache.spark.sql.types.StructType.fromDDL(s"$idCol BIGINT"))
+      .parquet(p.toString))
+    else None
+  }
+
+  /** Apply pending tombstones physically (the segment-merge step):
+    * postings drop deleted docs, the vocab and stats delta rows
+    * collapse to their folded values (tokens whose df reaches 0 drop
+    * out), and the tombstone set clears. Safe write-aside + rename
+    * per table, like the vector index's compaction.
+    */
+  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+              idCol: String = "doc_id"): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = tombstones(spark, path, idCol)
+    def rewrite(sub: String, ddl: String, partCols: Seq[String])
+               (transform: DataFrame => DataFrame): Unit = {
+      val live = new Path(s"$path/$sub")
+      val tmp = new Path(s"$path/.compact-$sub")
+      fs.delete(tmp, true)
+      val out = transform(spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
+        .parquet(live.toString))
+      (if (partCols.isEmpty) out.coalesce(1).write
+       else out.write.partitionBy(partCols: _*)).parquet(tmp.toString)
+      fs.delete(live, true)
+      fs.rename(tmp, live)
+    }
+    rewrite("postings", s"$idCol BIGINT, token STRING, tf BIGINT, dl BIGINT, tok_bucket BIGINT",
+      Seq("tok_bucket")) { p =>
+      tomb.fold(p)(t => p.join(broadcast(t), Seq(idCol), "left_anti"))
+    }
+    rewrite("vocab", "token STRING, df BIGINT", Nil) { v =>
+      v.groupBy(col("token")).agg(sum(col("df")).as("df")).filter(col("df") > 0)
+    }
+    rewrite("stats", "n_docs BIGINT, sum_dl BIGINT", Nil) { s =>
+      s.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
+    }
+    fs.delete(new Path(s"$path/tombstones"), true)
   }
 
   /** BM25 over the standing index: identical scores to the on-the-fly
@@ -330,11 +407,15 @@ object TextIndex {
     // explicit schemas: no inference at scale, and an EMPTY standing
     // index (fresh deployment) reads as an empty frame (long ids —
     // the collection contract throughout)
-    val post = spark.read
+    val post0 = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL(
         s"$idCol BIGINT, token STRING, tf BIGINT, dl BIGINT, tok_bucket BIGINT"))
       .parquet(s"$path/postings")
       .filter(col("tok_bucket").isin(buckets: _*) && col("token").isin(terms: _*))
+    // tombstoned docs drop from the pruned postings via a broadcast
+    // anti-join (the tombstone set is bounded by compaction cadence)
+    val post = tombstones(spark, path, idCol)
+      .fold(post0)(t => post0.join(broadcast(t), Seq(idCol), "left_anti"))
     // fold the per-batch deltas (broadcast-sized side tables)
     val df = spark.read
       .schema(org.apache.spark.sql.types.StructType.fromDDL("token STRING, df BIGINT"))

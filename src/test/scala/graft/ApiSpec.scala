@@ -131,6 +131,29 @@ class ApiSpec extends SparkSpec {
       "incrementally-maintained index must score exactly as a full rebuild")
   }
 
+  test("text-index delete folds negative deltas — scores equal a rebuild without the batch") {
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ti-delete").toString
+    TextIndex(docs).writeIndex(path)
+    val victims = docs.filter(col("doc_id") % 5 === 0)
+    TextIndex.delete(victims, path)
+    val terms = Seq("spark", "join", "vector")
+    def scores(p: String) = TextIndex.bm25AtRest(spark, p, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val live = TextIndex(docs.filter(col("doc_id") % 5 =!= 0)).bm25(terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val atRest = scores(path)
+    assert(atRest == live,
+      "tombstoned index must score exactly as a rebuild without the deleted docs")
+    assert(atRest.nonEmpty && !atRest.keySet.exists(_ % 5 == 0))
+    // compaction applies tombstones physically, clears them, and scores survive
+    TextIndex.compact(spark, path)
+    val fs = new org.apache.hadoop.fs.Path(path).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$path/tombstones")))
+    assert(scores(path) == live, "scores changed across text-index compaction")
+  }
+
   test("text-index search prunes the postings scan to the terms' bucket partitions") {
     val docs = Tables.documents(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("graft-ti-prune").toString
