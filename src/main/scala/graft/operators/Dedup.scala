@@ -366,6 +366,55 @@ object Dedup {
     triH.write.mode("append").parquet(s"$path/shingles")
   }
 
+  /** Retract documents from the at-rest dedup index — the takedown /
+    * retention-compliance path of a training corpus (a removed doc
+    * must stop vetoing future crawls that resemble it, and its
+    * shingle sets must stop being served). Ids land in
+    * `path/tombstones` at |batch| cost; probes anti-join them out of
+    * the standing postings and shingles, and
+    * [[compactMinhashIndex]] applies them physically.
+    */
+  def deleteFromMinhashIndex(spark: SparkSession, ids: Seq[Long], path: String): Unit = {
+    import spark.implicits._
+    ids.toDF("doc_id").coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
+
+  private val indexTombstonesSchema =
+    org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
+
+  private def indexTombstones(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p))
+      Some(spark.read.schema(indexTombstonesSchema).parquet(p.toString))
+    else None
+  }
+
+  /** Apply pending tombstones physically: postings and shingle sets
+    * drop retracted docs via write-aside + atomic rename, then the
+    * tombstone set clears.
+    */
+  def compactMinhashIndex(spark: SparkSession, path: String): Unit = {
+    import org.apache.hadoop.fs.Path
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val tomb = indexTombstones(spark, path)
+    def rewrite(sub: String, schema: org.apache.spark.sql.types.StructType,
+                partCols: Seq[String]): Unit = {
+      val live = new Path(s"$path/$sub")
+      val tmp = new Path(s"$path/.compact-$sub")
+      fs.delete(tmp, true)
+      val base = spark.read.schema(schema).parquet(live.toString)
+      val out = tomb.fold(base)(t => base.join(broadcast(t), Seq("doc_id"), "left_anti"))
+      (if (partCols.isEmpty) out.write else out.write.partitionBy(partCols: _*))
+        .parquet(tmp.toString)
+      fs.delete(live, true)
+      fs.rename(tmp, live)
+    }
+    rewrite("postings", postingsSchema, Seq("band_id"))
+    rewrite("shingles", shinglesSchema, Nil)
+    fs.delete(new Path(s"$path/tombstones"), true)
+  }
+
   /** Near-dup pairs of `batch` against the standing index PLUS within
     * the batch itself — exactly the pairs a full [[minhashPairs]] run
     * over (indexed ∪ batch) would emit that touch a batch doc, at
@@ -390,7 +439,13 @@ object Dedup {
                         threshold: Double = 0.3): DataFrame = {
     val triB = hashedShingles(batch).localCheckpoint()
     val bandsB = bandPostings(triB)
-    val postings = spark.read.schema(postingsSchema).parquet(s"$path/postings")
+    // retracted docs must not veto the batch: anti-join the (bounded,
+    // broadcast) tombstone set out of the standing side
+    def minusTombstones(df: DataFrame): DataFrame =
+      indexTombstones(spark, path)
+        .fold(df)(t => df.join(broadcast(t), Seq("doc_id"), "left_anti"))
+    val postings = minusTombstones(
+      spark.read.schema(postingsSchema).parquet(s"$path/postings"))
     // no doc_id =!= doc_b self-pair filter: a batch doc legitimately
     // never shares an id with a standing row, so an id collision means
     // the SAME doc is being re-ingested (e.g. a crash-retry after the
@@ -407,7 +462,8 @@ object Dedup {
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
-    val shOld = spark.read.schema(shinglesSchema).parquet(s"$path/shingles")
+    val shOld = minusTombstones(
+      spark.read.schema(shinglesSchema).parquet(s"$path/shingles"))
     verifyJaccard(cross, shOld, triB, threshold)
       .unionByName(verifyJaccard(internal, triB, triB, threshold))
       .orderBy(col("doc_a"), col("doc_b"))

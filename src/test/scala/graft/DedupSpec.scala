@@ -79,6 +79,36 @@ class DedupSpec extends SparkSpec {
     assert(inc1.nonEmpty && inc2.nonEmpty) // the constructed dups guarantee hits
   }
 
+  test("retracting docs from the dedup index stops them vetoing resembling batches") {
+    val all = Dedup.augmentedDocs(spark, sfDir)
+    val base = all.filter(col("doc_id") < 10000L)
+    val batch = all.filter(col("doc_id") >= 10000L) // copies/near-dups of base docs
+    def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map { r =>
+        val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+        (math.min(a, b), math.max(a, b))
+      }.toSet
+    // tombstoned index must behave exactly like one built without the victims
+    val victims = base.filter(col("doc_id") % 14 === 0)
+      .select("doc_id").collect().map(_.getLong(0)).toSeq
+    val pT = java.nio.file.Files.createTempDirectory("graft-mh-del").toString + "/idx"
+    val pRef = java.nio.file.Files.createTempDirectory("graft-mh-del-ref").toString + "/idx"
+    Dedup.writeMinhashIndex(base, pT)
+    Dedup.deleteFromMinhashIndex(spark, victims, pT)
+    Dedup.writeMinhashIndex(base.filter(!col("doc_id").isin(victims: _*)), pRef)
+    val gotT = pairSet(Dedup.dedupAgainstIndex(spark, batch, pT))
+    val gotRef = pairSet(Dedup.dedupAgainstIndex(spark, batch, pRef))
+    assert(gotT == gotRef, s"tombstoned: ${gotT.size}, rebuilt-without: ${gotRef.size}")
+    assert(gotT.nonEmpty && victims.forall(v => !gotT.exists(p => p._1 == v || p._2 == v)),
+      "a retracted doc still vetoes the batch")
+    // compaction applies the retraction physically and clears tombstones
+    Dedup.compactMinhashIndex(spark, pT)
+    val fs = new org.apache.hadoop.fs.Path(pT).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pT/tombstones")))
+    assert(pairSet(Dedup.dedupAgainstIndex(spark, batch, pT)) == gotRef)
+  }
+
   test("q_dedup_ngram top pairs are valid Jaccard scores in [0,1] descending") {
     val rows = Dedup.qDedupNgram(spark, sfDir).collect()
     assert(rows.length == 50)
