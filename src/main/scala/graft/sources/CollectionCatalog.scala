@@ -129,6 +129,19 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     id
   }
 
+  /** Read a snapshot directly, without restoring it — the
+    * point-in-time (ES PIT / Qdrant consistent-snapshot read) handle:
+    * keyset pagination against a snapshot yields stable pages no
+    * matter what concurrent upserts/deletes do to the live
+    * collection.
+    */
+  def loadSnapshot(snapshotId: String): DataFrame = {
+    val Array(name, n) = snapshotId.split("/")
+    val src = new Path(root, s".snapshots/$name/$n")
+    require(fs.exists(src), s"no such snapshot: $snapshotId")
+    spark.read.parquet(src.toString)
+  }
+
   /** Snapshot ids available for a collection, oldest first. */
   def listSnapshots(name: String): Seq[String] = {
     val snapRoot = new Path(root, s".snapshots/$name")
