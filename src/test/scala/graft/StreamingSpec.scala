@@ -378,4 +378,43 @@ class StreamingSpec extends SparkSpec {
         assert(streamed.nonEmpty)
       }
   }
+
+  test("streamed retractions leave the dedup and text indexes behaving like batch deletes") {
+    import org.apache.spark.sql.functions._
+    val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
+    val victims = docs.filter(col("doc_id") % 5 === 0)
+    val remaining = docs.filter(col("doc_id") % 5 =!= 0)
+    // standing indexes over the full corpus
+    val mhIdx = Files.createTempDirectory("graft-retract-mh").toString + "/idx"
+    val tIdx = Files.createTempDirectory("graft-retract-ti").toString
+    graft.operators.Dedup.writeMinhashIndex(docs, mhIdx)
+    graft.api.TextIndex(docs).writeIndex(tIdx)
+    // takedown requests arrive as two sequential micro-batches
+    val srcDir = Files.createTempDirectory("graft-retract-src").toString
+    victims.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
+    victims.filter(col("doc_id") % 2 =!= 0).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.RetractionStream.retractStream(
+      spark.readStream.schema(victims.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir),
+      Some(mhIdx), Some(tIdx))
+    q.awaitTermination(180000)
+
+    // text index: scores equal a rebuild without the retracted docs
+    val terms = Seq("spark", "join", "vector")
+    val atRest = graft.api.TextIndex.bm25AtRest(spark, tIdx, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val live = graft.api.TextIndex(remaining).bm25(terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    assert(atRest == live && atRest.nonEmpty,
+      "streamed text retractions must score like a rebuild-without")
+
+    // dedup index: a batch of exact copies of the victims is no
+    // longer vetoed by them (but copies of surviving docs still are)
+    val probe = docs.select((col("doc_id") + 50000L).as("doc_id"), col("text"))
+    val pairs = graft.operators.Dedup.dedupAgainstIndex(spark, probe, mhIdx).collect()
+      .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
+    val vetoers = pairs.map(p => math.min(p._1, p._2)).filter(_ < 50000L).toSet
+    assert(vetoers.nonEmpty && vetoers.forall(_ % 5 != 0),
+      s"a retracted doc still vetoes: ${vetoers.filter(_ % 5 == 0).take(5)}")
+  }
 }
