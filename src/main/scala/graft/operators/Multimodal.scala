@@ -185,12 +185,18 @@ object Multimodal {
     // the feature extraction is entirely per-row and shuffle-free:
     // each histogram slot is a constant-folded translate-and-length
     // count (native codegen'd string ops — no char explode, no HOF
-    // lambda re-evaluating its non-foldable bounds 26×); only the
-    // top-k window moves data
+    // lambda re-evaluating its non-foldable bounds 26×). Features
+    // MATERIALIZE once per corpus (the decode-at-ingest step — a real
+    // codec's embeddings would be persisted exactly like the
+    // quantized vector corpora): without the barrier Catalyst
+    // collapses the 52-string-op projection INTO the scoring join and
+    // re-decodes every payload once per (query, doc) pair.
     val decoded = decode(col("payload"), "UTF-8")
     val v = array(('a' to 'z').map(ch =>
       (length(decoded) - length(translate(decoded, ch.toString, ""))).cast("double")): _*)
-    val feats = mediaTable(spark, sfDir).select(col("doc_id"), v.as("v"))
+    val feats = IndexCache.materialized(spark, s"media-feats#$sfDir") {
+      mediaTable(spark, sfDir).select(col("doc_id"), v.as("v"))
+    }
     val q = feats.filter(col("doc_id") % 100 === 0)
       .select(col("doc_id").as("q_id"), col("v").as("qv"))
     val scored = feats.crossJoin(broadcast(q))
