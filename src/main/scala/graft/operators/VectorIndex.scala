@@ -152,6 +152,44 @@ object VectorIndex {
     })
 
   private val tombstonesSchema = StructType.fromDDL("vec_id BIGINT")
+  private val payloadSchema = StructType.fromDDL("vec_id BIGINT, label INT, seq BIGINT")
+
+  /** Payload update (Qdrant `set_payload` / Milvus partial update):
+    * new label values land in `path/payload` as an appended delta
+    * batch stamped with the next sequence number — vectors are never
+    * re-encoded and the standing corpus is never rewritten (payload
+    * changes must not cost a re-quantization). Reads overlay the
+    * latest delta per id onto the stored label (broadcast join —
+    * the delta set is bounded by compaction cadence, exactly like
+    * tombstones); [[compact]] folds deltas into the rewritten files
+    * and clears them. Latest-wins across batches by sequence number.
+    */
+  def setPayload(spark: SparkSession, path: String, updates: DataFrame): Unit = {
+    val nextSeq = payloadDeltas(spark, path).fold(0L) { p =>
+      p.agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
+    }
+    updates.select(col("vec_id").cast("long").as("vec_id"),
+        col("label").cast("int").as("label"))
+      .withColumn("seq", lit(nextSeq))
+      .coalesce(1).write.mode("append").parquet(s"$path/payload")
+  }
+
+  private def payloadDeltas(spark: SparkSession, path: String): Option[DataFrame] = {
+    val p = new org.apache.hadoop.fs.Path(s"$path/payload")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (fs.exists(p)) Some(spark.read.schema(payloadSchema).parquet(p.toString))
+    else None
+  }
+
+  /** Overlay the latest payload delta per id onto the stored label. */
+  private def withPayload(spark: SparkSession, path: String, v: DataFrame): DataFrame =
+    payloadDeltas(spark, path).fold(v) { p =>
+      val latest = p.groupBy(col("vec_id"))
+        .agg(max_by(col("label"), col("seq")).as("__new_label"))
+      v.join(broadcast(latest), Seq("vec_id"), "left")
+        .withColumn("label", coalesce(col("__new_label"), col("label")))
+        .drop("__new_label")
+    }
 
   /** Point delete (Qdrant `delete` / Milvus `delete` by id): ids land
     * in `path/tombstones` as an appended parquet file — the standing
@@ -184,8 +222,9 @@ object VectorIndex {
   private def vectors(spark: SparkSession, path: String,
                       primaryOnly: Boolean = false): DataFrame = {
     val v0 = spark.read.schema(vectorsSchema).parquet(s"$path/vectors")
-    val v = tombstones(spark, path)
+    val v1 = tombstones(spark, path)
       .fold(v0)(t => v0.join(broadcast(t), Seq("vec_id"), "left_anti"))
+    val v = withPayload(spark, path, v1)
     if (primaryOnly) v.filter(col("assign_rank") === 0) else v
   }
 
@@ -387,28 +426,32 @@ object VectorIndex {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
-    // compaction also APPLIES pending tombstones (the delta-merge
-    // step of Milvus/Qdrant segment maintenance): rewritten files
-    // drop deleted rows in both the vector table and the LSH
-    // postings, then the tombstone set is cleared
+    // compaction also APPLIES pending tombstones and payload deltas
+    // (the delta-merge step of Milvus/Qdrant segment maintenance):
+    // rewritten files drop deleted rows in both the vector table and
+    // the LSH postings and carry the latest labels, then the delta
+    // sets are cleared
     val tomb = tombstones(spark, path)
-    def rewrite(sub: String, schema: StructType, partCols: Seq[String]): Unit = {
+    def rewrite(sub: String, schema: StructType, partCols: Seq[String],
+                mergePayload: Boolean): Unit = {
       val live = new Path(s"$path/$sub")
       val bytes = fs.getContentSummary(live).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
       val tmp = new Path(s"$path/.compact-$sub")
       fs.delete(tmp, true)
       val base = spark.read.schema(schema).parquet(live.toString)
-      tomb.fold(base)(t => base.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      val alive = tomb.fold(base)(t => base.join(broadcast(t), Seq("vec_id"), "left_anti"))
+      (if (mergePayload) withPayload(spark, path, alive) else alive)
         .repartition(nFiles, partCols.map(col): _*)
         .write.partitionBy(partCols: _*).parquet(tmp.toString)
       fs.delete(live, true)
       fs.rename(tmp, live)
     }
     val before = countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh"))
-    rewrite("vectors", vectorsSchema, Seq("cluster_id", "assign_rank"))
-    rewrite("lsh", lshSchema, Seq("band_id"))
+    rewrite("vectors", vectorsSchema, Seq("cluster_id", "assign_rank"), mergePayload = true)
+    rewrite("lsh", lshSchema, Seq("band_id"), mergePayload = false)
     fs.delete(new Path(s"$path/tombstones"), true)
+    fs.delete(new Path(s"$path/payload"), true)
     (before,
       countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh")))
   }
