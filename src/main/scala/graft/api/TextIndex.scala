@@ -326,20 +326,32 @@ object TextIndex {
     * afterwards score EXACTLY as a rebuild without the batch (df,
     * n_docs, avgdl all fold the negatives). Cost is |batch|, like
     * append. `docs` must be the indexed rows themselves (id + the
-    * same text that was indexed) and each id deleted at most once —
-    * the delete-by-query shape, where the caller holds the matched
-    * rows; [[compact]] applies tombstones physically and clears them.
+    * same text that was indexed) — the delete-by-query shape, where
+    * the caller holds the matched rows; [[compact]] applies
+    * tombstones physically and clears them.
+    *
+    * Idempotent per id: rows whose id is already tombstoned are
+    * dropped before any delta is computed, so a replayed delete —
+    * Structured Streaming's at-least-once `foreachBatch` redelivery
+    * ([[graft.streaming.RetractionStream]]), or a retried batch job —
+    * never double-subtracts df/n_docs/sum_dl. The anti-join reads
+    * only the tombstone set, whose size is bounded by the compaction
+    * cadence, so the delete still costs |batch|.
     */
   def delete(docs: DataFrame, path: String,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
-    val post = tokenized(docs, idCol, textCol).localCheckpoint()
-    post.groupBy(col("token")).agg((-count(lit(1))).as("df"))
-      .write.mode("append").parquet(s"$path/vocab")
-    post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
-      .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("sum_dl"))
-      .write.mode("append").parquet(s"$path/stats")
-    post.select(col(idCol)).distinct()
-      .write.mode("append").parquet(s"$path/tombstones")
+    val fresh = tombstones(docs.sparkSession, path, idCol)
+      .fold(docs)(t => docs.join(broadcast(t), Seq(idCol), "left_anti"))
+    val post = tokenized(fresh, idCol, textCol).localCheckpoint()
+    if (!post.isEmpty) {
+      post.groupBy(col("token")).agg((-count(lit(1))).as("df"))
+        .write.mode("append").parquet(s"$path/vocab")
+      post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+        .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("sum_dl"))
+        .write.mode("append").parquet(s"$path/stats")
+      post.select(col(idCol)).distinct()
+        .write.mode("append").parquet(s"$path/tombstones")
+    }
   }
 
   private def tombstones(spark: org.apache.spark.sql.SparkSession, path: String,

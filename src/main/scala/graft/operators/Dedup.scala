@@ -376,8 +376,19 @@ object Dedup {
     */
   def deleteFromMinhashIndex(spark: SparkSession, ids: Seq[Long], path: String): Unit = {
     import spark.implicits._
-    ids.toDF("doc_id").coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    deleteFromMinhashIndex(ids.toDF("doc_id"), path)
   }
+
+  /** Frame-taking twin of [[deleteFromMinhashIndex]] — the streaming
+    * takedown path ([[graft.streaming.RetractionStream]]) passes its
+    * micro-batch frame straight through, so no id set ever rides
+    * through the driver. Tombstoning is idempotent (probes anti-join
+    * by id, so a duplicate tombstone row changes nothing); the
+    * distinct keeps replayed batches from growing the set.
+    */
+  def deleteFromMinhashIndex(ids: DataFrame, path: String): Unit =
+    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
 
   private val indexTombstonesSchema =
     org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")

@@ -52,4 +52,13 @@ private[graft] object IndexCache {
   def materialized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.computeIfAbsent(sessionKey(spark) + "#" + key,
       _ => build.localCheckpoint())
+
+  /** Drop every cached frame (any session) whose key contains
+    * `marker` — the invalidation hook for mutable at-rest layouts: a
+    * write that changes what a read should see evicts the path's
+    * materialized serving views, and the ContextCleaner reclaims the
+    * unreferenced checkpointed RDDs.
+    */
+  private[graft] def dropMatching(marker: String): Unit =
+    cache.keySet.removeIf(_.contains(marker))
 }

@@ -96,6 +96,12 @@ object VectorIndex {
       .toDF("subspace", "code", "centroid")
       .write.mode("overwrite").parquet(s"$path/meta/codebooks")
     encodeAndWrite(corpus, meta, path, "overwrite")
+    // an in-place rebuild (retrain) must not leave any session serving
+    // the OLD geometry: evict every cached Meta for this path, then
+    // seed this session's entry with the geometry just written
+    metaCache.keySet.removeIf(_.endsWith("#" + path))
+    metaCache.put(IndexCache.sessionKey(spark) + "#" + path, meta)
+    mutated(path)
   }
 
   /** Fold a new (vec_id, embedding, label) batch into the standing
@@ -103,8 +109,10 @@ object VectorIndex {
     * ingest-while-serving path of Milvus/Qdrant) and append
     * batch-sized files into the partition layout.
     */
-  def append(spark: SparkSession, batch: DataFrame, path: String): Unit =
+  def append(spark: SparkSession, batch: DataFrame, path: String): Unit = {
     encodeAndWrite(batch, readMeta(spark, path), path, "append")
+    mutated(path)
+  }
 
   /** One corpus pass computing every encoded representation — all
     * pure per-row codegen'd expressions, no shuffle (the partitioned
@@ -137,6 +145,42 @@ object VectorIndex {
   private val metaCache =
     new java.util.concurrent.ConcurrentHashMap[String, Meta]()
 
+  /** Per-path mutation epoch, folded into every serving-view cache
+    * key: any write that changes what a read should see (append,
+    * delete, payload update, compact, rebuild, restore) bumps it and
+    * evicts the path's materialized views, so no session ever serves
+    * a stale frame. Epochs are process-local — on a real deployment
+    * the same role is played by the layout's commit version (e.g. a
+    * table-format snapshot id).
+    */
+  private val epochs =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.atomic.AtomicLong]()
+
+  private def epoch(path: String): Long =
+    epochs.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicLong(0L)).get()
+
+  private def mutated(path: String): Unit = {
+    epochs.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicLong(0L))
+      .incrementAndGet()
+    IndexCache.dropMatching(s"vix#$path#")
+  }
+
+  /** Session-materialized NARROW serving view — the per-family
+    * projection (codes only, sign words only, floats only) built once
+    * per (session, path, epoch) and served to every subsequent query,
+    * exactly how the in-memory families serve from
+    * [[IndexCache.materialized]]. The first query after a build or a
+    * mutation pays one at-rest scan (with tombstones and payload
+    * overlaid); queries after that touch no storage. At cluster scale
+    * the identical keys name executor-cached tables; the uncached
+    * read path underneath keeps its listing-level partition pruning
+    * for corpora too large to pin.
+    */
+  private def served(spark: SparkSession, path: String, variant: String,
+                     cached: Boolean)(build: => DataFrame): DataFrame =
+    if (!cached) build
+    else IndexCache.materialized(spark, s"vix#$path#e${epoch(path)}#$variant")(build)
+
   def readMeta(spark: SparkSession, path: String): Meta =
     metaCache.computeIfAbsent(IndexCache.sessionKey(spark) + "#" + path, _ => {
       val cents = spark.read.schema(centroidsSchema).parquet(s"$path/meta/centroids")
@@ -162,7 +206,12 @@ object VectorIndex {
     * latest delta per id onto the stored label (broadcast join —
     * the delta set is bounded by compaction cadence, exactly like
     * tombstones); [[compact]] folds deltas into the rewritten files
-    * and clears them. Latest-wins across batches by sequence number.
+    * and clears them. Latest-wins across batches by sequence number;
+    * WITHIN a batch, conflicting updates to one vec_id collapse to
+    * the last occurrence in the batch's row order before the sequence
+    * number is stamped — one row per (vec_id, seq) ever lands, so the
+    * cross-batch `max_by(label, seq)` resolution is deterministic and
+    * reads agree with post-compaction state across runs.
     */
   def setPayload(spark: SparkSession, path: String, updates: DataFrame): Unit = {
     val nextSeq = payloadDeltas(spark, path).fold(0L) { p =>
@@ -170,8 +219,13 @@ object VectorIndex {
     }
     updates.select(col("vec_id").cast("long").as("vec_id"),
         col("label").cast("int").as("label"))
+      // single partition first, so the ordinal follows the batch's
+      // row order and "last occurrence wins" is well-defined
+      .coalesce(1).withColumn("__ord", monotonically_increasing_id())
+      .groupBy(col("vec_id")).agg(max_by(col("label"), col("__ord")).as("label"))
       .withColumn("seq", lit(nextSeq))
       .coalesce(1).write.mode("append").parquet(s"$path/payload")
+    mutated(path)
   }
 
   private def payloadDeltas(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -204,6 +258,7 @@ object VectorIndex {
     import spark.implicits._
     ids.toDF("vec_id").coalesce(1)
       .write.mode("append").parquet(s"$path/tombstones")
+    mutated(path)
   }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -248,10 +303,13 @@ object VectorIndex {
     */
   private def rerankFromRest(spark: SparkSession, path: String, queries: DataFrame,
                              pool: DataFrame, score: (Column, Column) => Column,
-                             metricAsc: Boolean, k: Int): DataFrame = {
+                             metricAsc: Boolean, k: Int,
+                             cached: Boolean = true): DataFrame = {
     val ord = if (metricAsc) col("score").asc else col("score").desc
     val w = Window.partitionBy(col("q_id")).orderBy(ord, col("vec_id"))
-    vectors(spark, path, primaryOnly = true).select(col("vec_id"), col("embedding"))
+    served(spark, path, "rerank", cached) {
+      vectors(spark, path, primaryOnly = true).select(col("vec_id"), col("embedding"))
+    }
       .join(broadcast(pool), "vec_id")
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
       .withColumn("score", round(score(col("q_emb"), col("embedding")), 6))
@@ -267,10 +325,13 @@ object VectorIndex {
     * aggregate, top-k.
     */
   def searchIvf(spark: SparkSession, path: String, queries: DataFrame,
-                nprobe: Int = Ann.NProbe, k: Int = Ann.K): DataFrame = {
+                nprobe: Int = Ann.NProbe, k: Int = Ann.K,
+                cached: Boolean = true): DataFrame = {
     val probes = Ann.probeFrame(queries, readMeta(spark, path).centroids, nprobe)
     Ann.dedupSpilledTopK(
-      vectors(spark, path).select(col("vec_id"), col("embedding"), col("cluster_id"))
+      served(spark, path, "ivf", cached) {
+        vectors(spark, path).select(col("vec_id"), col("embedding"), col("cluster_id"))
+      }
         .filter(probedClusterFilter(probes))
         .join(broadcast(probes), "cluster_id"), k)
   }
@@ -281,19 +342,22 @@ object VectorIndex {
     */
   def searchPq(spark: SparkSession, path: String, queries: DataFrame,
                k: Int = Quantization.K,
-               pool: Int = Quantization.PqRerankPool): DataFrame = {
+               pool: Int = Quantization.PqRerankPool,
+               cached: Boolean = true): DataFrame = {
     val meta = readMeta(spark, path)
     val q = queries.withColumn("adc",
       Quantization.adcTable(col("q_emb"), meta.codebooks, absolute = true))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val cand = vectors(spark, path, primaryOnly = true)
-      .select(col("vec_id"), col("pq_codes"))
+    val cand = served(spark, path, "pq", cached) {
+      vectors(spark, path, primaryOnly = true)
+        .select(col("vec_id"), col("pq_codes"))
+    }
       .crossJoin(broadcast(q.select(col("q_id"), col("adc"))))
       .select(col("q_id"), col("vec_id"), Quantization.adcDist.as("adc_dist"))
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= pool)
       .select(col("q_id"), col("vec_id"))
-    rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k)
+    rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k, cached)
   }
 
   /** IVF_PQ from rest — partition pruning × code-width pruning
@@ -302,13 +366,16 @@ object VectorIndex {
     */
   def searchIvfPq(spark: SparkSession, path: String, queries: DataFrame,
                   nprobe: Int = Ann.NProbe, k: Int = Quantization.K,
-                  pool: Int = Quantization.PqRerankPool): DataFrame = {
+                  pool: Int = Quantization.PqRerankPool,
+                  cached: Boolean = true): DataFrame = {
     val meta = readMeta(spark, path)
     val probes = Ann.probeFrame(queries, meta.centroids, nprobe)
       .withColumn("adc",
         Quantization.adcTable(col("q_emb"), meta.codebooks, absolute = true))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val cand = vectors(spark, path).select(col("vec_id"), col("pq_codes"), col("cluster_id"))
+    val cand = served(spark, path, "ivfpq", cached) {
+      vectors(spark, path).select(col("vec_id"), col("pq_codes"), col("cluster_id"))
+    }
       .filter(probedClusterFilter(probes))
       .join(broadcast(probes.select(col("q_id"), col("adc"), col("cluster_id"))), "cluster_id")
       .select(col("q_id"), col("vec_id"), Quantization.adcDist.as("adc_dist"))
@@ -319,7 +386,7 @@ object VectorIndex {
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= pool)
       .select(col("q_id"), col("vec_id"))
-    rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k)
+    rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k, cached)
   }
 
   /** Filtered ANN from rest with the Qdrant-style strategy switch:
@@ -334,8 +401,13 @@ object VectorIndex {
     */
   def searchIvfFiltered(spark: SparkSession, path: String, queries: DataFrame,
                         filter: Column, bruteForceLimit: Long,
-                        nprobe: Int = Ann.NProbe, k: Int = Ann.K): (String, DataFrame) = {
-    val matching = vectors(spark, path, primaryOnly = true).filter(filter)
+                        nprobe: Int = Ann.NProbe, k: Int = Ann.K,
+                        cached: Boolean = true): (String, DataFrame) = {
+    val base = served(spark, path, "filt", cached) {
+      vectors(spark, path).select(col("vec_id"), col("embedding"),
+        col("label"), col("cluster_id"), col("assign_rank"))
+    }
+    val matching = base.filter(col("assign_rank") === 0).filter(filter)
     val cardinality = matching.count()
     if (cardinality <= bruteForceLimit)
       ("brute_force", Ann.presentTopK(
@@ -343,8 +415,7 @@ object VectorIndex {
     else {
       val probes = Ann.probeFrame(queries, readMeta(spark, path).centroids, nprobe)
       ("ivf_probe", Ann.dedupSpilledTopK(
-        vectors(spark, path).select(col("vec_id"), col("embedding"),
-            col("label"), col("cluster_id"))
+        base
           .filter(filter)
           .filter(probedClusterFilter(probes))
           .join(broadcast(probes), "cluster_id"), k))
@@ -356,11 +427,18 @@ object VectorIndex {
     * bytes of the float corpus; the floats are never touched.
     */
   def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
-                k: Int = Quantization.K): DataFrame = {
+                k: Int = Quantization.K, cached: Boolean = true): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
-    vectors(spark, path, primaryOnly = true)
-      .select(col("vec_id"), col("sq8"), col("sq8_min"), col("sq8_scale"))
-      .withColumn("demb", Quantization.dequantized())
+    // the dequantized floats are materialized INSIDE the served view:
+    // the interpreted HOF decode runs once per vector per session, and
+    // the checkpoint is a projection-collapse barrier, so it can never
+    // be inlined into the per-(query, vector) scoring expression
+    served(spark, path, "sq8", cached) {
+      vectors(spark, path, primaryOnly = true)
+        .select(col("vec_id"), col("sq8"), col("sq8_min"), col("sq8_scale"))
+        .withColumn("demb", Quantization.dequantized())
+        .select(col("vec_id"), col("demb"))
+    }
       .crossJoin(broadcast(queries.select(col("q_id"), col("q_emb"))))
       .withColumn("score", round(vec.cosine(col("q_emb"), col("demb")), 6))
       .withColumn("rn", row_number().over(w).cast("long"))
@@ -373,18 +451,21 @@ object VectorIndex {
     * bytes per vector read), exact rerank from the stored floats.
     */
   def searchBq(spark: SparkSession, path: String, queries: DataFrame,
-               k: Int = Quantization.K, pool: Int = Quantization.BqPool): DataFrame = {
+               k: Int = Quantization.K, pool: Int = Quantization.BqPool,
+               cached: Boolean = true): DataFrame = {
     val q = queries.select(col("q_id"), Quantization.bqWord(col("q_emb")).as("qw"))
     val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
-    val cand = vectors(spark, path, primaryOnly = true)
-      .select(col("vec_id"), col("bq_word"))
+    val cand = served(spark, path, "bq", cached) {
+      vectors(spark, path, primaryOnly = true)
+        .select(col("vec_id"), col("bq_word"))
+    }
       .crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         bit_count(col("bq_word").bitwiseXOR(col("qw"))).as("hamming"))
       .withColumn("hrn", row_number().over(wHam))
       .filter(col("hrn") <= pool)
       .select(col("q_id"), col("vec_id"))
-    rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k)
+    rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k, cached)
   }
 
   /** LSH from rest: query band keys probe the persisted signature
@@ -394,15 +475,17 @@ object VectorIndex {
     * MinHash dedup index.
     */
   def searchLsh(spark: SparkSession, path: String, queries: DataFrame,
-                k: Int = Ann.K): DataFrame = {
+                k: Int = Ann.K, cached: Boolean = true): DataFrame = {
     val queryB = queries
       .select(col("q_id"), explode(Ann.bandKeys(col("q_emb"))).as("bk"))
       .select(col("q_id"), col("bk.band_id").as("band_id"), col("bk.bucket").as("bucket"))
-    val cand = spark.read.schema(lshSchema).parquet(s"$path/lsh")
+    val cand = served(spark, path, "lsh", cached) {
+      spark.read.schema(lshSchema).parquet(s"$path/lsh")
+    }
       .join(broadcast(queryB), Seq("band_id", "bucket"))
       .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
-    rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k)
+    rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k, cached)
   }
 
   /** Compact the index's small-file tail (the Qdrant segment
@@ -452,6 +535,7 @@ object VectorIndex {
     rewrite("lsh", lshSchema, Seq("band_id"), mergePayload = false)
     fs.delete(new Path(s"$path/tombstones"), true)
     fs.delete(new Path(s"$path/payload"), true)
+    mutated(path)
     (before,
       countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh")))
   }

@@ -60,49 +60,67 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
   // Aliases (Qdrant update_aliases / ES index aliases) — the
   // zero-downtime reindex primitive: clients address the ALIAS, a
   // rebuild writes a fresh collection, and one atomic swap repoints
-  // every subsequent read. An alias is a one-line file under the
-  // dot-prefixed system dir whose content is the target collection
-  // name; the swap is a write-aside + rename, atomic on HDFS-like
-  // stores (on S3-class stores the native engines use the same
-  // single-small-object PUT, atomic by object semantics).
+  // every subsequent read. An alias is a DIRECTORY of versioned
+  // one-line files (`v<n>`, zero-padded) whose content is the target
+  // collection name; readers resolve the HIGHEST version present. A
+  // repoint writes version n+1 aside and renames it in (rename of a
+  // new name is atomic on HDFS-like stores; on S3-class stores it is
+  // a single-object PUT), then prunes superseded versions — at no
+  // instant is the alias absent, unlike a delete-then-rename swap,
+  // where a reader in the gap would fall through to the bare name.
   // ---------------------------------------------------------------
 
-  private def aliasPath(alias: String): Path = new Path(root, s".aliases/$alias")
+  private def aliasDir(alias: String): Path = new Path(root, s".aliases/$alias")
 
-  /** Point `alias` at collection `target` (create or repoint —
-    * the repoint IS the atomic swap).
+  private def versionName(v: Long): String = f"v$v%019d"
+
+  private def aliasVersions(alias: String): Seq[Long] =
+    if (!fs.exists(aliasDir(alias))) Nil
+    else fs.listStatus(aliasDir(alias)).map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).toSeq.sorted
+
+  /** Point `alias` at collection `target` (create or repoint — the
+    * repoint IS the atomic swap, and readers see the old target until
+    * the instant the new version file lands).
     */
   def setAlias(alias: String, target: String): Unit = {
     require(exists(target), s"alias target does not exist: $target")
-    fs.mkdirs(new Path(root, ".aliases"))
-    val tmp = new Path(root, s".aliases/.$alias.tmp")
+    fs.mkdirs(aliasDir(alias))
+    val versions = aliasVersions(alias)
+    val next = versions.lastOption.fold(0L)(_ + 1L)
+    val tmp = new Path(aliasDir(alias), s".tmp-${versionName(next)}")
     val out = fs.create(tmp, true)
     out.write(target.getBytes("UTF-8"))
     out.close()
-    fs.delete(aliasPath(alias), false)
-    fs.rename(tmp, aliasPath(alias))
+    fs.rename(tmp, new Path(aliasDir(alias), versionName(next)))
+    // prune superseded versions AFTER the new one is live: a
+    // concurrent reader resolves either (old, new) — both complete —
+    // never nothing
+    versions.foreach(v => fs.delete(new Path(aliasDir(alias), versionName(v)), false))
   }
 
-  /** The collection an alias points at, if the alias exists. */
+  /** The collection an alias points at, if the alias exists
+    * (highest-version file wins).
+    */
   def resolveAlias(alias: String): Option[String] =
-    if (!fs.exists(aliasPath(alias))) None
-    else {
-      val in = fs.open(aliasPath(alias))
+    aliasVersions(alias).lastOption.map { v =>
+      val in = fs.open(new Path(aliasDir(alias), versionName(v)))
       val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
       in.close()
-      Some(s)
+      s
     }
 
   /** All aliases as (alias, target), sorted. */
   def listAliases(): Seq[(String, String)] = {
     val aRoot = new Path(root, ".aliases")
     if (!fs.exists(aRoot)) Nil
-    else fs.listStatus(aRoot).filter(f => !f.getPath.getName.startsWith("."))
+    else fs.listStatus(aRoot).filter(f => f.isDirectory && !f.getPath.getName.startsWith("."))
       .map(f => f.getPath.getName)
-      .map(a => a -> resolveAlias(a).get).toSeq.sorted
+      .flatMap(a => resolveAlias(a).map(a -> _)).toSeq.sorted
   }
 
-  def dropAlias(alias: String): Boolean = fs.delete(aliasPath(alias), false)
+  def dropAlias(alias: String): Boolean = fs.delete(aliasDir(alias), true)
 
   /** Open a collection by name OR alias (aliases win, like ES search
     * routing): the indirection every client call sits behind, so a

@@ -20,6 +20,14 @@ import graft.operators.Dedup
   * [[graft.api.TextIndex.compact]]) runs on its own cadence, outside
   * the stream. The spec proves the streamed retractions leave both
   * indexes behaving exactly like batch deletes of the same docs.
+  *
+  * Replay-safe: `foreachBatch` redelivers micro-batches at-least-once
+  * on restart, and both sinks tolerate that — dedup tombstones are
+  * idempotent by construction (anti-join by id), and
+  * `TextIndex.delete` drops already-tombstoned ids before emitting
+  * its negative df/stats deltas, so a redelivered takedown batch is a
+  * no-op rather than a double-subtraction. Neither sink collects the
+  * batch to the driver.
   */
 object RetractionStream {
 
@@ -31,12 +39,8 @@ object RetractionStream {
                     textIndexPath: Option[String]): StreamingQuery =
     requests.writeStream
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
         val b = batch.localCheckpoint() // both deletes read it; a stream source frame is one-shot
-        dedupIndexPath.foreach { p =>
-          val ids = b.select("doc_id").collect().map(_.getLong(0)).toSeq
-          Dedup.deleteFromMinhashIndex(spark, ids, p)
-        }
+        dedupIndexPath.foreach(p => Dedup.deleteFromMinhashIndex(b.select("doc_id"), p))
         textIndexPath.foreach(p => graft.api.TextIndex.delete(b, p))
       }
       .trigger(Trigger.AvailableNow())

@@ -56,7 +56,9 @@ class VectorIndexSpec extends SparkSpec {
   }
 
   test("IVF probe prunes index partitions at the file listing") {
-    val p = VectorIndex.searchIvf(spark, path, queries)
+    // the COLD path (cached = false) is the plan under test: it is
+    // what a corpus too large to pin in the session cache executes
+    val p = VectorIndex.searchIvf(spark, path, queries, cached = false)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the probed-cluster set compiles to a static partition predicate
     // on the scan — files of unprobed clusters are skipped before any
@@ -79,7 +81,7 @@ class VectorIndexSpec extends SparkSpec {
   }
 
   test("PQ scan reads only the code columns; SQ8 and BQ scans never read the floats") {
-    val pq = VectorIndex.searchPq(spark, path, queries)
+    val pq = VectorIndex.searchPq(spark, path, queries, cached = false)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the ADC candidate scan must be vec_id + pq_codes only; the
     // rerank scan reads vec_id + embedding — NO index scan reads both
@@ -87,17 +89,17 @@ class VectorIndexSpec extends SparkSpec {
     assert(pq.contains("struct<vec_id:bigint,pq_codes:array<tinyint>>"), pq)
     assert(indexScanSchemas(pq).forall(s =>
       !(s.contains("pq_codes") && s.contains("embedding"))), pq)
-    val sq8 = VectorIndex.searchSq8(spark, path, queries)
+    val sq8 = VectorIndex.searchSq8(spark, path, queries, cached = false)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(indexScanSchemas(sq8).nonEmpty &&
       indexScanSchemas(sq8).forall(!_.contains("embedding")), sq8)
-    val bq = VectorIndex.searchBq(spark, path, queries)
+    val bq = VectorIndex.searchBq(spark, path, queries, cached = false)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     assert(bq.contains("struct<vec_id:bigint,bq_word:bigint>"), bq)
   }
 
   test("LSH candidates come from the persisted postings, id-only until the rerank") {
-    val p = VectorIndex.searchLsh(spark, path, queries)
+    val p = VectorIndex.searchLsh(spark, path, queries, cached = false)
       .queryExecution.explainString(ExplainMode.fromString("formatted"))
     // the postings scan carries no vectors (bucket+id rows), and every
     // join is a broadcast — the standing postings never shuffle
