@@ -288,8 +288,25 @@ object TextIndex {
              idCol: String = "doc_id", textCol: String = "text"): Unit =
     writeBatch(docs, path, idCol, textCol, "append")
 
-  private def writeBatch(docs: DataFrame, path: String,
+  /** Zero-downtime rebuild of a ROTATING text index (see
+    * [[graft.sources.IndexAlias]]): re-index `docs` into the next
+    * generation ASIDE — readers keep serving the old generation —
+    * then atomically repoint the home. The rebuild that folds
+    * accumulated tombstone/delta debt to zero without a service gap.
+    * Returns the new generation's path.
+    */
+  def rotate(docs: DataFrame, home: String,
+             idCol: String = "doc_id", textCol: String = "text"): String = {
+    val spark = docs.sparkSession
+    val next = graft.sources.IndexAlias.nextGenerationPath(spark, home)
+    write(docs, next, idCol, textCol)
+    graft.sources.IndexAlias.set(spark, home, next)
+    next
+  }
+
+  private def writeBatch(docs: DataFrame, rawPath: String,
                          idCol: String, textCol: String, mode: String): Unit = {
+    val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
     val post = tokenized(docs, idCol, textCol)
       .withColumn("tok_bucket", pmod(xxhash64(col("token")), lit(TokenBuckets.toLong)))
       .localCheckpoint() // feeds both the postings and the vocab write
@@ -338,8 +355,9 @@ object TextIndex {
     * only the tombstone set, whose size is bounded by the compaction
     * cadence, so the delete still costs |batch|.
     */
-  def delete(docs: DataFrame, path: String,
+  def delete(docs: DataFrame, rawPath: String,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
+    val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
     val fresh = tombstones(docs.sparkSession, path, idCol)
       .fold(docs)(t => docs.join(broadcast(t), Seq(idCol), "left_anti"))
     val post = tokenized(fresh, idCol, textCol).localCheckpoint()
@@ -370,9 +388,10 @@ object TextIndex {
     * out), and the tombstone set clears. Safe write-aside + rename
     * per table, like the vector index's compaction.
     */
-  def compact(spark: org.apache.spark.sql.SparkSession, path: String,
+  def compact(spark: org.apache.spark.sql.SparkSession, rawPath: String,
               idCol: String = "doc_id"): Unit = {
     import org.apache.hadoop.fs.Path
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = tombstones(spark, path, idCol)
     def rewrite(sub: String, ddl: String, partCols: Seq[String])
@@ -408,9 +427,10 @@ object TextIndex {
     * themselves (both reach the parquet reader), df/stats broadcast.
     * Per-query cost scales with posting-list length, not corpus size.
     */
-  def bm25AtRest(spark: org.apache.spark.sql.SparkSession, path: String,
+  def bm25AtRest(spark: org.apache.spark.sql.SparkSession, rawPath: String,
                  terms: Seq[String], k1: Double = 1.2, b: Double = 0.75,
                  idCol: String = "doc_id"): DataFrame = {
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     // planning-time bucket ids for the terms (must be Spark's own
     // xxhash64 so driver and layout agree) — |terms| rows, local
     val buckets = spark.range(1).select(

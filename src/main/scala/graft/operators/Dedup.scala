@@ -348,18 +348,34 @@ object Dedup {
     * rows written in different jobs/batches are mutually comparable —
     * the same contract that makes [[Ann.appendToIvfIndex]] sound.
     */
-  def writeMinhashIndex(docs: DataFrame, path: String): Unit = {
+  def writeMinhashIndex(docs: DataFrame, rawPath: String): Unit = {
+    val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
     val triH = hashedShingles(docs).localCheckpoint()
     bandPostings(triH).write.mode("overwrite")
       .partitionBy("band_id").parquet(s"$path/postings")
     triH.write.mode("overwrite").parquet(s"$path/shingles")
   }
 
+  /** Zero-downtime rebuild of a ROTATING dedup index (see
+    * [[graft.sources.IndexAlias]]): re-shingle `docs` into the next
+    * generation ASIDE — concurrent [[dedupAgainstIndex]] probes keep
+    * serving the old generation — then atomically repoint the home.
+    * Returns the new generation's path.
+    */
+  def rotateMinhashIndex(docs: DataFrame, home: String): String = {
+    val spark = docs.sparkSession
+    val next = graft.sources.IndexAlias.nextGenerationPath(spark, home)
+    writeMinhashIndex(docs, next)
+    graft.sources.IndexAlias.set(spark, home, next)
+    next
+  }
+
   /** Fold a new batch into the at-rest index: batch-sized appends
     * into the existing partition layout; nothing standing is read or
     * rewritten.
     */
-  def appendToMinhashIndex(docs: DataFrame, path: String): Unit = {
+  def appendToMinhashIndex(docs: DataFrame, rawPath: String): Unit = {
+    val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
     val triH = hashedShingles(docs).localCheckpoint()
     bandPostings(triH).write.mode("append")
       .partitionBy("band_id").parquet(s"$path/postings")
@@ -386,9 +402,11 @@ object Dedup {
     * by id, so a duplicate tombstone row changes nothing); the
     * distinct keeps replayed batches from growing the set.
     */
-  def deleteFromMinhashIndex(ids: DataFrame, path: String): Unit =
+  def deleteFromMinhashIndex(ids: DataFrame, rawPath: String): Unit = {
+    val path = graft.sources.IndexAlias.resolve(ids.sparkSession, rawPath)
     ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
       .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+  }
 
   private val indexTombstonesSchema =
     org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
@@ -405,8 +423,9 @@ object Dedup {
     * drop retracted docs via write-aside + atomic rename, then the
     * tombstone set clears.
     */
-  def compactMinhashIndex(spark: SparkSession, path: String): Unit = {
+  def compactMinhashIndex(spark: SparkSession, rawPath: String): Unit = {
     import org.apache.hadoop.fs.Path
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     val tomb = indexTombstones(spark, path)
     def rewrite(sub: String, schema: org.apache.spark.sql.types.StructType,
@@ -446,8 +465,9 @@ object Dedup {
   private val shinglesSchema = org.apache.spark.sql.types.StructType.fromDDL(
     "doc_id BIGINT, gh ARRAY<BIGINT>")
 
-  def dedupAgainstIndex(spark: SparkSession, batch: DataFrame, path: String,
+  def dedupAgainstIndex(spark: SparkSession, batch: DataFrame, rawPath: String,
                         threshold: Double = 0.3): DataFrame = {
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     val triB = hashedShingles(batch).localCheckpoint()
     val bandsB = bandPostings(triB)
     // retracted docs must not veto the batch: anti-join the (bounded,

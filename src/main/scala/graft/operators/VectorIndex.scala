@@ -6,6 +6,7 @@ import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.types.StructType
 import graft.Tables
 import graft.functions.vec
+import graft.sources.IndexAlias
 
 /** Unified AT-REST vector index — the persisted artifact the
   * reference's backends actually maintain (Milvus IVF_PQ/IVF_SQ8
@@ -88,20 +89,65 @@ object VectorIndex {
     */
   def writeCorpus(spark: SparkSession, corpus: DataFrame, path: String, meta: Meta): Unit = {
     import spark.implicits._
+    val p = IndexAlias.resolve(spark, path)
     meta.centroids.zipWithIndex.map { case (c, i) => (i, c) }
       .toDF("cluster_id", "centroid")
-      .write.mode("overwrite").parquet(s"$path/meta/centroids")
+      .write.mode("overwrite").parquet(s"$p/meta/centroids")
     (for ((cb, j) <- meta.codebooks.zipWithIndex; (c, k) <- cb.zipWithIndex)
       yield (j, k, c))
       .toDF("subspace", "code", "centroid")
-      .write.mode("overwrite").parquet(s"$path/meta/codebooks")
-    encodeAndWrite(corpus, meta, path, "overwrite")
+      .write.mode("overwrite").parquet(s"$p/meta/codebooks")
+    encodeAndWrite(corpus, meta, p, "overwrite")
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
     // seed this session's entry with the geometry just written
-    metaCache.keySet.removeIf(_.endsWith("#" + path))
-    metaCache.put(IndexCache.sessionKey(spark) + "#" + path, meta)
-    mutated(path)
+    metaCache.keySet.removeIf(_.endsWith("#" + p))
+    metaCache.put(IndexCache.sessionKey(spark) + "#" + p, meta)
+    mutated(p)
+  }
+
+  /** Build a ROTATING index: the first generation of an
+    * [[graft.sources.IndexAlias]] home. Clients address `home`
+    * forever; [[retrain]] swaps generations underneath them.
+    */
+  def buildRotating(spark: SparkSession, corpus: DataFrame, home: String): Meta = {
+    val gen = IndexAlias.nextGenerationPath(spark, home)
+    val meta = buildFrom(spark, corpus, gen)
+    IndexAlias.set(spark, home, gen)
+    meta
+  }
+
+  /** Zero-downtime retrain — the remedy for geometry drift.
+    * [[append]] encodes new batches against the PERSISTED geometry
+    * (correct and cheap, but as the data distribution moves away
+    * from the training sample, centroids stop partitioning the
+    * corpus well and codebooks stop representing it: probe and ADC
+    * recall erode — the drift every reference backend rotates
+    * indexes for). Retrain reads the live rows (tombstones and
+    * payload deltas folded in), trains FRESH geometry from them
+    * ([[buildFrom]]'s capped sample), writes the complete next
+    * generation ASIDE — readers keep serving the old generation in
+    * full — then atomically repoints the home. The swap is the
+    * [[graft.sources.VersionedPointer]] rename: a reader resolves
+    * either generation, never neither, and because all session
+    * caches key on the concrete generation path, post-swap reads
+    * cache-miss onto the new geometry with no invalidation
+    * protocol. Old generations stay on disk for in-flight readers;
+    * [[graft.sources.IndexAlias.pruneGenerations]] reclaims them
+    * once drained. Gate the swap with
+    * [[graft.api.ScaleOps.recallAtK]] in production. Returns the
+    * new generation's path.
+    */
+  def retrain(spark: SparkSession, home: String): String = {
+    val cur = IndexAlias.resolve(spark, home)
+    require(cur != home,
+      s"retrain needs a rotating index (see buildRotating): $home")
+    val live = vectors(spark, cur, primaryOnly = true)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val next = IndexAlias.nextGenerationPath(spark, home)
+    buildFrom(spark, live, next)
+    IndexAlias.set(spark, home, next)
+    next
   }
 
   /** Fold a new (vec_id, embedding, label) batch into the standing
@@ -110,8 +156,9 @@ object VectorIndex {
     * batch-sized files into the partition layout.
     */
   def append(spark: SparkSession, batch: DataFrame, path: String): Unit = {
-    encodeAndWrite(batch, readMeta(spark, path), path, "append")
-    mutated(path)
+    val p = IndexAlias.resolve(spark, path)
+    encodeAndWrite(batch, readMeta(spark, p), p, "append")
+    mutated(p)
   }
 
   /** One corpus pass computing every encoded representation — all
@@ -181,7 +228,10 @@ object VectorIndex {
     if (!cached) build
     else IndexCache.materialized(spark, s"vix#$path#e${epoch(path)}#$variant")(build)
 
-  def readMeta(spark: SparkSession, path: String): Meta =
+  def readMeta(spark: SparkSession, rawPath: String): Meta = {
+    // cache on the RESOLVED generation path: an alias swap lands on a
+    // different concrete path, so it cache-misses onto fresh geometry
+    val path = IndexAlias.resolve(spark, rawPath)
     metaCache.computeIfAbsent(IndexCache.sessionKey(spark) + "#" + path, _ => {
       val cents = spark.read.schema(centroidsSchema).parquet(s"$path/meta/centroids")
         .orderBy(col("cluster_id")).collect()
@@ -194,6 +244,7 @@ object VectorIndex {
         }
       Meta(cents, cbs)
     })
+  }
 
   private val tombstonesSchema = StructType.fromDDL("vec_id BIGINT")
   private val payloadSchema = StructType.fromDDL("vec_id BIGINT, label INT, seq BIGINT")
@@ -214,7 +265,8 @@ object VectorIndex {
     * reads agree with post-compaction state across runs.
     */
   def setPayload(spark: SparkSession, path: String, updates: DataFrame): Unit = {
-    val nextSeq = payloadDeltas(spark, path).fold(0L) { p =>
+    val live = IndexAlias.resolve(spark, path)
+    val nextSeq = payloadDeltas(spark, live).fold(0L) { p =>
       p.agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
     }
     updates.select(col("vec_id").cast("long").as("vec_id"),
@@ -224,8 +276,8 @@ object VectorIndex {
       .coalesce(1).withColumn("__ord", monotonically_increasing_id())
       .groupBy(col("vec_id")).agg(max_by(col("label"), col("__ord")).as("label"))
       .withColumn("seq", lit(nextSeq))
-      .coalesce(1).write.mode("append").parquet(s"$path/payload")
-    mutated(path)
+      .coalesce(1).write.mode("append").parquet(s"$live/payload")
+    mutated(live)
   }
 
   private def payloadDeltas(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -256,9 +308,10 @@ object VectorIndex {
     */
   def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
     import spark.implicits._
+    val live = IndexAlias.resolve(spark, path)
     ids.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(s"$path/tombstones")
-    mutated(path)
+      .write.mode("append").parquet(s"$live/tombstones")
+    mutated(live)
   }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -324,9 +377,10 @@ object VectorIndex {
     * vectors exact-score, spill copies collapse in one combinable
     * aggregate, top-k.
     */
-  def searchIvf(spark: SparkSession, path: String, queries: DataFrame,
+  def searchIvf(spark: SparkSession, rawPath: String, queries: DataFrame,
                 nprobe: Int = Ann.NProbe, k: Int = Ann.K,
                 cached: Boolean = true): DataFrame = {
+    val path = IndexAlias.resolve(spark, rawPath)
     val probes = Ann.probeFrame(queries, readMeta(spark, path).centroids, nprobe)
     Ann.dedupSpilledTopK(
       served(spark, path, "ivf", cached) {
@@ -340,10 +394,11 @@ object VectorIndex {
     * reads vec_id + codes — 32× narrower than floats), exact rerank
     * of the top pool from the stored floats.
     */
-  def searchPq(spark: SparkSession, path: String, queries: DataFrame,
+  def searchPq(spark: SparkSession, rawPath: String, queries: DataFrame,
                k: Int = Quantization.K,
                pool: Int = Quantization.PqRerankPool,
                cached: Boolean = true): DataFrame = {
+    val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
     val q = queries.withColumn("adc",
       Quantization.adcTable(col("q_emb"), meta.codebooks, absolute = true))
@@ -364,10 +419,11 @@ object VectorIndex {
     * compose: the scan reads codes only, and only for probed
     * partitions.
     */
-  def searchIvfPq(spark: SparkSession, path: String, queries: DataFrame,
+  def searchIvfPq(spark: SparkSession, rawPath: String, queries: DataFrame,
                   nprobe: Int = Ann.NProbe, k: Int = Quantization.K,
                   pool: Int = Quantization.PqRerankPool,
                   cached: Boolean = true): DataFrame = {
+    val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
     val probes = Ann.probeFrame(queries, meta.centroids, nprobe)
       .withColumn("adc",
@@ -399,10 +455,11 @@ object VectorIndex {
     *    candidates — the scan still prunes to probed partitions.
     * Returns the chosen plan's name with the result.
     */
-  def searchIvfFiltered(spark: SparkSession, path: String, queries: DataFrame,
+  def searchIvfFiltered(spark: SparkSession, rawPath: String, queries: DataFrame,
                         filter: Column, bruteForceLimit: Long,
                         nprobe: Int = Ann.NProbe, k: Int = Ann.K,
                         cached: Boolean = true): (String, DataFrame) = {
+    val path = IndexAlias.resolve(spark, rawPath)
     val base = served(spark, path, "filt", cached) {
       vectors(spark, path).select(col("vec_id"), col("embedding"),
         col("label"), col("cluster_id"), col("assign_rank"))
@@ -426,8 +483,9 @@ object VectorIndex {
     * scan reads the int8 codes + two doubles per vector, 1/4 the
     * bytes of the float corpus; the floats are never touched.
     */
-  def searchSq8(spark: SparkSession, path: String, queries: DataFrame,
+  def searchSq8(spark: SparkSession, rawPath: String, queries: DataFrame,
                 k: Int = Quantization.K, cached: Boolean = true): DataFrame = {
+    val path = IndexAlias.resolve(spark, rawPath)
     val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     // the dequantized floats are materialized INSIDE the served view:
     // the interpreted HOF decode runs once per vector per session, and
@@ -450,9 +508,10 @@ object VectorIndex {
   /** BQ from rest: Hamming prefilter on the stored sign words (8
     * bytes per vector read), exact rerank from the stored floats.
     */
-  def searchBq(spark: SparkSession, path: String, queries: DataFrame,
+  def searchBq(spark: SparkSession, rawPath: String, queries: DataFrame,
                k: Int = Quantization.K, pool: Int = Quantization.BqPool,
                cached: Boolean = true): DataFrame = {
+    val path = IndexAlias.resolve(spark, rawPath)
     val q = queries.select(col("q_id"), Quantization.bqWord(col("q_emb")).as("qw"))
     val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
     val cand = served(spark, path, "bq", cached) {
@@ -474,8 +533,9 @@ object VectorIndex {
     * fold in via [[append]], the same incremental contract as the
     * MinHash dedup index.
     */
-  def searchLsh(spark: SparkSession, path: String, queries: DataFrame,
+  def searchLsh(spark: SparkSession, rawPath: String, queries: DataFrame,
                 k: Int = Ann.K, cached: Boolean = true): DataFrame = {
+    val path = IndexAlias.resolve(spark, rawPath)
     val queryB = queries
       .select(col("q_id"), explode(Ann.bandKeys(col("q_emb"))).as("bk"))
       .select(col("q_id"), col("bk.band_id").as("band_id"), col("bk.bucket").as("bucket"))
@@ -499,9 +559,10 @@ object VectorIndex {
     * untouched (compaction never re-encodes). Returns parquet file
     * counts (before, after).
     */
-  def compact(spark: SparkSession, path: String,
+  def compact(spark: SparkSession, rawPath: String,
               targetFileBytes: Long = 128L << 20): (Long, Long) = {
     import org.apache.hadoop.fs.Path
+    val path = IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
     def countFiles(p: Path): Long = {
       val it = fs.listFiles(p, true)

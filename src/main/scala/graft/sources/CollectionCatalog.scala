@@ -60,25 +60,13 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
   // Aliases (Qdrant update_aliases / ES index aliases) — the
   // zero-downtime reindex primitive: clients address the ALIAS, a
   // rebuild writes a fresh collection, and one atomic swap repoints
-  // every subsequent read. An alias is a DIRECTORY of versioned
-  // one-line files (`v<n>`, zero-padded) whose content is the target
-  // collection name; readers resolve the HIGHEST version present. A
-  // repoint writes version n+1 aside and renames it in (rename of a
-  // new name is atomic on HDFS-like stores; on S3-class stores it is
-  // a single-object PUT), then prunes superseded versions — at no
-  // instant is the alias absent, unlike a delete-then-rename swap,
-  // where a reader in the gap would fall through to the bare name.
+  // every subsequent read. Built on [[VersionedPointer]] (shared
+  // with the standing-index aliases in [[IndexAlias]]): the swap is
+  // a versioned write-aside + rename, and at no instant is the
+  // alias absent.
   // ---------------------------------------------------------------
 
   private def aliasDir(alias: String): Path = new Path(root, s".aliases/$alias")
-
-  private def versionName(v: Long): String = f"v$v%019d"
-
-  private def aliasVersions(alias: String): Seq[Long] =
-    if (!fs.exists(aliasDir(alias))) Nil
-    else fs.listStatus(aliasDir(alias)).map(_.getPath.getName)
-      .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
-      .map(_.drop(1).toLong).toSeq.sorted
 
   /** Point `alias` at collection `target` (create or repoint — the
     * repoint IS the atomic swap, and readers see the old target until
@@ -86,30 +74,14 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     */
   def setAlias(alias: String, target: String): Unit = {
     require(exists(target), s"alias target does not exist: $target")
-    fs.mkdirs(aliasDir(alias))
-    val versions = aliasVersions(alias)
-    val next = versions.lastOption.fold(0L)(_ + 1L)
-    val tmp = new Path(aliasDir(alias), s".tmp-${versionName(next)}")
-    val out = fs.create(tmp, true)
-    out.write(target.getBytes("UTF-8"))
-    out.close()
-    fs.rename(tmp, new Path(aliasDir(alias), versionName(next)))
-    // prune superseded versions AFTER the new one is live: a
-    // concurrent reader resolves either (old, new) — both complete —
-    // never nothing
-    versions.foreach(v => fs.delete(new Path(aliasDir(alias), versionName(v)), false))
+    VersionedPointer.write(fs, aliasDir(alias), target)
   }
 
   /** The collection an alias points at, if the alias exists
     * (highest-version file wins).
     */
   def resolveAlias(alias: String): Option[String] =
-    aliasVersions(alias).lastOption.map { v =>
-      val in = fs.open(new Path(aliasDir(alias), versionName(v)))
-      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      in.close()
-      s
-    }
+    VersionedPointer.read(fs, aliasDir(alias))
 
   /** All aliases as (alias, target), sorted. */
   def listAliases(): Seq[(String, String)] = {

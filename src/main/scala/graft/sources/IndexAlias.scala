@@ -1,0 +1,141 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Versioned single-value pointer on a Hadoop FileSystem — the one
+  * atomic-swap primitive both alias stores (collection aliases in
+  * [[CollectionCatalog]], standing-index aliases in [[IndexAlias]])
+  * are built on. The pointer is a directory of one-line files
+  * (`v<n>`, zero-padded so lexical order is numeric order) whose
+  * content is the target; readers resolve the HIGHEST version
+  * present. A repoint writes version n+1 aside and renames it in
+  * (rename of a fresh name is atomic on HDFS-like stores; on
+  * S3-class stores it is a single-object PUT), then prunes
+  * superseded versions — at no instant is the pointer absent, unlike
+  * a delete-then-rename swap, where a reader in the gap would see
+  * nothing.
+  */
+private[graft] object VersionedPointer {
+
+  private def versionName(v: Long): String = f"v$v%019d"
+
+  def versions(fs: FileSystem, dir: Path): Seq[Long] =
+    if (!fs.exists(dir)) Nil
+    else fs.listStatus(dir).map(_.getPath.getName)
+      .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
+      .map(_.drop(1).toLong).toSeq.sorted
+
+  /** Atomically repoint to `content`; old versions pruned AFTER the
+    * new one is live, so a concurrent reader resolves either value —
+    * both complete — never nothing.
+    */
+  def write(fs: FileSystem, dir: Path, content: String): Unit = {
+    fs.mkdirs(dir)
+    val existing = versions(fs, dir)
+    val next = existing.lastOption.fold(0L)(_ + 1L)
+    val tmp = new Path(dir, s".tmp-${versionName(next)}")
+    val out = fs.create(tmp, true)
+    out.write(content.getBytes("UTF-8"))
+    out.close()
+    fs.rename(tmp, new Path(dir, versionName(next)))
+    existing.foreach(v => fs.delete(new Path(dir, versionName(v)), false))
+  }
+
+  /** Current value, if any version exists (highest wins). */
+  def read(fs: FileSystem, dir: Path): Option[String] =
+    versions(fs, dir).lastOption.map { v =>
+      val in = fs.open(new Path(dir, versionName(v)))
+      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
+      in.close()
+      s
+    }
+}
+
+/** Alias indirection for the STANDING indexes (vector, text,
+  * MinHash-dedup) — the zero-downtime rebuild primitive every
+  * reference backend puts in front of its indexes (ES index
+  * aliases, Qdrant `update_aliases`): clients address a stable HOME
+  * path, the live index is one of several GENERATION directories
+  * underneath, and a retrain/rebuild writes the next generation
+  * aside and atomically repoints. Readers between the write-aside
+  * and the swap keep serving the old generation in full; readers
+  * after the swap resolve the new one — and because every
+  * session-level cache (geometry, serving views) is keyed by the
+  * CONCRETE generation path, a swap cache-misses onto the fresh
+  * layout with no invalidation protocol at all.
+  *
+  * Layout under `home/`:
+  *  - `.ptr/` — [[VersionedPointer]] files naming the live
+  *    generation (relative, so the home is relocatable)
+  *  - `gen-<n>/` — complete index layouts; exactly one is live
+  *
+  * A path WITHOUT `.ptr` resolves to itself, so every index API
+  * accepts a concrete path and an alias home interchangeably.
+  * Resolution costs one file-listing + one small read — the same
+  * per-request alias hop ES serves from its cluster state.
+  */
+object IndexAlias {
+
+  private def fsOf(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def ptrDir(home: String): Path = new Path(home, ".ptr")
+
+  private def genName(n: Long): String = f"gen-$n%010d"
+
+  /** The concrete index path `pathOrHome` serves from: the live
+    * generation if it is an alias home, itself otherwise.
+    */
+  def resolve(spark: SparkSession, pathOrHome: String): String =
+    VersionedPointer.read(fsOf(spark, pathOrHome), ptrDir(pathOrHome))
+      .fold(pathOrHome)(g => new Path(pathOrHome, g).toString)
+
+  /** Whether `pathOrHome` is an alias home (has a live pointer). */
+  def installed(spark: SparkSession, pathOrHome: String): Boolean =
+    VersionedPointer.read(fsOf(spark, pathOrHome), ptrDir(pathOrHome)).isDefined
+
+  /** All generation directories under the home, oldest first. */
+  def generations(spark: SparkSession, home: String): Seq[String] = {
+    val fs = fsOf(spark, home)
+    if (!fs.exists(new Path(home))) Nil
+    else fs.listStatus(new Path(home)).filter(_.isDirectory)
+      .map(_.getPath.getName).filter(_.startsWith("gen-")).toSeq.sorted
+  }
+
+  /** A fresh generation path under the home (never reuses a name,
+    * so a failed build never collides with a live generation).
+    */
+  def nextGenerationPath(spark: SparkSession, home: String): String = {
+    val last = generations(spark, home)
+      .map(_.stripPrefix("gen-").toLong).lastOption.getOrElse(-1L)
+    new Path(home, genName(last + 1L)).toString
+  }
+
+  /** Atomically repoint the home at generation `target` (a path
+    * under the home, as returned by [[nextGenerationPath]]) — the
+    * swap step of a rebuild-aside. Requires the target layout to
+    * exist: a pointer must never name an unbuilt directory.
+    */
+  def set(spark: SparkSession, home: String, target: String): Unit = {
+    val fs = fsOf(spark, home)
+    val t = new Path(target)
+    require(fs.exists(t), s"alias target does not exist: $target")
+    require(t.getParent == new Path(home).makeQualified(fs.getUri, fs.getWorkingDirectory) ||
+      t.getParent == new Path(home),
+      s"alias target must be a generation under $home: $target")
+    VersionedPointer.write(fs, ptrDir(home), t.getName)
+  }
+
+  /** Delete every generation except the live one (run AFTER a swap,
+    * once in-flight readers of the old generation have drained — the
+    * ES "delete the old index" step). Returns the pruned names.
+    */
+  def pruneGenerations(spark: SparkSession, home: String): Seq[String] = {
+    val fs = fsOf(spark, home)
+    val live = new Path(resolve(spark, home)).getName
+    val stale = generations(spark, home).filterNot(_ == live)
+    stale.foreach(g => fs.delete(new Path(home, g), true))
+    stale
+  }
+}
