@@ -191,6 +191,7 @@ object SparkEntry {
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
     "q_hybrid_at_rest"  -> (FullText.qHybridAtRest _),
+    "q_hybrid_filtered" -> (FullText.qHybridFiltered _),
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),
     "q_payload_index_scan" -> (Collection.qPayloadIndexScan _),
@@ -713,6 +714,22 @@ object SparkEntry {
          |vs AS (SELECT vec_id AS doc_id,
          |         round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS vscore
          |       FROM embeddings CROSS JOIN qv),
+         |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS vec_rank
+         |       FROM vs ORDER BY vscore DESC, doc_id LIMIT 50)
+         |SELECT doc_id,
+         |  round(coalesce(CAST(1.0 AS DOUBLE) / (60 + lex_rank), 0)
+         |      + coalesce(CAST(1.0 AS DOUBLE) / (60 + vec_rank), 0), 6) AS rrf
+         |FROM lex FULL OUTER JOIN vr USING (doc_id)
+         |ORDER BY rrf DESC, doc_id LIMIT 20""".stripMargin,
+    "q_hybrid_filtered" ->
+      s"""WITH bm AS ($oracleBm25),
+         |allowed AS (SELECT vec_id AS doc_id FROM embeddings WHERE label >= 2 AND label < 8),
+         |lex AS (SELECT doc_id, row_number() OVER (ORDER BY bm25 DESC, doc_id) AS lex_rank
+         |        FROM bm JOIN allowed USING (doc_id) ORDER BY bm25 DESC, doc_id LIMIT 50),
+         |qv AS (SELECT embedding::DOUBLE[] AS q_emb FROM embeddings WHERE vec_id = 0),
+         |vs AS (SELECT vec_id AS doc_id,
+         |         round(list_cosine_similarity(q_emb, embedding::DOUBLE[]), 6) AS vscore
+         |       FROM embeddings CROSS JOIN qv WHERE label >= 2 AND label < 8),
          |vr AS (SELECT doc_id, row_number() OVER (ORDER BY vscore DESC, doc_id) AS vec_rank
          |       FROM vs ORDER BY vscore DESC, doc_id LIMIT 50)
          |SELECT doc_id,

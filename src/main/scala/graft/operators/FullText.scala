@@ -110,6 +110,66 @@ object FullText {
   def qHybridAtRest(spark: SparkSession, sfDir: String): DataFrame =
     hybridAtRest(spark, sfDir, Ann.NProbe)
 
+  /** The single most common production search — payload filter +
+    * lexical + vector, FUSED in one query (Qdrant's hybrid query API
+    * takes a filter; ES kNN takes a query filter) — served entirely
+    * from at-rest layouts. The [[graft.api.FilterDsl]] predicate
+    * reaches BOTH pools before any ranking: the lexical pool joins
+    * the term-pruned postings against the filtered payload scan (the
+    * predicate pushes to the parquet reader of the narrow payload
+    * projection; pool ranks are assigned AFTER the filter, so no pool
+    * slot is wasted on a filtered-out doc), and the vector pool goes
+    * through [[VectorIndex.searchIvfFiltered]]'s Qdrant-style
+    * planner — a selective filter exact-scores the filtered subset
+    * (recall 1.0, no probe), a broad one keeps the partition-pruned
+    * IVF probe with the filter applied to probed candidates. BM25
+    * stats stay corpus-global (ES filter-context semantics: filters
+    * select, they don't reweight IDF). At exhaustive probe the fusion
+    * is provably identical to the in-memory filtered hybrid
+    * (FullTextSpec); the registered entry uses the selective path and
+    * is exact, hence SQL-oracled rather than rows-only.
+    */
+  def hybridFiltered(spark: SparkSession, sfDir: String, filterJson: String,
+                     nprobe: Int = Ann.NProbe,
+                     bruteForceLimit: Long = 100000L,
+                     cached: Boolean = true): DataFrame = {
+    val pool = 50; val rrfK = 60
+    val pred = graft.api.FilterDsl.fromJson(filterJson).toColumn
+    // the collection's payload scan, filtered with pushdown — id-only
+    // output, broadcast into the lexical pool
+    val allowed = Tables.embeddings(spark, sfDir).filter(pred)
+      .select(col("vec_id").as("doc_id"))
+    val poolPart = pmod(col("doc_id"), lit(1L))
+    val lex = TextIndex.bm25AtRest(spark, textIndexPath(spark, sfDir), Terms)
+      .join(broadcast(allowed), Seq("doc_id"), "left_semi")
+      .orderBy(col("bm25").desc, col("doc_id")).limit(pool)
+      .select(col("doc_id"), row_number().over(
+        Window.partitionBy(poolPart).orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val (_, vecTop) = VectorIndex.searchIvfFiltered(spark,
+      VectorIndex.sessionIndexPath(spark, sfDir), q, pred,
+      bruteForceLimit = bruteForceLimit, nprobe = nprobe, k = pool, cached = cached)
+    val vecr = vecTop.select(col("vec_id").as("doc_id"), col("rn").as("vec_rank"))
+    lex.join(vecr, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          when(col("lex_rank").isNotNull, lit(1.0) / (lit(rrfK) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank").isNotNull, lit(1.0) / (lit(rrfK) + col("vec_rank"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id"))
+      .limit(K)
+  }
+
+  /** The fused entry's wire filter: a label band on the collection
+    * payload.
+    */
+  val HybridFilterJson: String =
+    """{ "must": [ {"key": "label", "range": {"gte": 2, "lt": 8}} ] }"""
+
+  def qHybridFiltered(spark: SparkSession, sfDir: String): DataFrame =
+    hybridFiltered(spark, sfDir, HybridFilterJson)
+
   /** Exact-phrase containment with occurrence counts (ES match_phrase). */
   def qPhraseMatch(spark: SparkSession, sfDir: String): DataFrame =
     index(spark, sfDir).phraseMatch("spark join")

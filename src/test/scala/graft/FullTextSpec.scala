@@ -405,6 +405,47 @@ class FullTextSpec extends SparkSpec {
       s"at-rest ${atRest.toSeq} != in-memory ${mem.toSeq}")
   }
 
+  test("filtered hybrid: both planner paths equal an independent in-memory filtered fusion") {
+    import graft.operators.{Ann, FullText}
+    import graft.functions.vec
+    import org.apache.spark.sql.expressions.Window
+    // independent twin, straight off the tables: BM25 stays
+    // corpus-global (ES filter-context semantics), candidates filter,
+    // pools rank POST-filter, RRF k=60
+    val pred = graft.api.FilterDsl.fromJson(FullText.HybridFilterJson).toColumn
+    val emb = Tables.embeddings(spark, sfDir)
+    val one = pmod(col("doc_id"), lit(1L))
+    val lexPool = graft.api.TextIndex(Tables.documents(spark, sfDir)).bm25(FullText.Terms)
+      .join(emb.filter(pred).select(col("vec_id").as("doc_id")), Seq("doc_id"), "left_semi")
+      .orderBy(col("bm25").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(
+        Window.partitionBy(one).orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))
+    val qv = emb.filter(col("vec_id") === 0).select(col("embedding").as("q_emb"))
+    val vecPool = emb.filter(pred).crossJoin(broadcast(qv))
+      .select(col("vec_id").as("doc_id"),
+        round(vec.cosine(col("q_emb"), col("embedding")), 6).as("vscore"))
+      .orderBy(col("vscore").desc, col("doc_id")).limit(50)
+      .select(col("doc_id"), row_number().over(
+        Window.partitionBy(one).orderBy(col("vscore").desc, col("doc_id"))).as("vec_rank"))
+    val expected = lexPool.join(vecPool, Seq("doc_id"), "full_outer")
+      .select(col("doc_id"),
+        round(
+          when(col("lex_rank").isNotNull, lit(1.0) / (lit(60) + col("lex_rank"))).otherwise(lit(0.0)) +
+          when(col("vec_rank").isNotNull, lit(1.0) / (lit(60) + col("vec_rank"))).otherwise(lit(0.0)),
+          6).as("rrf"))
+      .orderBy(col("rrf").desc, col("doc_id")).limit(20)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    // selective path (the registered entry): planner picks brute_force
+    val bf = FullText.qHybridFiltered(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(bf.nonEmpty && bf == expected, s"brute-force path $bf != $expected")
+    // broad path at exhaustive probe: planner forced onto ivf_probe
+    val probed = FullText.hybridFiltered(spark, sfDir, FullText.HybridFilterJson,
+        nprobe = Ann.NList, bruteForceLimit = 1L)
+      .collect().map(r => (r.getLong(0), r.getDouble(1))).toSeq
+    assert(probed == expected, s"probe path $probed != $expected")
+  }
+
   test("q_top_hits emits exactly three ranked hits per lang with the bucket count") {
     val total = Tables.documents(spark, sfDir).count()
     val rows = FullText.qTopHits(spark, sfDir).collect()

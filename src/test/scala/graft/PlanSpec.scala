@@ -297,6 +297,42 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  /** The plan's scan sections as (location line, block up to the next
+    * scan) — for attributing PushedFilters/PartitionFilters lines to
+    * the layout directory they scan.
+    */
+  private def scanBlocks(p: String): Seq[(String, String)] = {
+    val lines = p.linesIterator.toIndexedSeq
+    val starts = lines.indices.filter(lines(_).contains("Location"))
+    starts.zip(starts.map(_ + 30) ++ Seq(lines.length)).map { case (s, e) =>
+      (lines(s), lines.slice(s, math.min(e, lines.length)).mkString("\n"))
+    }
+  }
+
+  test("filtered hybrid pushes the DSL filter into both pools' scans") {
+    // cold path (cached = false): the plan a corpus too large to pin
+    // executes. The label-band predicate must reach the parquet
+    // reader of BOTH the vector-index scan and the payload scan, and
+    // the postings scan must stay partition-pruned to the query
+    // terms' buckets — no scan in the fused query reads unfiltered
+    // corpus-scale data.
+    val p = plan(FullText.hybridFiltered(spark, sfDir, FullText.HybridFilterJson,
+      cached = false))
+    val vecScans = scanBlocks(p).filter(_._1.contains("/vectors"))
+    assert(vecScans.nonEmpty && vecScans.forall(b =>
+      b._2.contains("GreaterThanOrEqual(label,2)") && b._2.contains("LessThan(label,8)")),
+      p)
+    val postScans = scanBlocks(p).filter(_._1.contains("/postings"))
+    assert(postScans.nonEmpty && postScans.forall(b =>
+      b._2.linesIterator.exists(l => l.contains("PartitionFilters") &&
+        l.contains("tok_bucket") && (l.contains(" IN ") || l.contains("INSET")))), p)
+    val payloadScans = scanBlocks(p).filter(b =>
+      b._1.contains("embeddings.parquet"))
+    assert(payloadScans.exists(b => b._2.contains("GreaterThanOrEqual(label,2)")), p)
+    // fusion sides stay broadcast: the standing layouts never shuffle
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
   test("plan lint: no query in the whole surface compiles to a cartesian product") {
     // the sweeping invariant behind every per-operator guard above:
     // a CartesianProduct (a non-broadcast cross join) is never an
