@@ -206,6 +206,18 @@ object VectorIndex {
   private def epoch(path: String): Long =
     epochs.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicLong(0L)).get()
 
+  /** Evict every session cache for `path` — the hook an EXTERNAL
+    * in-place change of the layout calls (e.g.
+    * [[graft.sources.IndexSnapshot.restore]] on a non-rotating
+    * path); writes through this object's own API invalidate
+    * automatically.
+    */
+  private[graft] def invalidate(spark: SparkSession, rawPath: String): Unit = {
+    val path = IndexAlias.resolve(spark, rawPath)
+    metaCache.keySet.removeIf(_.endsWith("#" + path))
+    mutated(path)
+  }
+
   private def mutated(path: String): Unit = {
     epochs.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicLong(0L))
       .incrementAndGet()
