@@ -60,9 +60,18 @@ object Bench {
       if (times.isEmpty) 0.0
       else if (times.size % 2 == 1) times(times.size / 2)
       else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
-    println(s"""{"metric":"total","value":$total,"unit":"sec","median":$median,""" +
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","median":$median,""" +
       s""""n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},""" +
-      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}""")
+      s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
+    println(json)
+    // the stdout line can be truncated by whatever captures it; the
+    // on-disk artifact is the standalone-parseable record of ALL
+    // per-query timings
+    val sfName = new java.io.File(sfDir).getName
+    val out = new java.io.File(s"target/bench_$sfName.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(json) finally w.close()
     spark.stop()
   }
 }

@@ -112,6 +112,7 @@ object SparkEntry {
     "q_percentile_ranks" -> (Relational.qPercentileRanks _),
     "q_boxplot"        -> (Relational.qBoxplot _),
     "q_date_histogram" -> (Relational.qDateHistogram _),
+    "q_rate"           -> (Relational.qRate _),
     "q_auto_date_histogram" -> (Relational.qAutoDateHistogram _),
     "q_bucket_selector" -> (Relational.qBucketSelector _),
     "q_dist_matrix"      -> (VectorSearch.qDistMatrix _),
@@ -1211,6 +1212,14 @@ object SparkEntry {
       """SELECT date_trunc('day', ts) AS day, event_type, count(*) AS n_events,
         |  count(DISTINCT user_id) AS n_users, round(sum(value), 2) AS sum_value
         |FROM events GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+    "q_rate" ->
+      """WITH m AS (SELECT date_trunc('month', ts) AS month, count(*) AS n,
+        |             round(sum(value), 2) AS sv
+        |           FROM events GROUP BY 1)
+        |SELECT month,
+        |  round(CAST(n AS DOUBLE) / day(last_day(CAST(month AS DATE))), 6) AS doc_rate,
+        |  round(sv / day(last_day(CAST(month AS DATE))), 6) AS value_rate
+        |FROM m ORDER BY month""".stripMargin,
     "q_percentile_ranks" ->
       """SELECT event_type,
         |  round(100.0 * sum(CASE WHEN value <= 10.0 THEN 1 ELSE 0 END) / count(*), 6) AS r10,

@@ -168,6 +168,24 @@ object Relational {
         round(sum(col("value")), 2).as("sum_value"))
       .orderBy(col("day"), col("event_type"))
 
+  /** ES `rate` aggregation: per calendar-month bucket, the per-DAY
+    * rate of documents and of the value sum — the bucket total
+    * normalized by the bucket's calendar length (ES
+    * `rate { unit: day }` inside a monthly date_histogram). The sum
+    * is rounded BEFORE the division so both engines divide the same
+    * grid point; one combinable aggregate, |months| output rows.
+    */
+  def qRate(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.events(spark, sfDir)
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(count(lit(1)).as("n"), round(sum(col("value")), 2).as("sv"))
+      .select(col("month"),
+        round(col("n").cast("double") / dayofmonth(last_day(col("month"))), 6)
+          .as("doc_rate"),
+        round(col("sv") / dayofmonth(last_day(col("month"))), 6)
+          .as("value_rate"))
+      .orderBy(col("month"))
+
   /** Extended statistical profile per event type (ES `extended_stats`
     * aggregation): count, min/max, sum, mean, population variance and
     * stddev, plus the ±2σ bounds ES reports. The moments are computed
