@@ -370,6 +370,79 @@ object TrainingPipeline {
     merges.result()
   }
 
+  /** Batched BPE training: per round, select the top-`batchK`
+    * MUTUALLY NON-INTERACTING pairs from the round-start counts and
+    * apply them in ONE delta-maintenance job — the sequential-BPE
+    * remedy for the one-driver-round-trip-per-merge cost (a 32k-merge
+    * production vocab is 32k Spark jobs under [[bpeTrain]]; here it
+    * is ~32k/K).
+    *
+    * Selection: walk candidates in (count desc, pair) order — the
+    * reference trainer's order — and keep a pair only if its two
+    * symbols AND its merged output are disjoint from every pair
+    * already kept this round. Non-interacting merges neither create
+    * nor destroy each other's matches, so applying the batch in one
+    * chained replace is EXACTLY sequential application of those K
+    * merges, and each kept pair's round-start count is still its true
+    * count when it applies. The one deviation from reference BPE,
+    * documented: a pair first CREATED by an earlier merge of the same
+    * round (e.g. `(ab, c)` right after `a+b`) cannot be picked until
+    * the next round, so for K>1 the merge LIST can differ from the
+    * reference trainer's even though every individual merge is
+    * frequency-justified; at K=1 the output is identical to
+    * [[bpeTrain]] (spec-pinned).
+    */
+  def bpeTrainBatched(docs: DataFrame, nMerges: Int, batchK: Int = 8): Seq[(String, String)] = {
+    require(batchK >= 1, s"batchK must be positive: $batchK")
+    def pat(a: String, b: String): String =
+      "(?<=^| )" + java.util.regex.Pattern.quote(a) + " " +
+        java.util.regex.Pattern.quote(b) + "(?=$| )"
+    var words = wordCounts(docs)
+      .select(concat_ws(" ", split(col("w"), "")).as("sym"), col("c"))
+      .localCheckpoint()
+    var pc = pairCounts(words).localCheckpoint()
+    val merges = Seq.newBuilder[(String, String)]
+    var total = 0
+    var done = false
+    while (total < nMerges && !done) {
+      val want = math.min(batchK, nMerges - total)
+      // a bounded over-fetch: overlapping candidates are skipped, so
+      // pull a few extra rows beyond the batch size
+      val top = pc.orderBy(col("n").desc, col("pair")).limit(want * 4 + 8).collect()
+      if (top.isEmpty) done = true
+      else {
+        val used = scala.collection.mutable.Set[String]()
+        val batch = scala.collection.mutable.ArrayBuffer[(String, String)]()
+        val it = top.iterator
+        while (batch.size < want && it.hasNext) {
+          val Array(a, b) = it.next().getString(0).split(" ", 2)
+          if (!used(a) && !used(b) && !used(a + b)) {
+            used += a; used += b; used += (a + b)
+            batch += ((a, b))
+          }
+        }
+        merges ++= batch
+        total += batch.size
+        val hitAny = batch.map { case (a, b) => col("sym").rlike(pat(a, b)) }
+          .reduce(_ || _)
+        val affected = words.filter(hitAny).localCheckpoint()
+        val merged = affected
+          .withColumn("sym", batch.foldLeft(col("sym")) { case (c, (a, b)) =>
+            regexp_replace(c, pat(a, b), a + b)
+          })
+          .localCheckpoint()
+        words = words.filter(!hitAny).unionByName(merged).localCheckpoint()
+        pc = pc
+          .unionByName(pairCounts(merged))
+          .unionByName(pairCounts(affected).withColumn("n", -col("n")))
+          .groupBy(col("pair")).agg(sum(col("n")).as("n"))
+          .filter(col("n") > 0)
+          .localCheckpoint()
+      }
+    }
+    merges.result()
+  }
+
   /** Apply learned merges to a corpus: tokenize each word by
     * replaying the merge list in order (the inference half of BPE).
     * Per-row expression chain — scan-only, no shuffle.

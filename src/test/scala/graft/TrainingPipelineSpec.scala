@@ -161,6 +161,31 @@ class TrainingPipelineSpec extends SparkSpec {
     assert(merges.size == 8)
   }
 
+  test("bpeTrainBatched at K=1 equals the sequential trainer; at K>1 every round is non-interacting") {
+    val docs = Tables.documents(spark, sfDir)
+    val seq8 = TrainingPipeline.bpeTrain(docs, 8)
+    assert(TrainingPipeline.bpeTrainBatched(docs, 8, batchK = 1) == seq8)
+    // K=4: the reference-order first merge always opens the list, the
+    // vocab reaches the same size, and every merge is well-formed
+    // (the documented K>1 deviation is ORDER within a round, never a
+    // frequency-unjustified or interacting pair)
+    val batched = TrainingPipeline.bpeTrainBatched(docs, 8, batchK = 4)
+    assert(batched.size == 8)
+    assert(batched.head == seq8.head)
+    assert(batched.distinct.size == batched.size)
+    batched.grouped(4).foreach { round =>
+      val syms = round.flatMap { case (a, b) => Seq(a, b, a + b) }
+      assert(syms.distinct.size == syms.size,
+        s"interacting merges within one round: $round")
+    }
+    // the batched vocab still losslessly re-segments the corpus
+    val enc = TrainingPipeline.bpeEncode(docs, batched).limit(500).collect()
+    enc.foreach { r =>
+      assert(r.getSeq[String](r.fieldIndex("bpe_tokens")).mkString("") ==
+        r.getAs[String]("w"))
+    }
+  }
+
   test("bpeEncode losslessly re-segments every word with the learned merges") {
     val docs = Tables.documents(spark, sfDir)
     val merges = TrainingPipeline.bpeTrain(docs, 4)
