@@ -376,9 +376,9 @@ object SparkEntry {
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id,
+        |  SELECT doc_id + 2000000000 AS doc_id,
         |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
         |  FROM documents WHERE doc_id % 11 = 0),
         |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
@@ -597,7 +597,7 @@ object SparkEntry {
         |  UNION ALL
         |  SELECT vec_id, label + 100 AS label, 2 AS version FROM embeddings WHERE vec_id % 10 = 0
         |  UNION ALL
-        |  SELECT vec_id + 1000000 AS vec_id, 999 AS label, 2 AS version FROM embeddings WHERE vec_id % 250 = 0)
+        |  SELECT vec_id + 1000000000 AS vec_id, 999 AS label, 2 AS version FROM embeddings WHERE vec_id % 250 = 0)
         |SELECT vec_id, label, version FROM (
         |  SELECT vec_id, label, version,
         |    row_number() OVER (PARTITION BY vec_id ORDER BY version DESC) AS rn FROM u)
@@ -794,9 +794,9 @@ object SparkEntry {
       """WITH RECURSIVE all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id,
+        |  SELECT doc_id + 2000000000 AS doc_id,
         |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
         |  FROM documents WHERE doc_id % 11 = 0),
         |g AS (SELECT doc_id,
@@ -829,9 +829,9 @@ object SparkEntry {
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id,
+        |  SELECT doc_id + 2000000000 AS doc_id,
         |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
         |  FROM documents WHERE doc_id % 11 = 0),
         |g AS (SELECT doc_id,
@@ -857,7 +857,7 @@ object SparkEntry {
       """WITH aug AS (
         |  SELECT vec_id, embedding, label FROM embeddings
         |  UNION ALL
-        |  SELECT vec_id + 100000 AS vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0)
+        |  SELECT vec_id + 1000000000 AS vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0)
         |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
         |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
         |FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
@@ -962,9 +962,9 @@ object SparkEntry {
       """WITH aug AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id,
+        |  SELECT doc_id + 2000000000 AS doc_id,
         |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
         |  FROM documents WHERE doc_id % 11 = 0),
         |bt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM documents
@@ -1080,9 +1080,9 @@ object SparkEntry {
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id,
+        |  SELECT doc_id + 2000000000 AS doc_id,
         |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
         |  FROM documents WHERE doc_id % 11 = 0),
         |p AS (SELECT doc_id,
@@ -1173,9 +1173,9 @@ object SparkEntry {
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
         |  UNION ALL
-        |  SELECT doc_id + 10000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
         |  UNION ALL
-        |  SELECT doc_id + 20000 AS doc_id,
+        |  SELECT doc_id + 2000000000 AS doc_id,
         |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
         |  FROM documents WHERE doc_id % 11 = 0)
         |SELECT md5(text) AS digest, min(doc_id) AS keeper_id,

@@ -35,7 +35,7 @@ object Collection {
     val updates = base.filter(col("vec_id") % 10 === 0)
       .select(col("vec_id"), col("embedding"), (col("label") + 100).as("label"))
     val inserts = base.filter(col("vec_id") % 250 === 0)
-      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), lit(999).as("label"))
+      .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"), lit(999).as("label"))
     updates.unionByName(inserts)
   }
 

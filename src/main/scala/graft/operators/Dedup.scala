@@ -27,16 +27,21 @@ import graft.functions.{hashes, vec}
 object Dedup {
 
   /** Documents plus deterministic duplicates: an exact copy of every
-    * 7th doc (id+10000) and a near-dup (first 3 tokens dropped) of
-    * every 11th (id+20000). Gives the dedup operators known positives
-    * while staying reproducible in plain SQL for the oracle.
+    * 7th doc (id+1e9) and a near-dup (first 3 tokens dropped) of
+    * every 11th (id+2e9). Gives the dedup operators known positives
+    * while staying reproducible in plain SQL for the oracle. The
+    * offsets sit far beyond any realistic corpus id (they collided
+    * with real ids the first time this ran against a 50k-doc table
+    * with a +10000 offset — injected ids MUST be disjoint from the id
+    * domain at every SF, or the dedup operators see phantom duplicate
+    * doc_ids and Jaccard denominators can reach zero).
     */
   def augmentedDocs(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir).select(col("doc_id"), col("text"))
     val exact = d.filter(col("doc_id") % 7 === 0)
-      .select((col("doc_id") + 10000L).as("doc_id"), col("text"))
+      .select((col("doc_id") + 1000000000L).as("doc_id"), col("text"))
     val near = d.filter(col("doc_id") % 11 === 0)
-      .select((col("doc_id") + 20000L).as("doc_id"),
+      .select((col("doc_id") + 2000000000L).as("doc_id"),
         concat_ws(" ", slice(split(col("text"), " "), 4, 1000000)).as("text"))
     d.unionByName(exact).unionByName(near)
   }
@@ -216,7 +221,7 @@ object Dedup {
     val e = Tables.embeddings(spark, sfDir)
     val aug = e.select(col("vec_id"), col("embedding"), col("label"))
       .unionByName(e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 100000L).as("vec_id"), col("embedding"), col("label")))
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"), col("label")))
     val a = aug.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = aug.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, "label")

@@ -10,9 +10,9 @@ class CleanCorpusSpec extends SparkSpec {
     val all = Dedup.augmentedDocs(spark, sfDir)
     // standing corpus = originals; the crawls are the constructed
     // exact copies (+10000) and near-dups (+20000)
-    val base = all.filter(col("doc_id") < 10000L)
-    val crawl1 = all.filter(col("doc_id") >= 10000L && col("doc_id") < 20000L)
-    val crawl2 = all.filter(col("doc_id") >= 20000L)
+    val base = all.filter(col("doc_id") < 1000000000L)
+    val crawl1 = all.filter(col("doc_id") >= 1000000000L && col("doc_id") < 2000000000L)
+    val crawl2 = all.filter(col("doc_id") >= 2000000000L)
     val idx = java.nio.file.Files.createTempDirectory("graft-ingest-idx").toString + "/idx"
     Dedup.writeMinhashIndex(base, idx)
 
@@ -29,13 +29,13 @@ class CleanCorpusSpec extends SparkSpec {
     // index — no admitted doc may hold a ≥0.3 verified pair into the
     // pre-crawl content (dedupAgainstIndex is exhaustive over band
     // collisions; spot-check by construction below)
-    adm2.foreach(id => assert(id >= 20000L))
+    adm2.foreach(id => assert(id >= 2000000000L))
     // idempotence: a RE-CRAWL of admitted content (new ids, as real
     // recrawls arrive) admits nothing — each doc's identical twin is
     // now indexed and identical signatures always band-collide
     val admitted = all.filter(col("doc_id").isin((adm1 ++ adm2).toSeq.map(Long.box): _*))
     if (adm1.nonEmpty || adm2.nonEmpty) {
-      val recrawl = admitted.select((col("doc_id") + 100000L).as("doc_id"), col("text"))
+      val recrawl = admitted.select((col("doc_id") + 3000000000L).as("doc_id"), col("text"))
       val readm = graft.pipelines.IncrementalIngest.ingest(spark, recrawl, idx).collect()
       assert(readm.isEmpty, s"re-crawl admitted ${readm.length} docs")
     }
@@ -90,13 +90,13 @@ class CleanCorpusSpec extends SparkSpec {
 
     // every constructed exact copy (id+10000) lost to its original
     assert(!cleanedRows.exists { r =>
-      val id = r.getAs[Long]("doc_id"); id >= 10000L && id < 20000L
+      val id = r.getAs[Long]("doc_id"); id >= 1000000000L && id < 2000000000L
     })
 
     // near-dup copies (id+20000, 3 tokens dropped) mostly removed:
     // of each surviving (orig, near) pair the higher id was dropped
     val survivors = cleanedRows.map(_.getAs[Long]("doc_id")).toSet
-    val nearBoth = survivors.filter(id => id >= 20000L && survivors.contains(id - 20000L))
+    val nearBoth = survivors.filter(id => id >= 2000000000L && survivors.contains(id - 2000000000L))
     assert(nearBoth.size <= 2, s"near-dup pairs both surviving: $nearBoth")
   }
 

@@ -9,10 +9,10 @@ class CollectionSpec extends SparkSpec {
     val rows = Collection.qUpsert(spark, sfDir).collect()
     val base = Tables.embeddings(spark, sfDir).select("vec_id", "label").collect()
       .map(r => r.getLong(0) -> r.getInt(1)).toMap
-    val inserts = rows.filter(_.getAs[Long]("vec_id") >= 1000000L)
+    val inserts = rows.filter(_.getAs[Long]("vec_id") >= 1000000000L)
     assert(inserts.nonEmpty && inserts.forall(r =>
       r.getAs[Int]("label") == 999 && r.getAs[Int]("version") == 2))
-    rows.filter(_.getAs[Long]("vec_id") < 1000000L).foreach { r =>
+    rows.filter(_.getAs[Long]("vec_id") < 1000000000L).foreach { r =>
       val (id, lab, v) = (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Int]("version"))
       if (id % 10 == 0) { assert(v == 2); assert(lab == base(id) + 100) }
       else { assert(v == 1); assert(lab == base(id)) }

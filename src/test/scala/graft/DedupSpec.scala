@@ -10,11 +10,11 @@ class DedupSpec extends SparkSpec {
     assert(rows.nonEmpty)
     val dups = rows.filter(_.getAs[Boolean]("is_dup"))
     val keepers = rows.filterNot(_.getAs[Boolean]("is_dup"))
-    // every constructed copy (id+10000 of id%7==0) is flagged with its original as keeper
+    // every constructed copy (id+1e9 of id%7==0) is flagged with its original as keeper
     dups.foreach { r =>
       val id = r.getAs[Long]("doc_id")
-      assert(id >= 10000L && (id - 10000) % 7 == 0)
-      assert(r.getAs[Long]("keeper_id") == id - 10000)
+      assert(id >= 1000000000L && (id - 1000000000L) % 7 == 0)
+      assert(r.getAs[Long]("keeper_id") == id - 1000000000L)
     }
     assert(keepers.forall(r => r.getAs[Long]("doc_id") == r.getAs[Long]("keeper_id")))
     assert(dups.length == keepers.length) // copies pair 1:1 with originals
@@ -35,24 +35,24 @@ class DedupSpec extends SparkSpec {
       .collect().map(_.getLong(0))
     // exact copies always share their original's cluster
     docIds.filter(_ % 7 == 0).foreach { id =>
-      assert(comp.get(id + 10000L).contains(comp(id)))
+      assert(comp.get(id + 1000000000L).contains(comp(id)))
     }
     // cluster ids are component minima: every member's id >= its cluster id,
     // and the cluster id itself is a member
     comp.foreach { case (id, c) => assert(c <= id && comp(c) == c) }
     // docs divisible by 77 chain exact+near dups into one cluster
     docIds.filter(_ % 77 == 0).foreach { id =>
-      if (comp.contains(id + 20000L))
-        assert(comp(id + 20000L) == comp(id) && comp(id + 10000L) == comp(id))
+      if (comp.contains(id + 2000000000L))
+        assert(comp(id + 2000000000L) == comp(id) && comp(id + 1000000000L) == comp(id))
     }
   }
 
   test("incremental minhash index dedups new batches without recomputing the corpus") {
     val all = Dedup.augmentedDocs(spark, sfDir)
     // corpus split: standing index (originals), then two "crawls"
-    val base = all.filter(col("doc_id") < 10000L)
-    val batch1 = all.filter(col("doc_id") >= 10000L && col("doc_id") < 20000L)
-    val batch2 = all.filter(col("doc_id") >= 20000L)
+    val base = all.filter(col("doc_id") < 1000000000L)
+    val batch1 = all.filter(col("doc_id") >= 1000000000L && col("doc_id") < 2000000000L)
+    val batch2 = all.filter(col("doc_id") >= 2000000000L)
     val path = java.nio.file.Files.createTempDirectory("graft-mh-index").toString + "/idx"
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map { r =>
@@ -71,9 +71,9 @@ class DedupSpec extends SparkSpec {
     val full = pairSet(Dedup.minhashPairs(all))
     def touches(lo: Long, hi: Long)(p: (Long, Long)): Boolean =
       (p._1 >= lo && p._1 < hi) || (p._2 >= lo && p._2 < hi)
-    val want1 = full.filter(touches(10000L, 20000L))
-      .filter(p => p._1 < 20000L && p._2 < 20000L) // batch2 not ingested yet
-    val want2 = full.filter(touches(20000L, Long.MaxValue))
+    val want1 = full.filter(touches(1000000000L, 2000000000L))
+      .filter(p => p._1 < 2000000000L && p._2 < 2000000000L) // batch2 not ingested yet
+    val want2 = full.filter(touches(2000000000L, Long.MaxValue))
     assert(inc1 == want1, s"batch1: got ${inc1.size}, want ${want1.size}")
     assert(inc2 == want2, s"batch2: got ${inc2.size}, want ${want2.size}")
     assert(inc1.nonEmpty && inc2.nonEmpty) // the constructed dups guarantee hits
@@ -81,8 +81,8 @@ class DedupSpec extends SparkSpec {
 
   test("retracting docs from the dedup index stops them vetoing resembling batches") {
     val all = Dedup.augmentedDocs(spark, sfDir)
-    val base = all.filter(col("doc_id") < 10000L)
-    val batch = all.filter(col("doc_id") >= 10000L) // copies/near-dups of base docs
+    val base = all.filter(col("doc_id") < 1000000000L)
+    val batch = all.filter(col("doc_id") >= 1000000000L) // copies/near-dups of base docs
     def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
       df.collect().map { r =>
         val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
@@ -124,11 +124,11 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Double]("score") >= 0.35))
     assert(rows.forall(r => r.getAs[Long]("vec_a") < r.getAs[Long]("vec_b")))
     // every constructed copy pair (v, v+100000) is present with score 1.0
-    val copies = rows.filter(_.getAs[Long]("vec_b") >= 100000L)
+    val copies = rows.filter(_.getAs[Long]("vec_b") >= 1000000000L)
     val expected = Tables.embeddings(spark, sfDir)
       .filter(col("vec_id") % 25 === 0).count()
     assert(copies.count(r =>
-      r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 100000L &&
+      r.getAs[Long]("vec_b") == r.getAs[Long]("vec_a") + 1000000000L &&
       r.getAs[Double]("score") == 1.0) == expected)
   }
 
@@ -138,10 +138,10 @@ class DedupSpec extends SparkSpec {
     val docIds = Tables.documents(spark, sfDir).select("doc_id")
       .collect().map(_.getLong(0))
     // exact copies (jaccard 1.0) must all be candidate-recalled and verified
-    val exactPairs = docIds.filter(_ % 7 == 0).map(id => (id, id + 10000L))
+    val exactPairs = docIds.filter(_ % 7 == 0).map(id => (id, id + 1000000000L))
     assert(exactPairs.forall(pairs.contains))
     // near-dups (3 tokens dropped from ≥10-token docs → jaccard still high)
-    val nearPairs = docIds.filter(_ % 11 == 0).map(id => (id, id + 20000L))
+    val nearPairs = docIds.filter(_ % 11 == 0).map(id => (id, id + 2000000000L))
     val nearRecall = nearPairs.count(pairs.contains).toDouble / nearPairs.length
     assert(nearRecall >= 0.8, s"near-dup recall $nearRecall")
     // everything reported really is >= the verify threshold
@@ -154,7 +154,7 @@ class DedupSpec extends SparkSpec {
     val pairs = rows.map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
     val docIds = Tables.documents(spark, sfDir).select("doc_id")
       .collect().map(_.getLong(0))
-    val exactPairs = docIds.filter(_ % 7 == 0).map(id => (id, id + 10000L))
+    val exactPairs = docIds.filter(_ % 7 == 0).map(id => (id, id + 1000000000L))
     assert(exactPairs.forall(pairs.contains))
     val zero = rows.filter(r => exactPairs.contains(
       (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))))

@@ -245,15 +245,15 @@ class StreamingSpec extends SparkSpec {
     import org.apache.spark.sql.functions._
     val all = graft.operators.Dedup.augmentedDocs(spark, sfDir)
       .select("doc_id", "text")
-    val base = all.filter(col("doc_id") < 10000L)
+    val base = all.filter(col("doc_id") < 1000000000L)
     val idx = Files.createTempDirectory("graft-mh-stream-idx").toString + "/idx"
     graft.operators.Dedup.writeMinhashIndex(base, idx)
     // two appended files + maxFilesPerTrigger=1 → two sequential
     // micro-batches over the remaining "crawl"
     val srcDir = Files.createTempDirectory("graft-neardup-src").toString
-    val rest = all.filter(col("doc_id") >= 10000L)
-    rest.filter(col("doc_id") < 20000L).coalesce(1).write.mode("append").parquet(srcDir)
-    rest.filter(col("doc_id") >= 20000L).coalesce(1).write.mode("append").parquet(srcDir)
+    val rest = all.filter(col("doc_id") >= 1000000000L)
+    rest.filter(col("doc_id") < 2000000000L).coalesce(1).write.mode("append").parquet(srcDir)
+    rest.filter(col("doc_id") >= 2000000000L).coalesce(1).write.mode("append").parquet(srcDir)
 
     val collected = new java.util.concurrent.ConcurrentLinkedQueue[(Long, Long)]()
     val q = graft.streaming.NearDupStream.gateStream(
@@ -275,7 +275,7 @@ class StreamingSpec extends SparkSpec {
     val full = graft.operators.Dedup.minhashPairs(all).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b")))
       .map(p => (math.min(p._1, p._2), math.max(p._1, p._2)))
-      .filter(p => p._1 >= 10000L || p._2 >= 10000L)
+      .filter(p => p._1 >= 1000000000L || p._2 >= 1000000000L)
       .toSet
     assert(streamed == full, s"got ${streamed.size}, want ${full.size}")
     assert(streamed.nonEmpty)

@@ -8,13 +8,13 @@ class TrainingPipelineSpec extends SparkSpec {
   test("q_contamination flags every constructed copy of a benchmark doc") {
     val rows = TrainingPipeline.qContamination(spark, sfDir).collect()
     val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
-    // every exact copy of a benchmark doc (doc_id % 7 == 0 → +10000)
+    // every exact copy of a benchmark doc (doc_id % 7 == 0 → +1e9)
     // shares all its 5-grams with the benchmark original
     val docs = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 7 === 0)
       .filter(size(split(col("text"), " ")) >= 5)
       .select(col("doc_id")).collect().map(_.getLong(0))
-    docs.foreach(d => assert(flagged.contains(d + 10000L),
+    docs.foreach(d => assert(flagged.contains(d + 1000000000L),
       s"copy of benchmark doc $d not flagged"))
     // benchmark docs themselves are excluded from the report
     assert(flagged.forall(_ % 7 != 0))
@@ -99,7 +99,7 @@ class TrainingPipelineSpec extends SparkSpec {
   test("q_boilerplate marks every segment of an exact copy pair as shared") {
     val rows = TrainingPipeline.qBoilerplate(spark, sfDir).collect()
     val byId = rows.map(r => r.getAs[Long]("doc_id") -> r).toMap
-    // an exact copy (doc_id % 7 == 0 → +10000) shares ALL segments
+    // an exact copy (doc_id % 7 == 0 → +1e9) shares ALL segments
     // with its original: both ends must report boiler_frac == 1.0
     val copied = Tables.documents(spark, sfDir)
       .filter(col("doc_id") % 7 === 0)
@@ -107,7 +107,7 @@ class TrainingPipelineSpec extends SparkSpec {
       .select(col("doc_id")).collect().map(_.getLong(0))
     assert(copied.nonEmpty)
     copied.foreach { d =>
-      Seq(d, d + 10000L).foreach { id =>
+      Seq(d, d + 1000000000L).foreach { id =>
         val r = byId(id)
         assert(r.getAs[Double]("boiler_frac") == 1.0,
           s"doc $id of exact pair not fully boilerplate")
