@@ -1,31 +1,101 @@
 package graft
-import org.apache.spark.sql.SparkSession
 
-/** Dev harness for the scaling-slope measurement (SURVEY §6): time a
-  * list of queries at one SF dir in a single JVM, two passes, report
-  * the per-query minimum as one JSON line.
-  * runMain graft.SlopeBench <sfDir> <name1> <name2> ...
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+/** Scaling-slope harness for the heavy tail (SURVEY §6): runs the ten
+  * most expensive operators at the base SF and at an N×-replicated
+  * corpus, and reports the per-query wall-clock ratio. A sound
+  * postings/bucketed design should grow ≤~linearly in bytes; any
+  * super-linear line here is a 100 TB scale bug even if sf0.1 timing
+  * looks fine.
+  *
+  * The replicated corpus is built from the driver's own
+  * documents.parquet — it is NOT new synthetic data, but N shifted
+  * copies of the real table:
+  *   - doc_id offset per replica (r * 1e8 — disjoint from the id
+  *     domain AND below the 1e9/2e9 injected-duplicate offsets that
+  *     `Dedup.augmentedDocs` adds at query time);
+  *   - text Caesar-rotated per replica (a `translate` over the two
+  *     alphabets), so char/word/token statistics are byte-for-byte
+  *     preserved while cross-replica shingle sets stay disjoint —
+  *     duplicate DENSITY stays organic instead of every doc gaining
+  *     N-1 identical twins (which would inflate the dedup operators'
+  *     group sizes quadratically and measure a workload nobody runs).
   */
 object SlopeBench {
+
+  /** The heavy tail named by the round-4 audit. */
+  val Heavy: Seq[String] = Seq(
+    "q_dup_clusters", "q_dedup_ngram", "q_dedup_minhash",
+    "q_dedup_simhash", "q_contamination", "q_cooccur_pmi",
+    "q_boilerplate", "q_bpe_pairs", "q_media_knn", "q_significant_text")
+
+  private val Lower = ('a' to 'z').mkString
+  private val Upper = ('A' to 'Z').mkString
+  private def rot(s: String, r: Int) = s.drop(r % 26) + s.take(r % 26)
+
+  /** Replicates the base documents table `factor`× into
+    * `outDir/documents.parquet` (skipped if already present).
+    */
+  def buildScaled(spark: SparkSession, baseDir: String, outDir: String,
+      factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/documents.parquet/_SUCCESS")
+    if (marker.exists()) return
+    val d = Tables.documents(spark, baseDir)
+    val replicas = (0 until factor).map { r =>
+      d.select(
+        (col("doc_id") + lit(r.toLong * 100000000L)).as("doc_id"),
+        translate(col("text"), Lower + Upper,
+          rot(Lower, r) + rot(Upper, r)).as("text"),
+        col("lang"), col("source"), col("n_chars"))
+    }
+    replicas.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
+  }
+
   def main(args: Array[String]): Unit = {
-    val sfDir = args(0); val names = args.drop(1)
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val scaledDir = s"target/slope/${new java.io.File(baseDir).getName}x$factor"
     val spark = SparkSession.builder()
-      .master("local[32]")
-      .config("spark.sql.shuffle.partitions", "32")
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.region(spark, sfDir).count()
-    Tables.documents(spark, sfDir).count()
-    def pass(): Map[String, Double] = names.map { name =>
+
+    buildScaled(spark, baseDir, scaledDir, factor)
+
+    val qs = Heavy.map(n => n -> SparkEntry.queries(n))
+    def time(dir: String, name: String): Double = {
+      val fn = SparkEntry.queries(name)
       val t0 = System.nanoTime()
-      SparkEntry.queries(name)(spark, sfDir).count()
-      name -> (System.nanoTime() - t0) / 1e9
-    }.toMap
-    val (p1, p2) = (pass(), pass())
-    val qs = names.map(n => "\"" + n + "\":" + f"${math.min(p1(n), p2(n))}%.3f")
-      .mkString("{", ",", "}")
-    println(s"""{"slope_sf":"$sfDir","queries":$qs}""")
+      fn(spark, dir).count()
+      (System.nanoTime() - t0) / 1e9
+    }
+    // two passes per scale, min-of-two (same rationale as Bench)
+    def pass(dir: String): Map[String, Double] =
+      qs.map { case (n, _) => n -> time(dir, n) }.toMap
+    val base = { val a = pass(baseDir); val b = pass(baseDir)
+      Heavy.map(n => n -> math.min(a(n), b(n))).toMap }
+    val big = { val a = pass(scaledDir); val b = pass(scaledDir)
+      Heavy.map(n => n -> math.min(a(n), b(n))).toMap }
+
+    def jstr(s: String) = "\"" + s + "\""
+    val lines = Heavy.map { n =>
+      val ratio = big(n) / math.max(base(n), 1e-9)
+      f"""${jstr(n)}:{"base_s":${base(n)}%.3f,"scaled_s":${big(n)}%.3f,"ratio":$ratio%.2f}"""
+    }
+    val json = s"""{"metric":"slope","factor":$factor,"base":"$baseDir",""" +
+      s""""scaled":"$scaledDir","queries":{${lines.mkString(",")}}}"""
+    println(json)
+    val out = new java.io.File(s"target/slope_x$factor.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(json) finally w.close()
     spark.stop()
   }
 }

@@ -99,6 +99,7 @@ object SparkEntry {
     "q_temperature_sample" -> (TrainingPipeline.qTemperatureSample _),
     "q_perplexity_buckets" -> (TextAnalysis.qPerplexityBuckets _),
     "q_dedup_prefix"   -> (Dedup.qDedupPrefix _),
+    "q_dedup_substring" -> (Dedup.qDedupSubstring _),
     "q_rank_eval"      -> (VectorSearch.qRankEval _),
     "q_more_like_this"     -> (FullText.qMoreLikeThis _),
     "q_significant_terms"  -> (FullText.qSignificantTerms _),
@@ -138,6 +139,7 @@ object SparkEntry {
     "q_rare_terms"   -> (TextAnalysis.qRareTerms _),
     "q_perplexity"   -> (TextAnalysis.qPerplexity _),
     "q_cooccur_pmi"  -> (TextAnalysis.qCooccurPmi _),
+    "q_frequent_item_sets" -> (TextAnalysis.qFrequentItemSets _),
     "q_percolate"    -> (FullText.qPercolate _),
     "q_span_near"    -> (FullText.qSpanNear _),
     "q_multi_match"  -> (FullText.qMultiMatch _),
@@ -1076,6 +1078,26 @@ object SparkEntry {
         |  count(*) AS n_docs, round(min(nll), 6) AS min_nll,
         |  round(max(nll), 6) AS max_nll, round(avg(nll), 6) AS avg_nll
         |FROM nll CROSS JOIN cuts GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_dedup_substring" ->
+      """WITH all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs),
+        |w AS (SELECT doc_id, md5(array_to_string(toks[i:i+19], ' ')) AS wh
+        |      FROM t, UNNEST(range(1, greatest(len(toks) - 18, 1))) AS g(i)),
+        |dup AS (SELECT wh FROM w GROUP BY wh HAVING count(DISTINCT doc_id) > 1),
+        |c AS (SELECT w.doc_id, count(*) AS n_windows,
+        |        CAST(sum(CASE WHEN dup.wh IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+        |          AS n_dup_windows
+        |      FROM w LEFT JOIN dup ON w.wh = dup.wh GROUP BY w.doc_id)
+        |SELECT doc_id, n_windows, n_dup_windows,
+        |  round(CAST(n_dup_windows AS DOUBLE) / n_windows, 6) AS dup_frac
+        |FROM c WHERE n_dup_windows > 0 ORDER BY doc_id""".stripMargin,
     "q_dedup_prefix" ->
       """WITH all_docs AS (
         |  SELECT doc_id, text FROM documents
@@ -1362,6 +1384,20 @@ object SparkEntry {
         |  round(ln((CAST(n_docs AS DOUBLE) * c_ab) / (CAST(fa.df AS DOUBLE) * fb.df)), 6) AS pmi
         |FROM p JOIN f fa ON t1 = fa.tok JOIN f fb ON t2 = fb.tok CROSS JOIN n
         |ORDER BY pmi DESC, t1, t2 LIMIT 20""".stripMargin,
+    "q_frequent_item_sets" ->
+      """WITH d AS (SELECT doc_id, list_distinct(string_split(text, ' ')) AS toks
+        |           FROM documents),
+        |t AS (SELECT doc_id, unnest(toks) AS tok FROM d),
+        |n AS (SELECT count(*) AS n_docs FROM d),
+        |f1 AS (SELECT tok FROM t GROUP BY tok
+        |       HAVING count(*) >= 0.2 * (SELECT n_docs FROM n)),
+        |ft AS (SELECT doc_id, tok FROM t WHERE tok IN (SELECT tok FROM f1)),
+        |p AS (SELECT a.tok AS t1, b.tok AS t2, count(*) AS support
+        |      FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        |      GROUP BY 1, 2)
+        |SELECT t1, t2, support FROM p
+        |WHERE support >= 0.2 * (SELECT n_docs FROM n)
+        |ORDER BY support DESC, t1, t2 LIMIT 20""".stripMargin,
     "q_percolate" ->
       """WITH q AS (SELECT * FROM (VALUES
         |    (CAST(1 AS BIGINT), ['spark','join','scan'], 2),

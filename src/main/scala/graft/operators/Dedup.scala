@@ -661,4 +661,50 @@ object Dedup {
       .select(col("keep_id"), col("n_docs"), col("members"))
       .orderBy(col("keep_id"))
   }
+
+  /** Sliding-window width (tokens) for [[qDedupSubstring]]. */
+  val SubstringWindow = 20
+
+  /** Row 230: exact duplicated-substring detection (the Lee et al.
+    * 2022 "Deduplicating Training Data Makes Language Models Better"
+    * ExactSubstr gate, re-expressed for Spark): every [[SubstringWindow]]-token
+    * sliding window of every doc is hashed; a window occurring in ≥2
+    * DISTINCT docs is a duplicated span, and each doc reports how
+    * much of it is covered by such spans. Catches long verbatim
+    * quotations / licence blocks / templated passages that
+    * whole-document dedup misses because the containing docs differ.
+    *
+    * Scale shape: the paper's suffix array is a single-machine
+    * structure; the equivalent corpus-wide question — "which W-token
+    * spans repeat across docs?" — is a postings problem, so the plan
+    * is explode→count like the shingle family. |tokens| windows per
+    * doc, each reduced to a 16-byte md5 before the shuffle (the text
+    * itself never shuffles); window df is a combinable groupBy;
+    * marking is one hash-keyed join of the window frame against the
+    * duplicated-hash set (which carries only dup-mass hashes, never
+    * the corpus). Everything is linear in corpus tokens.
+    */
+  def qDedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
+    // sequence(1, 0) DESCENDS in Spark — guard docs shorter than W
+    val wins = augmentedDocs(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"), explode(expr(
+        s"""CASE WHEN size(toks) >= $SubstringWindow
+           |  THEN transform(sequence(1, size(toks) - ${SubstringWindow - 1}),
+           |         i -> md5(array_join(slice(toks, i, $SubstringWindow), ' ')))
+           |  ELSE array() END""".stripMargin)).as("wh"))
+      .localCheckpoint() // feeds the dup-hash count AND the per-doc mark join
+    val dup = wins.groupBy(col("wh"))
+      .agg(countDistinct(col("doc_id")).as("nd"))
+      .filter(col("nd") > 1)
+      .select(col("wh"), lit(1L).as("is_dup"))
+    wins.join(dup, Seq("wh"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_windows"),
+        sum(coalesce(col("is_dup"), lit(0L))).as("n_dup_windows"))
+      .filter(col("n_dup_windows") > 0)
+      .withColumn("dup_frac", round(
+        col("n_dup_windows").cast("double") / col("n_windows"), 6))
+      .orderBy(col("doc_id"))
+  }
 }

@@ -324,6 +324,53 @@ object TextAnalysis {
       .limit(20)
   }
 
+  /** Itemsets must co-occur in at least this fraction of docs. */
+  val ItemSetMinSupport = 0.2
+  val ItemSetTopK = 20
+
+  /** Row 229: ES `frequent_item_sets` aggregation — association-rule
+    * support mining (Apriori) over per-document token baskets: the
+    * top-K token PAIRS by document co-occurrence count, with a
+    * minimum support ratio.
+    *
+    * The Apriori prune is what makes this linear at corpus scale:
+    * frequent singletons are counted first (one combinable groupBy)
+    * and broadcast back, so candidate pairs are generated only from
+    * tokens already known frequent — per-doc pair fan-out is bounded
+    * by the frequent vocabulary (which SHRINKS relative to corpus
+    * size as the corpus diversifies), never by raw doc length. No
+    * corpus self-join anywhere; the three shuffles are all
+    * map-side-combinable counts.
+    */
+  def qFrequentItemSets(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), array_distinct(split(col("text"), " ")).as("st"))
+      .localCheckpoint() // feeds token df, baskets, and the corpus count
+    val t = docs.select(col("doc_id"), explode(col("st")).as("tok"))
+    val nDocs = docs.agg(count(lit(1)).as("n_docs"))
+    val freq = t.groupBy(col("tok")).agg(count(lit(1)).as("df"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("df") >= col("n_docs") * lit(ItemSetMinSupport))
+      .select(col("tok"))
+    // baskets restricted to frequent tokens BEFORE pair generation
+    val baskets = t.join(broadcast(freq), "tok")
+      .groupBy(col("doc_id"))
+      .agg(array_sort(collect_list(col("tok"))).as("st"))
+    baskets
+      .filter(size(col("st")) >= 2)
+      .select(explode(expr(
+        """flatten(transform(sequence(0, size(st) - 2), i ->
+          |  transform(slice(st, i + 2, size(st) - i - 1), b -> struct(st[i] AS t1, b AS t2))))"""
+          .stripMargin)).as("p"))
+      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .agg(count(lit(1)).as("support"))
+      .crossJoin(broadcast(nDocs))
+      .filter(col("support") >= col("n_docs") * lit(ItemSetMinSupport))
+      .select(col("t1"), col("t2"), col("support"))
+      .orderBy(col("support").desc, col("t1"), col("t2"))
+      .limit(ItemSetTopK)
+  }
+
   /** Row 27: polynomial rolling-hash fingerprint: fold tokens left to
     * right as acc·31 + tokval mod 1e9+7, with tokval the first 8 hex
     * digits of md5(token) — a hash both Spark and the SQL oracle

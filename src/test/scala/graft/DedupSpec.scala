@@ -175,4 +175,35 @@ class DedupSpec extends SparkSpec {
       s"prefix filter diverged: ${(pref.toSet -- full.toSet).take(3)} extra, " +
         s"${(full.toSet -- pref.toSet).take(3)} missing")
   }
+
+  test("substring dedup: injected exact copies are fully covered, counts consistent") {
+    val rows = Dedup.qDedupSubstring(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byId = rows.map(r => r.getAs[Long]("doc_id") ->
+      (r.getAs[Long]("n_windows"), r.getAs[Long]("n_dup_windows"),
+        r.getAs[Double]("dup_frac"))).toMap
+    byId.values.foreach { case (nw, nd, frac) =>
+      assert(nd >= 1 && nd <= nw)
+      assert(math.abs(frac - nd.toDouble / nw) < 1e-6)
+    }
+    // every %7 doc long enough to have a window is an exact copy of
+    // its +1e9 twin: both must appear with dup_frac == 1.0 and the
+    // window count len(toks) - W + 1
+    val lens = Tables.documents(spark, sfDir).select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").length).toMap
+    val w = Dedup.SubstringWindow
+    lens.filter { case (id, len) => id % 7 == 0 && len >= w }.foreach {
+      case (id, len) =>
+        Seq(id, id + 1000000000L).foreach { d =>
+          val (nw, nd, frac) = byId(d)
+          assert(nw == len - w + 1, s"doc $d window count")
+          assert(nd == nw && frac == 1.0, s"doc $d should be fully duplicated")
+        }
+    }
+    // near-dup twins (+2e9, first 3 tokens dropped) share every
+    // window past the dropped prefix with their source
+    lens.filter { case (id, len) => id % 11 == 0 && len >= w + 3 }.foreach {
+      case (id, _) => assert(byId.contains(id + 2000000000L))
+    }
+  }
 }

@@ -191,4 +191,33 @@ class TextAnalysisSpec extends SparkSpec {
       assert(r.getAs[String]("category") == expected)
     }
   }
+
+  test("frequent_item_sets pairs meet min support and Apriori monotonicity") {
+    import org.apache.spark.sql.functions._
+    val rows = TextAnalysis.qFrequentItemSets(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= TextAnalysis.ItemSetTopK)
+    val n = Tables.documents(spark, sfDir).count()
+    val minSup = n * TextAnalysis.ItemSetMinSupport
+    assert(rows.forall(_.getAs[Long]("support") >= minSup))
+    // ordering contract: support desc, then (t1, t2) asc; t1 < t2
+    val sups = rows.map(_.getAs[Long]("support")).toSeq
+    assert(sups == sups.sorted.reverse)
+    assert(rows.forall(r => r.getAs[String]("t1") < r.getAs[String]("t2")))
+    // Apriori: a pair's support can never exceed either member's df
+    val df = Tables.documents(spark, sfDir)
+      .select(explode(array_distinct(split(col("text"), " "))).as("tok"))
+      .groupBy("tok").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    rows.foreach { r =>
+      val s = r.getAs[Long]("support")
+      assert(s <= df(r.getAs[String]("t1")) && s <= df(r.getAs[String]("t2")))
+    }
+    // spot-verify the top pair's support by direct recount
+    val top = rows.head
+    val recount = Tables.documents(spark, sfDir)
+      .filter(array_contains(split(col("text"), " "), top.getAs[String]("t1")) &&
+        array_contains(split(col("text"), " "), top.getAs[String]("t2")))
+      .count()
+    assert(top.getAs[Long]("support") == recount)
+  }
 }
