@@ -154,6 +154,26 @@ class ApiSpec extends SparkSpec {
     assert(scores(path) == live, "scores changed across text-index compaction")
   }
 
+  test("text-index delete is replay-safe: a redelivered batch is a no-op") {
+    // foreachBatch redelivers micro-batches at-least-once on restart;
+    // a replayed takedown must NOT double-subtract df/n_docs/sum_dl
+    val docs = Tables.documents(spark, sfDir)
+    val path = java.nio.file.Files.createTempDirectory("graft-ti-replay").toString
+    TextIndex(docs).writeIndex(path)
+    val victims = docs.filter(col("doc_id") % 5 === 0)
+    TextIndex.delete(victims, path)
+    val terms = Seq("spark", "join", "vector")
+    def scores(p: String) = TextIndex.bm25AtRest(spark, p, terms).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("bm25")).toMap
+    val once = scores(path)
+    TextIndex.delete(victims, path) // full replay
+    TextIndex.delete(victims.limit(20), path) // partial replay
+    assert(scores(path) == once, "replayed delete batch changed BM25 stats")
+    // stats must survive compaction too (negative deltas were not duplicated)
+    TextIndex.compact(spark, path)
+    assert(scores(path) == once, "replayed deltas surfaced at compaction")
+  }
+
   test("text-index search prunes the postings scan to the terms' bucket partitions") {
     val docs = Tables.documents(spark, sfDir)
     val path = java.nio.file.Files.createTempDirectory("graft-ti-prune").toString
