@@ -190,6 +190,10 @@ object SparkEntry {
     "q_serial_diff"     -> (Relational.qSerialDiff _),
     "q_categorize_text" -> (TextAnalysis.qCategorizeText _),
     "q_var_width_histogram" -> (Relational.qVarWidthHistogram _),
+    "q_missing_agg"     -> (Relational.qMissingAgg _),
+    "q_reverse_nested"  -> (Relational.qReverseNested _),
+    "q_moving_percentiles" -> (Relational.qMovingPercentiles _),
+    "q_logsumexp"       -> (Relational.qLogSumExp _),
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
@@ -1950,6 +1954,38 @@ object SparkEntry {
         |  round(min(rev), 2) AS min_rev, round(max(rev), 2) AS max_rev,
         |  round(avg(rev), 6) AS centroid
         |FROM cl GROUP BY 1 ORDER BY 1""".stripMargin,
+    "q_missing_agg" ->
+      """WITH d AS (SELECT lang,
+        |  CAST(nullif(regexp_extract(text, '[0-9]+'), '') AS BIGINT) AS v
+        |  FROM documents)
+        |SELECT lang, count(*) AS n_docs,
+        |  count(*) - count(v) AS n_missing, count(v) AS n_values,
+        |  round(avg(v), 6) AS avg_value
+        |FROM d GROUP BY lang ORDER BY lang""".stripMargin,
+    "q_reverse_nested" ->
+      """WITH cc AS (SELECT o_orderpriority, count(*) AS n_orders
+        |            FROM orders GROUP BY 1),
+        |pp AS (SELECT o_orderpriority, count(*) AS n_customers,
+        |         round(avg(c_acctbal), 6) AS avg_acctbal
+        |       FROM (SELECT DISTINCT o_orderpriority, o_custkey FROM orders) d
+        |       JOIN customer ON o_custkey = c_custkey GROUP BY 1)
+        |SELECT pp.o_orderpriority, cc.n_orders, pp.n_customers, pp.avg_acctbal
+        |FROM pp JOIN cc USING (o_orderpriority)
+        |ORDER BY o_orderpriority""".stripMargin,
+    "q_moving_percentiles" ->
+      """WITH e AS (SELECT ts::DATE AS eday, value FROM events),
+        |days AS (SELECT DISTINCT eday AS day FROM e)
+        |SELECT day, count(*) AS n_events,
+        |  round(quantile_cont(value, 0.5), 6) AS p50,
+        |  round(quantile_cont(value, 0.95), 6) AS p95
+        |FROM e JOIN days ON day - eday BETWEEN 0 AND 6
+        |GROUP BY day ORDER BY day""".stripMargin,
+    "q_logsumexp" ->
+      """WITH m AS (SELECT event_type, max(value) AS mx FROM events GROUP BY 1)
+        |SELECT event_type, count(*) AS n_events,
+        |  round(any_value(mx) + ln(sum(exp(value - mx))), 6) AS logsumexp
+        |FROM events JOIN m USING (event_type)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
     "q_grouping_search" ->
       """WITH q AS (SELECT vec_id AS q_id, embedding::DOUBLE[] AS q_emb FROM embeddings
         |           WHERE vec_id % 100 = 0),

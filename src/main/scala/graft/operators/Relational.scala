@@ -885,4 +885,101 @@ object Relational {
         round(avg(col("rev")), 6).as("centroid"))
       .orderBy(col("bucket_id"))
   }
+
+  /** ES `missing` + `value_count` aggregations: per language, how
+    * many docs LACK an optional field entirely vs carry a value, and
+    * the mean over the present values. The field here is genuinely
+    * optional — the first integer literal in the text (absent for
+    * digit-free docs) — because the synthetic tables carry no null
+    * columns; the null arrives exactly where ES's would, at field
+    * extraction. One combinable groupBy over per-row expressions;
+    * conditional counts, no second scan for the missing bucket.
+    */
+  def qMissingAgg(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("lang"),
+        nullif(regexp_extract(col("text"), "[0-9]+", 0), lit(""))
+          .cast("long").as("v"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        (count(lit(1)) - count(col("v"))).as("n_missing"),
+        count(col("v")).as("n_values"),
+        round(avg(col("v")), 6).as("avg_value"))
+      .orderBy(col("lang"))
+
+  /** ES `reverse_nested` aggregation: bucket by a CHILD field (order
+    * priority), then jump back to the PARENT document for the
+    * bucket's metrics — distinct customers and their mean account
+    * balance, where each parent counts once per bucket no matter how
+    * many of its children landed there (the whole point of
+    * reverse_nested vs aggregating the join directly). The per-bucket
+    * parent set is deduped with a combinable (priority, custkey)
+    * distinct BEFORE the parent join, so the join input is |distinct
+    * pairs|, not |orders|; the child-side count rides a separate
+    * tiny aggregate joined back at |buckets| rows.
+    */
+  def qReverseNested(spark: SparkSession, sfDir: String): DataFrame = {
+    val orders = Tables.orders(spark, sfDir)
+    val childCounts = orders.groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_orders"))
+    val parents = orders.select(col("o_orderpriority"), col("o_custkey")).distinct()
+      .join(Tables.customer(spark, sfDir)
+          .select(col("c_custkey"), col("c_acctbal")),
+        col("o_custkey") === col("c_custkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("n_customers"),
+        round(avg(col("c_acctbal")), 6).as("avg_acctbal"))
+    parents.join(childCounts, Seq("o_orderpriority"))
+      .select(col("o_orderpriority"), col("n_orders"),
+        col("n_customers"), col("avg_acctbal"))
+      .orderBy(col("o_orderpriority"))
+  }
+
+  /** ES `moving_percentiles` pipeline agg: for every day, the exact
+    * p50/p95 of event values over the trailing 7 calendar days — the
+    * sliding percentile ES computes by merging the window's TDigest
+    * sketches, here exact (linear-interpolation percentile, the same
+    * definition as DuckDB's quantile_cont).
+    *
+    * Scale shape: the |days| distinct days broadcast against the
+    * events scan with a 0..6-day band predicate, so each event lands
+    * in ≤7 day-buckets — the same bounded fan-out as the sliding
+    * event windows (q_events_sliding), linear in events at any
+    * corpus size; percentile state is per-(day) and combinable. No
+    * global window over raw events anywhere.
+    */
+  def qMovingPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("eday"), col("value"))
+    val days = ev.select(col("eday").as("day")).distinct()
+    ev.join(broadcast(days),
+        datediff(col("day"), col("eday")).between(0, 6))
+      .groupBy(col("day"))
+      .agg(count(lit(1)).as("n_events"),
+        round(expr("percentile(value, 0.5)"), 6).as("p50"),
+        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+      .orderBy(col("day"))
+  }
+
+  /** ES `scripted_metric` agg, re-expressed as combinable expressions
+    * (the Spark-first answer to "arbitrary map/combine/reduce
+    * scripts"): the numerically-stable log-sum-exp of event values
+    * per event type — the softmax normalizing constant a sampling
+    * pipeline needs (cf. q_temperature_sample), computed as
+    * mx + ln(Σ exp(v − mx)) so large values can't overflow the sum.
+    * Two combinable passes (max, then shifted exp-sum with the
+    * per-group max broadcast back); both shuffles carry |types| rows.
+    * A custom Aggregator could fuse the passes, but would leave
+    * whole-stage codegen for zero shuffle savings.
+    */
+  def qLogSumExp(spark: SparkSession, sfDir: String): DataFrame = {
+    val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
+    val mx = ev.groupBy(col("event_type")).agg(max(col("value")).as("mx"))
+    ev.join(broadcast(mx), Seq("event_type"))
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n_events"),
+        round(first(col("mx")) + log(sum(exp(col("value") - col("mx")))), 6)
+          .as("logsumexp"))
+      .orderBy(col("event_type"))
+  }
 }

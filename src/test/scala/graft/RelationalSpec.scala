@@ -436,4 +436,80 @@ class RelationalSpec extends SparkSpec {
       case _ => ()
     }
   }
+
+  test("missing_agg partitions every doc into missing or valued, per lang") {
+    val rows = Relational.qMissingAgg(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getAs[Long]("n_docs")).sum
+    assert(total == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_missing") + r.getAs[Long]("n_values") ==
+        r.getAs[Long]("n_docs"))
+      // value_count semantics: avg exists iff any value is present
+      if (r.getAs[Long]("n_values") > 0) assert(!r.isNullAt(r.fieldIndex("avg_value")))
+      else assert(r.isNullAt(r.fieldIndex("avg_value")))
+    }
+  }
+
+  test("reverse_nested counts each parent once per bucket") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.qReverseNested(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    // n_customers ≤ n_orders per bucket (dedup happened), and the
+    // distinct-parent count matches a direct recount per bucket
+    val direct = Tables.orders(spark, sfDir)
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_custkey")).as("nc"), count(lit(1)).as("no"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.foreach { r =>
+      val (nc, no) = direct(r.getAs[String]("o_orderpriority"))
+      assert(r.getAs[Long]("n_customers") == nc)
+      assert(r.getAs[Long]("n_orders") == no)
+      assert(nc <= no)
+    }
+  }
+
+  test("moving percentiles are ordered within each day and match a local recount") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.qMovingPercentiles(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Double]("p50") <= r.getAs[Double]("p95")))
+    // local exact recount (linear interpolation) for a middle day
+    val ev = Tables.events(spark, sfDir)
+      .select(to_date(col("ts")).as("d"), col("value")).collect()
+      .map(r => r.getDate(0).toLocalDate -> r.getDouble(1))
+    val probe = rows(rows.length / 2)
+    val day = probe.getDate(0).toLocalDate
+    val vals = ev.filter { case (d, _) =>
+      !d.isAfter(day) && !d.isBefore(day.minusDays(6)) }.map(_._2).sorted
+    def q(p: Double): Double = {
+      val h = (vals.length - 1) * p; val lo = h.toInt
+      if (lo + 1 < vals.length) vals(lo) + (h - lo) * (vals(lo + 1) - vals(lo))
+      else vals(lo)
+    }
+    assert(probe.getAs[Long]("n_events") == vals.length)
+    assert(math.abs(probe.getAs[Double]("p50") - q(0.5)) < 1e-6)
+    assert(math.abs(probe.getAs[Double]("p95") - q(0.95)) < 1e-6)
+  }
+
+  test("logsumexp is stable and matches a shifted local fold") {
+    import org.apache.spark.sql.functions._
+    val rows = Relational.qLogSumExp(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val byType = Tables.events(spark, sfDir)
+      .select(col("event_type"), col("value")).collect()
+      .groupBy(_.getString(0)).map { case (t, rs) =>
+        val vs = rs.map(_.getDouble(1))
+        val mx = vs.max
+        t -> (vs.length.toLong, mx + math.log(vs.map(v => math.exp(v - mx)).sum))
+      }
+    rows.foreach { r =>
+      val (n, lse) = byType(r.getAs[String]("event_type"))
+      assert(r.getAs[Long]("n_events") == n)
+      assert(math.abs(r.getAs[Double]("logsumexp") - lse) < 1e-5)
+      // the rounded-to-6dp output can sit at most half a grid step
+      // below the unrounded local fold
+      assert(r.getAs[Double]("logsumexp") >= lse - 5e-7)
+    }
+  }
 }
