@@ -30,6 +30,10 @@ def main(sf_dir, out_dir):
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     names = sorted(d for d in os.listdir(out_dir) if os.path.isdir(f"{out_dir}/{d}"))
     n_pass = n_fail = 0
+    # a query that errored in Verify leaves no output dir — that is a
+    # failure, not a silent skip
+    for name in sorted(set(oracle) - set(names)):
+        print(f"[FAIL] {name}: no Verify output (query errored?)"); n_fail += 1
     for name in names:
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
         got = pd.concat([pd.read_parquet(f) for f in files]) if files else pd.DataFrame()

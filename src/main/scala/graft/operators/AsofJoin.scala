@@ -75,7 +75,7 @@ object AsofJoin {
       .filter(col("__asof").isNotNull)
       .select(col("event_id"), col("user_id"),
         col("__asof.p_event_id").as("purchase_id"),
-        (unix_millis(col("ts")) - unix_millis(col("__asof.ts"))).as("lag_ms"))
+        (unix_millis(col("ts").cast("timestamp")) - unix_millis(col("__asof.ts").cast("timestamp"))).as("lag_ms"))
       .orderBy(col("event_id"))
   }
 }

@@ -27,6 +27,7 @@ object DedupStream {
   def deduped(docs: DataFrame): DataFrame =
     docs
       .withColumn("h", md5(lower(trim(col("text")))))
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "24 hours")
       .dropDuplicatesWithinWatermark("h")
       .drop("h")

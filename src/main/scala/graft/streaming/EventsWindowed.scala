@@ -21,6 +21,8 @@ object EventsWindowed {
     */
   def windowed(events: DataFrame): DataFrame =
     events
+      // event time must be TIMESTAMP; the test corpus stores NTZ micros
+      .withColumn("ts", col("ts").cast("timestamp"))
       .withWatermark("ts", "2 hours")
       .groupBy(window(col("ts"), "1 hour"), col("event_type"))
       .agg(

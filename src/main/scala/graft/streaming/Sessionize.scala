@@ -64,7 +64,7 @@ object Sessionize {
   def stream(spark: SparkSession, srcDir: String, schema: StructType): Dataset[Session] = {
     import spark.implicits._
     spark.readStream.schema(schema).parquet(srcDir)
-      .select(col("user_id"), col("ts"), col("value"))
+      .select(col("user_id"), col("ts").cast("timestamp").as("ts"), col("value"))
       .withWatermark("ts", s"$GapMinutes minutes")
       .as[Event]
       .groupByKey(_.user_id)
@@ -80,7 +80,7 @@ object Sessionize {
       .withColumn("prev_ts", lag(col("ts"), 1).over(byUser))
       .withColumn("new_session",
         when(col("prev_ts").isNull ||
-          (unix_millis(col("ts")) - unix_millis(col("prev_ts")) > GapMs), 1L).otherwise(0L))
+          (unix_millis(col("ts").cast("timestamp")) - unix_millis(col("prev_ts").cast("timestamp")) > GapMs), 1L).otherwise(0L))
       .withColumn("session_id", sum(col("new_session")).over(
         byUser.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .groupBy(col("user_id"), col("session_id"))

@@ -32,13 +32,15 @@ object StreamJoin {
           col("purchase_ts") >= col("click_ts") &&
           col("purchase_ts") <= col("click_ts") + expr(s"INTERVAL $WindowSec SECONDS"))
       .select(col("click_id"), col("user_id"), col("purchase_id"),
-        (unix_millis(col("purchase_ts")) - unix_millis(col("click_ts"))).as("lag_ms"))
+        (unix_millis(col("purchase_ts").cast("timestamp")) - unix_millis(col("click_ts").cast("timestamp"))).as("lag_ms"))
   }
 
   /** Streaming form: watermark both sides, then the shared join. */
   def joinStreams(clickStream: DataFrame, purchaseStream: DataFrame): DataFrame =
-    join(clickStream.withWatermark("ts", "1 hour"),
-      purchaseStream.withWatermark("ts", "1 hour"))
+    join(clickStream.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour"),
+      purchaseStream.withColumn("ts", col("ts").cast("timestamp"))
+        .withWatermark("ts", "1 hour"))
 
   /** Batch twin on a static events frame. */
   def batch(events: DataFrame): DataFrame =

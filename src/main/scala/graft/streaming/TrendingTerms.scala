@@ -34,7 +34,8 @@ object TrendingTerms {
     * or streaming frame with (`ts` timestamp, textCol string).
     */
   def windowedCounts(df: DataFrame, textCol: String = "text"): DataFrame =
-    df.withWatermark("ts", "2 hours")
+    df.withColumn("ts", col("ts").cast("timestamp"))
+      .withWatermark("ts", "2 hours")
       .select(col("ts"), explode(split(col(textCol), " ")).as("term"))
       .groupBy(window(col("ts"), "1 hour", "30 minutes"), col("term"))
       .agg(count(lit(1)).as("n"))

@@ -30,7 +30,7 @@ class AsofJoinSpec extends SparkSpec {
       .select(col("event_id"), col("user_id"), col("event_type"), col("ts"))
       .collect()
       .map(r => (r.getAs[Long]("event_id"), r.getAs[Long]("user_id"),
-        r.getAs[String]("event_type"), r.getAs[java.sql.Timestamp]("ts").getTime))
+        r.getAs[String]("event_type"), tsEpochMs(r.getAs[Any]("ts"))))
     val purchases = ev.filter(_._3 == "purchase")
     val expected = ev.filter(_._3 == "click").flatMap { case (cid, u, _, cts) =>
       val prior = purchases.filter(p => p._2 == u && p._4 <= cts)

@@ -4,6 +4,19 @@ import graft.operators.Relational
 
 class RelationalSpec extends SparkSpec {
 
+  /** Epoch micros of a collected timestamp value, whichever external
+    * type the column's (TIMESTAMP vs TIMESTAMP_NTZ) maps to — the
+    * test data's `ts` is NTZ micros, read here as UTC instants.
+    */
+  private def tsMicros(v: Any): Long = v match {
+    case t: java.sql.Timestamp =>
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    case d: java.time.LocalDateTime =>
+      d.toEpochSecond(java.time.ZoneOffset.UTC) * 1000000L + d.getNano / 1000L
+    case i: java.time.Instant => i.getEpochSecond * 1000000L + i.getNano / 1000L
+    case other => fail(s"not a timestamp value: $other (${other.getClass})")
+  }
+
   test("q1_agg groups by flag/status with positive sums") {
     val rows = Relational.q1Agg(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 9)
@@ -40,7 +53,7 @@ class RelationalSpec extends SparkSpec {
     assert(total == 2 * Tables.events(spark, sfDir).count())
     // window starts are 30-minute aligned
     rows.foreach { r =>
-      val ms = r.getAs[java.sql.Timestamp]("window_start").getTime
+      val ms = tsMicros(r.getAs[Any]("window_start")) / 1000L
       assert(ms % (30 * 60 * 1000) == 0)
     }
   }
@@ -139,12 +152,12 @@ class RelationalSpec extends SparkSpec {
   test("q_composite_agg pages strictly after the cursor in bucket order") {
     val rows = graft.operators.Relational.qCompositeAgg(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
-    val cursor = java.sql.Timestamp.valueOf("2024-01-10 00:00:00")
-    val keys = rows.map(r => (r.getAs[java.sql.Timestamp]("day"), r.getAs[String]("event_type")))
+    val cursorMs = java.time.Instant.parse("2024-01-10T00:00:00Z").toEpochMilli
+    val keys = rows.map(r => (tsEpochMs(r.getAs[Any]("day")), r.getAs[String]("event_type")))
     keys.foreach { case (d, t) =>
-      assert(d.after(cursor) || (d == cursor && t > "error"))
+      assert(d > cursorMs || (d == cursorMs && t > "error"))
     }
-    assert(keys.sameElements(keys.sortBy { case (d, t) => (d.getTime, t) }))
+    assert(keys.sameElements(keys.sortBy(identity)))
   }
 
   test("q_terms_by_metric tops are consistent with a full recompute") {
@@ -251,9 +264,9 @@ class RelationalSpec extends SparkSpec {
     assert(rows.length == 5)
     val maxTs = Tables.events(spark, sfDir).groupBy("event_type")
       .agg(org.apache.spark.sql.functions.max("ts").as("m")).collect()
-      .map(r => r.getString(0) -> r.getAs[java.sql.Timestamp]("m")).toMap
+      .map(r => r.getString(0) -> tsMicros(r.getAs[Any]("m"))).toMap
     rows.foreach { r =>
-      assert(r.getAs[java.sql.Timestamp]("latest_ts") ==
+      assert(tsMicros(r.getAs[Any]("latest_ts")) ==
         maxTs(r.getAs[String]("event_type")))
     }
   }
@@ -288,7 +301,7 @@ class RelationalSpec extends SparkSpec {
     // one unit for the whole histogram; orders' ~6.5-year span lands on quarter
     assert(rows.map(_.getAs[String]("unit")).distinct.sameElements(Array("quarter")))
     // buckets are distinct and cover the span in order
-    val buckets = rows.map(_.getAs[java.sql.Timestamp]("bucket"))
+    val buckets = rows.map(r => tsEpochMs(r.getAs[Any]("bucket")))
     assert(buckets.distinct.length == buckets.length)
   }
 
@@ -397,11 +410,9 @@ class RelationalSpec extends SparkSpec {
     assert(rows.nonEmpty)
     rows.foreach(r => assert(r.getAs[Long]("n_sequences") >= 1))
     val u = rows.head.getAs[Long]("user_id")
-    def micros(t: java.sql.Timestamp): Long =
-      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
     val evs = Tables.events(spark, sfDir).filter(col("user_id") === u)
       .select("event_type", "ts").collect()
-      .map(r => (r.getString(0), micros(r.getTimestamp(1))))
+      .map(r => (r.getString(0), tsMicros(r.get(1))))
     val span = 7L * 24 * 3600 * 1000000L
     def of(t: String) = evs.filter(_._1 == t).map(_._2)
     val n = (for {

@@ -25,7 +25,7 @@ class StreamingSpec extends SparkSpec {
 
     def canon(df: org.apache.spark.sql.DataFrame) =
       graft.streaming.TrendingTerms.topK(df, 5).collect().map { r =>
-        (r.getAs[java.sql.Timestamp]("window_start").getTime,
+        (tsEpochMs(r.getAs[Any]("window_start")),
           r.getAs[Long]("rank"), r.getAs[String]("term"), r.getAs[Long]("n"))
       }.toSeq
     val streamed = canon(spark.table("trending_terms_test"))
@@ -158,13 +158,13 @@ class StreamingSpec extends SparkSpec {
       (u, start, end, n, math.round(s * 100))
     val streamed = spark.table("sessions_test").collect().map(r =>
       key(r.getAs[Long]("user_id"),
-        r.getAs[java.sql.Timestamp]("session_start").getTime,
-        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        tsEpochMs(r.getAs[Any]("session_start")),
+        tsEpochMs(r.getAs[Any]("session_end")),
         r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     val batchAll = graft.streaming.Sessionize.batch(events).collect().map(r =>
       key(r.getAs[Long]("user_id"),
-        r.getAs[java.sql.Timestamp]("session_start").getTime,
-        r.getAs[java.sql.Timestamp]("session_end").getTime,
+        tsEpochMs(r.getAs[Any]("session_start")),
+        tsEpochMs(r.getAs[Any]("session_end")),
         r.getAs[Long]("n_events"), r.getAs[Double]("sum_value"))).toSet
     assert(streamed.nonEmpty, "no sessions closed before the final watermark")
     // every streamed (closed) session must be a batch session verbatim
@@ -190,7 +190,7 @@ class StreamingSpec extends SparkSpec {
     q.awaitTermination(120000)
 
     def canon(rows: Array[org.apache.spark.sql.Row]) = rows.map { r =>
-      (r.getAs[java.sql.Timestamp]("window_start").getTime,
+      (tsEpochMs(r.getAs[Any]("window_start")),
         r.getAs[String]("event_type"),
         r.getAs[Long]("n_events"),
         r.getAs[Double]("sum_value"))
@@ -203,7 +203,7 @@ class StreamingSpec extends SparkSpec {
 
     // and the shared definition matches the relational batch operator
     val relational = graft.operators.Relational.qEventsWindow(spark, sfDir).collect()
-      .map(r => (r.getAs[java.sql.Timestamp]("window_start").getTime,
+      .map(r => (tsEpochMs(r.getAs[Any]("window_start")),
         r.getAs[String]("event_type"), r.getAs[Long]("n_events"),
         r.getAs[Double]("sum_value"))).sortBy(t => (t._1, t._2))
     assert(streamed.sameElements(relational))
