@@ -26,30 +26,78 @@ private[graft] object VersionedPointer {
       .filter(n => n.length > 1 && n.startsWith("v") && n.drop(1).forall(_.isDigit))
       .map(_.drop(1).toLong).toSeq.sorted
 
-  /** Atomically repoint to `content`; old versions pruned AFTER the
-    * new one is live, so a concurrent reader resolves either value —
-    * both complete — never nothing.
+  private def readVersion(fs: FileSystem, dir: Path, v: Long): Option[String] =
+    try {
+      val in = fs.open(new Path(dir, versionName(v)))
+      try Some(scala.io.Source.fromInputStream(in, "UTF-8").mkString)
+      finally in.close()
+    } catch { case _: java.io.FileNotFoundException => None }
+
+  // Serializes same-JVM writers per pointer (in local / driver-side
+  // mutation — the common case — every writer shares this JVM). The
+  // cross-process guard is the rename-CAS below.
+  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+
+  /** Atomically repoint to `content`, safe under concurrent writers.
+    * Same-JVM writers serialize on a per-pointer lock. Cross-process,
+    * the CAS is rename-of-a-fresh-name: on HDFS-like stores the loser
+    * of a same-version race gets `rename == false` and retries at the
+    * next version. POSIX-backed local filesystems overwrite on rename
+    * instead of failing, so the winner is additionally confirmed by
+    * reading the installed version back — a writer whose bytes were
+    * clobbered retries too. (On S3-class stores without atomic
+    * rename, the read-back is the only cross-process guard;
+    * same-version writes are last-write-wins there.) Old versions are
+    * pruned AFTER the new one is live, and only versions below the
+    * installed one, so a concurrent reader always resolves a complete
+    * value — never nothing.
     */
   def write(fs: FileSystem, dir: Path, content: String): Unit = {
-    fs.mkdirs(dir)
-    val existing = versions(fs, dir)
-    val next = existing.lastOption.fold(0L)(_ + 1L)
-    val tmp = new Path(dir, s".tmp-${versionName(next)}")
-    val out = fs.create(tmp, true)
-    out.write(content.getBytes("UTF-8"))
-    out.close()
-    fs.rename(tmp, new Path(dir, versionName(next)))
-    existing.foreach(v => fs.delete(new Path(dir, versionName(v)), false))
+    val lock = jvmLocks.computeIfAbsent(
+      Path.getPathWithoutSchemeAndAuthority(dir).toString, _ => new Object)
+    lock.synchronized(writeLocked(fs, dir, content))
   }
 
-  /** Current value, if any version exists (highest wins). */
-  def read(fs: FileSystem, dir: Path): Option[String] =
-    versions(fs, dir).lastOption.map { v =>
-      val in = fs.open(new Path(dir, versionName(v)))
-      val s = scala.io.Source.fromInputStream(in, "UTF-8").mkString
-      in.close()
-      s
+  private def writeLocked(fs: FileSystem, dir: Path, content: String): Unit = {
+    fs.mkdirs(dir)
+    val bytes = content.getBytes("UTF-8")
+    var installed = -1L
+    var attempt = 0
+    while (installed < 0) {
+      attempt += 1
+      require(attempt <= 64, s"versioned pointer at $dir: lost ${attempt - 1} write races in a row")
+      val next = versions(fs, dir).lastOption.fold(0L)(_ + 1L)
+      val dst = new Path(dir, versionName(next))
+      val tmp = new Path(dir, s".tmp-${versionName(next)}-${java.util.UUID.randomUUID().toString.take(8)}")
+      val out = fs.create(tmp, true)
+      out.write(bytes)
+      out.close()
+      val renamed = !fs.exists(dst) && fs.rename(tmp, dst)
+      if (!renamed) fs.delete(tmp, false)
+      if (renamed && readVersion(fs, dir, next).contains(content)) installed = next
     }
+    versions(fs, dir).filter(_ < installed)
+      .foreach(v => fs.delete(new Path(dir, versionName(v)), false))
+  }
+
+  /** Current value, if any version exists (highest wins). A version
+    * pruned between the listing and the open means a newer version
+    * just landed — re-list; the highest version is never pruned.
+    */
+  def read(fs: FileSystem, dir: Path): Option[String] = {
+    var attempt = 0
+    while (attempt < 64) {
+      attempt += 1
+      versions(fs, dir).lastOption match {
+        case None => return None
+        case Some(v) => readVersion(fs, dir, v) match {
+          case some @ Some(_) => return some
+          case None           => // superseded mid-read; retry against the new max
+        }
+      }
+    }
+    sys.error(s"versioned pointer at $dir: unreadable after $attempt attempts")
+  }
 }
 
 /** Alias indirection for the STANDING indexes (vector, text,
@@ -84,12 +132,31 @@ object IndexAlias {
 
   private def genName(n: Long): String = f"gen-$n%010d"
 
+  /** In-memory alias map — the analogue of the alias table ES serves
+    * from cluster state rather than from storage on every request:
+    * `resolve` answers from here after the first lookup, and [[set]]
+    * writes through, so a query pays zero filesystem round-trips for
+    * alias indirection and a swap is visible to the next query
+    * immediately. Process-local by design (all index mutation runs on
+    * the driver); a swap performed by ANOTHER process is picked up
+    * after [[invalidateResolve]] — the same contract as the external
+    * in-place-change hook on the index caches.
+    */
+  private val resolveCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
+
   /** The concrete index path `pathOrHome` serves from: the live
     * generation if it is an alias home, itself otherwise.
     */
   def resolve(spark: SparkSession, pathOrHome: String): String =
-    VersionedPointer.read(fsOf(spark, pathOrHome), ptrDir(pathOrHome))
-      .fold(pathOrHome)(g => new Path(pathOrHome, g).toString)
+    resolveCache.computeIfAbsent(new Path(pathOrHome).toString, p =>
+      VersionedPointer.read(fsOf(spark, p), ptrDir(p))
+        .fold(p)(g => new Path(p, g).toString))
+
+  /** Drop the cached resolution for `pathOrHome` (needed only after
+    * an out-of-process alias swap).
+    */
+  private[graft] def invalidateResolve(pathOrHome: String): Unit =
+    resolveCache.remove(new Path(pathOrHome).toString)
 
   /** Whether `pathOrHome` is an alias home (has a live pointer). */
   def installed(spark: SparkSession, pathOrHome: String): Boolean =
@@ -125,6 +192,7 @@ object IndexAlias {
       t.getParent == new Path(home),
       s"alias target must be a generation under $home: $target")
     VersionedPointer.write(fs, ptrDir(home), t.getName)
+    resolveCache.put(new Path(home).toString, new Path(home, t.getName).toString)
   }
 
   /** Delete every generation except the live one (run AFTER a swap,

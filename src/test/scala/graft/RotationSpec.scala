@@ -227,4 +227,80 @@ class RotationSpec extends SparkSpec {
     IndexAlias.pruneGenerations(spark, dHome)
     assert(Dedup.dedupAgainstIndex(spark, probe, dHome).count() >= 1)
   }
+
+  test("VersionedPointer survives concurrent writers: every write lands, max version wins, no lost swap") {
+    import graft.sources.VersionedPointer
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = new org.apache.hadoop.fs.Path(IndexCache.tempDir("graft-ptr-race"), ".ptr")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+    val writers = 8
+    val rounds = 25
+    val pool = Executors.newFixedThreadPool(writers)
+    val start = new CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    (0 until writers).foreach { w =>
+      pool.submit(new Runnable {
+        def run(): Unit = {
+          start.await()
+          (0 until rounds).foreach { r =>
+            try VersionedPointer.write(fs, dir, s"w$w-r$r")
+            catch { case t: Throwable => errors.add(t) }
+          }
+        }
+      })
+    }
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "writer pool did not drain")
+    assert(errors.isEmpty, s"writer failures: ${errors.toArray.mkString("; ")}")
+
+    // every write CAS-retried to its own version: writers*rounds distinct
+    // versions were installed over the pointer's lifetime, so the final
+    // max version is at least writers*rounds-1 (versions start at 0) —
+    // a silently lost swap would leave a hole below that count
+    val vs = VersionedPointer.versions(fs, dir)
+    assert(vs.nonEmpty && vs.last >= (writers * rounds - 1).toLong,
+      s"expected >=${writers * rounds} installed versions, max is ${vs.last}")
+    // pruning converged: only complete, readable state remains, and the
+    // value is some writer's final-round write (max version wins)
+    val v = VersionedPointer.read(fs, dir)
+    assert(v.isDefined && v.get.matches(s"w[0-7]-r${rounds - 1}"), s"final value: $v")
+  }
+
+  test("VersionedPointer read during concurrent writes always resolves a complete value") {
+    import graft.sources.VersionedPointer
+    import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+    val dir = new org.apache.hadoop.fs.Path(IndexCache.tempDir("graft-ptr-rw"), ".ptr")
+    val fs = dir.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    VersionedPointer.write(fs, dir, "seed-0")
+
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = new Runnable {
+      def run(): Unit = {
+        start.await()
+        (1 to 60).foreach(i => VersionedPointer.write(fs, dir, s"seed-$i"))
+      }
+    }
+    val reader = new Runnable {
+      def run(): Unit = {
+        start.await()
+        (1 to 200).foreach { _ =>
+          VersionedPointer.read(fs, dir) match {
+            case Some(s) if s.matches("seed-\\d+") => ()
+            case other => errors.add(s"incomplete read: $other")
+          }
+        }
+      }
+    }
+    pool.submit(writer); pool.submit(writer)
+    pool.submit(reader); pool.submit(reader)
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "rw pool did not drain")
+    assert(errors.isEmpty, s"reader saw: ${errors.toArray.mkString("; ")}")
+    assert(VersionedPointer.read(fs, dir).contains("seed-60"))
+  }
 }
