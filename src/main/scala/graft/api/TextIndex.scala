@@ -358,17 +358,23 @@ object TextIndex {
   def delete(docs: DataFrame, rawPath: String,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
-    val fresh = tombstones(docs.sparkSession, path, idCol)
-      .fold(docs)(t => docs.join(broadcast(t), Seq(idCol), "left_anti"))
-    val post = tokenized(fresh, idCol, textCol).localCheckpoint()
-    if (!post.isEmpty) {
-      post.groupBy(col("token")).agg((-count(lit(1))).as("df"))
-        .write.mode("append").parquet(s"$path/vocab")
-      post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
-        .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("sum_dl"))
-        .write.mode("append").parquet(s"$path/stats")
-      post.select(col(idCol)).distinct()
-        .write.mode("append").parquet(s"$path/tombstones")
+    // the replay-safety anti-join is check-then-act: serialize
+    // same-JVM deleters so two concurrent deletes of one id can't
+    // both pass the tombstone check and double-subtract the deltas
+    // (see MutationLock / the README contract table)
+    graft.sources.MutationLock.of(path).synchronized {
+      val fresh = tombstones(docs.sparkSession, path, idCol)
+        .fold(docs)(t => docs.join(broadcast(t), Seq(idCol), "left_anti"))
+      val post = tokenized(fresh, idCol, textCol).localCheckpoint()
+      if (!post.isEmpty) {
+        post.groupBy(col("token")).agg((-count(lit(1))).as("df"))
+          .write.mode("append").parquet(s"$path/vocab")
+        post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
+          .agg((-count(lit(1))).as("n_docs"), (-sum(col("dl"))).as("sum_dl"))
+          .write.mode("append").parquet(s"$path/stats")
+        post.select(col(idCol)).distinct()
+          .write.mode("append").parquet(s"$path/tombstones")
+      }
     }
   }
 
@@ -418,6 +424,32 @@ object TextIndex {
       s.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     }
     fs.delete(new Path(s"$path/tombstones"), true)
+    graft.sources.IndexStats.markCompacted(fs, path)
+  }
+
+  /** Index health — see [[graft.sources.IndexStats]]. Delta debt for
+    * a text index is the number of unfolded append batches (each
+    * [[append]] adds one row to `stats/` and one vocab delta; compact
+    * and rotate fold them back to a single row), reported as
+    * `debt_rows` on the `stats` table; tombstone debt is the pending
+    * retraction count.
+    */
+  def stats(spark: org.apache.spark.sql.SparkSession, rawPath: String,
+            idCol: String = "doc_id"): DataFrame = {
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
+    val statsRows = {
+      val p = new org.apache.hadoop.fs.Path(s"$path/stats")
+      val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      if (!fs.exists(p)) 0L
+      else spark.read
+        .schema(org.apache.spark.sql.types.StructType.fromDDL("n_docs BIGINT, sum_dl BIGINT"))
+        .parquet(p.toString).count()
+    }
+    val debt = Map(
+      "tombstones" -> tombstones(spark, path, idCol).fold(0L)(_.count()),
+      "stats" -> math.max(0L, statsRows - 1L))
+    graft.sources.IndexStats.build(spark, "text", rawPath,
+      Seq("postings", "vocab", "stats", "tombstones"), debt)
   }
 
   /** BM25 over the standing index: identical scores to the on-the-fly

@@ -448,6 +448,19 @@ object Dedup {
     rewrite("postings", postingsSchema, Seq("band_id"))
     rewrite("shingles", shinglesSchema, Nil)
     fs.delete(new Path(s"$path/tombstones"), true)
+    graft.sources.IndexStats.markCompacted(fs, path)
+  }
+
+  /** Index health — see [[graft.sources.IndexStats]]: postings and
+    * shingle-set footprint, generation count, pending takedown
+    * (tombstone) debt, last compaction.
+    */
+  def indexStats(spark: SparkSession, rawPath: String): DataFrame = {
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
+    val debt = Map(
+      "tombstones" -> indexTombstones(spark, path).fold(0L)(_.count()))
+    graft.sources.IndexStats.build(spark, "dedup", rawPath,
+      Seq("postings", "shingles", "tombstones"), debt)
   }
 
   /** Near-dup pairs of `batch` against the standing index PLUS within

@@ -271,25 +271,38 @@ object VectorIndex {
     * tombstones); [[compact]] folds deltas into the rewritten files
     * and clears them. Latest-wins across batches by sequence number;
     * WITHIN a batch, conflicting updates to one vec_id collapse to
-    * the last occurrence in the batch's row order before the sequence
-    * number is stamped — one row per (vec_id, seq) ever lands, so the
-    * cross-batch `max_by(label, seq)` resolution is deterministic and
-    * reads agree with post-compaction state across runs.
+    * the last occurrence in the batch's partition-major row order
+    * before the sequence number is stamped — one row per
+    * (vec_id, seq) ever lands, so the cross-batch
+    * `max_by(label, seq)` resolution is deterministic and reads agree
+    * with post-compaction state across runs. The ordinal is
+    * `monotonically_increasing_id` (partition index in the high bits:
+    * the same total order the previous implementation produced by
+    * concatenating the batch through one task, now computed with no
+    * single-task stage); callers with a stronger intra-batch order —
+    * streaming CDC offsets — pass it as `ordCol` instead. Per-key
+    * collapse and the delta write both stay parallel; AQE coalesces
+    * the post-shuffle output so small batches still land compactly.
     */
-  def setPayload(spark: SparkSession, path: String, updates: DataFrame): Unit = {
+  def setPayload(spark: SparkSession, path: String, updates: DataFrame,
+                 ordCol: Option[String] = None): Unit = {
     val live = IndexAlias.resolve(spark, path)
-    val nextSeq = payloadDeltas(spark, live).fold(0L) { p =>
-      p.agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
+    // seq assignment is check-then-act: serialize same-JVM writers so
+    // concurrent batches get DISTINCT stamps and latest-wins stays
+    // deterministic (see MutationLock / the README contract table)
+    graft.sources.MutationLock.of(live).synchronized {
+      val nextSeq = payloadDeltas(spark, live).fold(0L) { p =>
+        p.agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
+      }
+      ordCol.fold(updates.withColumn("__ord", monotonically_increasing_id()))(
+          c => updates.withColumn("__ord", col(c).cast("long")))
+        .select(col("vec_id").cast("long").as("vec_id"),
+          col("label").cast("int").as("label"), col("__ord"))
+        .groupBy(col("vec_id")).agg(max_by(col("label"), col("__ord")).as("label"))
+        .withColumn("seq", lit(nextSeq))
+        .write.mode("append").parquet(s"$live/payload")
+      mutated(live)
     }
-    updates.select(col("vec_id").cast("long").as("vec_id"),
-        col("label").cast("int").as("label"))
-      // single partition first, so the ordinal follows the batch's
-      // row order and "last occurrence wins" is well-defined
-      .coalesce(1).withColumn("__ord", monotonically_increasing_id())
-      .groupBy(col("vec_id")).agg(max_by(col("label"), col("__ord")).as("label"))
-      .withColumn("seq", lit(nextSeq))
-      .coalesce(1).write.mode("append").parquet(s"$live/payload")
-    mutated(live)
   }
 
   private def payloadDeltas(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -608,9 +621,27 @@ object VectorIndex {
     rewrite("lsh", lshSchema, Seq("band_id"), mergePayload = false)
     fs.delete(new Path(s"$path/tombstones"), true)
     fs.delete(new Path(s"$path/payload"), true)
+    graft.sources.IndexStats.markCompacted(fs, path)
     mutated(path)
     (before,
       countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh")))
+  }
+
+  /** Index health — see [[graft.sources.IndexStats]]: files/bytes per
+    * layout table, generation count, pending tombstone/payload-delta
+    * debt, and the last compaction time. The debt rows are the
+    * numbers a `compact` (fold debt in place) vs `retrain`/rotate
+    * (rebuild aside) decision reads; both debt tables are bounded by
+    * compaction cadence, so counting them is delta-scan cost, never a
+    * corpus scan.
+    */
+  def stats(spark: SparkSession, rawPath: String): DataFrame = {
+    val live = IndexAlias.resolve(spark, rawPath)
+    val debt = Map(
+      "tombstones" -> tombstones(spark, live).fold(0L)(_.count()),
+      "payload" -> payloadDeltas(spark, live).fold(0L)(_.count()))
+    graft.sources.IndexStats.build(spark, "vector", rawPath,
+      Seq("vectors", "lsh", "meta", "tombstones", "payload"), debt)
   }
 
   /** Session-scoped at-rest index per corpus dir (built once at first

@@ -1,0 +1,148 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.TextIndex
+import graft.operators.{Dedup, IndexCache, VectorIndex}
+import graft.sources.{IndexAlias, IndexStats}
+
+/** The observability contract: `stats` reports the numbers a
+  * compact/rotate cadence decision needs, and those numbers MOVE
+  * correctly across the lifecycle — append grows the footprint,
+  * delete grows debt (never the corpus), compact folds debt to zero
+  * and stamps the time, rotate folds debt to zero by landing a fresh
+  * generation.
+  */
+class IndexStatsSpec extends SparkSpec {
+
+  private def row(st: DataFrame, table: String) =
+    st.filter(col("table") === table).collect() match {
+      case Array(r) => r
+      case other => fail(s"expected one '$table' row, got ${other.length}")
+    }
+
+  private def debt(st: DataFrame, table: String): Long = {
+    val r = row(st, table)
+    if (r.isNullAt(r.fieldIndex("debt_rows"))) 0L
+    else r.getAs[Long]("debt_rows")
+  }
+
+  private def files(st: DataFrame, table: String): Long =
+    row(st, table).getAs[Long]("files")
+
+  private def lastCompaction(st: DataFrame): Option[Long] = {
+    val r = st.collect().head
+    if (r.isNullAt(r.fieldIndex("last_compaction_ms"))) None
+    else Some(r.getAs[Long]("last_compaction_ms"))
+  }
+
+  test("vector index stats: debt accrues on delete/setPayload, compacts to zero, rotation resets") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-stats-vec") + "/vix"
+    val corpus = Tables.embeddings(spark, sfDir)
+    VectorIndex.buildRotating(spark, corpus, home)
+
+    val s0 = VectorIndex.stats(spark, home)
+    assert(s0.columns.toSeq == IndexStats.schema.fieldNames.toSeq)
+    assert(s0.count() == 5)
+    assert(files(s0, "vectors") > 0 && files(s0, "lsh") > 0 && files(s0, "meta") > 0)
+    assert(row(s0, "vectors").getAs[Long]("bytes") > 0)
+    assert(debt(s0, "tombstones") == 0 && debt(s0, "payload") == 0)
+    assert(row(s0, "vectors").getAs[Int]("n_generations") == 1)
+    assert(lastCompaction(s0).isEmpty)
+
+    // append grows the data footprint, not the debt
+    val batch = corpus.limit(50).select((col("vec_id") + 800000L).as("vec_id"),
+      col("embedding"), col("label"))
+    VectorIndex.append(spark, batch, IndexAlias.resolve(spark, home))
+    val s1 = VectorIndex.stats(spark, home)
+    assert(files(s1, "vectors") > files(s0, "vectors"))
+    assert(debt(s1, "tombstones") == 0)
+
+    // delete + payload update accrue debt rows without touching data files
+    val victims = corpus.select("vec_id").orderBy("vec_id").limit(7)
+      .collect().map(_.getLong(0)).toSeq
+    VectorIndex.delete(spark, home, victims)
+    VectorIndex.setPayload(spark, home,
+      victims.take(3).map(id => (id + 100L, 99)).toDF("vec_id", "label"))
+    val s2 = VectorIndex.stats(spark, home)
+    assert(debt(s2, "tombstones") == 7L, s"tombstone debt: ${debt(s2, "tombstones")}")
+    assert(debt(s2, "payload") == 3L, s"payload debt: ${debt(s2, "payload")}")
+    assert(files(s2, "vectors") == files(s1, "vectors"))
+
+    // compact folds all debt to zero and stamps the time
+    VectorIndex.compact(spark, home)
+    val s3 = VectorIndex.stats(spark, home)
+    assert(debt(s3, "tombstones") == 0 && debt(s3, "payload") == 0)
+    assert(files(s3, "tombstones") == 0 && files(s3, "payload") == 0)
+    assert(lastCompaction(s3).isDefined)
+
+    // rotation lands a fresh generation: stats follow the new live path
+    VectorIndex.delete(spark, home, victims.takeRight(2))
+    assert(debt(VectorIndex.stats(spark, home), "tombstones") == 2L)
+    VectorIndex.retrain(spark, home)
+    val s4 = VectorIndex.stats(spark, home)
+    assert(row(s4, "vectors").getAs[Int]("n_generations") == 2)
+    assert(debt(s4, "tombstones") == 0)
+    assert(row(s4, "vectors").getAs[String]("live_path") !=
+      row(s0, "vectors").getAs[String]("live_path"))
+  }
+
+  test("text index stats: append batches count as delta debt; compact folds them") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-stats-text") + "/tix"
+    val docs = (0L to 39L).map(i => (i, s"alpha bravo tok$i common words here"))
+      .toDF("doc_id", "text")
+    TextIndex.rotate(docs, home)
+    val s0 = TextIndex.stats(spark, home)
+    assert(s0.count() == 4)
+    assert(files(s0, "postings") > 0 && debt(s0, "stats") == 0 &&
+      debt(s0, "tombstones") == 0)
+
+    TextIndex.append((100L to 104L).map(i => (i, s"charlie delta tok$i"))
+      .toDF("doc_id", "text"), home)
+    TextIndex.append((200L to 204L).map(i => (i, s"echo foxtrot tok$i"))
+      .toDF("doc_id", "text"), home)
+    // delete takes the indexed rows themselves (delete-by-query shape)
+    TextIndex.delete(docs.filter(col("doc_id") < 3), home)
+    val s1 = TextIndex.stats(spark, home)
+    // each append AND each delete lands one stats delta row
+    assert(debt(s1, "stats") == 3L, s"delta batches: ${debt(s1, "stats")}")
+    assert(debt(s1, "tombstones") == 3L)
+
+    TextIndex.compact(spark, IndexAlias.resolve(spark, home))
+    val s2 = TextIndex.stats(spark, home)
+    assert(debt(s2, "stats") == 0 && debt(s2, "tombstones") == 0)
+    assert(lastCompaction(s2).isDefined)
+    // the compacted index still answers correctly
+    assert(TextIndex.bm25AtRest(spark, home, Seq("charlie")).count() == 5)
+  }
+
+  test("dedup index stats + rollup: takedown debt tracks tombstones; rollup unions all kinds") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-stats-dedup") + "/dix"
+    val docs = (0L to 29L).map(i =>
+      (i, s"alpha bravo charlie delta echo tok$i foxtrot golf hotel india"))
+      .toDF("doc_id", "text")
+    Dedup.rotateMinhashIndex(docs, home)
+    val s0 = Dedup.indexStats(spark, home)
+    assert(s0.count() == 3)
+    assert(files(s0, "postings") > 0 && files(s0, "shingles") > 0)
+    assert(debt(s0, "tombstones") == 0)
+
+    Dedup.deleteFromMinhashIndex(spark, Seq(0L, 1L), IndexAlias.resolve(spark, home))
+    val s1 = Dedup.indexStats(spark, home)
+    assert(debt(s1, "tombstones") == 2L)
+    Dedup.compactMinhashIndex(spark, IndexAlias.resolve(spark, home))
+    val s2 = Dedup.indexStats(spark, home)
+    assert(debt(s2, "tombstones") == 0 && lastCompaction(s2).isDefined)
+
+    // catalog roll-up: one frame, one schema, all kinds
+    val vHome = IndexCache.tempDir("graft-stats-roll") + "/vix"
+    VectorIndex.buildRotating(spark, Tables.embeddings(spark, sfDir), vHome)
+    val roll = IndexStats.rollup(spark, Seq("dedup" -> home, "vector" -> vHome))
+    assert(roll.select("kind").distinct().collect().map(_.getString(0)).sorted.toSeq ==
+      Seq("dedup", "vector"))
+    assert(roll.count() == 8) // 3 dedup tables + 5 vector tables
+  }
+}

@@ -173,4 +173,48 @@ class VectorIndexSpec extends SparkSpec {
       case ((n, d), (_, r)) => assert(canon(d) == canon(r), s"family $n changed after compact")
     }
   }
+
+  test("setPayload collapses conflicts without a single-task funnel and serves the latest label") {
+    import spark.implicits._
+    val meta = VectorIndex.readMeta(spark, path)
+    val corpus = Tables.embeddings(spark, sfDir)
+    val pP = graft.operators.IndexCache.tempDir("graft-vi-payload") + "/idx"
+    VectorIndex.writeCorpus(spark, corpus, pP, meta)
+    val ids = corpus.select("vec_id").orderBy("vec_id").limit(2).collect().map(_.getLong(0))
+
+    // batch 1 spread over several partitions with three conflicting
+    // updates to ids(0): the caller-supplied ordinal decides the
+    // winner regardless of how the batch is partitioned
+    val b1 = Seq((ids(0), 7101, 1L), (ids(0), 7102, 3L), (ids(0), 7103, 2L),
+      (ids(1), 7201, 1L)).toDF("vec_id", "label", "ord").repartition(3)
+    VectorIndex.setPayload(spark, pP, b1, ordCol = Some("ord"))
+    val d1 = spark.read.parquet(s"$pP/payload")
+      .collect().map(r => (r.getAs[Long]("vec_id"), r.getAs[Int]("label"), r.getAs[Long]("seq")))
+    assert(d1.length == 2, s"expected one row per key per batch, got ${d1.toSeq}")
+    assert(d1.contains((ids(0), 7102, 0L)) && d1.contains((ids(1), 7201, 0L)), d1.toSeq)
+
+    // batch 2 without an ordinal: partition-major row order, here a
+    // single partition, so the later row wins; cross-batch the higher
+    // sequence number supersedes batch 1
+    val b2 = Seq((ids(1), 7202), (ids(1), 7203)).toDF("vec_id", "label").coalesce(1)
+    VectorIndex.setPayload(spark, pP, b2)
+    // reads overlay latest-wins: a label filter on the updated value
+    // matches exactly the updated vectors, the superseded value none
+    val (_, hit) = VectorIndex.searchIvfFiltered(spark, pP, queries,
+      col("label") === 7203, bruteForceLimit = 1000000L)
+    val hitIds = hit.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq
+    assert(hitIds == Seq(ids(1)), s"latest label should match only ${ids(1)}: $hitIds")
+    val (_, stale) = VectorIndex.searchIvfFiltered(spark, pP, queries,
+      col("label") === 7201, bruteForceLimit = 1000000L)
+    assert(stale.count() == 0, "superseded label still matching")
+
+    // compact folds the deltas into the rewritten files and clears them
+    VectorIndex.compact(spark, pP)
+    val fs = new org.apache.hadoop.fs.Path(pP).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$pP/payload")))
+    val (_, after) = VectorIndex.searchIvfFiltered(spark, pP, queries,
+      col("label") === 7203, bruteForceLimit = 1000000L)
+    assert(after.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(ids(1)))
+  }
 }
