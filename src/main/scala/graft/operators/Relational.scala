@@ -136,7 +136,7 @@ object Relational {
   def qPercentiles(spark: SparkSession, sfDir: String): DataFrame =
     Tables.events(spark, sfDir)
       .groupBy(col("event_type"))
-      .agg(percentile(col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
+      .agg(graft.functions.pctl.of(spark, col("value"), array(lit(0.5), lit(0.9), lit(0.99))).as("p"))
       .select(col("event_type"),
         round(col("p")(0), 6).as("p50"),
         round(col("p")(1), 6).as("p90"),
@@ -310,12 +310,12 @@ object Relational {
   def qMad(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir).select(col("event_type"), col("value"))
     val med = ev.groupBy(col("event_type"))
-      .agg(percentile(col("value"), lit(0.5)).as("med"))
+      .agg(graft.functions.pctl.of(spark, col("value"), lit(0.5)).as("med"))
     ev.join(broadcast(med), "event_type")
       .select(col("event_type"), abs(col("value") - col("med")).as("dev"), col("med"))
       .groupBy(col("event_type"))
       .agg(round(min(col("med")), 6).as("median"),
-        round(percentile(col("dev"), lit(0.5)), 6).as("mad"))
+        round(graft.functions.pctl.of(spark, col("dev"), lit(0.5)), 6).as("mad"))
       .orderBy(col("event_type"))
   }
 
@@ -557,7 +557,7 @@ object Relational {
       .groupBy(col("l_returnflag"))
       .agg(
         round(min(col("l_quantity")), 6).as("min_q"),
-        percentile(col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
+        graft.functions.pctl.of(spark, col("l_quantity"), array(lit(0.25), lit(0.5), lit(0.75))).as("p"),
         round(max(col("l_quantity")), 6).as("max_q"))
       .select(col("l_returnflag"), col("min_q"),
         round(col("p")(0), 6).as("q1"),
@@ -635,7 +635,7 @@ object Relational {
       .groupBy(to_date(col("o_orderdate")).as("day"))
       .agg(sum(col("o_totalprice")).as("rev"))
       .agg(count(lit(1)).as("n_buckets"),
-        percentile(col("rev"), array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
+        graft.functions.pctl.of(spark, col("rev"), array(lit(0.25), lit(0.5), lit(0.75))).as("p"))
       .select(col("n_buckets"),
         round(col("p")(0), 2).as("p25"),
         round(col("p")(1), 2).as("p50"),
@@ -941,23 +941,28 @@ object Relational {
     * sketches, here exact (linear-interpolation percentile, the same
     * definition as DuckDB's quantile_cont).
     *
-    * Scale shape: the |days| distinct days broadcast against the
-    * events scan with a 0..6-day band predicate, so each event lands
-    * in ≤7 day-buckets — the same bounded fan-out as the sliding
-    * event windows (q_events_sliding), linear in events at any
-    * corpus size; percentile state is per-(day) and combinable. No
-    * global window over raw events anywhere.
+    * Scale shape: each event explodes into the ≤7 trailing-window
+    * days it contributes to — the same bounded expansion as the
+    * sliding event windows (q_events_sliding) — then one equi-groupBy
+    * per day; compare-cost is 7 generated rows per event regardless
+    * of how many distinct days exist (a banded broadcast-join
+    * formulation would compare every event against every day). A
+    * final |days|-row semi-join drops generated days with no events
+    * of their own. Percentile state is per-day and combinable; no
+    * global window over raw events anywhere, and no
+    * BroadcastNestedLoopJoin in the plan (pinned in PlanSpec).
     */
   def qMovingPercentiles(spark: SparkSession, sfDir: String): DataFrame = {
     val ev = Tables.events(spark, sfDir)
       .select(to_date(col("ts")).as("eday"), col("value"))
     val days = ev.select(col("eday").as("day")).distinct()
-    ev.join(broadcast(days),
-        datediff(col("day"), col("eday")).between(0, 6))
+    ev.select(explode(sequence(col("eday"), date_add(col("eday"), 6))).as("day"),
+        col("value"))
       .groupBy(col("day"))
       .agg(count(lit(1)).as("n_events"),
-        round(expr("percentile(value, 0.5)"), 6).as("p50"),
-        round(expr("percentile(value, 0.95)"), 6).as("p95"))
+        round(graft.functions.pctl.of(spark, col("value"), lit(0.5)), 6).as("p50"),
+        round(graft.functions.pctl.of(spark, col("value"), lit(0.95)), 6).as("p95"))
+      .join(broadcast(days), Seq("day"), "left_semi")
       .orderBy(col("day"))
   }
 

@@ -244,8 +244,8 @@ object TextAnalysis {
   def qPerplexityBuckets(spark: SparkSession, sfDir: String): DataFrame = {
     val nll = docNll(spark, sfDir).select(col("doc_id"), col("nll"))
     val cuts = nll.agg(
-      percentile(col("nll"), lit(1.0 / 3)).as("c1"),
-      percentile(col("nll"), lit(2.0 / 3)).as("c2"))
+      graft.functions.pctl.of(spark, col("nll"), lit(1.0 / 3)).as("c1"),
+      graft.functions.pctl.of(spark, col("nll"), lit(2.0 / 3)).as("c2"))
     nll.crossJoin(broadcast(cuts))
       .withColumn("bucket",
         when(col("nll") <= col("c1"), "head")

@@ -333,6 +333,16 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct"), p)
   }
 
+  test("moving percentiles: bounded explode + equi-groupBy, no nested-loop join against the day list") {
+    // the trailing-window membership is generated per event (≤7 rows),
+    // never discovered by comparing each event against every distinct
+    // day — a BroadcastNestedLoopJoin here would scale compare-cost
+    // with |days| instead of the constant window width
+    val p = plan(graft.operators.Relational.qMovingPercentiles(spark, sfDir))
+    assert(!p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("Generate") && p.contains("explode"), p)
+  }
+
   test("plan lint: no query in the whole surface compiles to a cartesian product") {
     // the sweeping invariant behind every per-operator guard above:
     // a CartesianProduct (a non-broadcast cross join) is never an
