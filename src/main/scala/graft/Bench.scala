@@ -66,12 +66,18 @@ object Bench {
     println(json)
     // the stdout line can be truncated by whatever captures it; the
     // on-disk artifact is the standalone-parseable record of ALL
-    // per-query timings
+    // per-query timings — including BOTH raw passes, so a cross-round
+    // drift can be attributed (min moved = real change; only one pass
+    // moved = host noise) instead of guessed at
+    def passJson(p: Map[String, (Double, Option[String])]) =
+      ordered.map { case (k, _) => jstr(k) + ":" + p(k)._1 }.mkString("{", ",", "}")
     val sfName = new java.io.File(sfDir).getName
     val out = new java.io.File(s"target/bench_$sfName.json")
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out, "UTF-8")
-    try w.println(json) finally w.close()
+    try w.println(json.dropRight(1) +
+      s""","pass1":${passJson(p1)},"pass2":${passJson(p2)}}""")
+    finally w.close()
     spark.stop()
   }
 }
