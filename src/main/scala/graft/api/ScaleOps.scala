@@ -124,4 +124,81 @@ object ScaleOps {
         sum(coalesce(col("hit"), lit(0))).cast("long").as("n_hit"))
       .withColumn("recall", round(col("n_hit").cast("double") / col("n_exact"), 6))
   }
+
+  /** Thresholds for [[maintain]]. Defaults are deliberately
+    * conservative: debt is cheap until its broadcast overlay stops
+    * being small, and compaction is a full segment rewrite.
+    */
+  case class MaintenancePolicy(
+      maxDebtRows: Long = 100000L,
+      maxDataFiles: Long = 512L,
+      minRecall: Option[Double] = None)
+
+  /** What [[maintain]] did and why — one row per decision, loggable
+    * as-is into an operations table.
+    */
+  case class MaintenanceReport(action: String, reason: String,
+                               debtRows: Long, dataFiles: Long,
+                               recall: Option[Double])
+
+  /** The maintenance-cadence decision, closed-loop: read the index's
+    * [[graft.sources.IndexStats]] debt/fragmentation numbers (and,
+    * for a vector index with `minRecall` set, a sampled recall probe
+    * against its own exact scan), then EXECUTE the remedy —
+    *  - geometry drift (vector only, probed recall < `minRecall`):
+    *    [[graft.operators.VectorIndex.retrain]], the rebuild-aside
+    *    rotation — compaction cannot fix stale centroids/codebooks;
+    *  - debt above `maxDebtRows`, or data fragmented past
+    *    `maxDataFiles`: the kind's `compact`, folding tombstones and
+    *    deltas into rewritten segments;
+    *  - otherwise: no action.
+    * This is the verb a scheduler calls per index per cycle — the
+    * role ES's merge policy and Milvus's compaction scheduler play —
+    * with the same single-maintenance-owner contract as compact and
+    * rotate themselves (README table). The recall probe costs
+    * |queries| × corpus scan and runs only when `minRecall` is set;
+    * pass a SAMPLED query frame.
+    */
+  def maintain(spark: org.apache.spark.sql.SparkSession, kind: String, home: String,
+               policy: MaintenancePolicy = MaintenancePolicy(),
+               recallQueries: Option[DataFrame] = None): MaintenanceReport = {
+    import graft.operators.{Ann, Dedup, VectorIndex}
+    val st = graft.sources.IndexStats.rollup(spark, Seq(kind -> home)).collect()
+    val debtRows = st.map(r =>
+      if (r.isNullAt(r.fieldIndex("debt_rows"))) 0L else r.getAs[Long]("debt_rows")).sum
+    val debtTables = Set("tombstones", "payload")
+    val dataFiles = st.filterNot(r => debtTables(r.getAs[String]("table")))
+      .map(_.getAs[Long]("files")).sum
+
+    val recall: Option[Double] = (kind, policy.minRecall, recallQueries) match {
+      case ("vector", Some(_), Some(q)) =>
+        // PQ is the drift-sensitive family; exact = the index's own
+        // full-cluster scan (nprobe = every cluster is exact scoring)
+        val exact = VectorIndex.searchIvf(spark, home, q, nprobe = Ann.NList)
+        val approx = VectorIndex.searchPq(spark, home, q)
+        Some(recallAtK(exact, approx).agg(avg(col("recall"))).collect()(0).getDouble(0))
+      case _ => None
+    }
+
+    def compactFor(): Unit = kind match {
+      case "vector" => VectorIndex.compact(spark, home)
+      case "text"   => TextIndex.compact(spark, home)
+      case "dedup"  => Dedup.compactMinhashIndex(spark, home)
+      case other    => sys.error(s"unknown index kind '$other'")
+    }
+
+    (recall, policy.minRecall) match {
+      case (Some(r), Some(min)) if r < min =>
+        VectorIndex.retrain(spark, home)
+        MaintenanceReport("retrained", f"sampled recall $r%.3f < $min%.3f", debtRows, dataFiles, recall)
+      case _ if debtRows >= policy.maxDebtRows =>
+        compactFor()
+        MaintenanceReport("compacted", s"debt $debtRows >= ${policy.maxDebtRows}", debtRows, dataFiles, recall)
+      case _ if dataFiles >= policy.maxDataFiles =>
+        compactFor()
+        MaintenanceReport("compacted", s"files $dataFiles >= ${policy.maxDataFiles}", debtRows, dataFiles, recall)
+      case _ =>
+        MaintenanceReport("none", "within policy", debtRows, dataFiles, recall)
+    }
+  }
 }

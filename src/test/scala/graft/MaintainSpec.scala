@@ -1,0 +1,103 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import graft.api.{ScaleOps, TextIndex}
+import graft.operators.{Dedup, IndexCache, VectorIndex}
+import graft.sources.IndexAlias
+
+/** The closed maintenance loop: `ScaleOps.maintain` reads the stats
+  * debt/fragmentation numbers (and a sampled recall probe when asked)
+  * and executes the remedy the numbers call for — nothing when within
+  * policy, compact for debt, retrain for geometry drift that
+  * compaction cannot fix.
+  */
+class MaintainSpec extends SparkSpec {
+
+  private val Dim = 64
+
+  private def clustered(seed: Int, nClusters: Int, perCluster: Int,
+                        lo: Double, hi: Double, idBase: Long): DataFrame = {
+    val rnd = new scala.util.Random(seed)
+    val centers = Seq.fill(nClusters)(
+      Array.fill(Dim)((lo + rnd.nextDouble() * (hi - lo)).toFloat))
+    val rows = for {
+      c <- 0 until nClusters
+      i <- 0 until perCluster
+    } yield {
+      val emb = centers(c).map(v => v + (rnd.nextDouble() * 0.1 - 0.05).toFloat)
+      (idBase + c.toLong * perCluster + i, emb, c)
+    }
+    import spark.implicits._
+    rows.toDF("vec_id", "embedding", "label")
+  }
+
+  test("vector: within policy → none; debt past threshold → compacted; drift past recall floor → retrained") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-maintain-vec") + "/vix"
+    val corpusA = clustered(seed = 31, nClusters = 16, perCluster = 32,
+      lo = -1.0, hi = 1.0, idBase = 0L)
+    VectorIndex.buildRotating(spark, corpusA, home)
+
+    val r0 = ScaleOps.maintain(spark, "vector", home)
+    assert(r0.action == "none" && r0.debtRows == 0, r0.toString)
+
+    // push tombstone debt over a tiny threshold → compact fires and
+    // folds the debt
+    VectorIndex.delete(spark, home, (0L to 24L).toSeq)
+    val r1 = ScaleOps.maintain(spark, "vector", home,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 10L))
+    assert(r1.action == "compacted" && r1.debtRows == 25L, r1.toString)
+    assert(ScaleOps.maintain(spark, "vector", home,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 10L)).debtRows == 0L)
+
+    // drift: append a far-off angularly-tight region against the
+    // frozen geometry — PQ recall erodes; maintain with a recall
+    // floor retrains (a new generation lands) and the re-probe clears
+    val corpusB = clustered(seed = 43, nClusters = 16, perCluster = 32,
+      lo = 3.0, hi = 3.4, idBase = 100000L)
+    VectorIndex.append(spark, corpusB, home)
+    // one probe per drifted cluster (its last member: collapsed ADC
+    // codes tie-break by id, so high ids are the ones a stale
+    // codebook actually loses)
+    val rnd = new scala.util.Random(7)
+    val queries = corpusB.filter(col("vec_id") % 32 === 31).collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray.map(v => v + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      (r.getLong(0) + 900000L, emb)
+    }.toSeq.toDF("q_id", "q_emb").localCheckpoint()
+
+    val gen0 = IndexAlias.resolve(spark, home)
+    val policy = ScaleOps.MaintenancePolicy(minRecall = Some(0.85))
+    val r2 = ScaleOps.maintain(spark, "vector", home, policy, Some(queries))
+    assert(r2.action == "retrained", r2.toString)
+    assert(r2.recall.exists(_ < 0.85), s"drifted recall should be low: $r2")
+    assert(IndexAlias.resolve(spark, home) != gen0, "retrain must land a new generation")
+    val r3 = ScaleOps.maintain(spark, "vector", home, policy, Some(queries))
+    assert(r3.action == "none" && r3.recall.exists(_ >= 0.85),
+      s"fresh geometry should clear the floor: $r3")
+  }
+
+  test("text and dedup: debt past threshold compacts; within policy is a no-op") {
+    import spark.implicits._
+    val tHome = IndexCache.tempDir("graft-maintain-text") + "/tix"
+    val docs = (0L to 49L).map(i => (i, s"alpha bravo tok$i words"))
+      .toDF("doc_id", "text").localCheckpoint()
+    TextIndex.rotate(docs, tHome)
+    TextIndex.delete(docs.filter(col("doc_id") < 20), tHome)
+    val rt = ScaleOps.maintain(spark, "text", tHome,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 5L))
+    assert(rt.action == "compacted" && rt.debtRows >= 20L, rt.toString)
+    assert(ScaleOps.maintain(spark, "text", tHome,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 5L)).action == "none")
+    assert(TextIndex.bm25AtRest(spark, tHome, Seq("alpha")).count() == 30)
+
+    val dHome = IndexCache.tempDir("graft-maintain-dedup") + "/dix"
+    Dedup.rotateMinhashIndex(docs.filter(col("doc_id") >= 20), dHome)
+    Dedup.deleteFromMinhashIndex(spark, (20L to 29L).toSeq, dHome)
+    val rd = ScaleOps.maintain(spark, "dedup", dHome,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 5L))
+    assert(rd.action == "compacted" && rd.debtRows == 10L, rd.toString)
+    assert(ScaleOps.maintain(spark, "dedup", dHome,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 5L)).action == "none")
+  }
+}
