@@ -25,11 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object SlopeBench {
 
-  /** The heavy tail named by the round-4 audit. */
+  /** The heavy tail named by the round-4 audit, plus the two
+    * operators round 5 added into the same cost tier.
+    */
   val Heavy: Seq[String] = Seq(
     "q_dup_clusters", "q_dedup_ngram", "q_dedup_minhash",
     "q_dedup_simhash", "q_contamination", "q_cooccur_pmi",
-    "q_boilerplate", "q_bpe_pairs", "q_media_knn", "q_significant_text")
+    "q_boilerplate", "q_bpe_pairs", "q_media_knn", "q_significant_text",
+    "q_dedup_substring", "q_frequent_item_sets")
 
   private val Lower = ('a' to 'z').mkString
   private val Upper = ('A' to 'Z').mkString
