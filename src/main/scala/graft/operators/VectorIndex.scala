@@ -371,7 +371,7 @@ object VectorIndex {
   private def probedClusterFilter(probes: DataFrame): Column = {
     val ids = probes.select(col("cluster_id")).distinct()
       .collect().map(_.getInt(0)).sorted
-    col("cluster_id").isin(ids.map(_.asInstanceOf[Any]): _*)
+    col("cluster_id").isin(scala.collection.immutable.ArraySeq.unsafeWrapArray(ids.map(_.asInstanceOf[Any])): _*)
   }
 
   /** Exact rerank of an id-only (q_id, vec_id) candidate pool against
