@@ -194,6 +194,7 @@ object SparkEntry {
     "q_reverse_nested"  -> (Relational.qReverseNested _),
     "q_moving_percentiles" -> (Relational.qMovingPercentiles _),
     "q_logsumexp"       -> (Relational.qLogSumExp _),
+    "q_geo_polygon"     -> (Geo.qGeoPolygon _),
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
@@ -1329,6 +1330,19 @@ object SparkEntry {
         |  FROM g)
         |SELECT user_id, lat, lon, dist_km FROM d
         |WHERE dist_km <= 3000 ORDER BY dist_km, user_id LIMIT 50""".stripMargin,
+    "q_geo_polygon" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |g AS (SELECT user_id,
+         |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+         |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+         |  FROM u),
+         |c AS (SELECT user_id, lat, lon,
+         |  ${operators.Geo.polygonCrossingsSql(operators.Geo.PolyVerts)} AS crossings
+         |  FROM g)
+         |SELECT user_id, lat, lon FROM c WHERE crossings % 2 = 1
+         |ORDER BY user_id LIMIT 200""".stripMargin,
     "q_extended_stats" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |    round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,

@@ -96,6 +96,56 @@ object Geo {
         round(avg(col("lon")), 6).as("centroid_lon"))
       .orderBy(col("event_type"))
 
+  /** Test polygon for [[qGeoPolygon]]: a concave pentagon in
+    * (lon, lat) space. Vertex latitudes are pairwise distinct so no
+    * edge is horizontal and the ray-cast slope below never divides
+    * by zero.
+    */
+  val PolyVerts: Seq[(Double, Double)] = Seq(
+    (-120.0, -58.0), (60.0, -62.0), (55.0, 58.0), (-30.0, 2.0), (-115.0, 62.0))
+
+  /** Even-odd ray cast (cast east from the point): a point is inside
+    * iff an odd number of polygon edges cross the ray. Unrolled to a
+    * fixed expression tree per edge — pure per-row arithmetic, no
+    * UDF, works on arbitrary simple (incl. concave) polygons.
+    */
+  def pointInPolygon(lon: Column, lat: Column, verts: Seq[(Double, Double)]): Column = {
+    val crossings = verts.indices.map { i =>
+      val (xi, yi) = verts(i)
+      val (xj, yj) = verts((i + 1) % verts.size)
+      when(((lit(yi) > lat) =!= (lit(yj) > lat)) &&
+        (lon < (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi)),
+        1).otherwise(0)
+    }
+    crossings.reduce(_ + _) % 2 === 1
+  }
+
+  /** The SQL mirror of [[pointInPolygon]] over columns `lon`/`lat`:
+    * identical constants, operation order, and even-odd rule, so the
+    * oracle reproduces the boundary arithmetic bit-for-bit.
+    */
+  def polygonCrossingsSql(verts: Seq[(Double, Double)]): String =
+    verts.indices.map { i =>
+      val (xi, yi) = verts(i)
+      val (xj, yj) = verts((i + 1) % verts.size)
+      s"(CASE WHEN (($yi > lat) <> ($yj > lat)) AND " +
+        s"(lon < ($xj - $xi) * (lat - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
+    }.mkString(" + ")
+
+  /** Polygon containment search (Qdrant `geo_polygon` filter
+    * condition / ES `geo_polygon` query): users whose location falls
+    * inside an arbitrary simple polygon. Like the radius filter, the
+    * predicate is a per-row expression over two doubles — scan-level,
+    * no shuffle; a production layout would pre-prune by the polygon's
+    * bounding box on partition min-max before the exact cast.
+    */
+  def qGeoPolygon(spark: SparkSession, sfDir: String): DataFrame =
+    userGeo(spark, sfDir)
+      .filter(pointInPolygon(col("lon"), col("lat"), PolyVerts))
+      .orderBy(col("user_id"))
+      .limit(200)
+      .select(col("user_id"), col("lat"), col("lon"))
+
   /** Distance-ring aggregation (ES `geo_distance` agg): concentric
     * bands around a query point, each with its point count and mean
     * distance. The ring key is a per-row expression over the same
