@@ -189,4 +189,33 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     fs.rename(tmp, live)
     (before, countFiles(live))
   }
+
+  /** Reindex (ES `_reindex`): materialize an optionally filtered and
+    * transformed copy of a source collection (or alias) as a new
+    * collection. `filterJson` is a FilterDsl wire filter (the ES
+    * reindex `query` — malformed wire fails fast, never a silent
+    * match-all); `transform` plays the `script` role as an arbitrary
+    * DataFrame function. Both land in ONE declarative write plan, so
+    * the predicate and any dropped columns push into the source scan
+    * and rows stream scan→write without a driver hop — reindexing
+    * 100 TB is one distributed copy job. With `alias` set the alias
+    * repoints to the destination after the write completes — the
+    * classic zero-downtime mapping-change recipe (reindex + swap);
+    * readers of the alias never observe a partial destination.
+    * Returns the destination row count.
+    */
+  def reindex(source: String, dest: String,
+              filterJson: Option[String] = None,
+              transform: DataFrame => DataFrame = identity,
+              partitionBy: Seq[String] = Nil,
+              alias: Option[String] = None): Long = {
+    require(source != dest, "reindex source and destination must differ")
+    val src = open(source)
+    val filtered = filterJson
+      .map(j => src.filter(graft.api.FilterDsl.fromJson(j).toColumn))
+      .getOrElse(src)
+    create(dest, transform(filtered), partitionBy)
+    alias.foreach(a => setAlias(a, dest))
+    load(dest).count()
+  }
 }

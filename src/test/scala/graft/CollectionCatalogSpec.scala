@@ -148,4 +148,45 @@ class CollectionCatalogSpec extends SparkSpec {
     assert(cat.open("vectors_v2").count() == emb.filter(col("vec_id") % 2 === 0).count())
     assert(cat.dropAlias("vectors") && cat.listAliases().isEmpty)
   }
+
+  test("reindex: filtered + transformed copy with zero-downtime alias swap") {
+    import org.apache.spark.sql.functions._
+    val root = Files.createTempDirectory("graft-catalog-reindex").toString
+    val cat = CollectionCatalog(spark, root)
+    val docs = Tables.documents(spark, sfDir)
+    cat.create("docs_v1", docs)
+    cat.setAlias("docs", "docs_v1")
+
+    // plain copy: row-for-row identical
+    assert(cat.reindex("docs_v1", "copy") == docs.count())
+    assert(cat.load("copy").schema == cat.load("docs_v1").schema)
+
+    // filter (wire JSON) + transform (the ES `script` role) through
+    // the ALIAS as source, landing as the next generation + swap
+    val n = cat.reindex(
+      source = "docs", dest = "docs_v2",
+      filterJson = Some("""{ "must": [ {"key": "lang", "match": {"value": "en"}} ] }"""),
+      transform = _.withColumn("n_tokens", size(split(col("text"), " ")))
+        .drop("text"),
+      alias = Some("docs"))
+    val expected = docs.filter(col("lang") === "en")
+    assert(n == expected.count())
+    assert(cat.resolveAlias("docs").contains("docs_v2"))
+    val served = cat.open("docs")
+    assert(served.columns.contains("n_tokens") && !served.columns.contains("text"))
+    assert(served.filter(col("lang") =!= "en").count() == 0)
+    // transform computed correctly, not just schema-present
+    val probe = docs.filter(col("lang") === "en")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("want"))
+    assert(served.select(col("doc_id"), col("n_tokens"))
+      .join(probe, "doc_id")
+      .filter(col("n_tokens") =!= col("want")).count() == 0)
+
+    // malformed wire filter fails fast and leaves no destination
+    intercept[RuntimeException] {
+      cat.reindex("docs_v1", "bad", filterJson = Some("""{"must": [{"key": "lang"}]}"""))
+    }
+    assert(!cat.exists("bad"))
+    intercept[IllegalArgumentException] { cat.reindex("docs_v1", "docs_v1") }
+  }
 }
