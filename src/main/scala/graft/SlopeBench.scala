@@ -58,6 +58,46 @@ object SlopeBench {
       .write.mode("overwrite").parquet(s"$outDir/documents.parquet")
   }
 
+  /** Replicates the base embeddings table `factor`× into
+    * `outDir/embeddings.parquet` (skipped if already present):
+    * vec_id offset per replica, and a small per-replica component
+    * shift so cross-replica vectors are distinct — index geometry
+    * (cluster balance, code distribution) stays organic rather than
+    * every centroid gaining factor-1 coincident points.
+    */
+  def buildScaledEmbeddings(spark: SparkSession, baseDir: String,
+      outDir: String, factor: Int): Unit = {
+    val marker = new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS")
+    if (marker.exists()) return
+    val e = Tables.embeddings(spark, baseDir)
+    val replicas = (0 until factor).map { r =>
+      e.select(
+        (col("vec_id") + lit(r.toLong * 100000000L)).as("vec_id"),
+        transform(col("embedding"),
+          x => (x + lit(r * 0.001f)).cast("float")).as("embedding"),
+        col("label"))
+    }
+    replicas.reduce(_.unionByName(_))
+      .repartition(32)
+      .write.mode("overwrite").parquet(s"$outDir/embeddings.parquet")
+  }
+
+  /** The standing-index BUILD paths (the ingest side of the slope
+    * story): name -> build action against a corpus dir, writing to a
+    * throwaway path. Query slopes alone would miss a super-linear
+    * ingest (e.g. a train step that re-reads the corpus per subspace).
+    */
+  def builds(spark: SparkSession): Seq[(String, String => Unit)] = Seq(
+    "vector_index_build" -> { dir: String =>
+      operators.VectorIndex.buildFrom(spark, Tables.embeddings(spark, dir),
+        s"target/slope/bench-vidx"); () },
+    "text_index_build" -> { dir: String =>
+      api.TextIndex.write(Tables.documents(spark, dir),
+        s"target/slope/bench-tidx", "doc_id", "text"); () },
+    "minhash_index_build" -> { dir: String =>
+      operators.Dedup.writeMinhashIndex(Tables.documents(spark, dir),
+        s"target/slope/bench-midx"); () })
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -71,6 +111,7 @@ object SlopeBench {
     spark.sparkContext.setLogLevel("WARN")
 
     buildScaled(spark, baseDir, scaledDir, factor)
+    buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
 
     val qs = Heavy.map(n => n -> SparkEntry.queries(n))
     def time(dir: String, name: String): Double = {
@@ -87,13 +128,30 @@ object SlopeBench {
     val big = { val a = pass(scaledDir); val b = pass(scaledDir)
       Heavy.map(n => n -> math.min(a(n), b(n))).toMap }
 
+    // index-build slope: one timed pass per scale after a JVM/IO
+    // warm-up build at base (builds are minutes-scale at 10×; the
+    // warm-up removes the one-off classload/codegen cost the queries'
+    // min-of-two would have shielded)
+    val bs = builds(spark)
+    bs.foreach { case (_, run) => run(baseDir) }
+    def timeBuild(run: String => Unit, dir: String): Double = {
+      val t0 = System.nanoTime(); run(dir); (System.nanoTime() - t0) / 1e9
+    }
+    val buildBase = bs.map { case (n, run) => n -> timeBuild(run, baseDir) }.toMap
+    val buildBig = bs.map { case (n, run) => n -> timeBuild(run, scaledDir) }.toMap
+
     def jstr(s: String) = "\"" + s + "\""
     val lines = Heavy.map { n =>
       val ratio = big(n) / math.max(base(n), 1e-9)
       f"""${jstr(n)}:{"base_s":${base(n)}%.3f,"scaled_s":${big(n)}%.3f,"ratio":$ratio%.2f}"""
     }
+    val buildLines = bs.map { case (n, _) =>
+      val ratio = buildBig(n) / math.max(buildBase(n), 1e-9)
+      f"""${jstr(n)}:{"base_s":${buildBase(n)}%.3f,"scaled_s":${buildBig(n)}%.3f,"ratio":$ratio%.2f}"""
+    }
     val json = s"""{"metric":"slope","factor":$factor,"base":"$baseDir",""" +
-      s""""scaled":"$scaledDir","queries":{${lines.mkString(",")}}}"""
+      s""""scaled":"$scaledDir","queries":{${lines.mkString(",")}},""" +
+      s""""builds":{${buildLines.mkString(",")}}}"""
     println(json)
     val out = new java.io.File(s"target/slope_x$factor.json")
     out.getParentFile.mkdirs()
