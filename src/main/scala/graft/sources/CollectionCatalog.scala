@@ -56,6 +56,19 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
   /** Drop a collection (removes the directory). */
   def drop(name: String): Boolean = fs.delete(dir(name), true)
 
+  /** Rename a collection (Chroma `modify_collection` name change):
+    * one filesystem rename — no data movement — refusing to clobber
+    * an existing destination. Aliases keep their targets by NAME, so
+    * an alias pointing at the old name must be repointed by the
+    * caller (same contract as ES, where aliases survive reindex, not
+    * rename).
+    */
+  def rename(from: String, to: String): Unit = {
+    require(exists(from), s"no such collection: $from")
+    require(!exists(to), s"rename target already exists: $to")
+    require(fs.rename(dir(from), dir(to)), s"rename failed: $from -> $to")
+  }
+
   // ---------------------------------------------------------------
   // Aliases (Qdrant update_aliases / ES index aliases) — the
   // zero-downtime reindex primitive: clients address the ALIAS, a

@@ -26,6 +26,14 @@ class CollectionCatalogSpec extends SparkSpec {
 
     assert(cat.drop("docs"))
     assert(cat.list() == Seq("vectors"))
+
+    // rename: pure filesystem move, no data rewrite, no clobber
+    cat.rename("vectors", "vectors2")
+    assert(cat.list() == Seq("vectors2"))
+    assert(cat.load("vectors2").count() == emb.count())
+    intercept[IllegalArgumentException] { cat.rename("nope", "x") }
+    cat.create("other", emb.limit(1))
+    intercept[IllegalArgumentException] { cat.rename("vectors2", "other") }
   }
 
   test("snapshot and restore round-trip a mutated collection") {
