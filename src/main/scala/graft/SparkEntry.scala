@@ -195,6 +195,7 @@ object SparkEntry {
     "q_moving_percentiles" -> (Relational.qMovingPercentiles _),
     "q_logsumexp"       -> (Relational.qLogSumExp _),
     "q_geo_polygon"     -> (Geo.qGeoPolygon _),
+    "q_analyze"         -> (FullText.qAnalyze _),
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
@@ -1343,6 +1344,12 @@ object SparkEntry {
          |  FROM g)
          |SELECT user_id, lat, lon FROM c WHERE crossings % 2 = 1
          |ORDER BY user_id LIMIT 200""".stripMargin,
+    "q_analyze" ->
+      """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id = 42),
+        |p AS (SELECT toks, CAST(unnest(range(len(toks))) AS BIGINT) AS pos0 FROM t)
+        |SELECT pos0 + 1 AS pos, toks[CAST(pos0 + 1 AS INT)] AS token,
+        |  CAST(length(toks[CAST(pos0 + 1 AS INT)]) AS BIGINT) AS token_len
+        |FROM p ORDER BY pos""".stripMargin,
     "q_extended_stats" ->
       """WITH s AS (SELECT event_type, count(*) AS n,
         |    round(min(value), 6) AS min_v, round(max(value), 6) AS max_v,

@@ -363,6 +363,22 @@ object FullText {
       .limit(10)
   }
 
+  /** ES `_analyze`: the tokenizer-debug endpoint — run one document's
+    * text through EXACTLY the analysis chain the text index applies
+    * (whitespace split; the synthetic corpus is pre-normalized) and
+    * return each token with its position. Per-row expression work on
+    * a single-row scan: the doc_id predicate pushes into the parquet
+    * scan, so the query reads one row group regardless of corpus
+    * size.
+    */
+  def qAnalyze(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .filter(col("doc_id") === 42)
+      .select(posexplode(split(col("text"), " ")))
+      .select((col("pos").cast("long") + 1).as("pos"), col("col").as("token"))
+      .withColumn("token_len", length(col("token")).cast("long"))
+      .orderBy(col("pos"))
+
   /** Regexp query (ES `regexp`/`wildcard`): docs whose tokens match
     * a pattern, with match counts. The token scan, filter, and counts
     * are one per-row higher-order expression — no explode, no
