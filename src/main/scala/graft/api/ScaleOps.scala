@@ -166,8 +166,12 @@ object ScaleOps {
     val st = graft.sources.IndexStats.rollup(spark, Seq(kind -> home)).collect()
     val debtRows = st.map(r =>
       if (r.isNullAt(r.fieldIndex("debt_rows"))) 0L else r.getAs[Long]("debt_rows")).sum
-    val debtTables = Set("tombstones", "payload")
-    val dataFiles = st.filterNot(r => debtTables(r.getAs[String]("table")))
+    // a table is debt iff it reports debt_rows — the stats schema
+    // already carries the distinction, so don't re-derive it from
+    // table names (the text index's delta tables are debt too, and a
+    // name list silently misclassifies them into the fragmentation
+    // count)
+    val dataFiles = st.filter(r => r.isNullAt(r.fieldIndex("debt_rows")))
       .map(_.getAs[Long]("files")).sum
 
     val recall: Option[Double] = (kind, policy.minRecall, recallQueries) match {

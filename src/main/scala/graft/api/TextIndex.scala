@@ -286,7 +286,9 @@ object TextIndex {
     */
   def append(docs: DataFrame, path: String,
              idCol: String = "doc_id", textCol: String = "text"): Unit =
-    writeBatch(docs, path, idCol, textCol, "append")
+    graft.sources.WriterLease.exclusive(docs.sparkSession, path) {
+      writeBatch(docs, path, idCol, textCol, "append")
+    }
 
   /** Zero-downtime rebuild of a ROTATING text index (see
     * [[graft.sources.IndexAlias]]): re-index `docs` into the next
@@ -298,10 +300,12 @@ object TextIndex {
   def rotate(docs: DataFrame, home: String,
              idCol: String = "doc_id", textCol: String = "text"): String = {
     val spark = docs.sparkSession
-    val next = graft.sources.IndexAlias.nextGenerationPath(spark, home)
-    write(docs, next, idCol, textCol)
-    graft.sources.IndexAlias.set(spark, home, next)
-    next
+    graft.sources.WriterLease.exclusive(spark, home) {
+      val next = graft.sources.IndexAlias.nextGenerationPath(spark, home)
+      write(docs, next, idCol, textCol)
+      graft.sources.IndexAlias.set(spark, home, next)
+      next
+    }
   }
 
   private def writeBatch(docs: DataFrame, rawPath: String,
@@ -358,11 +362,12 @@ object TextIndex {
   def delete(docs: DataFrame, rawPath: String,
              idCol: String = "doc_id", textCol: String = "text"): Unit = {
     val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
-    // the replay-safety anti-join is check-then-act: serialize
-    // same-JVM deleters so two concurrent deletes of one id can't
-    // both pass the tombstone check and double-subtract the deltas
-    // (see MutationLock / the README contract table)
-    graft.sources.MutationLock.of(path).synchronized {
+    // the replay-safety anti-join is check-then-act: same-JVM
+    // deleters serialize, and a second process is fenced by the
+    // writer lease — two concurrent deletes of one id must not both
+    // pass the tombstone check and double-subtract the deltas
+    // (see WriterLease / the README contract table)
+    graft.sources.WriterLease.exclusive(docs.sparkSession, rawPath) {
       val fresh = tombstones(docs.sparkSession, path, idCol)
         .fold(docs)(t => docs.join(broadcast(t), Seq(idCol), "left_anti"))
       val post = tokenized(fresh, idCol, textCol).localCheckpoint()
@@ -395,7 +400,8 @@ object TextIndex {
     * per table, like the vector index's compaction.
     */
   def compact(spark: org.apache.spark.sql.SparkSession, rawPath: String,
-              idCol: String = "doc_id"): Unit = {
+              idCol: String = "doc_id"): Unit =
+   graft.sources.WriterLease.exclusive(spark, rawPath) {
     import org.apache.hadoop.fs.Path
     val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -369,23 +369,26 @@ object Dedup {
     */
   def rotateMinhashIndex(docs: DataFrame, home: String): String = {
     val spark = docs.sparkSession
-    val next = graft.sources.IndexAlias.nextGenerationPath(spark, home)
-    writeMinhashIndex(docs, next)
-    graft.sources.IndexAlias.set(spark, home, next)
-    next
+    graft.sources.WriterLease.exclusive(spark, home) {
+      val next = graft.sources.IndexAlias.nextGenerationPath(spark, home)
+      writeMinhashIndex(docs, next)
+      graft.sources.IndexAlias.set(spark, home, next)
+      next
+    }
   }
 
   /** Fold a new batch into the at-rest index: batch-sized appends
     * into the existing partition layout; nothing standing is read or
     * rewritten.
     */
-  def appendToMinhashIndex(docs: DataFrame, rawPath: String): Unit = {
-    val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
-    val triH = hashedShingles(docs).localCheckpoint()
-    bandPostings(triH).write.mode("append")
-      .partitionBy("band_id").parquet(s"$path/postings")
-    triH.write.mode("append").parquet(s"$path/shingles")
-  }
+  def appendToMinhashIndex(docs: DataFrame, rawPath: String): Unit =
+    graft.sources.WriterLease.exclusive(docs.sparkSession, rawPath) {
+      val path = graft.sources.IndexAlias.resolve(docs.sparkSession, rawPath)
+      val triH = hashedShingles(docs).localCheckpoint()
+      bandPostings(triH).write.mode("append")
+        .partitionBy("band_id").parquet(s"$path/postings")
+      triH.write.mode("append").parquet(s"$path/shingles")
+    }
 
   /** Retract documents from the at-rest dedup index — the takedown /
     * retention-compliance path of a training corpus (a removed doc
@@ -407,11 +410,12 @@ object Dedup {
     * by id, so a duplicate tombstone row changes nothing); the
     * distinct keeps replayed batches from growing the set.
     */
-  def deleteFromMinhashIndex(ids: DataFrame, rawPath: String): Unit = {
-    val path = graft.sources.IndexAlias.resolve(ids.sparkSession, rawPath)
-    ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
-      .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
-  }
+  def deleteFromMinhashIndex(ids: DataFrame, rawPath: String): Unit =
+    graft.sources.WriterLease.exclusive(ids.sparkSession, rawPath) {
+      val path = graft.sources.IndexAlias.resolve(ids.sparkSession, rawPath)
+      ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
+        .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+    }
 
   private val indexTombstonesSchema =
     org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")
@@ -428,7 +432,8 @@ object Dedup {
     * drop retracted docs via write-aside + atomic rename, then the
     * tombstone set clears.
     */
-  def compactMinhashIndex(spark: SparkSession, rawPath: String): Unit = {
+  def compactMinhashIndex(spark: SparkSession, rawPath: String): Unit =
+   graft.sources.WriterLease.exclusive(spark, rawPath) {
     import org.apache.hadoop.fs.Path
     val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)

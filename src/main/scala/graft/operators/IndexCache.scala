@@ -24,13 +24,25 @@ private[graft] object IndexCache {
   private val cache =
     new java.util.concurrent.ConcurrentHashMap[String, DataFrame]()
 
-  /** Persistent-RDD ids belonging to cached standing frames (the
-    * blocks [[releaseTransients]] must never drop: a localCheckpoint
-    * has no lineage, so unpersisting one that is still referenced
-    * loses it irrecoverably).
+  /** Persistent-RDD ids pinned per cached standing frame (the blocks
+    * [[releaseTransients]] must never drop: a localCheckpoint has no
+    * lineage, so unpersisting one that is still referenced loses it
+    * irrecoverably). Kept per KEY so [[dropMatching]] can un-pin what
+    * it evicts — a single flat set would accumulate stale pins for
+    * the life of the process and keep invalidated generations' blocks
+    * from ever being released here.
     */
-  private val pinnedIds =
-    java.util.concurrent.ConcurrentHashMap.newKeySet[Int]()
+  private val keyPins =
+    new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]()
+
+  /** Builds (pin registration) take the read side — they may run
+    * concurrently with each other; [[releaseTransients]] and
+    * [[dropMatching]] take the write side, so neither can observe a
+    * build between its localCheckpoint and its pin registration (the
+    * window in which the fresh standing frame looks transient and
+    * would be dropped irrecoverably).
+    */
+  private val pinLock = new java.util.concurrent.locks.ReentrantReadWriteLock()
 
   /** Stable unique id for a session (classic sessions expose their
     * sessionUUID; any other implementation falls back to identity,
@@ -58,18 +70,23 @@ private[graft] object IndexCache {
   }
 
   def materialized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
-    cache.computeIfAbsent(sessionKey(spark) + "#" + key, { _ =>
+    cache.computeIfAbsent(sessionKey(spark) + "#" + key, { fullKey =>
       // pin every persistent RDD the build creates (the checkpointed
       // frame itself plus any nested standing artifacts), by diffing
       // the context's persistent-RDD set around the build — the only
       // id set that is exact across Spark versions. Over-pinning a
       // concurrent session's transient is safe (it merely waits for
-      // the ContextCleaner); under-pinning would break serving.
-      val before = spark.sparkContext.getPersistentRDDs.keySet
-      val df = build.localCheckpoint()
-      spark.sparkContext.getPersistentRDDs.keySet
-        .diff(before).foreach(pinnedIds.add(_))
-      df
+      // the ContextCleaner); under-pinning would break serving. The
+      // read lock holds releaseTransients/dropMatching out of the
+      // whole diff window.
+      pinLock.readLock().lock()
+      try {
+        val before = spark.sparkContext.getPersistentRDDs.keySet
+        val df = build.localCheckpoint()
+        keyPins.put(fullKey,
+          spark.sparkContext.getPersistentRDDs.keySet.diff(before).toSet)
+        df
+      } finally pinLock.readLock().unlock()
     })
 
   /** Release every persistent RDD that is NOT a pinned standing
@@ -81,23 +98,50 @@ private[graft] object IndexCache {
     * eviction sets in (measured: pass-2 of the 180-query bench ran
     * 1.6× pass-1, at-rest IVF reads 18×, before this hook). Call it
     * AFTER the request's frames are fully consumed — a transient
-    * checkpoint still in use has no lineage to recompute from.
+    * checkpoint still in use has no lineage to recompute from; for
+    * the same reason requests must be serialized around the call (it
+    * drops EVERY unpinned block, including another in-flight
+    * request's). Builds registering pins are safe concurrently — the
+    * write lock waits for any in-flight [[materialized]] diff window.
     * Returns the number of RDDs released.
     */
   def releaseTransients(spark: SparkSession): Int = {
-    var n = 0
-    spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-      if (!pinnedIds.contains(id)) { rdd.unpersist(blocking = false); n += 1 }
-    }
-    n
+    pinLock.writeLock().lock()
+    try {
+      var n = 0
+      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
+        if (!keyPins.values().stream().anyMatch(_.contains(id))) {
+          rdd.unpersist(blocking = false); n += 1
+        }
+      }
+      n
+    } finally pinLock.writeLock().unlock()
   }
 
   /** Drop every cached frame (any session) whose key contains
     * `marker` — the invalidation hook for mutable at-rest layouts: a
     * write that changes what a read should see evicts the path's
-    * materialized serving views, and the ContextCleaner reclaims the
-    * unreferenced checkpointed RDDs.
+    * materialized serving views, un-pins their RDD ids (so the next
+    * [[releaseTransients]] can reclaim the blocks), and the
+    * ContextCleaner reclaims whatever is left unreferenced.
     */
-  private[graft] def dropMatching(marker: String): Unit =
-    cache.keySet.removeIf(_.contains(marker))
+  private[graft] def dropMatching(marker: String): Unit = {
+    // a mutation issued from INSIDE a materialized build (this thread
+    // already holds the read lock) must not try to upgrade to the
+    // write lock — that self-deadlocks. The maps are concurrent, and
+    // this thread's own read hold already fences releaseTransients.
+    val building = pinLock.getReadHoldCount > 0
+    if (!building) pinLock.writeLock().lock()
+    try {
+      cache.keySet.removeIf(_.contains(marker))
+      keyPins.keySet.removeIf(_.contains(marker))
+    } finally if (!building) pinLock.writeLock().unlock()
+  }
+
+  /** Test hook: ids currently pinned (union across cached frames). */
+  private[graft] def pinnedIdsSnapshot(): Set[Int] = {
+    val b = Set.newBuilder[Int]
+    keyPins.values().forEach(s => b ++= s)
+    b.result()
+  }
 }

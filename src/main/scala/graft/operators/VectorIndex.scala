@@ -138,28 +138,30 @@ object VectorIndex {
     * [[graft.api.ScaleOps.recallAtK]] in production. Returns the
     * new generation's path.
     */
-  def retrain(spark: SparkSession, home: String): String = {
-    val cur = IndexAlias.resolve(spark, home)
-    require(cur != home,
-      s"retrain needs a rotating index (see buildRotating): $home")
-    val live = vectors(spark, cur, primaryOnly = true)
-      .select(col("vec_id"), col("embedding"), col("label"))
-    val next = IndexAlias.nextGenerationPath(spark, home)
-    buildFrom(spark, live, next)
-    IndexAlias.set(spark, home, next)
-    next
-  }
+  def retrain(spark: SparkSession, home: String): String =
+    graft.sources.WriterLease.exclusive(spark, home) {
+      val cur = IndexAlias.resolve(spark, home)
+      require(cur != home,
+        s"retrain needs a rotating index (see buildRotating): $home")
+      val live = vectors(spark, cur, primaryOnly = true)
+        .select(col("vec_id"), col("embedding"), col("label"))
+      val next = IndexAlias.nextGenerationPath(spark, home)
+      buildFrom(spark, live, next)
+      IndexAlias.set(spark, home, next)
+      next
+    }
 
   /** Fold a new (vec_id, embedding, label) batch into the standing
     * index: encode against the PERSISTED geometry (no retrain — the
     * ingest-while-serving path of Milvus/Qdrant) and append
     * batch-sized files into the partition layout.
     */
-  def append(spark: SparkSession, batch: DataFrame, path: String): Unit = {
-    val p = IndexAlias.resolve(spark, path)
-    encodeAndWrite(batch, readMeta(spark, p), p, "append")
-    mutated(p)
-  }
+  def append(spark: SparkSession, batch: DataFrame, path: String): Unit =
+    graft.sources.WriterLease.exclusive(spark, path) {
+      val p = IndexAlias.resolve(spark, path)
+      encodeAndWrite(batch, readMeta(spark, p), p, "append")
+      mutated(p)
+    }
 
   /** One corpus pass computing every encoded representation — all
     * pure per-row codegen'd expressions, no shuffle (the partitioned
@@ -287,10 +289,11 @@ object VectorIndex {
   def setPayload(spark: SparkSession, path: String, updates: DataFrame,
                  ordCol: Option[String] = None): Unit = {
     val live = IndexAlias.resolve(spark, path)
-    // seq assignment is check-then-act: serialize same-JVM writers so
-    // concurrent batches get DISTINCT stamps and latest-wins stays
-    // deterministic (see MutationLock / the README contract table)
-    graft.sources.MutationLock.of(live).synchronized {
+    // seq assignment is check-then-act: same-JVM writers serialize,
+    // and a SECOND PROCESS is fenced by the writer lease — without
+    // it, two drivers would read the same max seq and double-stamp
+    // (see WriterLease / the README contract table)
+    graft.sources.WriterLease.exclusive(spark, path) {
       val nextSeq = payloadDeltas(spark, live).fold(0L) { p =>
         p.agg(coalesce(max(col("seq")), lit(0L))).collect()(0).getLong(0) + 1L
       }
@@ -331,13 +334,14 @@ object VectorIndex {
     * model); [[compact]] applies tombstones physically and clears
     * them.
     */
-  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit = {
-    import spark.implicits._
-    val live = IndexAlias.resolve(spark, path)
-    ids.toDF("vec_id").coalesce(1)
-      .write.mode("append").parquet(s"$live/tombstones")
-    mutated(live)
-  }
+  def delete(spark: SparkSession, path: String, ids: Seq[Long]): Unit =
+    graft.sources.WriterLease.exclusive(spark, path) {
+      import spark.implicits._
+      val live = IndexAlias.resolve(spark, path)
+      ids.toDF("vec_id").coalesce(1)
+        .write.mode("append").parquet(s"$live/tombstones")
+      mutated(live)
+    }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
     val p = new org.apache.hadoop.fs.Path(s"$path/tombstones")
@@ -585,7 +589,8 @@ object VectorIndex {
     * counts (before, after).
     */
   def compact(spark: SparkSession, rawPath: String,
-              targetFileBytes: Long = 128L << 20): (Long, Long) = {
+              targetFileBytes: Long = 128L << 20): (Long, Long) =
+   graft.sources.WriterLease.exclusive(spark, rawPath) {
     import org.apache.hadoop.fs.Path
     val path = IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -625,7 +630,7 @@ object VectorIndex {
     mutated(path)
     (before,
       countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh")))
-  }
+   }
 
   /** Index health — see [[graft.sources.IndexStats]]: files/bytes per
     * layout table, generation count, pending tombstone/payload-delta

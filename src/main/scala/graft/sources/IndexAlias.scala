@@ -35,30 +35,47 @@ private[graft] object VersionedPointer {
 
   // Serializes same-JVM writers per pointer (in local / driver-side
   // mutation — the common case — every writer shares this JVM). The
-  // cross-process guard is the rename-CAS below.
-  private val jvmLocks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  // cross-process guard is the rename-CAS below. Striped rather than
+  // per-path so a session touching many pointers never grows an
+  // unbounded lock map (colliding paths merely over-serialize).
+  private val LockStripes = 1024
+  private val jvmLocks = Array.fill(LockStripes)(new Object)
 
   /** Atomically repoint to `content`, safe under concurrent writers.
     * Same-JVM writers serialize on a per-pointer lock. Cross-process,
     * the CAS is rename-of-a-fresh-name: on HDFS-like stores the loser
     * of a same-version race gets `rename == false` and retries at the
     * next version. POSIX-backed local filesystems overwrite on rename
-    * instead of failing, so the winner is additionally confirmed by
-    * reading the installed version back — a writer whose bytes were
-    * clobbered retries too. (On S3-class stores without atomic
-    * rename, the read-back is the only cross-process guard;
-    * same-version writes are last-write-wins there.) Old versions are
+    * instead of failing; the read-back narrows but does NOT close the
+    * window (a second process can overwrite the same version after
+    * the first's read-back — both report success and the earlier
+    * bytes are silently lost), so on POSIX and S3-class stores a
+    * same-version CROSS-PROCESS race is last-write-wins. That is
+    * acceptable for the pointer's users — the single-maintenance-
+    * owner contract plus [[WriterLease]] fencing keep two live
+    * writer processes off one pointer in the first place; this CAS
+    * is the same-process and HDFS-grade guard. Old versions are
     * pruned AFTER the new one is live, and only versions below the
     * installed one, so a concurrent reader always resolves a complete
     * value — never nothing.
     */
   def write(fs: FileSystem, dir: Path, content: String): Unit = {
-    val lock = jvmLocks.computeIfAbsent(
-      Path.getPathWithoutSchemeAndAuthority(dir).toString, _ => new Object)
+    writeReturningVersion(fs, dir, content); ()
+  }
+
+  /** [[write]], returning the installed version number — monotonic
+    * per pointer, which is what makes it usable as a FENCING token
+    * (see [[WriterLease]]): a later writer always installs a higher
+    * version, so "is my version still the highest" detects loss of
+    * ownership.
+    */
+  def writeReturningVersion(fs: FileSystem, dir: Path, content: String): Long = {
+    val key = Path.getPathWithoutSchemeAndAuthority(dir).toString
+    val lock = jvmLocks(math.floorMod(key.hashCode, LockStripes))
     lock.synchronized(writeLocked(fs, dir, content))
   }
 
-  private def writeLocked(fs: FileSystem, dir: Path, content: String): Unit = {
+  private def writeLocked(fs: FileSystem, dir: Path, content: String): Long = {
     fs.mkdirs(dir)
     val bytes = content.getBytes("UTF-8")
     var installed = -1L
@@ -78,6 +95,30 @@ private[graft] object VersionedPointer {
     }
     versions(fs, dir).filter(_ < installed)
       .foreach(v => fs.delete(new Path(dir, versionName(v)), false))
+    installed
+  }
+
+  /** Current (version, value), if any version exists — the versioned
+    * read [[WriterLease]] fences on. Same retry discipline as
+    * [[read]].
+    */
+  def readVersioned(fs: FileSystem, dir: Path): Option[(Long, String)] = {
+    var attempt = 0
+    var emptySeen = 0
+    while (attempt < 64) {
+      attempt += 1
+      versions(fs, dir).lastOption match {
+        case None =>
+          emptySeen += 1
+          if (!fs.exists(dir) || emptySeen >= 8) return None
+          if (emptySeen >= 3) Thread.sleep(1L)
+        case Some(v) => readVersion(fs, dir, v) match {
+          case Some(c) => return Some(v -> c)
+          case None    => // superseded mid-read; retry against the new max
+        }
+      }
+    }
+    sys.error(s"versioned pointer at $dir: unreadable after $attempt attempts")
   }
 
   /** Current value, if any version exists (highest wins). A version
@@ -92,24 +133,8 @@ private[graft] object VersionedPointer {
     * transient; only a directory that stays empty across retries (or
     * never existed) is a genuine "no value".
     */
-  def read(fs: FileSystem, dir: Path): Option[String] = {
-    var attempt = 0
-    var emptySeen = 0
-    while (attempt < 64) {
-      attempt += 1
-      versions(fs, dir).lastOption match {
-        case None =>
-          emptySeen += 1
-          if (!fs.exists(dir) || emptySeen >= 8) return None
-          if (emptySeen >= 3) Thread.sleep(1L)
-        case Some(v) => readVersion(fs, dir, v) match {
-          case some @ Some(_) => return some
-          case None           => // superseded mid-read; retry against the new max
-        }
-      }
-    }
-    sys.error(s"versioned pointer at $dir: unreadable after $attempt attempts")
-  }
+  def read(fs: FileSystem, dir: Path): Option[String] =
+    readVersioned(fs, dir).map(_._2)
 }
 
 /** Alias indirection for the STANDING indexes (vector, text,
@@ -156,13 +181,26 @@ object IndexAlias {
     */
   private val resolveCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cache-size bound: a session resolving an unbounded stream of
+    * distinct paths (catalog sweeps over many indexes) must not grow
+    * the map forever. Crossing the bound drops the whole map — crude,
+    * but a re-resolution is one listing + one small read, and the
+    * working set of any real deployment is far below the bound.
+    */
+  private val ResolveCacheMax = 8192
+
   /** The concrete index path `pathOrHome` serves from: the live
     * generation if it is an alias home, itself otherwise.
     */
-  def resolve(spark: SparkSession, pathOrHome: String): String =
+  def resolve(spark: SparkSession, pathOrHome: String): String = {
+    if (resolveCache.size > ResolveCacheMax) resolveCache.clear()
     resolveCache.computeIfAbsent(new Path(pathOrHome).toString, p =>
       VersionedPointer.read(fsOf(spark, p), ptrDir(p))
         .fold(p)(g => new Path(p, g).toString))
+  }
+
+  /** Test hook: current resolve-cache size (bounded). */
+  private[graft] def resolveCacheSize: Int = resolveCache.size
 
   /** Drop the cached resolution for `pathOrHome` (needed only after
     * an out-of-process alias swap).

@@ -57,18 +57,32 @@ object IndexStats {
     } catch { case _: Exception => None }
 
   /** (files, bytes) under `dir`, data files only (dot-files and the
-    * pointer dir are bookkeeping, not index payload).
+    * pointer dir are bookkeeping, not index payload). A file counts
+    * only if NO path component between it and `dir` is hidden —
+    * filtering on the leaf name alone would count part-files inside a
+    * live `_temporary` tree when stats runs concurrently with an
+    * in-flight write, inflating files/bytes with data that is not yet
+    * (and may never be) committed.
     */
   private def du(fs: FileSystem, dir: Path): (Long, Long) = {
     if (!fs.exists(dir)) return (0L, 0L)
+    val base = fs.makeQualified(dir).toUri.getPath
+    def hiddenUnderBase(p: Path): Boolean = {
+      var cur = p
+      while (cur != null && cur.toUri.getPath != base &&
+          cur.toUri.getPath.length > base.length) {
+        val n = cur.getName
+        if (n.startsWith(".") || n.startsWith("_")) return true
+        cur = cur.getParent
+      }
+      false
+    }
     var files = 0L
     var bytes = 0L
     val it = fs.listFiles(dir, true)
     while (it.hasNext) {
       val f = it.next()
-      if (!f.getPath.getName.startsWith(".") && !f.getPath.getName.startsWith("_")) {
-        files += 1; bytes += f.getLen
-      }
+      if (!hiddenUnderBase(f.getPath)) { files += 1; bytes += f.getLen }
     }
     (files, bytes)
   }

@@ -11,16 +11,25 @@ import org.apache.hadoop.fs.Path
   * [[graft.api.TextIndex.delete]] anti-joins already-tombstoned ids
   * before emitting negative deltas — and a concurrent pair would
   * observe the same prior state (duplicate seq stamp / double
-  * subtraction). Same-JVM writers serialize here; all mutation runs
-  * on the driver in this deployment model (the cross-process story is
-  * a single maintenance owner per index — the contract table in
-  * README.md). The same pattern [[VersionedPointer]] uses for alias
-  * swaps.
+  * subtraction). Same-JVM writers serialize here; cross-process
+  * writers are fenced by [[WriterLease]] (see the README contract
+  * table).
+  *
+  * Locks are STRIPED, not per-path: a long-lived session touching
+  * millions of index paths must not grow a map of lock objects
+  * without bound, and evicting a per-path lock that a thread holds
+  * would silently break mutual exclusion. Two paths hashing to the
+  * same stripe merely over-serialize — correctness is unaffected.
   */
 private[graft] object MutationLock {
-  private val locks = new java.util.concurrent.ConcurrentHashMap[String, Object]()
+  private val Stripes = 1024
+  private val locks = Array.fill(Stripes)(new Object)
 
-  def of(path: String): Object =
-    locks.computeIfAbsent(
-      Path.getPathWithoutSchemeAndAuthority(new Path(path)).toString, _ => new Object)
+  def of(path: String): Object = {
+    val key = Path.getPathWithoutSchemeAndAuthority(new Path(path)).toString
+    locks(math.floorMod(key.hashCode, Stripes))
+  }
+
+  /** Test hook: the lock table is bounded by construction. */
+  private[graft] def lockCount: Int = Stripes
 }

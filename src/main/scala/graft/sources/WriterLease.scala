@@ -1,0 +1,195 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Cross-process writer fencing for the standing indexes.
+  *
+  * Same-JVM mutation is serialized by [[MutationLock]]; this closes
+  * the class it cannot see: a SECOND DRIVER PROCESS sharing an index
+  * home. Without it, two processes can double-stamp a `setPayload`
+  * sequence or interleave a compact with an append and neither ever
+  * learns (the reference backends all have an answer here — ES
+  * sequence numbers + primary terms, Qdrant's ordering guarantees).
+  * graft's answer is a LEASE on the [[VersionedPointer]] primitive:
+  *
+  *  - a writer process takes the lease before mutating (`held
+  *    <owner> <expiresAt>` installed as the next pointer version
+  *    under `<home>/.lease`) and releases it after (`free <owner>`);
+  *  - the installed VERSION NUMBER is the fencing token — versions
+  *    are monotonic per pointer, so "is my version still the
+  *    highest" detects takeover exactly the way a primary term does;
+  *  - a process that dies mid-mutation leaves a lease that EXPIRES
+  *    (wall-clock TTL): the next writer steals it, installing a
+  *    higher version — if the "dead" writer was merely paused, its
+  *    next fencing check fails and it aborts instead of corrupting
+  *    the layout it no longer owns;
+  *  - acquisition is refuse-not-queue: a live foreign lease raises
+  *    [[ConcurrentWriterException]] naming the holder. Two writer
+  *    processes on one index is a deployment error to surface, not
+  *    a workload to arbitrate (the README contract table).
+  *
+  * The acquire protocol is claim / settle / confirm: install the
+  * claim, wait `settleMs` (longer than a pointer write's latency),
+  * re-read — if a competing claim landed with a higher version, the
+  * re-read sees it and exactly one claimant survives. The settle
+  * window makes a double-grant require a write latency longer than
+  * `settleMs`; the per-verb fencing check at commit time catches
+  * even that residue. Expiry compares wall clocks across processes —
+  * NTP-grade skew is fine at minute-scale TTLs, which is why the
+  * TTL floor is high rather than lock-grade tight.
+  */
+object WriterLease {
+
+  final class ConcurrentWriterException(msg: String)
+    extends RuntimeException(msg)
+
+  /** Proof of ownership: the lease pointer's installed version (the
+    * fencing token) plus what was installed.
+    */
+  final case class Token(leaseDir: Path, version: Long, owner: String,
+                         expiresAtMs: Long) {
+    private[sources] def content: String = s"held $owner $expiresAtMs"
+  }
+
+  /** One writer identity per process — same-process re-acquire is
+    * always permitted (threads already serialize on [[MutationLock]]),
+    * so the lease arbitrates only BETWEEN processes.
+    */
+  val processOwner: String =
+    java.util.UUID.randomUUID().toString.take(8) + "@" +
+      ProcessHandle.current().pid()
+
+  /** Default lease lifetime. Long enough to cover any single
+    * maintenance verb at test scale with margin; a verb that can
+    * outlive it (a 100 TB compact) calls [[renew]] from its progress
+    * points.
+    */
+  val DefaultTtlMs: Long = 10L * 60 * 1000
+
+  /** Claim-settle window — must exceed one pointer write's latency
+    * on the store (local fs / HDFS: milliseconds).
+    */
+  val DefaultSettleMs: Long = 15L
+
+  private def leaseDir(pathOrHome: String): Path =
+    new Path(pathOrHome, ".lease")
+
+  private def parse(content: String): Option[(String, Long)] = {
+    val parts = content.split(' ')
+    if (parts.length == 3 && parts(0) == "held")
+      Some(parts(1) -> parts(2).toLong)
+    else None // "free <owner>" or unparseable => not held
+  }
+
+  /** Acquire the index's writer lease, or raise
+    * [[ConcurrentWriterException]] if another live writer holds it.
+    * An expired foreign lease is stolen (the higher claim version
+    * fences the previous holder out).
+    */
+  def acquire(fs: FileSystem, pathOrHome: String,
+              ownerId: String = processOwner,
+              ttlMs: Long = DefaultTtlMs,
+              settleMs: Long = DefaultSettleMs,
+              nowMs: () => Long = System.currentTimeMillis): Token = {
+    val dir = leaseDir(pathOrHome)
+    VersionedPointer.read(fs, dir).flatMap(parse).foreach {
+      case (holder, expiry) =>
+        if (holder != ownerId && expiry > nowMs())
+          throw new ConcurrentWriterException(
+            s"index at $pathOrHome has a live writer lease held by " +
+              s"$holder (expires in ${expiry - nowMs()} ms) — " +
+              "one writer process per index; wait, or break the lease " +
+              "if the holder is known dead (WriterLease.break_)")
+    }
+    val tok = Token(dir, -1L, ownerId, nowMs() + ttlMs)
+    val v = VersionedPointer.writeReturningVersion(fs, dir, tok.content)
+    if (settleMs > 0) Thread.sleep(settleMs)
+    VersionedPointer.readVersioned(fs, dir) match {
+      case Some((cv, cc)) if cv == v && cc == tok.content =>
+        tok.copy(version = v)
+      case other =>
+        throw new ConcurrentWriterException(
+          s"lost the writer-lease race on $pathOrHome to " +
+            s"${other.map(_._2).getOrElse("(gone)")}")
+    }
+  }
+
+  /** Is `token` still the live lease? False means another process
+    * took over (or the lease was broken) — the holder must abort.
+    */
+  def check(fs: FileSystem, token: Token): Boolean =
+    VersionedPointer.readVersioned(fs, token.leaseDir)
+      .exists { case (v, c) => v == token.version && c == token.content }
+
+  /** Extend a held lease (long verbs call this from progress
+    * points). Fails with [[ConcurrentWriterException]] if ownership
+    * was lost.
+    */
+  def renew(fs: FileSystem, token: Token, ttlMs: Long = DefaultTtlMs,
+            nowMs: () => Long = System.currentTimeMillis): Token = {
+    if (!check(fs, token))
+      throw new ConcurrentWriterException(
+        s"writer lease on ${token.leaseDir.getParent} lost before renew")
+    val t2 = Token(token.leaseDir, -1L, token.owner, nowMs() + ttlMs)
+    val v = VersionedPointer.writeReturningVersion(fs, token.leaseDir, t2.content)
+    t2.copy(version = v)
+  }
+
+  /** Release a held lease. A token that already lost ownership is a
+    * no-op (the new holder's lease must not be clobbered).
+    */
+  def release(fs: FileSystem, token: Token): Unit =
+    if (check(fs, token))
+      VersionedPointer.write(fs, token.leaseDir, s"free ${token.owner}")
+
+  /** Operator escape hatch: force-free a lease whose holder is known
+    * dead before its TTL lapses.
+    */
+  def break_(fs: FileSystem, pathOrHome: String): Unit =
+    VersionedPointer.write(fs, leaseDir(pathOrHome), "free (broken)")
+
+  // ---- the verb-side wrapper ----------------------------------------
+
+  // leases this process currently holds, by lease-dir path — lets a
+  // verb nested inside another verb on the same index ride the outer
+  // lease instead of re-acquiring (and then freeing the outer verb's
+  // lease on its way out)
+  private val held = new java.util.concurrent.ConcurrentHashMap[String, Token]()
+
+  /** Run `body` as THE writer of the index at `pathOrHome`: same-JVM
+    * threads serialize on [[MutationLock]], cross-process writers on
+    * the lease. After `body` returns, the fencing token is checked
+    * once more — a takeover mid-mutation (holder paused past its
+    * TTL) raises [[ConcurrentWriterException]] so the operator learns
+    * the mutation may have interleaved with the new owner's, instead
+    * of both writers reporting success. Check-then-act verbs with an
+    * internal commit point can tighten this by calling
+    * [[check]]/[[renew]] themselves right before the commit write.
+    */
+  def exclusive[A](spark: SparkSession, pathOrHome: String,
+                   ttlMs: Long = DefaultTtlMs)(body: => A): A = {
+    val fs = new Path(pathOrHome)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = leaseDir(pathOrHome).toString
+    MutationLock.of(pathOrHome).synchronized {
+      if (held.containsKey(key)) body // nested verb: outer lease covers it
+      else {
+        val tok = acquire(fs, pathOrHome)
+        held.put(key, tok)
+        try {
+          val r = body
+          if (!check(fs, tok))
+            throw new ConcurrentWriterException(
+              s"writer lease on $pathOrHome was taken over mid-mutation " +
+                "— the layout may hold interleaved writes; re-verify " +
+                "against the new owner before trusting this mutation")
+          r
+        } finally {
+          held.remove(key)
+          release(fs, tok)
+        }
+      }
+    }
+  }
+}

@@ -100,4 +100,29 @@ class MaintainSpec extends SparkSpec {
     assert(ScaleOps.maintain(spark, "dedup", dHome,
       ScaleOps.MaintenancePolicy(maxDebtRows = 5L)).action == "none")
   }
+
+  test("fragmentation counts DATA files only: debt tables (by schema, not name) are excluded") {
+    import spark.implicits._
+    val tHome = IndexCache.tempDir("graft-maintain-frag") + "/tix"
+    val docs = (0L to 29L).map(i => (i, s"alpha tok$i words"))
+      .toDF("doc_id", "text").localCheckpoint()
+    TextIndex.rotate(docs.filter(col("doc_id") < 10), tHome)
+    // two appends: stats now holds 3 delta rows (debt), tombstones
+    // one file after a delete — neither may count as fragmentation
+    TextIndex.append(docs.filter(col("doc_id") >= 10 && col("doc_id") < 20), tHome)
+    TextIndex.append(docs.filter(col("doc_id") >= 20), tHome)
+    TextIndex.delete(docs.filter(col("doc_id") === 0), tHome)
+    val st = TextIndex.stats(spark, tHome).collect()
+    val dataOnly = st.filter(_.isNullAt(st.head.fieldIndex("debt_rows")))
+      .map(_.getAs[Long]("files")).sum
+    val withDebtTables = st.map(_.getAs[Long]("files")).sum
+    assert(withDebtTables > dataOnly,
+      "precondition: the debt tables must actually hold files here")
+    val r = ScaleOps.maintain(spark, "text", tHome,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 1000L, maxDataFiles = 100000L))
+    assert(r.action == "none")
+    assert(r.dataFiles == dataOnly,
+      s"dataFiles=${r.dataFiles} must equal data-table files $dataOnly " +
+        s"(not $withDebtTables with debt tables included)")
+  }
 }

@@ -78,4 +78,35 @@ class RobustnessSpec extends SparkSpec {
       .filter(FilterDsl.fromJson("{}").toColumn).count()
     assert(n == Tables.documents(spark, sfDir).count())
   }
+
+  test("per-path lock/cache state stays bounded across >10k distinct paths") {
+    // a long-lived serving session resolves and locks an unbounded
+    // stream of index paths; none of the per-path maps may grow
+    // monotonically with it
+    (0 until 12000).foreach { i =>
+      graft.sources.MutationLock.of(s"/tmp/graft-bound/never-$i")
+      graft.sources.IndexAlias.resolve(spark, s"/tmp/graft-bound/never-$i")
+    }
+    assert(graft.sources.MutationLock.lockCount <= 1024)
+    assert(graft.sources.IndexAlias.resolveCacheSize <= 8192 + 1,
+      s"resolve cache grew to ${graft.sources.IndexAlias.resolveCacheSize}")
+    // striping preserves mutual exclusion: same path -> same monitor
+    assert(graft.sources.MutationLock.of("/tmp/graft-bound/x")
+      eq graft.sources.MutationLock.of("/tmp/graft-bound/x"))
+  }
+
+  test("dropMatching un-pins evicted frames so their blocks become releasable") {
+    import graft.operators.IndexCache
+    val before = IndexCache.pinnedIdsSnapshot()
+    val df = IndexCache.materialized(spark, "robust-pin#demo") {
+      spark.range(100).toDF("id")
+    }
+    assert(df.count() == 100)
+    val pinned = IndexCache.pinnedIdsSnapshot()
+    assert((pinned -- before).nonEmpty, "materialize must pin its checkpoint")
+    IndexCache.dropMatching("robust-pin#demo")
+    val after = IndexCache.pinnedIdsSnapshot()
+    assert((after -- before).isEmpty,
+      s"eviction left stale pins: ${(after -- before).mkString(",")}")
+  }
 }

@@ -1,0 +1,138 @@
+package graft
+
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.operators.{IndexCache, VectorIndex}
+import graft.sources.{VersionedPointer, WriterLease}
+
+/** Cross-process writer fencing (the round-7 gap: every other guard
+  * is same-JVM). Two processes are simulated by two distinct lease
+  * OWNER identities driving the protocol directly — the lease
+  * arbitration is pure filesystem state, so identity is the only
+  * thing that distinguishes processes from its point of view.
+  */
+class WriterLeaseSpec extends SparkSpec {
+
+  private def fsFor(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def freshHome(tag: String): String =
+    IndexCache.tempDir(s"graft-lease-$tag") + "/ix"
+
+  test("a live foreign lease refuses mutation verbs; an expired one is stolen") {
+    import spark.implicits._
+    val home = freshHome("verbs")
+    val fs = fsFor(home)
+    VectorIndex.buildFrom(spark,
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label")), home)
+
+    // "another driver process" holds the lease (live, long TTL)
+    val foreign = WriterLease.acquire(fs, home, ownerId = "other@999",
+      ttlMs = 60000L, settleMs = 0L)
+    val ex = intercept[WriterLease.ConcurrentWriterException] {
+      VectorIndex.setPayload(spark, home,
+        Seq((0L, 5)).toDF("vec_id", "label"))
+    }
+    assert(ex.getMessage.contains("other@999"))
+    // delete and compact refuse the same way
+    intercept[WriterLease.ConcurrentWriterException] {
+      VectorIndex.delete(spark, home, Seq(1L))
+    }
+    intercept[WriterLease.ConcurrentWriterException] {
+      VectorIndex.compact(spark, home)
+    }
+
+    // the foreign process dies without releasing: once the lease
+    // EXPIRES, the next writer steals it and mutation proceeds
+    WriterLease.release(fs, foreign)
+    val dead = WriterLease.acquire(fs, home, ownerId = "dead@1000",
+      ttlMs = 50L, settleMs = 0L)
+    Thread.sleep(80L)
+    VectorIndex.setPayload(spark, home, Seq((0L, 5)).toDF("vec_id", "label"))
+    // ... and the dead process's token no longer checks out (fenced)
+    assert(!WriterLease.check(fs, dead))
+  }
+
+  test("fencing: a paused holder's token fails check after takeover; its release is a no-op") {
+    val home = freshHome("fence")
+    val fs = fsFor(home)
+    val a = WriterLease.acquire(fs, home, ownerId = "A@1",
+      ttlMs = 40L, settleMs = 0L)
+    assert(WriterLease.check(fs, a))
+    Thread.sleep(70L) // A pauses past its TTL (GC pause / network stall)
+    val b = WriterLease.acquire(fs, home, ownerId = "B@2",
+      ttlMs = 60000L, settleMs = 0L)
+    // A resumes: its fencing token is dead, so its commit must abort
+    assert(!WriterLease.check(fs, a))
+    assert(WriterLease.check(fs, b))
+    // A's release must not clobber B's live lease
+    WriterLease.release(fs, a)
+    assert(WriterLease.check(fs, b))
+    // renew keeps B's ownership through a longer mutation
+    val b2 = WriterLease.renew(fs, b)
+    assert(WriterLease.check(fs, b2) && !WriterLease.check(fs, b))
+    WriterLease.release(fs, b2)
+    // after release the lease is free for anyone
+    val c = WriterLease.acquire(fs, home, ownerId = "C@3", settleMs = 0L)
+    WriterLease.release(fs, c)
+  }
+
+  test("acquire race between two owners grants at most one lease per round") {
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    try {
+      (1 to 25).foreach { i =>
+        val home = freshHome(s"race$i")
+        val start = new java.util.concurrent.CountDownLatch(1)
+        def claim(owner: String) = pool.submit(
+          new java.util.concurrent.Callable[Option[WriterLease.Token]] {
+            def call(): Option[WriterLease.Token] = {
+              start.await()
+              val fs = fsFor(home)
+              try Some(WriterLease.acquire(fs, home, ownerId = owner,
+                settleMs = WriterLease.DefaultSettleMs))
+              catch { case _: WriterLease.ConcurrentWriterException => None }
+            }
+          })
+        val (fa, fb) = (claim("A@1"), claim("B@2"))
+        start.countDown()
+        val (ra, rb) = (fa.get(), fb.get())
+        val fs = fsFor(home)
+        // the grant test: a surviving token must still CHECK — and
+        // two tokens can never both check against one pointer
+        val holders = Seq(ra, rb).flatten.filter(WriterLease.check(fs, _))
+        assert(holders.size <= 1,
+          s"round $i granted both: ${Seq(ra, rb).flatten.map(_.owner)}")
+      }
+    } finally pool.shutdown()
+  }
+
+  test("nested verbs ride the outer exclusive lease instead of freeing it mid-flight") {
+    val home = freshHome("nested")
+    val fs = fsFor(home)
+    val out = WriterLease.exclusive(spark, home) {
+      val inner = WriterLease.exclusive(spark, home) { 42 }
+      // the nested exit must NOT have released the outer lease
+      val lease = VersionedPointer.read(fs, new Path(home, ".lease"))
+      assert(lease.exists(_.startsWith("held ")), s"lease mid-flight: $lease")
+      inner
+    }
+    assert(out == 42)
+    // after the outer exit the lease is free
+    val after = VersionedPointer.read(fs, new Path(home, ".lease"))
+    assert(after.exists(_.startsWith("free ")), s"lease after exit: $after")
+  }
+
+  test("break_ force-frees a stuck lease") {
+    val home = freshHome("break")
+    val fs = fsFor(home)
+    WriterLease.acquire(fs, home, ownerId = "stuck@7",
+      ttlMs = 600000L, settleMs = 0L)
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.acquire(fs, home, ownerId = "next@8", settleMs = 0L)
+    }
+    WriterLease.break_(fs, home)
+    val t = WriterLease.acquire(fs, home, ownerId = "next@8", settleMs = 0L)
+    WriterLease.release(fs, t)
+  }
+}
