@@ -66,6 +66,89 @@ object FilterDsl {
     def toColumn: Column = col(key).isNull
   }
 
+  /** A geo payload field `k` is stored as two double columns
+    * `k_lat` / `k_lon` (degrees) — the flattened form of Qdrant's
+    * `{lat, lon}` geo point / ES `geo_point`.
+    */
+  sealed trait GeoCondition extends Condition {
+    def key: String
+    private[api] def latCol: Column = col(s"${key}_lat")
+    private[api] def lonCol: Column = col(s"${key}_lon")
+
+    /** The condition's bounding box (minLat, maxLat, minLon,
+      * maxLon) — the rectangle that makes a geo predicate PRUNABLE:
+      * [[toColumn]] conjoins these four range predicates (logically
+      * implied by the exact predicate, so the result set is
+      * unchanged) ahead of the exact test, and plain range
+      * predicates on the layout's clustering columns are what
+      * parquet footer min/max can skip files on. Without them the
+      * exact trig/ray-cast expression reaches every file.
+      */
+    private[api] def bbox: (Double, Double, Double, Double)
+
+    private[api] def bboxColumn: Column = {
+      val (latMin, latMax, lonMin, lonMax) = bbox
+      latCol >= lit(latMin) && latCol <= lit(latMax) &&
+        lonCol >= lit(lonMin) && lonCol <= lit(lonMax)
+    }
+  }
+
+  /** Rectangle containment (Qdrant `geo_bounding_box` / ES
+    * `geo_bounding_box`). Does not model antimeridian-crossing
+    * boxes (split into two conditions under `should` for that).
+    */
+  final case class GeoBoundingBox(key: String,
+                                  minLat: Double, maxLat: Double,
+                                  minLon: Double, maxLon: Double)
+      extends GeoCondition {
+    private[api] def bbox: (Double, Double, Double, Double) =
+      (minLat, maxLat, minLon, maxLon)
+    def toColumn: Column = bboxColumn
+  }
+
+  /** Great-circle radius filter (Qdrant `geo_radius` / ES
+    * `geo_distance`), radius in meters on the wire like both. The
+    * exact test is the same haversine as the geo search operators;
+    * the implied bounding box widens the longitude span by the
+    * shrinking cos(lat) at the box's most poleward latitude, and
+    * degenerates to the whole longitude range across a pole.
+    */
+  final case class GeoRadius(key: String, lat: Double, lon: Double,
+                             radiusMeters: Double) extends GeoCondition {
+    private[api] def bbox: (Double, Double, Double, Double) = {
+      val rKm = radiusMeters / 1000.0
+      val dLat = rKm / 111.195 // km per degree of latitude (R=6371)
+      val latMin = math.max(-90.0, lat - dLat)
+      val latMax = math.min(90.0, lat + dLat)
+      val worstCos = math.min(math.cos(math.toRadians(math.abs(latMin))),
+        math.cos(math.toRadians(math.abs(latMax))))
+      if (latMin <= -89.999 || latMax >= 89.999 || worstCos <= 1e-6)
+        (latMin, latMax, -180.0, 180.0)
+      else {
+        val dLon = rKm / (111.195 * worstCos)
+        (latMin, latMax,
+          math.max(-180.0, lon - dLon), math.min(180.0, lon + dLon))
+      }
+    }
+    def toColumn: Column =
+      bboxColumn && graft.operators.Geo.haversineKm(
+        lit(lat), lit(lon), latCol, lonCol) <= lit(radiusMeters / 1000.0)
+  }
+
+  /** Simple-polygon containment (Qdrant `geo_polygon` / ES
+    * `geo_polygon`), even-odd ray cast — same arithmetic as the geo
+    * search operator. Vertices as (lon, lat) pairs.
+    */
+  final case class GeoPolygon(key: String, verts: Seq[(Double, Double)])
+      extends GeoCondition {
+    require(verts.size >= 3, s"polygon needs >= 3 vertices, got ${verts.size}")
+    private[api] def bbox: (Double, Double, Double, Double) =
+      (verts.map(_._2).min, verts.map(_._2).max,
+        verts.map(_._1).min, verts.map(_._1).max)
+    def toColumn: Column =
+      bboxColumn && graft.operators.Geo.pointInPolygon(lonCol, latCol, verts)
+  }
+
   /** Nested boolean clause — bool-in-bool, arbitrarily deep. */
   final case class Nested(filter: Filter) extends Condition {
     def toColumn: Column = filter.toColumn
@@ -110,6 +193,33 @@ object FilterDsl {
         val key = (o \ "key") match {
           case JString(k) => k
           case other => sys.error(s"filter condition needs a string key, got $other")
+        }
+        def dbl(v: JValue, what: String): Double = v match {
+          case JDouble(d) => d; case JInt(n) => n.toDouble
+          case JLong(n) => n.toDouble; case JDecimal(d) => d.toDouble
+          case other => sys.error(s"non-numeric $what: $other")
+        }
+        def point(v: JValue, what: String): (Double, Double) =
+          (dbl(v \ "lat", s"$what.lat"), dbl(v \ "lon", s"$what.lon"))
+        (o \ "geo_bounding_box", o \ "geo_radius", o \ "geo_polygon") match {
+          case (b: JObject, JNothing, JNothing) =>
+            val (tlLat, tlLon) = point(b \ "top_left", "top_left")
+            val (brLat, brLon) = point(b \ "bottom_right", "bottom_right")
+            return GeoBoundingBox(key, minLat = brLat, maxLat = tlLat,
+              minLon = tlLon, maxLon = brLon)
+          case (JNothing, r: JObject, JNothing) =>
+            val (cLat, cLon) = point(r \ "center", "center")
+            return GeoRadius(key, cLat, cLon, dbl(r \ "radius", "radius"))
+          case (JNothing, JNothing, p: JObject) =>
+            (p \ "exterior" \ "points") match {
+              case JArray(pts) =>
+                return GeoPolygon(key, pts.map { pt =>
+                  val (la, lo) = point(pt, "polygon point"); (lo, la)
+                })
+              case other => sys.error(s"geo_polygon needs exterior.points: $other")
+            }
+          case (JNothing, JNothing, JNothing) => // not geo; fall through
+          case other => sys.error(s"ambiguous geo condition shape: $other")
         }
         (o \ "match", o \ "range", o \ "is_null") match {
           case (m: JObject, JNothing, JNothing) =>

@@ -30,22 +30,59 @@ import org.apache.spark.sql.functions._
   */
 object PayloadIndex {
 
-  /** Per-field layout declaration. */
-  final case class Layout(keyword: Seq[String] = Nil, numeric: Seq[String] = Nil)
+  /** Per-field layout declaration. A GEO field `k` (Qdrant geo
+    * payload index / ES `geo_point`) is stored as the column pair
+    * `k_lat`/`k_lon` and becomes the SPACE-FILLING clustering key:
+    * files are range-clustered on the Morton interleave of the
+    * bucketed coordinates ([[ScaleOps.zValue]]), so each file covers
+    * a small rectangle of the globe and a radius/polygon/box query
+    * skips every file whose lat/lon footer min/max miss its
+    * bounding box. At most one geo field clusters a layout (a
+    * 2-D curve is already the clustering budget); geo and numeric
+    * clustering are mutually exclusive for the same reason.
+    */
+  final case class Layout(keyword: Seq[String] = Nil,
+                          numeric: Seq[String] = Nil,
+                          geo: Option[String] = None) {
+    require(geo.isEmpty || numeric.isEmpty,
+      "a layout clusters by EITHER its numeric fields or its geo field")
+  }
+
+  /** Geo bucketing resolution: 2^GeoBits buckets per axis (~0.003°
+    * of latitude per bucket — far finer than any file's extent).
+    */
+  private val GeoBits = 16
 
   /** Write `df` under the declared layout: keyword fields partition
-    * the directory tree; numeric fields range-cluster the files
-    * inside each partition (`numFiles` range buckets, sorted within,
-    * so footer min/max are tight and disjoint). One range shuffle —
-    * the same cost class as any clustered write.
+    * the directory tree; numeric fields (or the geo field's Morton
+    * key) range-cluster the files inside each partition (`numFiles`
+    * range buckets, sorted within, so footer min/max are tight and
+    * disjoint). One range shuffle — the same cost class as any
+    * clustered write.
     */
   def write(df: DataFrame, path: String, layout: Layout, numFiles: Int = 8): Unit = {
-    val clusterCols = (layout.keyword ++ layout.numeric).map(col)
+    val (toWrite, clusterCols) = layout.geo match {
+      case Some(g) =>
+        // bucket each axis into [0, 2^GeoBits) — zValue's contract —
+        // then interleave; the z column is dropped before the write,
+        // so the layout is pure file ORDER, not schema
+        val scale = (1 << GeoBits) - 1
+        val withZ = df
+          .withColumn("__gx", greatest(lit(0L), least(lit(scale.toLong),
+            floor((col(s"${g}_lat") + 90.0) / 180.0 * (scale + 1)).cast("long"))))
+          .withColumn("__gy", greatest(lit(0L), least(lit(scale.toLong),
+            floor((col(s"${g}_lon") + 180.0) / 360.0 * (scale + 1)).cast("long"))))
+          .withColumn("__z", ScaleOps.zValue("__gx", "__gy", GeoBits))
+          .drop("__gx", "__gy")
+        (withZ, Seq(col("__z")))
+      case None =>
+        (df, (layout.keyword ++ layout.numeric).map(col))
+    }
     val clustered =
-      if (clusterCols.isEmpty) df
-      else df.repartitionByRange(numFiles, clusterCols: _*)
+      if (clusterCols.isEmpty) toWrite
+      else toWrite.repartitionByRange(numFiles, clusterCols: _*)
         .sortWithinPartitions(clusterCols: _*)
-    val w = clustered.write.mode("overwrite")
+    val w = clustered.drop("__z").write.mode("overwrite")
     (if (layout.keyword.nonEmpty) w.partitionBy(layout.keyword: _*) else w)
       .parquet(path)
   }
@@ -64,14 +101,22 @@ object PayloadIndex {
       case FilterDsl.MatchAny(k, _) if layout.keyword.contains(k) => k -> "partition_pruned"
       case FilterDsl.MatchValue(k, _) if layout.numeric.contains(k) => k -> "file_stats_skipped"
       case FilterDsl.Range(k, _, _, _, _) if layout.numeric.contains(k) => k -> "file_stats_skipped"
+      // a geo condition on the clustered geo field prunes through
+      // its implied bounding box: the z-layout's files cover small
+      // lat/lon rectangles, and the box's four range predicates
+      // reach the footer stats
+      case g: FilterDsl.GeoCondition if layout.geo.contains(g.key) =>
+        g.key -> "file_stats_skipped"
       case other => fieldOf(other) -> "row_filtered"
     }
     def fieldOf(c: FilterDsl.Condition): String = c match {
       case FilterDsl.MatchValue(k, _) => k
       case FilterDsl.MatchAny(k, _) => k
+      case FilterDsl.MatchExcept(k, _) => k
       case FilterDsl.Range(k, _, _, _, _) => k
       case FilterDsl.TextContains(k, _) => k
       case FilterDsl.IsNull(k) => k
+      case g: FilterDsl.GeoCondition => g.key
       case FilterDsl.Nested(_) => "(nested)"
     }
     filter.must.map(classify) ++

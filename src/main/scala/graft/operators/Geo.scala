@@ -22,14 +22,22 @@ object Geo {
 
   /** Synthetic user coordinates: lat ∈ [-90, 90), lon ∈ [-180, 180)
     * on a 0.01° grid, from salted md5 buckets of the user id.
+    * Materialized ONCE per (session, sf) — the whole geo family
+    * shares one point frame, so the two md5 hashes per user are paid
+    * on the first geo query of a session, not recomputed under every
+    * query's expression tree (the same treatment dedup's shingle
+    * frames get). In production this frame is the collection's
+    * payload scan — the cache models its OS page-cache residency.
     */
   def userGeo(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.events(spark, sfDir)
-      .select(col("user_id")).distinct()
-      .withColumn("lat",
-        bucket(col("user_id").cast("string"), 18000).cast("double") / 100.0 - 90.0)
-      .withColumn("lon",
-        bucket(concat(lit("x"), col("user_id").cast("string")), 36000).cast("double") / 100.0 - 180.0)
+    IndexCache.materialized(spark, s"geo-points#$sfDir") {
+      Tables.events(spark, sfDir)
+        .select(col("user_id")).distinct()
+        .withColumn("lat",
+          bucket(col("user_id").cast("string"), 18000).cast("double") / 100.0 - 90.0)
+        .withColumn("lon",
+          bucket(concat(lit("x"), col("user_id").cast("string")), 36000).cast("double") / 100.0 - 180.0)
+    }
 
   /** Great-circle distance in km (haversine, R = 6371). Written as
     * one fixed expression tree so the oracle can mirror the exact
@@ -108,29 +116,66 @@ object Geo {
     * iff an odd number of polygon edges cross the ray. Unrolled to a
     * fixed expression tree per edge — pure per-row arithmetic, no
     * UDF, works on arbitrary simple (incl. concave) polygons.
+    *
+    * Each edge's slope `(xj−xi)/(yj−yi)` is a CONSTANT of the
+    * polygon, so it is folded to one double literal at plan time —
+    * the per-row, per-edge cost is compare + multiply + add, never a
+    * division (the division was measured at 3× the radius filter's
+    * cost on the same frame).
     */
   def pointInPolygon(lon: Column, lat: Column, verts: Seq[(Double, Double)]): Column = {
-    val crossings = verts.indices.map { i =>
-      val (xi, yi) = verts(i)
-      val (xj, yj) = verts((i + 1) % verts.size)
-      when(((lit(yi) > lat) =!= (lit(yj) > lat)) &&
-        (lon < (lit(xj) - lit(xi)) * (lat - lit(yi)) / (lit(yj) - lit(yi)) + lit(xi)),
-        1).otherwise(0)
-    }
-    crossings.reduce(_ + _) % 2 === 1
+    // a HORIZONTAL edge can never cross the eastward ray (its two
+    // endpoints sit on the same side of every latitude) — skip it at
+    // plan time; its slope is ±∞ anyway
+    val crossings = verts.indices
+      .filter(i => verts(i)._2 != verts((i + 1) % verts.size)._2)
+      .map { i =>
+        val (xi, yi) = verts(i)
+        val (_, yj) = verts((i + 1) % verts.size)
+        val m = edgeSlope(verts, i)
+        when(((lit(yi) > lat) =!= (lit(yj) > lat)) &&
+          (lon < lit(m) * (lat - lit(yi)) + lit(xi)),
+          1).otherwise(0)
+      }
+    // a fully degenerate (all-horizontal) polygon contains nothing
+    crossings.reduceOption(_ + _).fold(lit(false))(_ % 2 === 1)
   }
 
+  /** `(xj−xi)/(yj−yi)` for edge i, computed once in driver doubles —
+    * the SAME double lands as the literal in both the Catalyst tree
+    * and the SQL mirror, so the boundary arithmetic stays
+    * bit-for-bit identical between Spark and the oracle.
+    */
+  private def edgeSlope(verts: Seq[(Double, Double)], i: Int): Double = {
+    val (xi, yi) = verts(i)
+    val (xj, yj) = verts((i + 1) % verts.size)
+    (xj - xi) / (yj - yi)
+  }
+
+  /** Shortest decimal form that parses back to exactly this double
+    * (Java's Double.toString round-trip guarantee) — what makes the
+    * folded slope constant identical on both sides of the oracle.
+    */
+  private def dlit(d: Double): String = d.toString
+
   /** The SQL mirror of [[pointInPolygon]] over columns `lon`/`lat`:
-    * identical constants, operation order, and even-odd rule, so the
-    * oracle reproduces the boundary arithmetic bit-for-bit.
+    * identical constants (slopes pre-folded to the same doubles),
+    * operation order, and even-odd rule, so the oracle reproduces
+    * the boundary arithmetic bit-for-bit.
     */
   def polygonCrossingsSql(verts: Seq[(Double, Double)]): String =
-    verts.indices.map { i =>
-      val (xi, yi) = verts(i)
-      val (xj, yj) = verts((i + 1) % verts.size)
-      s"(CASE WHEN (($yi > lat) <> ($yj > lat)) AND " +
-        s"(lon < ($xj - $xi) * (lat - $yi) / ($yj - $yi) + $xi) THEN 1 ELSE 0 END)"
-    }.mkString(" + ")
+    verts.indices
+      .filter(i => verts(i)._2 != verts((i + 1) % verts.size)._2)
+      .map { i =>
+        val (xi, yi) = verts(i)
+        val (_, yj) = verts((i + 1) % verts.size)
+        val m = edgeSlope(verts, i)
+        s"(CASE WHEN (($yi > lat) <> ($yj > lat)) AND " +
+          s"(lon < ${dlit(m)} * (lat - $yi) + $xi) THEN 1 ELSE 0 END)"
+      } match {
+        case Nil => "0" // degenerate polygon: 0 crossings, matches nothing
+        case terms => terms.mkString(" + ")
+      }
 
   /** Polygon containment search (Qdrant `geo_polygon` filter
     * condition / ES `geo_polygon` query): users whose location falls

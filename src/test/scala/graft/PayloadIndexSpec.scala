@@ -67,4 +67,55 @@ class PayloadIndexSpec extends SparkSpec {
     assert(hf >= 6, s"hash layout touched only $hf of 8 files")
     assert(spark.read.parquet(iDir).count() == docs.count())
   }
+
+  test("geo layout: polygon and radius wire filters touch a fraction of the z-clustered files") {
+    // a point frame with a geo payload field `loc` (stored as
+    // loc_lat/loc_lon): 20k hash-uniform points on the 0.01° grid —
+    // big enough that every hash-layout file holds box matches
+    val pts = spark.range(0, 20000).toDF("user_id")
+      .withColumn("loc_lat",
+        pmod(xxhash64(col("user_id")), lit(18000L)).cast("double") / 100.0 - 90.0)
+      .withColumn("loc_lon",
+        pmod(xxhash64(col("user_id") + 7), lit(36000L)).cast("double") / 100.0 - 180.0)
+      .localCheckpoint()
+    val gDir = Files.createTempDirectory("graft-payload-geo").toString + "/g"
+    val hDir = Files.createTempDirectory("graft-payload-geo").toString + "/h"
+    val gl = PayloadIndex.Layout(geo = Some("loc"))
+    PayloadIndex.write(pts, gDir, gl, numFiles = 32)
+    pts.repartition(32, col("user_id")).write.parquet(hDir) // hash layout
+
+    val polyWire =
+      """{ "must": [ {"key": "loc", "geo_polygon": { "exterior": { "points": [
+        |  {"lat": 5.0, "lon": 10.0}, {"lat": 5.0, "lon": 40.0},
+        |  {"lat": 35.0, "lon": 40.0}, {"lat": 35.0, "lon": 10.0} ] } } } ] }""".stripMargin
+    val radiusWire =
+      """{ "must": [ {"key": "loc",
+        |  "geo_radius": {"center": {"lat": 10.0, "lon": 20.0}, "radius": 1500000.0}} ] }""".stripMargin
+    val poly = FilterDsl.fromJson(polyWire)
+    val radius = FilterDsl.fromJson(radiusWire)
+    assert(PayloadIndex.plan(poly, gl) == Seq("loc" -> "file_stats_skipped"))
+    assert(PayloadIndex.plan(radius, gl) == Seq("loc" -> "file_stats_skipped"))
+
+    // identical answers from both layouts (the bbox conjuncts are
+    // implied by the exact predicate, so they must not change rows)
+    for (f <- Seq(poly, radius)) {
+      val got = PayloadIndex.scan(spark, gDir, f)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      val want = PayloadIndex.scan(spark, hDir, f)
+        .select("user_id").collect().map(_.getLong(0)).toSet
+      assert(got == want && got.nonEmpty, s"rows: z=${got.size} hash=${want.size}")
+    }
+
+    // the scale claim: files CONTAINING matching rows — the footer
+    // min/max pruning bound — are a fraction of the z-layout but
+    // essentially all of the hash layout
+    def filesTouched(path: String, f: FilterDsl.Filter): Long =
+      spark.read.parquet(path).filter(f.toColumn)
+        .select(input_file_name()).distinct().count()
+    for ((f, label) <- Seq(poly -> "polygon", radius -> "radius")) {
+      val (zf, hf) = (filesTouched(gDir, f), filesTouched(hDir, f))
+      assert(zf <= 10, s"$label: z-layout touched $zf of 32 files")
+      assert(hf >= 26, s"$label: hash layout touched only $hf of 32 files")
+    }
+  }
 }
