@@ -190,10 +190,11 @@ object Dedup {
           .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
       .localCheckpoint()
+    val side = pairSide(cand)
     val withA = triH.select(col("doc_id").as("doc_a"), col("gh_arr").as("gh_a"))
-      .join(broadcast(cand), "doc_a")
+      .join(side(cand), "doc_a")
     val withB = triH.select(col("doc_id").as("doc_b"), col("gh_arr").as("gh_b"))
-      .join(broadcast(cand), "doc_b")
+      .join(side(cand), "doc_b")
     withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("common", size(array_intersect(col("gh_a"), col("gh_b"))).cast("long"))
       .withColumn("jaccard", round(col("common") /
@@ -276,15 +277,27 @@ object Dedup {
           s"b -> concat_ws('_', slice(sig, b * $RowsPerBand + 1, $RowsPerBand)))"))
           .as(Seq("band_id", "band_key")))
 
-  /** Candidate-pair count above which [[verifyJaccard]] abandons the
-    * id-only broadcast for plain shuffle joins: ~10M (doc_a, doc_b)
-    * longs ≈ 160 MB broadcast — the sane ceiling for shipping the
-    * pair set to every executor. A corpus whose duplicate density
-    * produces more candidates than that (pathological near-identical
-    * crawls) distributes the attach by shuffle instead; results are
-    * identical, only the join strategy moves.
+  /** Candidate-pair count above which the id-only pair broadcasts
+    * ([[verifyJaccard]], [[qDedupSimhash]]) fall back to plain
+    * shuffle joins. The ceiling is set by what the DRIVER collects to
+    * build the broadcast, not by executor memory: each (doc_a,
+    * doc_b) row serializes to ~50 B in task results, and Spark caps
+    * collected task results at `spark.driver.maxResultSize` (1 GiB
+    * default) — 4M pairs ≈ 200 MB keeps a wide margin (the previous
+    * 10M limit was measured BLOWING maxResultSize at a 100×-corpus
+    * candidate density). A corpus whose duplicate density produces
+    * more candidates distributes the attach by shuffle instead;
+    * results are identical, only the join strategy moves.
     */
-  val VerifyBroadcastLimit = 10000000L
+  val VerifyBroadcastLimit = 4000000L
+
+  /** Broadcast an id-only candidate-pair frame if it is small enough
+    * to collect safely, identity otherwise (see
+    * [[VerifyBroadcastLimit]]). The frame must be materialized
+    * (localCheckpoint) — it is counted AND joined twice.
+    */
+  private def pairSide(cand: DataFrame): DataFrame => DataFrame =
+    if (cand.count() <= VerifyBroadcastLimit) broadcast(_) else identity
 
   /** Exact-Jaccard verification of an id-only candidate pair set:
     * broadcast ONLY the pair ids into each shingle attach scan (the
@@ -303,8 +316,7 @@ object Dedup {
   private def verifyJaccard(candidates: DataFrame, shA: DataFrame, shB: DataFrame,
                             threshold: Double): DataFrame = {
     val cand = candidates.localCheckpoint()
-    val side: DataFrame => DataFrame =
-      if (cand.count() <= VerifyBroadcastLimit) broadcast(_) else identity
+    val side = pairSide(cand)
     val withA = shA.select(col("doc_id").as("doc_a"), col("gh").as("gh_a"))
       .join(side(cand), "doc_a")
     val withB = shB.select(col("doc_id").as("doc_b"), col("gh").as("gh_b"))
@@ -612,10 +624,49 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** SimHash block partition for Hamming ≤ 3 candidate generation
+    * (the Manku/Jain/Sarma WWW'07 table design): the 64 fingerprint
+    * bits split into SIX blocks (4×11 + 2×10), and each document
+    * posts into C(6,3) = 20 bucket tables, each keyed on the
+    * CONCATENATION of three blocks (~33 bits). Pigeonhole: ≤ 3
+    * differing bits land in ≤ 3 blocks, leaving ≥ 3 blocks clean —
+    * some 3-block combination matches exactly, so every Hamming ≤ 3
+    * pair is still a candidate (the same guarantee 4 × 16-bit single-
+    * block tables give). What changes is SATURATION: a 16-bit key
+    * space holds ~65k buckets, so past ~10^5 docs every bucket fills
+    * and RANDOM candidate pairs grow quadratically (measured: 90.8×
+    * wall at a 100× corpus); a 33-bit key space pushes that wall out
+    * by 2^17 — candidates stay the true near-dups, at the price of
+    * 20 instead of 4 posting rows per doc (linear, and the rows are
+    * two longs).
+    */
+  private val SimhashBlockWidths = Seq(11, 11, 11, 11, 10, 10)
+  private val SimhashBlockOffsets = SimhashBlockWidths.scanLeft(0)(_ + _).init
+  private[graft] val SimhashCombos: Seq[Seq[Int]] =
+    (0 until SimhashBlockWidths.size).combinations(3).map(_.toSeq).toSeq
+
+  /** One array-of-20-longs expression over fingerprint column `c`:
+    * entry i is combo i's 3-block concatenated key.
+    */
+  private[graft] def simhashComboKeysForTest(c: String): String = {
+    def block(i: Int) =
+      s"(shiftright($c, ${SimhashBlockOffsets(i)}) & ${(1L << SimhashBlockWidths(i)) - 1}L)"
+    val keys = SimhashCombos.map { case Seq(i, j, k) =>
+      val sj = SimhashBlockWidths(j) + SimhashBlockWidths(k)
+      val sk = SimhashBlockWidths(k)
+      s"(${block(i)} * ${1L << sj}L + ${block(j)} * ${1L << sk}L + ${block(k)})"
+    }
+    s"array(${keys.mkString(",")})"
+  }
+
+  private def simhashComboKeysExpr: String = simhashComboKeysForTest("simhash")
+
   /** Row 23 (rows-only): SimHash near-dup. 64-bit fingerprint from
-    * xxhash64 token hashes (majority vote per bit), 4 × 16-bit band
-    * buckets, Hamming ≤ 3 verify via bit_count(xor). Candidate
-    * generation is linear (band groupBy), like MinHash.
+    * xxhash64 token hashes (majority vote per bit), 20 three-block
+    * bucket tables ([[SimhashCombos]] — complete for Hamming ≤ 3),
+    * Hamming ≤ 3 verify via bit_count(xor). Candidate generation is
+    * linear (bucket groupBy), like MinHash, and stays linear at
+    * corpus scale because the 33-bit key space does not saturate.
     */
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = augmentedDocs(spark, sfDir)
@@ -628,9 +679,7 @@ object Dedup {
       // re-running split+hash+majority-vote per branch
       .localCheckpoint()
     val chunks = sig.select(col("doc_id"),
-      posexplode(expr(
-        "transform(sequence(0, 3), c -> shiftright(simhash, c * 16) & 65535L)"))
-        .as(Seq("chunk_id", "chunk")))
+      posexplode(expr(simhashComboKeysExpr)).as(Seq("chunk_id", "chunk")))
     // same postings shape as MinHash: the signature pipeline runs
     // once, candidates come block-balanced out of the bucket lists,
     // and the fingerprints re-attach by broadcasting the id-only
@@ -643,10 +692,12 @@ object Dedup {
           .agg(collect_list(col("doc_id")).as("ds"))
           .filter(size(col("ds")) > 1))
       .dropDuplicates("doc_a", "doc_b")
+      .localCheckpoint() // counted by the guard AND joined twice
+    val side = pairSide(cand)
     val withA = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      .join(broadcast(cand), "doc_a")
+      .join(side(cand), "doc_a")
     val withB = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      .join(broadcast(cand), "doc_b")
+      .join(side(cand), "doc_b")
     withA.join(withB, Seq("doc_a", "doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= 3)

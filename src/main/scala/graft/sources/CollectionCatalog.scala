@@ -24,6 +24,15 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
 
   private def dir(name: String): Path = new Path(root, name)
 
+  /** Writer-lease home for a collection's read-rewrite-swap verbs
+    * ([[compact]], [[restore]]) — OUTSIDE the collection directory,
+    * because those verbs delete-and-rename the directory itself and
+    * must not destroy the lease they hold mid-verb. Same
+    * cross-process fencing as the standing indexes ([[WriterLease]]).
+    */
+  private def lockHome(name: String): String =
+    new Path(root, s".locks/$name").toString
+
   /** Create (or overwrite) a collection from a DataFrame. */
   def create(name: String, df: DataFrame, partitionBy: Seq[String] = Nil): Unit = {
     val w = df.write.mode("overwrite")
@@ -160,12 +169,14 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     val Array(name, n) = snapshotId.split("/")
     val src = new Path(root, s".snapshots/$name/$n")
     require(fs.exists(src), s"no such snapshot: $snapshotId")
-    val tmp = new Path(root, s".restore-$name")
-    fs.delete(tmp, true)
-    org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false,
-      spark.sparkContext.hadoopConfiguration)
-    fs.delete(dir(name), true)
-    fs.rename(tmp, dir(name))
+    WriterLease.exclusive(spark, lockHome(name)) {
+      val tmp = new Path(root, s".restore-$name")
+      fs.delete(tmp, true)
+      org.apache.hadoop.fs.FileUtil.copy(fs, src, fs, tmp, false,
+        spark.sparkContext.hadoopConfiguration)
+      fs.delete(dir(name), true)
+      fs.rename(tmp, dir(name))
+    }
   }
 
   /** Compact a collection's small files (the Qdrant segment
@@ -179,7 +190,8 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     * corrupts the live collection. Returns (files before, after).
     */
   def compact(name: String, targetFileBytes: Long = 128L << 20,
-              partitionBy: Seq[String] = Nil): (Long, Long) = {
+              partitionBy: Seq[String] = Nil): (Long, Long) =
+   WriterLease.exclusive(spark, lockHome(name)) {
     def countFiles(p: Path): Long =
       fs.listFiles(p, true) match { case it =>
         var n = 0L

@@ -79,6 +79,10 @@ object IndexSnapshot {
     val fs = fsOf(spark, pathOrHome)
     val src = new Path(snapRoot(pathOrHome), id)
     require(fs.exists(src), s"no such index snapshot: $pathOrHome @ $id")
+    // restore is a maintenance verb like compact/rotate: fenced
+    // against a second writer process (the `.lease` dir is a dot-dir,
+    // so neither restore branch's table swap touches it)
+    WriterLease.exclusive(spark, pathOrHome) {
     if (IndexAlias.installed(spark, pathOrHome)) {
       // rebuild-aside + swap: the restored state becomes the next
       // generation; in-flight readers drain on the old one
@@ -95,6 +99,7 @@ object IndexSnapshot {
       fs.delete(tmp, true)
       // an in-place restore changes what reads at this path must see
       graft.operators.VectorIndex.invalidate(spark, pathOrHome)
+    }
     }
   }
 }

@@ -162,6 +162,34 @@ class DedupSpec extends SparkSpec {
     assert(rows.forall(_.getAs[Long]("hamming") <= 3))
   }
 
+  test("simhash 3-of-6-block tables are COMPLETE for hamming <= 3 (pigeonhole)") {
+    // any fingerprint and a <=3-bit corruption of it must share at
+    // least one of the 20 combo keys — the guarantee that makes
+    // candidate generation lossless for the Hamming band the verify
+    // step keeps
+    val rnd = new scala.util.Random(7)
+    val cases = (0 until 500).map { _ =>
+      val h = rnd.nextLong()
+      val flips = rnd.nextInt(4) // 0..3 bit errors
+      val corrupted = (0 until flips)
+        .map(_ => 1L << rnd.nextInt(64))
+        .foldLeft(h)(_ ^ _)
+      (h, corrupted)
+    }
+    import spark.implicits._
+    val df = cases.toDF("ha", "hb")
+    val keysOf = (c: String) => org.apache.spark.sql.functions.expr(
+      Dedup.simhashComboKeysForTest(c))
+    val n = df
+      .withColumn("ka", keysOf("ha"))
+      .withColumn("kb", keysOf("hb"))
+      // positional overlap: combo c's key must match combo c's key
+      .filter(org.apache.spark.sql.functions.expr(
+        "exists(zip_with(ka, kb, (a, b) -> a = b), x -> x)"))
+      .count()
+    assert(n == cases.size, s"only $n of ${cases.size} hamming<=3 pairs bucketed together")
+  }
+
   test("prefix-filtered thresholded Jaccard pairs equal the full aggregate") {
     val tri = Dedup.trigrams(Dedup.augmentedDocs(spark, sfDir)).localCheckpoint()
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
