@@ -423,6 +423,8 @@ object TextIndex {
       Seq("tok_bucket")) { p =>
       tomb.fold(p)(t => p.join(broadcast(t), Seq(idCol), "left_anti"))
     }
+    // table boundary = lease renewal point (see VectorIndex.compact)
+    graft.sources.WriterLease.renewHeld(spark, rawPath)
     rewrite("vocab", "token STRING, df BIGINT", Nil) { v =>
       v.groupBy(col("token")).agg(sum(col("df")).as("df")).filter(col("df") > 0)
     }

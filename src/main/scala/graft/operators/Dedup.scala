@@ -463,6 +463,8 @@ object Dedup {
       fs.rename(tmp, live)
     }
     rewrite("postings", postingsSchema, Seq("band_id"))
+    // table boundary = lease renewal point (see VectorIndex.compact)
+    graft.sources.WriterLease.renewHeld(spark, rawPath)
     rewrite("shingles", shinglesSchema, Nil)
     fs.delete(new Path(s"$path/tombstones"), true)
     graft.sources.IndexStats.markCompacted(fs, path)

@@ -147,6 +147,9 @@ object VectorIndex {
         .select(col("vec_id"), col("embedding"), col("label"))
       val next = IndexAlias.nextGenerationPath(spark, home)
       buildFrom(spark, live, next)
+      // the rebuild is the long phase; prove ownership survived it
+      // BEFORE the swap makes the new generation live
+      graft.sources.WriterLease.renewHeld(spark, home)
       IndexAlias.set(spark, home, next)
       next
     }
@@ -623,6 +626,10 @@ object VectorIndex {
     }
     val before = countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh"))
     rewrite("vectors", vectorsSchema, Seq("cluster_id", "assign_rank"), mergePayload = true)
+    // table boundary = lease renewal point: a corpus-scale compact
+    // outlives any fixed TTL, and starting the next rewrite without
+    // still owning the index would race the usurper
+    graft.sources.WriterLease.renewHeld(spark, rawPath)
     rewrite("lsh", lshSchema, Seq("band_id"), mergePayload = false)
     fs.delete(new Path(s"$path/tombstones"), true)
     fs.delete(new Path(s"$path/payload"), true)

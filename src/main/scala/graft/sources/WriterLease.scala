@@ -157,6 +157,28 @@ object WriterLease {
   // lease on its way out)
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Token]()
 
+  /** Renew the lease THIS PROCESS currently holds on `pathOrHome`
+    * (no-op token refresh from inside an [[exclusive]] body) — the
+    * progress-point call a verb that can outlive the TTL makes
+    * between its phases (a 100 TB compact rewrites several tables;
+    * each boundary is a natural renewal point). Raises
+    * [[ConcurrentWriterException]] if ownership was lost — the verb
+    * must abort rather than start its next phase on a layout a new
+    * owner may be rewriting. Called outside an exclusive block it is
+    * an error by contract (there is nothing to renew) and throws.
+    */
+  def renewHeld(spark: SparkSession, pathOrHome: String,
+                ttlMs: Long = DefaultTtlMs): Unit = {
+    val key = leaseDir(pathOrHome).toString
+    val tok = held.get(key)
+    if (tok == null)
+      throw new ConcurrentWriterException(
+        s"renewHeld($pathOrHome) outside an exclusive block — no lease held")
+    val fs = new Path(pathOrHome)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    held.put(key, renew(fs, tok, ttlMs))
+  }
+
   /** Run `body` as THE writer of the index at `pathOrHome`: same-JVM
     * threads serialize on [[MutationLock]], cross-process writers on
     * the lease. After `body` returns, the fencing token is checked
@@ -175,19 +197,21 @@ object WriterLease {
     MutationLock.of(pathOrHome).synchronized {
       if (held.containsKey(key)) body // nested verb: outer lease covers it
       else {
-        val tok = acquire(fs, pathOrHome)
-        held.put(key, tok)
+        held.put(key, acquire(fs, pathOrHome, ttlMs = ttlMs))
         try {
           val r = body
-          if (!check(fs, tok))
+          // the held entry is re-read: a renewHeld inside the body
+          // replaced the token, and the fencing check must be
+          // against the CURRENT lease version
+          if (!check(fs, held.get(key)))
             throw new ConcurrentWriterException(
               s"writer lease on $pathOrHome was taken over mid-mutation " +
                 "— the layout may hold interleaved writes; re-verify " +
                 "against the new owner before trusting this mutation")
           r
         } finally {
-          held.remove(key)
-          release(fs, tok)
+          val cur = held.remove(key)
+          if (cur != null) release(fs, cur)
         }
       }
     }

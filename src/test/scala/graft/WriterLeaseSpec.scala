@@ -123,6 +123,24 @@ class WriterLeaseSpec extends SparkSpec {
     assert(after.exists(_.startsWith("free ")), s"lease after exit: $after")
   }
 
+  test("renewHeld extends an exclusive's lease from inside the body; errors outside one") {
+    val home = freshHome("renew")
+    val fs = fsFor(home)
+    val r = WriterLease.exclusive(spark, home, ttlMs = 150L) {
+      Thread.sleep(60L)
+      WriterLease.renewHeld(spark, home, ttlMs = 60000L)
+      Thread.sleep(150L) // well past the ORIGINAL expiry
+      // still the owner: the lease pointer carries the renewed claim
+      val lease = VersionedPointer.read(fs, new Path(home, ".lease"))
+      assert(lease.exists(_.startsWith("held ")), s"lease: $lease")
+      7
+    } // the exit fencing check must pass against the RENEWED token
+    assert(r == 7)
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.renewHeld(spark, home) // no exclusive block -> error
+    }
+  }
+
   test("break_ force-frees a stuck lease") {
     val home = freshHome("break")
     val fs = fsFor(home)
