@@ -1,6 +1,6 @@
 package graft
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Scaling-slope harness for the heavy tail (SURVEY §6): runs the ten
@@ -35,6 +35,15 @@ object SlopeBench {
     "q_dedup_simhash", "q_contamination", "q_cooccur_pmi",
     "q_boilerplate", "q_bpe_pairs", "q_media_knn", "q_significant_text",
     "q_dedup_substring", "q_frequent_item_sets")
+
+  /** Slope-only operators (not SparkEntry entries): the fixed-query
+    * media kNN isolates the OPERATOR's corpus slope from the
+    * registered entry's grows-with-corpus query set (queries pinned
+    * to base-replica ids, which every scaled corpus contains).
+    */
+  val SlopeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
+    "q_media_knn_fixedq" -> ((s, dir) => operators.Multimodal.mediaKnn(s, dir,
+      col("doc_id") % 100 === 0 && col("doc_id") < 100000000L)))
 
   private val Lower = ('a' to 'z').mkString
   private val Upper = ('A' to 'Z').mkString
@@ -116,20 +125,22 @@ object SlopeBench {
     // the two operators whose 10× ratios crowd the linear bar):
     // replicating embeddings or timing index builds at 100× would
     // dominate the run without informing the question being asked
+    val known = Heavy ++ SlopeOnly.keys
     val selected = sys.env.get("SPARK_GRAFT_SLOPE_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Heavy)
-    require(selected.forall(Heavy.contains),
-      s"unknown slope queries: ${selected.filterNot(Heavy.contains)}")
+    require(selected.forall(known.contains),
+      s"unknown slope queries: ${selected.filterNot(known.contains)}")
     val withBuilds = sys.env.getOrElse("SPARK_GRAFT_SLOPE_BUILDS", "1") == "1"
-    val needsEmbeddings = withBuilds || selected.contains("q_media_knn")
+    val needsEmbeddings = withBuilds || selected.exists(_.startsWith("q_media_knn"))
 
     buildScaled(spark, baseDir, scaledDir, factor)
     if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
 
-    val qs = selected.map(n => n -> SparkEntry.queries(n))
+    def fnOf(n: String) = SlopeOnly.getOrElse(n, SparkEntry.queries(n))
+    val qs = selected.map(n => n -> fnOf(n))
     def time(dir: String, name: String): Double = {
-      val fn = SparkEntry.queries(name)
+      val fn = fnOf(name)
       val t0 = System.nanoTime()
       fn(spark, dir).count()
       (System.nanoTime() - t0) / 1e9

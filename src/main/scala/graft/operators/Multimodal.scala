@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{DataFrame, Dataset, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
 
@@ -181,7 +181,17 @@ object Multimodal {
     * The query item itself ranks first at similarity 1 — near_image
     * is "find items like this one", self included.
     */
-  def qMediaKnn(spark: SparkSession, sfDir: String): DataFrame = {
+  def qMediaKnn(spark: SparkSession, sfDir: String): DataFrame =
+    mediaKnn(spark, sfDir, col("doc_id") % 100 === 0)
+
+  /** [[qMediaKnn]] with an explicit query-set predicate — the slope
+    * harness uses a FIXED query set (base-replica ids only) to
+    * separate the operator's corpus slope from the benchmark
+    * query-set growth (the registered entry queries every 100th doc,
+    * so its work grows as queries × corpus = quadratic in corpus
+    * size BY CONSTRUCTION of the benchmark, not of the operator).
+    */
+  def mediaKnn(spark: SparkSession, sfDir: String, queryPred: Column): DataFrame = {
     // the feature extraction is entirely per-row and shuffle-free:
     // each histogram slot is a constant-folded translate-and-length
     // count (native codegen'd string ops — no char explode, no HOF
@@ -197,7 +207,7 @@ object Multimodal {
     val feats = IndexCache.materialized(spark, s"media-feats#$sfDir") {
       mediaTable(spark, sfDir).select(col("doc_id"), v.as("v"))
     }
-    val q = feats.filter(col("doc_id") % 100 === 0)
+    val q = feats.filter(queryPred)
       .select(col("doc_id").as("q_id"), col("v").as("qv"))
     val scored = feats.crossJoin(broadcast(q))
       .withColumn("score", round(graft.functions.vec.cosine(col("qv"), col("v")), 6))
