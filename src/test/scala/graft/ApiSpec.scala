@@ -34,6 +34,25 @@ class ApiSpec extends SparkSpec {
     assert(r.map(_.getAs[Long]("id")).toSet == Set(3L, 4L))
   }
 
+  test("a geo wire filter composes as a vector-search preFilter (Qdrant filtered kNN with geo)") {
+    import spark.implicits._
+    // collection with a geo payload field `loc` (lat/lon columns)
+    val coll = VectorCollection(Seq(
+      (1L, Array(1.0f, 0.0f), 10.0, 20.0),   // near the search box
+      (2L, Array(0.95f, 0.05f), 11.0, 21.0), // near, slightly worse vector
+      (3L, Array(0.99f, 0.01f), -60.0, 150.0), // best vector, far away
+      (4L, Array(0.0f, 1.0f), 12.0, 19.0))   // near, orthogonal vector
+      .toDF("id", "embedding", "loc_lat", "loc_lon"))
+    val geo = graft.api.FilterDsl.fromJson(
+      """{ "must": [ {"key": "loc",
+        |  "geo_radius": {"center": {"lat": 10.5, "lon": 20.0}, "radius": 400000.0}} ] }""".stripMargin)
+    val r = coll.search(mkQueries(), k = 2, Metric.Cosine,
+      preFilter = Some(geo.toColumn)).collect()
+    // doc 3 (best cosine) is outside the radius and must not appear;
+    // ranking inside the filtered set stays by metric
+    assert(r.map(_.getAs[Long]("id")).toSeq == Seq(1L, 2L))
+  }
+
   test("rangeSearch respects metric direction") {
     val cos = mkColl().rangeSearch(mkQueries(), 0.5, Metric.Cosine).collect()
     assert(cos.map(_.getAs[Long]("id")).toSet == Set(1L, 2L))
