@@ -141,6 +141,53 @@ class WriterLeaseSpec extends SparkSpec {
     }
   }
 
+  test("a REAL second JVM holding the lease refuses this process's mutation (no simulation)") {
+    import spark.implicits._
+    val home = freshHome("realproc")
+    val fs = fsFor(home)
+    VectorIndex.buildFrom(spark,
+      Tables.embeddings(spark, sfDir)
+        .select(col("vec_id"), col("embedding"), col("label")), home)
+
+    // launch an independent JVM (same classpath, no Spark inside)
+    // that acquires the lease on the shared home and holds it
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val proc = new ProcessBuilder(
+      java, "-cp", cp, "graft.sources.LeaseHolderMain", home, "8000")
+      .redirectErrorStream(true).start()
+    try {
+      val heldMarker = new Path(home, ".held-marker")
+      val deadline = System.currentTimeMillis() + 60000L
+      while (!fs.exists(heldMarker) && System.currentTimeMillis() < deadline) {
+        assert(proc.isAlive, "lease-holder process died before acquiring")
+        Thread.sleep(100L)
+      }
+      assert(fs.exists(heldMarker), "lease-holder process never acquired")
+
+      // while the OTHER PROCESS holds the lease, this process's
+      // mutation verbs refuse — the cross-process contract, for real
+      val ex = intercept[WriterLease.ConcurrentWriterException] {
+        VectorIndex.setPayload(spark, home,
+          Seq((0L, 9)).toDF("vec_id", "label"))
+      }
+      assert(ex.getMessage.contains("ext@"), ex.getMessage)
+    } finally {
+      proc.destroyForcibly()
+      proc.waitFor()
+    }
+    // the holder was killed without releasing: its lease EXPIRES and
+    // the next writer steals it (crash recovery); shorten the wait by
+    // breaking the lease the way an operator would
+    graft.sources.WriterLease.break_(fs, home)
+    import org.apache.spark.sql.functions.col
+    VectorIndex.setPayload(spark, home, Seq((0L, 9)).toDF("vec_id", "label"))
+    val served = VectorIndex.searchIvf(spark, home,
+      Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb")))
+    assert(served.count() > 0)
+  }
+
   test("break_ force-frees a stuck lease") {
     val home = freshHome("break")
     val fs = fsFor(home)
