@@ -140,8 +140,13 @@ object FullText {
     val allowed = Tables.embeddings(spark, sfDir).filter(pred)
       .select(col("vec_id").as("doc_id"))
     val poolPart = pmod(col("doc_id"), lit(1L))
+    // NO broadcast hint on the allowed-id set: a broad payload
+    // filter passes most of a 100 TB corpus, and the id list is then
+    // corpus-sized. The lexical pool is posting-bounded (small), so
+    // the adaptive planner broadcasts whichever side measures small
+    // and degrades to a shuffle semi-join when neither does.
     val lex = TextIndex.bm25AtRest(spark, textIndexPath(spark, sfDir), Terms)
-      .join(broadcast(allowed), Seq("doc_id"), "left_semi")
+      .join(allowed, Seq("doc_id"), "left_semi")
       .orderBy(col("bm25").desc, col("doc_id")).limit(pool)
       .select(col("doc_id"), row_number().over(
         Window.partitionBy(poolPart).orderBy(col("bm25").desc, col("doc_id"))).as("lex_rank"))

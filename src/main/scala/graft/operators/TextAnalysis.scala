@@ -217,7 +217,14 @@ object TextAnalysis {
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val total = vocab.agg(sum(col("c")).as("total"))
     toks
-      .join(broadcast(vocab.crossJoin(total)), "tok")
+      // NO broadcast hint on the vocab side: a natural-language
+      // vocabulary grows with the corpus (Heaps' law) and at 100 TB
+      // outgrows any broadcast. The vocab is an aggregation output,
+      // so AQE reads its ACTUAL size and still broadcasts it when it
+      // is small (every test/bench scale); past the threshold the
+      // join degrades to the scalable shuffle-by-token plan instead
+      // of a driver OOM.
+      .join(vocab.crossJoin(broadcast(total)), "tok")
       .groupBy(col("doc_id"))
       .agg(count(lit(1)).as("n_tok"),
         round(avg(-log(col("c").cast("double") / col("total"))), 6).as("nll"))
@@ -314,8 +321,11 @@ object TextAnalysis {
       .groupBy(col("t1"), col("t2")).agg(count(lit(1)).as("c_ab"))
       .filter(col("c_ab") >= PmiMinSupport)
     pairs
-      .join(broadcast(dfreq.withColumnRenamed("tok", "t1").withColumnRenamed("df", "df_a")), "t1")
-      .join(broadcast(dfreq.withColumnRenamed("tok", "t2").withColumnRenamed("df", "df_b")), "t2")
+      // the df table is vocabulary-sized — no broadcast hint (Heaps'
+      // law; see docNll). AQE still broadcasts it at small scale
+      // from its measured aggregation-output size.
+      .join(dfreq.withColumnRenamed("tok", "t1").withColumnRenamed("df", "df_a"), "t1")
+      .join(dfreq.withColumnRenamed("tok", "t2").withColumnRenamed("df", "df_b"), "t2")
       .crossJoin(broadcast(nDocs))
       .select(col("t1"), col("t2"), col("c_ab"),
         round(log(col("n_docs").cast("double") * col("c_ab") /
