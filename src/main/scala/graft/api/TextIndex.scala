@@ -405,19 +405,28 @@ object TextIndex {
     import org.apache.hadoop.fs.Path
     val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rotating home -> zero-downtime: folded tables land as the next
+    // generation and the pointer swaps; a concrete path rewrites in
+    // place via aside+rename (see VectorIndex.compact)
+    val destRoot: Option[String] =
+      if (graft.sources.IndexAlias.installed(spark, rawPath))
+        Some(graft.sources.IndexAlias.nextGenerationPath(spark, rawPath))
+      else None
     val tomb = tombstones(spark, path, idCol)
     def rewrite(sub: String, ddl: String, partCols: Seq[String])
                (transform: DataFrame => DataFrame): Unit = {
       val live = new Path(s"$path/$sub")
-      val tmp = new Path(s"$path/.compact-$sub")
-      fs.delete(tmp, true)
+      val dst = destRoot.fold(new Path(s"$path/.compact-$sub"))(d => new Path(s"$d/$sub"))
+      fs.delete(dst, true)
       val out = transform(spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
         .parquet(live.toString))
       (if (partCols.isEmpty) out.coalesce(1).write
-       else out.write.partitionBy(partCols: _*)).parquet(tmp.toString)
-      fs.delete(live, true)
-      fs.rename(tmp, live)
+       else out.write.partitionBy(partCols: _*)).parquet(dst.toString)
+      if (destRoot.isEmpty) {
+        fs.delete(live, true)
+        fs.rename(dst, live)
+      }
     }
     rewrite("postings", s"$idCol BIGINT, token STRING, tf BIGINT, dl BIGINT, tok_bucket BIGINT",
       Seq("tok_bucket")) { p =>
@@ -431,8 +440,15 @@ object TextIndex {
     rewrite("stats", "n_docs BIGINT, sum_dl BIGINT", Nil) { s =>
       s.agg(sum(col("n_docs")).as("n_docs"), sum(col("sum_dl")).as("sum_dl"))
     }
-    fs.delete(new Path(s"$path/tombstones"), true)
-    graft.sources.IndexStats.markCompacted(fs, path)
+    destRoot match {
+      case Some(d) =>
+        graft.sources.IndexStats.markCompacted(fs, d)
+        graft.sources.WriterLease.renewHeld(spark, rawPath)
+        graft.sources.IndexAlias.set(spark, rawPath, d)
+      case None =>
+        fs.delete(new Path(s"$path/tombstones"), true)
+        graft.sources.IndexStats.markCompacted(fs, path)
+    }
   }
 
   /** Index health — see [[graft.sources.IndexStats]]. Delta debt for

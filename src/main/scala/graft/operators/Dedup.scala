@@ -449,25 +449,40 @@ object Dedup {
     import org.apache.hadoop.fs.Path
     val path = graft.sources.IndexAlias.resolve(spark, rawPath)
     val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    // rotating home -> zero-downtime generation handoff; concrete
+    // path -> in-place aside+rename (see VectorIndex.compact)
+    val destRoot: Option[String] =
+      if (graft.sources.IndexAlias.installed(spark, rawPath))
+        Some(graft.sources.IndexAlias.nextGenerationPath(spark, rawPath))
+      else None
     val tomb = indexTombstones(spark, path)
     def rewrite(sub: String, schema: org.apache.spark.sql.types.StructType,
                 partCols: Seq[String]): Unit = {
       val live = new Path(s"$path/$sub")
-      val tmp = new Path(s"$path/.compact-$sub")
-      fs.delete(tmp, true)
+      val dst = destRoot.fold(new Path(s"$path/.compact-$sub"))(d => new Path(s"$d/$sub"))
+      fs.delete(dst, true)
       val base = spark.read.schema(schema).parquet(live.toString)
       val out = tomb.fold(base)(t => base.join(broadcast(t), Seq("doc_id"), "left_anti"))
       (if (partCols.isEmpty) out.write else out.write.partitionBy(partCols: _*))
-        .parquet(tmp.toString)
-      fs.delete(live, true)
-      fs.rename(tmp, live)
+        .parquet(dst.toString)
+      if (destRoot.isEmpty) {
+        fs.delete(live, true)
+        fs.rename(dst, live)
+      }
     }
     rewrite("postings", postingsSchema, Seq("band_id"))
     // table boundary = lease renewal point (see VectorIndex.compact)
     graft.sources.WriterLease.renewHeld(spark, rawPath)
     rewrite("shingles", shinglesSchema, Nil)
-    fs.delete(new Path(s"$path/tombstones"), true)
-    graft.sources.IndexStats.markCompacted(fs, path)
+    destRoot match {
+      case Some(d) =>
+        graft.sources.IndexStats.markCompacted(fs, d)
+        graft.sources.WriterLease.renewHeld(spark, rawPath)
+        graft.sources.IndexAlias.set(spark, rawPath, d)
+      case None =>
+        fs.delete(new Path(s"$path/tombstones"), true)
+        graft.sources.IndexStats.markCompacted(fs, path)
+    }
   }
 
   /** Index health — see [[graft.sources.IndexStats]]: postings and

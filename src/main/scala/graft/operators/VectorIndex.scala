@@ -603,6 +603,16 @@ object VectorIndex {
       while (it.hasNext) { if (it.next().getPath.getName.endsWith(".parquet")) n += 1 }
       n
     }
+    // a ROTATING home compacts ZERO-DOWNTIME: the folded layout lands
+    // as the next generation (invisible until the pointer swap), so
+    // in-flight readers keep a complete old generation instead of
+    // racing a delete+rename of the tables under them — the same
+    // handoff retrain uses, at fold cost instead of re-encode cost.
+    // A concrete path keeps the in-place aside+rename (single-node
+    // maintenance contract).
+    val rotating = IndexAlias.installed(spark, rawPath)
+    val destRoot: Option[String] =
+      if (rotating) Some(IndexAlias.nextGenerationPath(spark, rawPath)) else None
     // compaction also APPLIES pending tombstones and payload deltas
     // (the delta-merge step of Milvus/Qdrant segment maintenance):
     // rewritten files drop deleted rows in both the vector table and
@@ -614,15 +624,17 @@ object VectorIndex {
       val live = new Path(s"$path/$sub")
       val bytes = fs.getContentSummary(live).getLength
       val nFiles = math.max(1L, (bytes + targetFileBytes - 1) / targetFileBytes).toInt
-      val tmp = new Path(s"$path/.compact-$sub")
-      fs.delete(tmp, true)
+      val out = destRoot.fold(new Path(s"$path/.compact-$sub"))(d => new Path(s"$d/$sub"))
+      fs.delete(out, true)
       val base = spark.read.schema(schema).parquet(live.toString)
       val alive = tomb.fold(base)(t => base.join(broadcast(t), Seq("vec_id"), "left_anti"))
       (if (mergePayload) withPayload(spark, path, alive) else alive)
         .repartition(nFiles, partCols.map(col): _*)
-        .write.partitionBy(partCols: _*).parquet(tmp.toString)
-      fs.delete(live, true)
-      fs.rename(tmp, live)
+        .write.partitionBy(partCols: _*).parquet(out.toString)
+      if (destRoot.isEmpty) {
+        fs.delete(live, true)
+        fs.rename(out, live)
+      }
     }
     val before = countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh"))
     rewrite("vectors", vectorsSchema, Seq("cluster_id", "assign_rank"), mergePayload = true)
@@ -631,12 +643,26 @@ object VectorIndex {
     // still owning the index would race the usurper
     graft.sources.WriterLease.renewHeld(spark, rawPath)
     rewrite("lsh", lshSchema, Seq("band_id"), mergePayload = false)
-    fs.delete(new Path(s"$path/tombstones"), true)
-    fs.delete(new Path(s"$path/payload"), true)
-    graft.sources.IndexStats.markCompacted(fs, path)
-    mutated(path)
-    (before,
-      countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh")))
+    val after = destRoot match {
+      case Some(d) =>
+        // the folded layout serves from the SAME geometry — copy
+        // meta, stamp, swap; debt dies by not being copied. The old
+        // generation stays for draining readers (pruneGenerations).
+        org.apache.hadoop.fs.FileUtil.copy(fs, new Path(s"$path/meta"), fs,
+          new Path(s"$d/meta"), false, spark.sparkContext.hadoopConfiguration)
+        graft.sources.IndexStats.markCompacted(fs, d)
+        graft.sources.WriterLease.renewHeld(spark, rawPath)
+        IndexAlias.set(spark, rawPath, d)
+        mutated(path); mutated(d)
+        countFiles(new Path(s"$d/vectors")) + countFiles(new Path(s"$d/lsh"))
+      case None =>
+        fs.delete(new Path(s"$path/tombstones"), true)
+        fs.delete(new Path(s"$path/payload"), true)
+        graft.sources.IndexStats.markCompacted(fs, path)
+        mutated(path)
+        countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh"))
+    }
+    (before, after)
    }
 
   /** Index health — see [[graft.sources.IndexStats]]: files/bytes per

@@ -77,12 +77,14 @@ class IndexStatsSpec extends SparkSpec {
     assert(files(s3, "tombstones") == 0 && files(s3, "payload") == 0)
     assert(lastCompaction(s3).isDefined)
 
-    // rotation lands a fresh generation: stats follow the new live path
+    // rotation lands a fresh generation: stats follow the new live
+    // path. Three generations by now: the original build, the
+    // zero-downtime compact's handoff, and this retrain.
     VectorIndex.delete(spark, home, victims.takeRight(2))
     assert(debt(VectorIndex.stats(spark, home), "tombstones") == 2L)
     VectorIndex.retrain(spark, home)
     val s4 = VectorIndex.stats(spark, home)
-    assert(row(s4, "vectors").getAs[Int]("n_generations") == 2)
+    assert(row(s4, "vectors").getAs[Int]("n_generations") == 3)
     assert(debt(s4, "tombstones") == 0)
     assert(row(s4, "vectors").getAs[String]("live_path") !=
       row(s0, "vectors").getAs[String]("live_path"))

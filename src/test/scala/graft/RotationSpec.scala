@@ -228,6 +228,38 @@ class RotationSpec extends SparkSpec {
     assert(Dedup.dedupAgainstIndex(spark, probe, dHome).count() >= 1)
   }
 
+  test("zero-downtime compact: a rotating home hands off to a fresh generation, old one stays complete") {
+    import org.apache.hadoop.fs.Path
+    val corpus = clustered(seed = 31, nClusters = 8, perCluster = 40,
+      lo = -1.0, hi = 1.0, idBase = 0L)
+    val q = queriesFrom(corpus, 4, seed = 32)
+    val home = IndexCache.tempDir("graft-zdcompact") + "/vix"
+    VectorIndex.buildRotating(spark, corpus, home)
+    VectorIndex.delete(spark, home, Seq(0L, 1L, 2L))
+    val oldGen = IndexAlias.resolve(spark, home)
+    val fs = new Path(home).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = VectorIndex.searchIvf(spark, home, q).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn"), r.getAs[Long]("vec_id"))).toSet
+
+    VectorIndex.compact(spark, home)
+    val newGen = IndexAlias.resolve(spark, home)
+    assert(newGen != oldGen, "compact on a rotating home must hand off generations")
+    // a reader that resolved BEFORE the swap still has a complete
+    // layout under it — nothing in the old generation was touched
+    for (t <- Seq("vectors", "lsh", "meta", "tombstones"))
+      assert(fs.exists(new Path(oldGen, t)), s"old generation lost $t")
+    // the new generation serves the identical post-delete state, now
+    // physical: no tombstone table, same search answers
+    assert(!fs.exists(new Path(newGen, "tombstones")))
+    val after = VectorIndex.searchIvf(spark, home, q).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("rn"), r.getAs[Long]("vec_id"))).toSet
+    assert(after == before, "compact handoff changed search results")
+    assert(after.nonEmpty && !after.exists(t => Seq(0L, 1L, 2L).contains(t._3)))
+    // drain complete -> prune removes the old generation
+    val pruned = IndexAlias.pruneGenerations(spark, home)
+    assert(pruned.nonEmpty && !fs.exists(new Path(oldGen)))
+  }
+
   test("VersionedPointer survives concurrent writers: every write lands, max version wins, no lost swap") {
     import graft.sources.VersionedPointer
     import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
