@@ -413,7 +413,8 @@ object TextIndex {
         Some(graft.sources.IndexAlias.nextGenerationPath(spark, rawPath))
       else None
     val tomb = tombstones(spark, path, idCol)
-    def rewrite(sub: String, ddl: String, partCols: Seq[String])
+    def rewrite(sub: String, ddl: String, partCols: Seq[String],
+                rangeClusterCol: Option[String] = None)
                (transform: DataFrame => DataFrame): Unit = {
       val live = new Path(s"$path/$sub")
       val dst = destRoot.fold(new Path(s"$path/.compact-$sub"))(d => new Path(s"$d/$sub"))
@@ -421,8 +422,21 @@ object TextIndex {
       val out = transform(spark.read
         .schema(org.apache.spark.sql.types.StructType.fromDDL(ddl))
         .parquet(live.toString))
-      (if (partCols.isEmpty) out.coalesce(1).write
-       else out.write.partitionBy(partCols: _*)).parquet(dst.toString)
+      val w = rangeClusterCol match {
+        case Some(c) =>
+          // vocabulary-sized tables follow Heaps' law — a coalesce(1)
+          // funnel is a single-task write of a possibly-billions-row
+          // frame at 100 TB. Range-cluster by the lookup key instead:
+          // file count tracks bytes, and the per-query term lookup
+          // (pushed-down `token IN (...)`) skips files on footer
+          // min/max.
+          val nFiles = math.max(1L,
+            (fs.getContentSummary(live).getLength + (64L << 20) - 1) / (64L << 20)).toInt
+          out.repartitionByRange(nFiles, col(c)).sortWithinPartitions(col(c)).write
+        case None if partCols.isEmpty => out.coalesce(1).write
+        case None => out.write.partitionBy(partCols: _*)
+      }
+      w.parquet(dst.toString)
       if (destRoot.isEmpty) {
         fs.delete(live, true)
         fs.rename(dst, live)
@@ -434,7 +448,7 @@ object TextIndex {
     }
     // table boundary = lease renewal point (see VectorIndex.compact)
     graft.sources.WriterLease.renewHeld(spark, rawPath)
-    rewrite("vocab", "token STRING, df BIGINT", Nil) { v =>
+    rewrite("vocab", "token STRING, df BIGINT", Nil, rangeClusterCol = Some("token")) { v =>
       v.groupBy(col("token")).agg(sum(col("df")).as("df")).filter(col("df") > 0)
     }
     rewrite("stats", "n_docs BIGINT, sum_dl BIGINT", Nil) { s =>
