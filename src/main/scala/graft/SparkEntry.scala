@@ -195,6 +195,7 @@ object SparkEntry {
     "q_moving_percentiles" -> (Relational.qMovingPercentiles _),
     "q_logsumexp"       -> (Relational.qLogSumExp _),
     "q_geo_polygon"     -> (Geo.qGeoPolygon _),
+    "q_geo_polygon_indexed" -> (Geo.qGeoPolygonIndexed _),
     "q_analyze"         -> (FullText.qAnalyze _),
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
@@ -1332,6 +1333,21 @@ object SparkEntry {
         |SELECT user_id, lat, lon, dist_km FROM d
         |WHERE dist_km <= 3000 ORDER BY dist_km, user_id LIMIT 50""".stripMargin,
     "q_geo_polygon" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |g AS (SELECT user_id,
+         |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+         |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+         |  FROM u),
+         |c AS (SELECT user_id, lat, lon,
+         |  ${operators.Geo.polygonCrossingsSql(operators.Geo.PolyVerts)} AS crossings
+         |  FROM g)
+         |SELECT user_id, lat, lon FROM c WHERE crossings % 2 = 1
+         |ORDER BY user_id LIMIT 200""".stripMargin,
+    // the at-rest geo layout must serve the IDENTICAL answer —
+    // same oracle as the in-memory polygon scan
+    "q_geo_polygon_indexed" ->
       s"""WITH u AS (SELECT DISTINCT user_id FROM events),
          |g AS (SELECT user_id,
          |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)

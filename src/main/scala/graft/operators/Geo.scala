@@ -191,6 +191,42 @@ object Geo {
       .limit(200)
       .select(col("user_id"), col("lat"), col("lon"))
 
+  /** Session-scoped at-rest GEO payload layout of the point frame
+    * (built once per corpus — the ingest-time artifact): the user
+    * points land Morton-clustered by bucketed lat/lon under a
+    * [[graft.api.PayloadIndex]] geo layout, so geo predicates skip
+    * files on footer min/max instead of scanning the corpus.
+    */
+  private val geoIndexPaths =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  private def geoIndexPath(spark: SparkSession, sfDir: String): String =
+    geoIndexPaths.computeIfAbsent(
+      IndexCache.sessionKey(spark) + "#" + sfDir, { _ =>
+        val p = IndexCache.tempDir("graft-geoindex") + "/points"
+        graft.api.PayloadIndex.write(
+          userGeo(spark, sfDir).select(col("user_id"),
+            col("lat").as("loc_lat"), col("lon").as("loc_lon")),
+          p, graft.api.PayloadIndex.Layout(geo = Some("loc")), numFiles = 32)
+        p
+      })
+
+  /** [[qGeoPolygon]] served from the AT-REST geo payload layout —
+    * same polygon, same answers (hash-checked against the same
+    * oracle), but the predicate runs against the Morton-clustered
+    * file layout through the [[graft.api.FilterDsl.GeoPolygon]] wire
+    * condition, whose implied bounding box is what the parquet
+    * footer stats prune on. The production read path of a
+    * geo-indexed collection, as `q_bm25_indexed` is for text.
+    */
+  def qGeoPolygonIndexed(spark: SparkSession, sfDir: String): DataFrame =
+    graft.api.PayloadIndex.scan(spark, geoIndexPath(spark, sfDir),
+        graft.api.FilterDsl.Filter(must = Seq(
+          graft.api.FilterDsl.GeoPolygon("loc", PolyVerts))))
+      .select(col("user_id"), col("loc_lat").as("lat"), col("loc_lon").as("lon"))
+      .orderBy(col("user_id"))
+      .limit(200)
+
   /** Distance-ring aggregation (ES `geo_distance` agg): concentric
     * bands around a query point, each with its point count and mean
     * distance. The ring key is a per-row expression over the same
