@@ -355,4 +355,19 @@ class PlanSpec extends SparkSpec {
     }
     assert(offenders.isEmpty, s"cartesian products in: ${offenders.mkString(", ")}")
   }
+
+  test("de-hinted vocabulary joins still resolve to broadcast at small scale through AQE") {
+    // the vocab/df sides deliberately carry NO broadcast hint (Heaps'
+    // law: they grow with the corpus) — this lint pins that the
+    // adaptive planner still broadcasts them when their measured size
+    // is small, i.e. dropping the hint cost nothing at test/bench
+    // scale
+    for (name <- Seq("q_perplexity", "q_cooccur_pmi")) {
+      val df = SparkEntry.queries(name)(spark, sfDir)
+      df.collect()
+      val finalPlan = df.queryExecution.executedPlan.toString
+      assert(finalPlan.contains("BroadcastHashJoin"),
+        s"$name lost its small-scale broadcast join:\n${finalPlan.take(2000)}")
+    }
+  }
 }
