@@ -131,8 +131,16 @@ object SlopeBench {
       .getOrElse(Heavy)
     require(selected.forall(known.contains),
       s"unknown slope queries: ${selected.filterNot(known.contains)}")
-    val withBuilds = sys.env.getOrElse("SPARK_GRAFT_SLOPE_BUILDS", "1") == "1"
-    val needsEmbeddings = withBuilds || selected.exists(_.startsWith("q_media_knn"))
+    // "1" = all builds, "0" = none, else a comma list of build names
+    val buildSel = sys.env.getOrElse("SPARK_GRAFT_SLOPE_BUILDS", "1")
+    def buildChosen(name: String): Boolean = buildSel match {
+      case "1" => true
+      case "0" => false
+      case list => list.split(',').map(_.trim).contains(name)
+    }
+    val withBuilds = buildSel != "0"
+    val needsEmbeddings = buildChosen("vector_index_build") ||
+      selected.exists(_.startsWith("q_media_knn"))
 
     buildScaled(spark, baseDir, scaledDir, factor)
     if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
@@ -157,7 +165,7 @@ object SlopeBench {
     // warm-up build at base (builds are minutes-scale at 10×; the
     // warm-up removes the one-off classload/codegen cost the queries'
     // min-of-two would have shielded)
-    val bs = if (withBuilds) builds(spark) else Nil
+    val bs = if (withBuilds) builds(spark).filter(b => buildChosen(b._1)) else Nil
     bs.foreach { case (_, run) => run(baseDir) }
     def timeBuild(run: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime(); run(dir); (System.nanoTime() - t0) / 1e9

@@ -132,7 +132,8 @@ object ScaleOps {
   case class MaintenancePolicy(
       maxDebtRows: Long = 100000L,
       maxDataFiles: Long = 512L,
-      minRecall: Option[Double] = None)
+      minRecall: Option[Double] = None,
+      keepGenerations: Int = 1)
 
   /** What [[maintain]] did and why — one row per decision, loggable
     * as-is into an operations table.
@@ -191,7 +192,7 @@ object ScaleOps {
       case other    => sys.error(s"unknown index kind '$other'")
     }
 
-    (recall, policy.minRecall) match {
+    val report = (recall, policy.minRecall) match {
       case (Some(r), Some(min)) if r < min =>
         VectorIndex.retrain(spark, home)
         MaintenanceReport("retrained", f"sampled recall $r%.3f < $min%.3f", debtRows, dataFiles, recall)
@@ -204,5 +205,16 @@ object ScaleOps {
       case _ =>
         MaintenanceReport("none", "within policy", debtRows, dataFiles, recall)
     }
+    // bound the generation footprint: compact (zero-downtime handoff)
+    // and retrain each land a fresh generation, so a periodic loop
+    // would otherwise accumulate one full corpus copy per cycle.
+    // Pruning keeps the live generation plus `keepGenerations` newest
+    // older ones — readers that resolved before the latest swap keep
+    // a complete layout for at least one more maintenance cycle (the
+    // drain-grace contract; maintain already runs under the
+    // single-owner lease the pruned directories' writers share).
+    graft.sources.IndexAlias.pruneGenerations(spark, home,
+      keep = policy.keepGenerations)
+    report
   }
 }

@@ -245,14 +245,21 @@ object IndexAlias {
     resolveCache.put(new Path(home).toString, new Path(home, t.getName).toString)
   }
 
-  /** Delete every generation except the live one (run AFTER a swap,
-    * once in-flight readers of the old generation have drained — the
-    * ES "delete the old index" step). Returns the pruned names.
+  /** Delete stale generations (run AFTER a swap, once in-flight
+    * readers of the old generations have drained — the ES "delete
+    * the old index" step). `keep` retains that many of the NEWEST
+    * non-live generations as a drain-grace window: a periodic
+    * maintenance loop prunes with `keep = 1` so readers that
+    * resolved before the latest swap keep their layout for one more
+    * cycle, while disk stays bounded at live + keep generations.
+    * Returns the pruned names.
     */
-  def pruneGenerations(spark: SparkSession, home: String): Seq[String] = {
+  def pruneGenerations(spark: SparkSession, home: String,
+                       keep: Int = 0): Seq[String] = {
     val fs = fsOf(spark, home)
     val live = new Path(resolve(spark, home)).getName
     val stale = generations(spark, home).filterNot(_ == live)
+      .sorted.dropRight(keep)
     stale.foreach(g => fs.delete(new Path(home, g), true))
     stale
   }

@@ -101,6 +101,30 @@ class MaintainSpec extends SparkSpec {
       ScaleOps.MaintenancePolicy(maxDebtRows = 5L)).action == "none")
   }
 
+  test("maintain bounds the generation footprint across compaction cycles") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-maintain-gens") + "/vix"
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    VectorIndex.buildRotating(spark, corpus, home)
+    // each cycle: accrue debt -> maintain compacts (zero-downtime
+    // handoff = a fresh generation) -> prune keeps live + 1
+    (1 to 3).foreach { i =>
+      VectorIndex.delete(spark, home, Seq(i.toLong))
+      val r = ScaleOps.maintain(spark, "vector", home,
+        ScaleOps.MaintenancePolicy(maxDebtRows = 1L))
+      assert(r.action == "compacted", s"cycle $i: $r")
+      val gens = graft.sources.IndexAlias.generations(spark, home)
+      assert(gens.size <= 2, s"cycle $i left generations: $gens")
+    }
+    // the index still serves (deletes applied physically)
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val got = VectorIndex.searchIvf(spark, home, q).collect()
+    assert(got.nonEmpty &&
+      !got.exists(r => Seq(1L, 2L, 3L).contains(r.getAs[Long]("vec_id"))))
+  }
+
   test("fragmentation counts DATA files only: debt tables (by schema, not name) are excluded") {
     import spark.implicits._
     val tHome = IndexCache.tempDir("graft-maintain-frag") + "/tix"
