@@ -563,19 +563,50 @@ object Dedup {
     * become a reliable checkpoint.
     */
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val sc0 = edges.sparkSession.sparkContext
     // materialize the edge list ONCE, before symmetrizing — the edge
     // derivation upstream can be an expensive pipeline, and both the
     // union's two branches and every iteration below would otherwise
     // re-execute it from scratch
+    val beforeE = sc0.getPersistentRDDs.keySet
     val e = edges.select(col("a"), col("b")).localCheckpoint()
+    // the edge job also materialized the upstream pipeline's OWN
+    // transient checkpoints (pair pools, hashed-shingle frames) —
+    // they are dead now (e is lineage-free) but would otherwise hold
+    // corpus-scale storage through every CC round below. Free them,
+    // keeping e itself (same concurrency contract as
+    // releaseTransients: requests are serialized around iterative
+    // operators; pinned standing frames are always skipped).
+    val eOwn = e.queryExecution.optimizedPlan.collect {
+      case l: org.apache.spark.sql.execution.LogicalRDD => l.rdd.id
+    }.toSet
+    IndexCache.releaseIds(edges.sparkSession,
+      sc0.getPersistentRDDs.keySet.diff(beforeE).toSet -- eOwn)
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // iteration 0 fused into initialization: comp = min(node, min
     // neighbor) in ONE aggregate over the symmetric edges (every node
     // appears as an `a`), instead of distinct + a full first round
-    var comp = sym.groupBy(col("a"))
-      .agg(min(col("b")).as("mb"))
-      .select(col("a").as("node"), least(col("a"), col("mb")).as("comp"))
-      .localCheckpoint()
+    // every round localCheckpoints a |nodes|-row frame; the PREVIOUS
+    // round's blocks are dead the moment the next round's checkpoint
+    // exists (it is lineage-free), but nothing reclaims them until
+    // the ContextCleaner runs — at a 100×-corpus node count the
+    // accumulated rounds overflow the storage pool and every later
+    // round pays eviction thrash (measured: 125× wall at 100× before
+    // this; the iteration itself is linear). Track each round's
+    // checkpoint RDD ids and free the previous round's eagerly.
+    val sc = sc0
+    def checkpointTracked(df: DataFrame): (DataFrame, Set[Int]) = {
+      val before = sc.getPersistentRDDs.keySet
+      val cp = df.localCheckpoint()
+      (cp, sc.getPersistentRDDs.keySet.diff(before).toSet)
+    }
+    def release(ids: Set[Int]): Unit = {
+      IndexCache.releaseIds(edges.sparkSession, ids); ()
+    }
+    var (comp, prevIds) = checkpointTracked(
+      sym.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a").as("node"), least(col("a"), col("mb")).as("comp")))
     var converged = false
     var i = 0
     while (!converged && i < maxIter) {
@@ -589,12 +620,13 @@ object Dedup {
           least(col("comp"), coalesce(col("nbr_comp"), col("comp"))).as("comp"))
       // pointer-jump (path halving): follow the label one more hop so
       // deep chains converge in O(log diameter) rounds, not O(diameter)
-      val next = stepped
+      val (next, nextIds) = checkpointTracked(stepped
         .join(stepped.select(col("node").as("comp"), col("comp").as("jump")), Seq("comp"), "left")
         .select(col("node"), least(col("comp"), coalesce(col("jump"), col("comp"))).as("comp"),
-          col("prev"))
-        .localCheckpoint()
+          col("prev")))
       converged = next.filter(col("comp") =!= col("prev")).isEmpty
+      release(prevIds) // the new checkpoint is lineage-free; prev round is dead
+      prevIds = nextIds
       comp = next.select(col("node"), col("comp"))
       i += 1
     }

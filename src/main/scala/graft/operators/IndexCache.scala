@@ -138,6 +138,29 @@ private[graft] object IndexCache {
     } finally if (!building) pinLock.writeLock().unlock()
   }
 
+  /** Release a SPECIFIC set of persistent-RDD ids (an iterative
+    * operator freeing its own dead rounds — see
+    * [[graft.operators.Dedup.connectedComponents]]), skipping any id
+    * pinned by a standing frame. Takes the write lock so it cannot
+    * observe a build between its checkpoint and its pin registration;
+    * called from INSIDE a build (read lock held by this thread) it
+    * skips the lock — the caller's own read hold already fences
+    * [[releaseTransients]]. Returns the number released.
+    */
+  private[graft] def releaseIds(spark: SparkSession, ids: Set[Int]): Int = {
+    val building = pinLock.getReadHoldCount > 0
+    if (!building) pinLock.writeLock().lock()
+    try {
+      var n = 0
+      val persistent = spark.sparkContext.getPersistentRDDs
+      ids.foreach { id =>
+        if (!keyPins.values().stream().anyMatch(_.contains(id)))
+          persistent.get(id).foreach { r => r.unpersist(blocking = false); n += 1 }
+      }
+      n
+    } finally if (!building) pinLock.writeLock().unlock()
+  }
+
   /** Test hook: ids currently pinned (union across cached frames). */
   private[graft] def pinnedIdsSnapshot(): Set[Int] = {
     val b = Set.newBuilder[Int]
