@@ -162,7 +162,15 @@ object ScaleOps {
     */
   def maintain(spark: org.apache.spark.sql.SparkSession, kind: String, home: String,
                policy: MaintenancePolicy = MaintenancePolicy(),
-               recallQueries: Option[DataFrame] = None): MaintenanceReport = {
+               recallQueries: Option[DataFrame] = None): MaintenanceReport =
+   // the WHOLE cycle runs under the index's writer lease: the inner
+   // verbs (compact/retrain) ride this outer lease rather than
+   // re-acquiring, and — decisively — the generation prune at the end
+   // is fenced too. Unfenced, a second maintenance process could
+   // delete the very generation directory a racing rebuild is
+   // mid-write on (the exact failure mode WriterLease exists to
+   // surface — it now raises ConcurrentWriterException instead).
+   graft.sources.WriterLease.exclusive(spark, home) {
     import graft.operators.{Ann, Dedup, VectorIndex}
     val st = graft.sources.IndexStats.rollup(spark, Seq(kind -> home)).collect()
     val debtRows = st.map(r =>
@@ -208,11 +216,12 @@ object ScaleOps {
     // bound the generation footprint: compact (zero-downtime handoff)
     // and retrain each land a fresh generation, so a periodic loop
     // would otherwise accumulate one full corpus copy per cycle.
-    // Pruning keeps the live generation plus `keepGenerations` newest
-    // older ones — readers that resolved before the latest swap keep
-    // a complete layout for at least one more maintenance cycle (the
-    // drain-grace contract; maintain already runs under the
-    // single-owner lease the pruned directories' writers share).
+    // Pruning keeps the live generation plus `keepGenerations`
+    // PREVIOUSLY-LIVE ones (pointer history) — readers that resolved
+    // before the latest swap keep a complete layout for at least one
+    // more maintenance cycle (the drain-grace contract). The prune is
+    // inside the exclusive block above, so no other process's
+    // in-flight generation write can race it.
     graft.sources.IndexAlias.pruneGenerations(spark, home,
       keep = policy.keepGenerations)
     report

@@ -21,8 +21,11 @@ import graft.functions.{hashes, vec}
   *    the pair join is per-block; the unblocked O(n²) scan never runs.
   *  - MinHash+LSH: the true 100 TB path — fixed-width signatures,
   *    band buckets, pairs only within buckets. Linear shuffle.
-  *  - SimHash: 64-bit fingerprint, 16-bit band buckets, Hamming
-  *    verify. Linear shuffle.
+  *  - SimHash: 64-bit fingerprint, Manku/Jain/Sarma 3-of-6-block
+  *    banding (20 tables of ~33-bit keys — any Hamming≤3 pair shares
+  *    a table by pigeonhole), Hamming verify. Linear shuffle; the
+  *    earlier 16-bit bands saturated (90.8× at a 100× corpus) and
+  *    were replaced after the round-7 slope sweep measured it.
   */
 object Dedup {
 

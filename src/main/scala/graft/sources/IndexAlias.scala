@@ -67,15 +67,21 @@ private[graft] object VersionedPointer {
     * per pointer, which is what makes it usable as a FENCING token
     * (see [[WriterLease]]): a later writer always installs a higher
     * version, so "is my version still the highest" detects loss of
-    * ownership.
+    * ownership. `keepHistory` retains that many superseded version
+    * files below the installed one (newest first) instead of pruning
+    * them all — [[IndexAlias.set]] uses it so [[IndexAlias
+    * .pruneGenerations]] can tell PREVIOUSLY-LIVE generations apart
+    * from never-live directory names.
     */
-  def writeReturningVersion(fs: FileSystem, dir: Path, content: String): Long = {
+  def writeReturningVersion(fs: FileSystem, dir: Path, content: String,
+                            keepHistory: Int = 0): Long = {
     val key = Path.getPathWithoutSchemeAndAuthority(dir).toString
     val lock = jvmLocks(math.floorMod(key.hashCode, LockStripes))
-    lock.synchronized(writeLocked(fs, dir, content))
+    lock.synchronized(writeLocked(fs, dir, content, keepHistory))
   }
 
-  private def writeLocked(fs: FileSystem, dir: Path, content: String): Long = {
+  private def writeLocked(fs: FileSystem, dir: Path, content: String,
+                          keepHistory: Int): Long = {
     fs.mkdirs(dir)
     val bytes = content.getBytes("UTF-8")
     var installed = -1L
@@ -84,18 +90,64 @@ private[graft] object VersionedPointer {
       attempt += 1
       require(attempt <= 64, s"versioned pointer at $dir: lost ${attempt - 1} write races in a row")
       val next = versions(fs, dir).lastOption.fold(0L)(_ + 1L)
-      val dst = new Path(dir, versionName(next))
-      val tmp = new Path(dir, s".tmp-${versionName(next)}-${java.util.UUID.randomUUID().toString.take(8)}")
-      val out = fs.create(tmp, true)
-      out.write(bytes)
-      out.close()
-      val renamed = !fs.exists(dst) && fs.rename(tmp, dst)
-      if (!renamed) fs.delete(tmp, false)
-      if (renamed && readVersion(fs, dir, next).contains(content)) installed = next
+      if (installAt(fs, dir, next, bytes) &&
+        readVersion(fs, dir, next).contains(content)) installed = next
     }
-    versions(fs, dir).filter(_ < installed)
+    versions(fs, dir).filter(_ < installed - keepHistory)
       .foreach(v => fs.delete(new Path(dir, versionName(v)), false))
     installed
+  }
+
+  // rename-of-a-fresh-name CAS for exactly version `v`; false if the
+  // name was already taken (another writer won that version)
+  private def installAt(fs: FileSystem, dir: Path, v: Long,
+                        bytes: Array[Byte]): Boolean = {
+    val dst = new Path(dir, versionName(v))
+    val tmp = new Path(dir, s".tmp-${versionName(v)}-${java.util.UUID.randomUUID().toString.take(8)}")
+    val out = fs.create(tmp, true)
+    out.write(bytes)
+    out.close()
+    val renamed = !fs.exists(dst) && fs.rename(tmp, dst)
+    if (!renamed) fs.delete(tmp, false)
+    renamed
+  }
+
+  /** Install `content` as version `expectedVersion + 1` ONLY if the
+    * pointer is still at `expectedVersion` — the conditional write
+    * [[WriterLease.release]] frees its lease with: a release racing a
+    * post-TTL steal loses the version-name CAS (the thief already
+    * installed that version) and returns false WITHOUT clobbering the
+    * thief's live lease, instead of overwriting it with a
+    * higher-version "free". Same POSIX overwrite-on-rename caveat as
+    * [[write]]; the lease protocol's per-verb fencing check is the
+    * backstop there.
+    */
+  def writeIfAtVersion(fs: FileSystem, dir: Path, content: String,
+                       expectedVersion: Long): Boolean = {
+    val key = Path.getPathWithoutSchemeAndAuthority(dir).toString
+    val lock = jvmLocks(math.floorMod(key.hashCode, LockStripes))
+    lock.synchronized {
+      if (!versions(fs, dir).lastOption.contains(expectedVersion)) false
+      else {
+        val v = expectedVersion + 1
+        val ok = installAt(fs, dir, v, content.getBytes("UTF-8"))
+        if (ok) versions(fs, dir).filter(_ < v)
+          .foreach(x => fs.delete(new Path(dir, versionName(x)), false))
+        ok
+      }
+    }
+  }
+
+  /** The newest `n` superseded (version, value) pairs below the live
+    * one, newest first — non-empty only for pointers written with
+    * `keepHistory > 0`.
+    */
+  def history(fs: FileSystem, dir: Path, n: Int): Seq[(Long, String)] = {
+    val vs = versions(fs, dir)
+    vs.lastOption.fold(Seq.empty[(Long, String)]) { live =>
+      vs.filter(_ < live).sorted.reverse.take(n)
+        .flatMap(v => readVersion(fs, dir, v).map(v -> _))
+    }
   }
 
   /** Current (version, value), if any version exists — the versioned
@@ -179,34 +231,47 @@ object IndexAlias {
     * after [[invalidateResolve]] — the same contract as the external
     * in-place-change hook on the index caches.
     */
-  private val resolveCache = new java.util.concurrent.ConcurrentHashMap[String, String]()
-
   /** Cache-size bound: a session resolving an unbounded stream of
     * distinct paths (catalog sweeps over many indexes) must not grow
-    * the map forever. Crossing the bound drops the whole map — crude,
-    * but a re-resolution is one listing + one small read, and the
-    * working set of any real deployment is far below the bound.
+    * the map forever. Eviction is LRU (access-ordered
+    * LinkedHashMap), so a pathological sweep past the bound evicts
+    * only the coldest entries — the hot serving aliases survive
+    * (RobustnessSpec's >10k-path case measures exactly that).
     */
   private val ResolveCacheMax = 8192
 
+  private val resolveCache =
+    new java.util.LinkedHashMap[String, String](256, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(e: java.util.Map.Entry[String, String]): Boolean =
+        size() > ResolveCacheMax
+    }
+
   /** The concrete index path `pathOrHome` serves from: the live
-    * generation if it is an alias home, itself otherwise.
+    * generation if it is an alias home, itself otherwise. The
+    * filesystem read runs OUTSIDE the cache monitor (a racing
+    * duplicate resolution is idempotent; holding a monitor across
+    * storage I/O is not acceptable on a serving path).
     */
   def resolve(spark: SparkSession, pathOrHome: String): String = {
-    if (resolveCache.size > ResolveCacheMax) resolveCache.clear()
-    resolveCache.computeIfAbsent(new Path(pathOrHome).toString, p =>
-      VersionedPointer.read(fsOf(spark, p), ptrDir(p))
-        .fold(p)(g => new Path(p, g).toString))
+    val key = new Path(pathOrHome).toString
+    val cached = resolveCache.synchronized(Option(resolveCache.get(key)))
+    cached.getOrElse {
+      val v = VersionedPointer.read(fsOf(spark, key), ptrDir(key))
+        .fold(key)(g => new Path(key, g).toString)
+      resolveCache.synchronized(resolveCache.put(key, v))
+      v
+    }
   }
 
   /** Test hook: current resolve-cache size (bounded). */
-  private[graft] def resolveCacheSize: Int = resolveCache.size
+  private[graft] def resolveCacheSize: Int =
+    resolveCache.synchronized(resolveCache.size())
 
   /** Drop the cached resolution for `pathOrHome` (needed only after
     * an out-of-process alias swap).
     */
   private[graft] def invalidateResolve(pathOrHome: String): Unit =
-    resolveCache.remove(new Path(pathOrHome).toString)
+    resolveCache.synchronized { resolveCache.remove(new Path(pathOrHome).toString); () }
 
   /** Whether `pathOrHome` is an alias home (has a live pointer). */
   def installed(spark: SparkSession, pathOrHome: String): Boolean =
@@ -234,6 +299,11 @@ object IndexAlias {
     * swap step of a rebuild-aside. Requires the target layout to
     * exist: a pointer must never name an unbuilt directory.
     */
+  /** Pointer history retained by [[set]] — the record
+    * [[pruneGenerations]]'s drain-grace window is computed from.
+    */
+  private[sources] val PtrHistoryKeep = 8
+
   def set(spark: SparkSession, home: String, target: String): Unit = {
     val fs = fsOf(spark, home)
     val t = new Path(target)
@@ -241,25 +311,39 @@ object IndexAlias {
     require(t.getParent == new Path(home).makeQualified(fs.getUri, fs.getWorkingDirectory) ||
       t.getParent == new Path(home),
       s"alias target must be a generation under $home: $target")
-    VersionedPointer.write(fs, ptrDir(home), t.getName)
-    resolveCache.put(new Path(home).toString, new Path(home, t.getName).toString)
+    VersionedPointer.writeReturningVersion(fs, ptrDir(home), t.getName,
+      keepHistory = PtrHistoryKeep)
+    resolveCache.synchronized {
+      resolveCache.put(new Path(home).toString, new Path(home, t.getName).toString); ()
+    }
   }
 
   /** Delete stale generations (run AFTER a swap, once in-flight
     * readers of the old generations have drained — the ES "delete
-    * the old index" step). `keep` retains that many of the NEWEST
-    * non-live generations as a drain-grace window: a periodic
-    * maintenance loop prunes with `keep = 1` so readers that
-    * resolved before the latest swap keep their layout for one more
+    * the old index" step). `keep` retains that many PREVIOUSLY-LIVE
+    * generations (read from the pointer's own history, newest swap
+    * first) as a drain-grace window: a periodic maintenance loop
+    * prunes with `keep = 1` so readers that resolved before the
+    * latest swap keep the layout they are draining on for one more
     * cycle, while disk stays bounded at live + keep generations.
-    * Returns the pruned names.
+    * Previously-live beats newest-NAMED deliberately — a crashed
+    * rebuild's half-built higher-numbered directory is garbage to
+    * delete, not a generation to protect (it was never pointed at);
+    * only when the pointer predates history retention does the
+    * newest-named fallback fill the window. Returns the pruned
+    * names.
     */
   def pruneGenerations(spark: SparkSession, home: String,
                        keep: Int = 0): Seq[String] = {
     val fs = fsOf(spark, home)
     val live = new Path(resolve(spark, home)).getName
-    val stale = generations(spark, home).filterNot(_ == live)
-      .sorted.dropRight(keep)
+    val all = generations(spark, home).filterNot(_ == live)
+    val prevLive = VersionedPointer.history(fs, ptrDir(home), PtrHistoryKeep)
+      .map(_._2).distinct.filter(g => g != live && all.contains(g)).take(keep)
+    val fallback = all.filterNot(prevLive.contains)
+      .sorted.reverse.take(math.max(0, keep - prevLive.size))
+    val retained = (prevLive ++ fallback).toSet
+    val stale = all.filterNot(retained.contains)
     stale.foreach(g => fs.delete(new Path(home, g), true))
     stale
   }

@@ -5,9 +5,10 @@ import org.apache.spark.sql.SparkSession
 
 /** Cross-process writer fencing for the standing indexes.
   *
-  * Same-JVM mutation is serialized by [[MutationLock]]; this closes
-  * the class it cannot see: a SECOND DRIVER PROCESS sharing an index
-  * home. Without it, two processes can double-stamp a `setPayload`
+  * Same-JVM mutation is serialized by [[exclusive]]'s per-index-home
+  * lock; this closes the class that lock cannot see: a SECOND DRIVER
+  * PROCESS sharing an index home. Without it, two processes can
+  * double-stamp a `setPayload`
   * sequence or interleave a compact with an append and neither ever
   * learns (the reference backends all have an answer here — ES
   * sequence numbers + primary terms, Qdrant's ordering guarantees).
@@ -53,8 +54,8 @@ object WriterLease {
   }
 
   /** One writer identity per process — same-process re-acquire is
-    * always permitted (threads already serialize on [[MutationLock]]),
-    * so the lease arbitrates only BETWEEN processes.
+    * always permitted (threads already serialize on [[exclusive]]'s
+    * per-home lock), so the lease arbitrates only BETWEEN processes.
     */
   val processOwner: String =
     java.util.UUID.randomUUID().toString.take(8) + "@" +
@@ -75,6 +76,23 @@ object WriterLease {
   private def leaseDir(pathOrHome: String): Path =
     new Path(pathOrHome, ".lease")
 
+  /** The path a lease actually lives at: a CONCRETE GENERATION
+    * directory under an alias home leases the HOME, so both
+    * spellings of one index ("every index API accepts a concrete
+    * path and an alias home interchangeably" — [[IndexAlias]])
+    * contend on ONE lease; any other path leases itself. Without
+    * this, a writer addressing `home/gen-0000000003` and one
+    * addressing `home` would hold different leases and never fence
+    * each other.
+    */
+  private[sources] def normalizeHome(fs: FileSystem, pathOrHome: String): String = {
+    val p = new Path(pathOrHome)
+    val parent = p.getParent
+    if (parent != null && p.getName.matches("gen-\\d{10}") &&
+        fs.exists(new Path(parent, ".ptr"))) parent.toString
+    else p.toString
+  }
+
   private def parse(content: String): Option[(String, Long)] = {
     val parts = content.split(' ')
     if (parts.length == 3 && parts(0) == "held")
@@ -92,7 +110,7 @@ object WriterLease {
               ttlMs: Long = DefaultTtlMs,
               settleMs: Long = DefaultSettleMs,
               nowMs: () => Long = System.currentTimeMillis): Token = {
-    val dir = leaseDir(pathOrHome)
+    val dir = leaseDir(normalizeHome(fs, pathOrHome))
     VersionedPointer.read(fs, dir).flatMap(parse).foreach {
       case (holder, expiry) =>
         if (holder != ownerId && expiry > nowMs())
@@ -137,17 +155,25 @@ object WriterLease {
   }
 
   /** Release a held lease. A token that already lost ownership is a
-    * no-op (the new holder's lease must not be clobbered).
+    * no-op, and the "free" write itself is VERSION-CONDITIONAL
+    * ([[VersionedPointer.writeIfAtVersion]]): a holder whose TTL
+    * lapses between the check and the write — so a thief installs a
+    * new lease in that window — loses the version-name CAS and
+    * leaves the thief's live lease intact, instead of clobbering it
+    * with a higher-version "free" that a third writer could then
+    * acquire under.
     */
   def release(fs: FileSystem, token: Token): Unit =
-    if (check(fs, token))
-      VersionedPointer.write(fs, token.leaseDir, s"free ${token.owner}")
+    if (check(fs, token)) {
+      VersionedPointer.writeIfAtVersion(fs, token.leaseDir,
+        s"free ${token.owner}", token.version); ()
+    }
 
   /** Operator escape hatch: force-free a lease whose holder is known
     * dead before its TTL lapses.
     */
   def break_(fs: FileSystem, pathOrHome: String): Unit =
-    VersionedPointer.write(fs, leaseDir(pathOrHome), "free (broken)")
+    VersionedPointer.write(fs, leaseDir(normalizeHome(fs, pathOrHome)), "free (broken)")
 
   // ---- the verb-side wrapper ----------------------------------------
 
@@ -156,6 +182,40 @@ object WriterLease {
   // lease instead of re-acquiring (and then freeing the outer verb's
   // lease on its way out)
   private val held = new java.util.concurrent.ConcurrentHashMap[String, Token]()
+
+  // Same-JVM body-duration mutual exclusion, PER index home (not a
+  // stripe): two unrelated indexes never serialize against each
+  // other, and a nested exclusive on a DIFFERENT index while one is
+  // held cannot deadlock on a shared stripe monitor (genuinely
+  // crossed A->B / B->A nesting on the SAME two indexes remains the
+  // caller's lock-ordering responsibility, as with any lock). Locks
+  // are created on demand and removed when uncontended, so the map
+  // is bounded by the number of indexes under CONCURRENT mutation,
+  // not by the number ever touched.
+  private val bodyLocks =
+    new java.util.concurrent.ConcurrentHashMap[String, java.util.concurrent.locks.ReentrantLock]()
+
+  @annotation.tailrec
+  private def lockBody(key: String): java.util.concurrent.locks.ReentrantLock = {
+    val l = bodyLocks.computeIfAbsent(key, _ => new java.util.concurrent.locks.ReentrantLock())
+    l.lock()
+    // the entry may have been removed (and re-created by a third
+    // thread) between the map read and the lock(); holding a lock no
+    // longer in the map would not exclude anyone — re-check
+    if (bodyLocks.get(key) eq l) l
+    else { l.unlock(); lockBody(key) }
+  }
+
+  private def unlockBody(key: String, l: java.util.concurrent.locks.ReentrantLock): Unit = {
+    val last = l.getHoldCount == 1
+    l.unlock()
+    if (last && !l.isLocked && !l.hasQueuedThreads) bodyLocks.remove(key, l)
+  }
+
+  /** Test hook: body locks outstanding (removed when uncontended, so
+    * a long-lived session touching many indexes stays bounded).
+    */
+  private[graft] def bodyLockCount: Int = bodyLocks.size
 
   /** Renew the lease THIS PROCESS currently holds on `pathOrHome`
     * (no-op token refresh from inside an [[exclusive]] body) — the
@@ -169,35 +229,39 @@ object WriterLease {
     */
   def renewHeld(spark: SparkSession, pathOrHome: String,
                 ttlMs: Long = DefaultTtlMs): Unit = {
-    val key = leaseDir(pathOrHome).toString
+    val fs = new Path(pathOrHome)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val key = leaseDir(normalizeHome(fs, pathOrHome)).toString
     val tok = held.get(key)
     if (tok == null)
       throw new ConcurrentWriterException(
         s"renewHeld($pathOrHome) outside an exclusive block — no lease held")
-    val fs = new Path(pathOrHome)
-      .getFileSystem(spark.sparkContext.hadoopConfiguration)
     held.put(key, renew(fs, tok, ttlMs))
   }
 
   /** Run `body` as THE writer of the index at `pathOrHome`: same-JVM
-    * threads serialize on [[MutationLock]], cross-process writers on
-    * the lease. After `body` returns, the fencing token is checked
-    * once more — a takeover mid-mutation (holder paused past its
-    * TTL) raises [[ConcurrentWriterException]] so the operator learns
-    * the mutation may have interleaved with the new owner's, instead
-    * of both writers reporting success. Check-then-act verbs with an
-    * internal commit point can tighten this by calling
+    * threads serialize on a per-index-home lock (concrete generation
+    * paths normalize to their alias home, so both spellings of one
+    * index contend on one lock AND one lease), cross-process writers
+    * on the lease. After `body` returns, the fencing token is
+    * checked once more — a takeover mid-mutation (holder paused past
+    * its TTL) raises [[ConcurrentWriterException]] so the operator
+    * learns the mutation may have interleaved with the new owner's,
+    * instead of both writers reporting success. Check-then-act verbs
+    * with an internal commit point can tighten this by calling
     * [[check]]/[[renew]] themselves right before the commit write.
     */
   def exclusive[A](spark: SparkSession, pathOrHome: String,
                    ttlMs: Long = DefaultTtlMs)(body: => A): A = {
     val fs = new Path(pathOrHome)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
-    val key = leaseDir(pathOrHome).toString
-    MutationLock.of(pathOrHome).synchronized {
+    val home = normalizeHome(fs, pathOrHome)
+    val key = leaseDir(home).toString
+    val l = lockBody(key)
+    try {
       if (held.containsKey(key)) body // nested verb: outer lease covers it
       else {
-        held.put(key, acquire(fs, pathOrHome, ttlMs = ttlMs))
+        held.put(key, acquire(fs, home, ttlMs = ttlMs))
         try {
           val r = body
           // the held entry is re-read: a renewHeld inside the body
@@ -214,6 +278,6 @@ object WriterLease {
           if (cur != null) release(fs, cur)
         }
       }
-    }
+    } finally unlockBody(key, l)
   }
 }

@@ -80,19 +80,41 @@ class RobustnessSpec extends SparkSpec {
   }
 
   test("per-path lock/cache state stays bounded across >10k distinct paths") {
-    // a long-lived serving session resolves and locks an unbounded
-    // stream of index paths; none of the per-path maps may grow
-    // monotonically with it
+    import graft.sources.{IndexAlias, VersionedPointer, WriterLease}
+    import org.apache.hadoop.fs.Path
+    // a HOT alias, resolved (and cached) before the cold sweep; its
+    // pointer is then moved OUT-OF-BAND (no write-through), so a
+    // cache hit keeps answering the old generation and a miss would
+    // answer the new one — which makes LRU survival observable
+    val home = Files.createTempDirectory("graft-rob-hot").toString
+    val fs = new Path(home).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val gen0 = IndexAlias.nextGenerationPath(spark, home)
+    fs.mkdirs(new Path(gen0))
+    IndexAlias.set(spark, home, gen0)
+    assert(IndexAlias.resolve(spark, home) == new Path(home, "gen-0000000000").toString)
+    VersionedPointer.write(fs, new Path(home, ".ptr"), "gen-moved-out-of-band")
+    // a long-lived serving session resolves an unbounded stream of
+    // index paths; the cache must stay bounded AND keep hot entries
+    // (periodically re-touched) through the cold sweep — eviction is
+    // LRU, not clear-all
     (0 until 12000).foreach { i =>
-      graft.sources.MutationLock.of(s"/tmp/graft-bound/never-$i")
-      graft.sources.IndexAlias.resolve(spark, s"/tmp/graft-bound/never-$i")
+      IndexAlias.resolve(spark, s"/tmp/graft-bound/never-$i")
+      if (i % 500 == 0) IndexAlias.resolve(spark, home)
     }
-    assert(graft.sources.MutationLock.lockCount <= 1024)
-    assert(graft.sources.IndexAlias.resolveCacheSize <= 8192 + 1,
-      s"resolve cache grew to ${graft.sources.IndexAlias.resolveCacheSize}")
-    // striping preserves mutual exclusion: same path -> same monitor
-    assert(graft.sources.MutationLock.of("/tmp/graft-bound/x")
-      eq graft.sources.MutationLock.of("/tmp/graft-bound/x"))
+    assert(IndexAlias.resolveCacheSize <= 8192 + 1,
+      s"resolve cache grew to ${IndexAlias.resolveCacheSize}")
+    assert(IndexAlias.resolve(spark, home) == new Path(home, "gen-0000000000").toString,
+      "hot alias entry was evicted by the cold sweep (clear-all, not LRU)")
+    IndexAlias.invalidateResolve(home)
+    // exclusive's per-home body locks are removed when uncontended —
+    // a sweep of distinct homes leaves the map empty, not 1-per-path
+    (0 until 32).foreach { i =>
+      val h = s"$home/sweep-$i"
+      fs.mkdirs(new Path(h))
+      WriterLease.exclusive(spark, h) { () }
+    }
+    assert(WriterLease.bodyLockCount == 0,
+      s"uncontended body locks were retained: ${WriterLease.bodyLockCount}")
   }
 
   test("dropMatching un-pins evicted frames so their blocks become releasable") {

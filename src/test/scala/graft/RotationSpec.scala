@@ -335,4 +335,33 @@ class RotationSpec extends SparkSpec {
     assert(errors.isEmpty, s"reader saw: ${errors.toArray.mkString("; ")}")
     assert(VersionedPointer.read(fs, dir).contains("seed-60"))
   }
+
+  test("pruneGenerations drain-grace keeps the PREVIOUSLY-LIVE generation, not a crashed rebuild's") {
+    import org.apache.hadoop.fs.Path
+    val home = IndexCache.tempDir("graft-prune-hist") + "/ix"
+    val fs = new Path(home).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkGen(): String = {
+      val g = IndexAlias.nextGenerationPath(spark, home)
+      fs.mkdirs(new Path(g)); g
+    }
+    val g0 = mkGen(); IndexAlias.set(spark, home, g0)
+    // swap to g1: g0 becomes the generation in-flight readers are
+    // still draining on
+    val g1 = mkGen(); IndexAlias.set(spark, home, g1)
+    // a crashed/aborted rebuild leaves a half-built HIGHER-numbered
+    // directory that was never pointed at — garbage, not a layout
+    val g2 = mkGen()
+    val pruned = IndexAlias.pruneGenerations(spark, home, keep = 1)
+    val left = IndexAlias.generations(spark, home)
+    assert(left.contains(new Path(g0).getName),
+      s"draining readers' generation was deleted: $left")
+    assert(left.contains(new Path(g1).getName), s"live generation missing: $left")
+    assert(!left.contains(new Path(g2).getName),
+      s"crashed-rebuild garbage displaced the drain-grace window: $left")
+    assert(pruned == Seq(new Path(g2).getName))
+    // and with keep = 0 the drained generation goes too
+    val pruned2 = IndexAlias.pruneGenerations(spark, home, keep = 0)
+    assert(pruned2 == Seq(new Path(g0).getName))
+    assert(IndexAlias.generations(spark, home) == Seq(new Path(g1).getName))
+  }
 }

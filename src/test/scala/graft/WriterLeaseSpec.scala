@@ -188,6 +188,56 @@ class WriterLeaseSpec extends SparkSpec {
     assert(served.count() > 0)
   }
 
+  test("a stale release racing a post-TTL steal cannot clobber the thief's lease") {
+    val home = freshHome("staleRelease")
+    val fs = fsFor(home)
+    val a = WriterLease.acquire(fs, home, ownerId = "A@1",
+      ttlMs = 40L, settleMs = 0L)
+    Thread.sleep(70L) // A pauses past its TTL
+    val b = WriterLease.acquire(fs, home, ownerId = "B@2",
+      ttlMs = 60000L, settleMs = 0L)
+    // the narrow interleaving: A's release CHECK passed (pre-steal
+    // snapshot), then B stole, then A's "free" write runs. The free
+    // is version-conditional, so it must refuse — B's live lease
+    // survives — rather than install a higher-version "free" a third
+    // writer could acquire under while B's verb is mid-flight.
+    assert(!VersionedPointer.writeIfAtVersion(fs, new Path(home, ".lease"),
+      s"free ${a.owner}", a.version))
+    assert(WriterLease.check(fs, b), "thief's lease was clobbered by a stale free")
+    // and the full release path is a no-op for the fenced-out token
+    WriterLease.release(fs, a)
+    assert(WriterLease.check(fs, b))
+    WriterLease.release(fs, b)
+    assert(!WriterLease.check(fs, b))
+  }
+
+  test("a concrete generation path and its alias home contend on ONE lease") {
+    import graft.sources.IndexAlias
+    val home = freshHome("normalize")
+    val fs = fsFor(home)
+    val gen = IndexAlias.nextGenerationPath(spark, home)
+    fs.mkdirs(new Path(gen))
+    IndexAlias.set(spark, home, gen)
+    val concrete = IndexAlias.resolve(spark, home)
+    assert(new Path(concrete).getName.startsWith("gen-"))
+    // a writer addressing the HOME holds the lease; a writer
+    // addressing the CONCRETE generation path must be fenced by the
+    // SAME lease (both spellings are legal index addresses)
+    val t = WriterLease.acquire(fs, home, ownerId = "H@1",
+      ttlMs = 60000L, settleMs = 0L)
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.acquire(fs, concrete, ownerId = "G@2", settleMs = 0L)
+    }
+    WriterLease.release(fs, t)
+    // and nested exclusive across the two spellings rides one lease
+    val out = WriterLease.exclusive(spark, home) {
+      WriterLease.exclusive(spark, concrete) { 7 }
+    }
+    assert(out == 7)
+    val after = VersionedPointer.read(fs, new Path(home, ".lease"))
+    assert(after.exists(_.startsWith("free ")), s"lease after exit: $after")
+  }
+
   test("break_ force-frees a stuck lease") {
     val home = freshHome("break")
     val fs = fsFor(home)
