@@ -1,0 +1,168 @@
+package graft.sources
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+/** Atomic GROUPED alias swap — the ES `update_aliases` actions
+  * semantics (one request repoints many aliases, observably
+  * all-or-nothing; Qdrant's `update_collection_aliases` batches the
+  * same way): a reindex that replaces a collection AND its standing
+  * vector/text indexes must never be observed half-applied.
+  *
+  * Single-pointer swaps are already atomic ([[VersionedPointer]]);
+  * the gap is ACROSS pointers — two sequential writes leave a window
+  * where a reader sees the new collection through the old index
+  * generation. The fix is one level of indirection, committed by ONE
+  * versioned write:
+  *
+  *  - every MEMBER pointer's content becomes the redirect
+  *    `@group <groupDir>` (written once, at enrollment);
+  *  - the group's MANIFEST — a [[VersionedPointer]] at `groupDir`
+  *    whose value is the full `memberKey -> value` map, one
+  *    tab-separated line per member — is the single source of truth;
+  *  - a grouped swap merges its entries into the manifest and
+  *    installs the result as the next manifest version: one
+  *    rename-CAS, so every member's new value becomes visible at the
+  *    same instant;
+  *  - a reader needing a CONSISTENT view across members reads the
+  *    manifest once ([[snapshot]]) and resolves every member from
+  *    that one version — the analogue of an ES search resolving all
+  *    its aliases against one cluster state. (Two independent
+  *    [[resolveValue]] calls can still straddle a swap, exactly as
+  *    two separate ES API calls can.)
+  *
+  * Member keys are scheme-stripped pointer-directory paths, so a
+  * member addressed via different spellings of one filesystem
+  * resolves to one manifest entry. Manifest merges are a CAS loop on
+  * [[VersionedPointer.writeIfAtVersion]] — two concurrent merges on
+  * different members both land (the loser re-reads and re-merges)
+  * rather than last-write-wins dropping one. Enrollment is the only
+  * non-atomic step (one redirect write per member, AFTER the
+  * manifest already carries the member's value) — a reader mid-
+  * enrollment sees either the member's old standalone pointer or the
+  * manifest value its redirect commits to, never nothing.
+  */
+object AliasGroup {
+
+  /** Manifest versions retained — the pointer history
+    * [[IndexAlias.pruneGenerations]]'s drain-grace window reads.
+    */
+  private val ManifestHistoryKeep = 16
+
+  private val Redirect = "@group "
+
+  private[graft] def keyOf(ptrDir: Path): String =
+    Path.getPathWithoutSchemeAndAuthority(ptrDir).toString
+
+  private def decode(s: String): Map[String, String] =
+    s.split('\n').iterator.filter(_.nonEmpty).map { line =>
+      val i = line.indexOf('\t')
+      require(i > 0, s"malformed alias-group manifest line: '$line'")
+      line.substring(0, i) -> line.substring(i + 1)
+    }.toMap
+
+  private def encode(m: Map[String, String]): String =
+    m.toSeq.sorted.map { case (k, v) => s"$k\t$v" }.mkString("\n")
+
+  /** The group's current manifest (empty if the group has never
+    * committed) — ONE versioned read, so every entry in the returned
+    * map is from the same manifest version: the consistent multi-
+    * alias view.
+    */
+  def snapshot(fs: FileSystem, groupDir: Path): Map[String, String] =
+    VersionedPointer.read(fs, groupDir).map(decode).getOrElse(Map.empty)
+
+  /** Merge `entries` into the group manifest and commit them as ONE
+    * versioned write (the atomic grouped swap), then enroll any
+    * member whose pointer does not yet redirect here. CAS loop: a
+    * concurrent merge on other members forces a re-read-and-re-merge
+    * rather than silently dropping either side's entries.
+    */
+  def swap(fs: FileSystem, groupDir: Path, entries: Seq[(Path, String)]): Unit = {
+    require(entries.nonEmpty, "alias-group swap with no entries")
+    val updates = entries.map { case (d, v) => keyOf(d) -> v }.toMap
+    var committed = false
+    var attempt = 0
+    while (!committed) {
+      attempt += 1
+      require(attempt <= 64, s"alias-group manifest at $groupDir: lost ${attempt - 1} merge races")
+      committed = VersionedPointer.readVersioned(fs, groupDir) match {
+        case None =>
+          // first commit: CAS against "no version yet" (a racing
+          // creator loses and retries down the merge path, so
+          // neither side's entries are dropped)
+          VersionedPointer.writeIfAtVersion(fs, groupDir,
+            encode(updates), -1L, keepHistory = ManifestHistoryKeep)
+        case Some((v, cur)) =>
+          VersionedPointer.writeIfAtVersion(fs, groupDir,
+            encode(decode(cur) ++ updates), v, keepHistory = ManifestHistoryKeep)
+      }
+    }
+    // manifest-first ordering: by the time a member redirects, its
+    // value is already in the manifest
+    entries.foreach { case (d, _) =>
+      if (!VersionedPointer.read(fs, d).exists(_.startsWith(Redirect)))
+        VersionedPointer.write(fs, d, Redirect + groupDir.toString)
+    }
+  }
+
+  /** Repoint ONE member: through the group manifest if the member is
+    * enrolled (so grouped readers stay consistent), as a plain
+    * standalone pointer write otherwise. `keepHistory` applies to
+    * the standalone case; manifest history is group-wide.
+    */
+  def setOne(fs: FileSystem, ptrDir: Path, value: String,
+             keepHistory: Int = 0): Unit =
+    groupOf(fs, ptrDir) match {
+      case Some(g) => swap(fs, g, Seq(ptrDir -> value))
+      case None    =>
+        VersionedPointer.writeReturningVersion(fs, ptrDir, value, keepHistory); ()
+    }
+
+  /** The group a member pointer redirects to, if enrolled. */
+  def groupOf(fs: FileSystem, ptrDir: Path): Option[Path] =
+    VersionedPointer.read(fs, ptrDir)
+      .filter(_.startsWith(Redirect))
+      .map(s => new Path(s.stripPrefix(Redirect)))
+
+  /** The member's current value: its manifest entry if enrolled, its
+    * own pointer content otherwise. For consistency ACROSS members
+    * use [[snapshot]] + [[valueIn]] instead — per-member resolution
+    * reads the manifest per call.
+    */
+  def resolveValue(fs: FileSystem, ptrDir: Path): Option[String] =
+    VersionedPointer.read(fs, ptrDir).flatMap {
+      case r if r.startsWith(Redirect) =>
+        snapshot(fs, new Path(r.stripPrefix(Redirect))).get(keyOf(ptrDir))
+      case v => Some(v)
+    }
+
+  /** Resolve a member against an already-read manifest [[snapshot]]
+    * (falling back to the member's standalone pointer if it is not
+    * enrolled) — the consistent-multi-read path.
+    */
+  def valueIn(fs: FileSystem, manifest: Map[String, String],
+              ptrDir: Path): Option[String] =
+    manifest.get(keyOf(ptrDir)).orElse {
+      VersionedPointer.read(fs, ptrDir).filterNot(_.startsWith(Redirect))
+    }
+
+  /** The member's past values, newest first — standalone pointers
+    * answer from their own version history, enrolled members from
+    * the manifest's (consecutive duplicates collapsed, so only
+    * swaps that MOVED this member count).
+    */
+  def valueHistory(fs: FileSystem, ptrDir: Path, n: Int): Seq[String] =
+    groupOf(fs, ptrDir) match {
+      case Some(g) =>
+        val key = keyOf(ptrDir)
+        val past = VersionedPointer.history(fs, g, ManifestHistoryKeep)
+          .flatMap { case (_, c) => decode(c).get(key) }
+        val cur = snapshot(fs, g).get(key)
+        (cur.toSeq ++ past).foldLeft(Vector.empty[String]) {
+          case (acc, v) if acc.lastOption.contains(v) => acc
+          case (acc, v) => acc :+ v
+        }.drop(1).take(n) // drop the live value; history = superseded
+      case None =>
+        VersionedPointer.history(fs, ptrDir, n).map(_._2)
+    }
+}

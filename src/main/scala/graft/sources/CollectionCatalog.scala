@@ -90,20 +90,82 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
 
   private def aliasDir(alias: String): Path = new Path(root, s".aliases/$alias")
 
+  /** The catalog's alias-transaction group ([[AliasGroup]]): every
+    * grouped swap this catalog coordinates — collection aliases and
+    * standing-index homes repointed together — commits through ONE
+    * manifest here.
+    */
+  private def txnDir: Path = new Path(root, ".txn")
+
   /** Point `alias` at collection `target` (create or repoint — the
     * repoint IS the atomic swap, and readers see the old target until
-    * the instant the new version file lands).
+    * the instant the new version file lands). An alias enrolled in a
+    * grouped swap ([[updateAliases]]) repoints through the group
+    * manifest, keeping grouped readers consistent.
     */
   def setAlias(alias: String, target: String): Unit = {
     require(exists(target), s"alias target does not exist: $target")
-    VersionedPointer.write(fs, aliasDir(alias), target)
+    AliasGroup.setOne(fs, aliasDir(alias), target)
   }
 
   /** The collection an alias points at, if the alias exists
     * (highest-version file wins).
     */
   def resolveAlias(alias: String): Option[String] =
-    VersionedPointer.read(fs, aliasDir(alias))
+    AliasGroup.resolveValue(fs, aliasDir(alias))
+
+  /** Atomically apply a BATCH of alias repoints, optionally together
+    * with standing-index generation swaps — the ES `update_aliases`
+    * `actions` array: `aliasActions` are (alias, target collection),
+    * `indexSwaps` are (index home, built generation path) as passed
+    * to [[IndexAlias.set]]. All of them commit in ONE [[AliasGroup]]
+    * manifest write, so a reader holding a [[groupSnapshot]] — or
+    * using [[openWithIndexes]] — never observes a mixed state (new
+    * collection through an old index generation or vice versa).
+    */
+  def updateAliases(aliasActions: Seq[(String, String)],
+                    indexSwaps: Seq[(String, String)] = Nil): Unit = {
+    require(aliasActions.nonEmpty || indexSwaps.nonEmpty, "empty update_aliases")
+    val aliasEntries = aliasActions.map { case (a, target) =>
+      require(exists(target), s"alias target does not exist: $target")
+      aliasDir(a) -> target
+    }
+    val indexEntries = indexSwaps.map { case (home, target) =>
+      val t = new Path(target)
+      require(fs.exists(t), s"index swap target does not exist: $target")
+      require(t.getParent == new Path(home).makeQualified(fs.getUri, fs.getWorkingDirectory) ||
+        t.getParent == new Path(home),
+        s"index swap target must be a generation under $home: $target")
+      IndexAlias.ptrDir(home) -> t.getName
+    }
+    AliasGroup.swap(fs, txnDir, aliasEntries ++ indexEntries)
+    indexSwaps.foreach { case (home, _) => IndexAlias.invalidateResolve(home) }
+  }
+
+  /** One consistent view of every alias and index home enrolled in
+    * this catalog's transaction group: a single manifest read, the
+    * version every [[AliasGroup.valueIn]] lookup answers from.
+    */
+  def groupSnapshot(): Map[String, String] = AliasGroup.snapshot(fs, txnDir)
+
+  /** Open a collection by alias TOGETHER with the concrete paths of
+    * its standing indexes, from ONE group-manifest version — the
+    * read-side counterpart of [[updateAliases]]: across a concurrent
+    * grouped swap this returns either the old collection with the
+    * old index generations or the new with the new, never a mix.
+    * (Two independent `open` + `IndexAlias.resolve` calls cannot
+    * promise that, exactly as two separate ES requests cannot.)
+    */
+  def openWithIndexes(alias: String,
+                      indexHomes: Seq[String]): (DataFrame, Map[String, String]) = {
+    val snap = groupSnapshot()
+    val target = AliasGroup.valueIn(fs, snap, aliasDir(alias)).getOrElse(alias)
+    val idx = indexHomes.map { h =>
+      h -> AliasGroup.valueIn(fs, snap, IndexAlias.ptrDir(h))
+        .fold(h)(g => new Path(h, g).toString)
+    }.toMap
+    (load(target), idx)
+  }
 
   /** All aliases as (alias, target), sorted. */
   def listAliases(): Seq[(String, String)] = {
@@ -228,19 +290,30 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     * classic zero-downtime mapping-change recipe (reindex + swap);
     * readers of the alias never observe a partial destination.
     * Returns the destination row count.
+    *
+    * `indexSwaps` (index home → freshly built generation path, e.g.
+    * from `VectorIndex.buildFrom` at `IndexAlias.nextGenerationPath`)
+    * repoint the collection's STANDING indexes in the SAME atomic
+    * commit as the alias — the full zero-downtime recipe when a
+    * reindex changes what the indexes must serve: a grouped reader
+    * ([[openWithIndexes]]) sees old-collection+old-indexes or
+    * new+new, never a mixed generation.
     */
   def reindex(source: String, dest: String,
               filterJson: Option[String] = None,
               transform: DataFrame => DataFrame = identity,
               partitionBy: Seq[String] = Nil,
-              alias: Option[String] = None): Long = {
+              alias: Option[String] = None,
+              indexSwaps: Seq[(String, String)] = Nil): Long = {
     require(source != dest, "reindex source and destination must differ")
+    require(indexSwaps.isEmpty || alias.isDefined,
+      "indexSwaps without an alias to swap alongside — use IndexAlias.setAll directly")
     val src = open(source)
     val filtered = filterJson
       .map(j => src.filter(graft.api.FilterDsl.fromJson(j).toColumn))
       .getOrElse(src)
     create(dest, transform(filtered), partitionBy)
-    alias.foreach(a => setAlias(a, dest))
+    alias.foreach(a => updateAliases(Seq(a -> dest), indexSwaps))
     load(dest).count()
   }
 }

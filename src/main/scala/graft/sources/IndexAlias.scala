@@ -123,15 +123,22 @@ private[graft] object VersionedPointer {
     * backstop there.
     */
   def writeIfAtVersion(fs: FileSystem, dir: Path, content: String,
-                       expectedVersion: Long): Boolean = {
+                       expectedVersion: Long, keepHistory: Int = 0): Boolean = {
     val key = Path.getPathWithoutSchemeAndAuthority(dir).toString
     val lock = jvmLocks(math.floorMod(key.hashCode, LockStripes))
     lock.synchronized {
-      if (!versions(fs, dir).lastOption.contains(expectedVersion)) false
+      val cur = versions(fs, dir).lastOption
+      // expectedVersion -1 = "no version exists yet": the CAS that
+      // creates the pointer (two racing creators -> one wins v0)
+      val matches =
+        if (expectedVersion < 0) cur.isEmpty
+        else cur.contains(expectedVersion)
+      if (!matches) false
       else {
         val v = expectedVersion + 1
+        fs.mkdirs(dir)
         val ok = installAt(fs, dir, v, content.getBytes("UTF-8"))
-        if (ok) versions(fs, dir).filter(_ < v)
+        if (ok) versions(fs, dir).filter(_ < v - keepHistory)
           .foreach(x => fs.delete(new Path(dir, versionName(x)), false))
         ok
       }
@@ -217,7 +224,7 @@ object IndexAlias {
   private def fsOf(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
-  private def ptrDir(home: String): Path = new Path(home, ".ptr")
+  private[graft] def ptrDir(home: String): Path = new Path(home, ".ptr")
 
   private def genName(n: Long): String = f"gen-$n%010d"
 
@@ -256,7 +263,7 @@ object IndexAlias {
     val key = new Path(pathOrHome).toString
     val cached = resolveCache.synchronized(Option(resolveCache.get(key)))
     cached.getOrElse {
-      val v = VersionedPointer.read(fsOf(spark, key), ptrDir(key))
+      val v = AliasGroup.resolveValue(fsOf(spark, key), ptrDir(key))
         .fold(key)(g => new Path(key, g).toString)
       resolveCache.synchronized(resolveCache.put(key, v))
       v
@@ -273,9 +280,11 @@ object IndexAlias {
   private[graft] def invalidateResolve(pathOrHome: String): Unit =
     resolveCache.synchronized { resolveCache.remove(new Path(pathOrHome).toString); () }
 
-  /** Whether `pathOrHome` is an alias home (has a live pointer). */
+  /** Whether `pathOrHome` is an alias home (has a live pointer,
+    * standalone or through an [[AliasGroup]] manifest).
+    */
   def installed(spark: SparkSession, pathOrHome: String): Boolean =
-    VersionedPointer.read(fsOf(spark, pathOrHome), ptrDir(pathOrHome)).isDefined
+    AliasGroup.resolveValue(fsOf(spark, pathOrHome), ptrDir(pathOrHome)).isDefined
 
   /** All generation directories under the home, oldest first. */
   def generations(spark: SparkSession, home: String): Seq[String] = {
@@ -311,10 +320,44 @@ object IndexAlias {
     require(t.getParent == new Path(home).makeQualified(fs.getUri, fs.getWorkingDirectory) ||
       t.getParent == new Path(home),
       s"alias target must be a generation under $home: $target")
-    VersionedPointer.writeReturningVersion(fs, ptrDir(home), t.getName,
-      keepHistory = PtrHistoryKeep)
+    // a home enrolled in an AliasGroup repoints through the group
+    // manifest (so grouped readers stay consistent); a standalone
+    // home through its own pointer
+    AliasGroup.setOne(fs, ptrDir(home), t.getName, keepHistory = PtrHistoryKeep)
     resolveCache.synchronized {
       resolveCache.put(new Path(home).toString, new Path(home, t.getName).toString); ()
+    }
+  }
+
+  /** Atomically repoint SEVERAL homes in one commit — the ES
+    * `update_aliases` actions semantics: `swaps` are
+    * `(home, targetGenerationPath)` pairs, validated like [[set]],
+    * then committed as ONE [[AliasGroup]] manifest write at
+    * `groupDir`, so no reader using [[AliasGroup.snapshot]]-based
+    * resolution (e.g. `CollectionCatalog.openWithIndexes`) ever
+    * observes a mixed generation across the homes. First use
+    * ENROLLS the homes in the group (their standalone pointers
+    * become redirects); subsequent [[set]] calls on an enrolled home
+    * route through the same manifest automatically.
+    */
+  def setAll(spark: SparkSession, groupDir: String,
+             swaps: Seq[(String, String)]): Unit = {
+    require(swaps.nonEmpty, "setAll with no swaps")
+    val fs = fsOf(spark, groupDir)
+    val entries = swaps.map { case (home, target) =>
+      val t = new Path(target)
+      require(fs.exists(t), s"alias target does not exist: $target")
+      require(t.getParent == new Path(home).makeQualified(fs.getUri, fs.getWorkingDirectory) ||
+        t.getParent == new Path(home),
+        s"alias target must be a generation under $home: $target")
+      ptrDir(home) -> t.getName
+    }
+    AliasGroup.swap(fs, new Path(groupDir), entries)
+    resolveCache.synchronized {
+      swaps.foreach { case (home, target) =>
+        resolveCache.put(new Path(home).toString,
+          new Path(home, new Path(target).getName).toString)
+      }
     }
   }
 
@@ -338,8 +381,8 @@ object IndexAlias {
     val fs = fsOf(spark, home)
     val live = new Path(resolve(spark, home)).getName
     val all = generations(spark, home).filterNot(_ == live)
-    val prevLive = VersionedPointer.history(fs, ptrDir(home), PtrHistoryKeep)
-      .map(_._2).distinct.filter(g => g != live && all.contains(g)).take(keep)
+    val prevLive = AliasGroup.valueHistory(fs, ptrDir(home), PtrHistoryKeep)
+      .distinct.filter(g => g != live && all.contains(g)).take(keep)
     val fallback = all.filterNot(prevLive.contains)
       .sorted.reverse.take(math.max(0, keep - prevLive.size))
     val retained = (prevLive ++ fallback).toSet

@@ -1,0 +1,176 @@
+package graft
+
+import java.nio.file.Files
+import java.util.concurrent.{CountDownLatch, Executors, TimeUnit}
+import org.apache.hadoop.fs.Path
+import org.apache.spark.sql.functions._
+import graft.sources.{AliasGroup, CollectionCatalog, IndexAlias, VersionedPointer}
+
+/** Atomic GROUPED alias swap (ES `update_aliases` actions): a
+  * collection repoint and its standing-index repoints commit in ONE
+  * manifest write, and a reader resolving through one group snapshot
+  * can never observe a mixed generation — the round-7 verdict's one
+  * remaining reference-API consistency window.
+  */
+class GroupSwapSpec extends SparkSpec {
+
+  private def fsFor(p: String) =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def mkGen(home: String): String = {
+    val g = IndexAlias.nextGenerationPath(spark, home)
+    fsFor(home).mkdirs(new Path(g))
+    g
+  }
+
+  test("a reader never observes a mixed collection+index generation across grouped swaps") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-group-atomic").toString
+    val cat = CollectionCatalog(spark, root)
+    cat.create("users_a", Seq((1L, "A")).toDF("id", "gen"))
+    cat.create("users_b", Seq((2L, "B")).toDF("id", "gen"))
+    val home = s"$root/.indexes/users-vec"
+    val gen0 = mkGen(home)
+    val gen1 = mkGen(home)
+    val fs = fsFor(root)
+
+    // the two CONSISTENT states; anything else is a torn read
+    val stateA = ("users_a", new Path(gen0).getName)
+    val stateB = ("users_b", new Path(gen1).getName)
+    cat.updateAliases(Seq("users" -> stateA._1), Seq(home -> gen0))
+
+    val rounds = 150
+    val pool = Executors.newFixedThreadPool(3)
+    val start = new CountDownLatch(1)
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val torn = new java.util.concurrent.ConcurrentLinkedQueue[String]()
+    val writer = pool.submit(new Runnable {
+      def run(): Unit = {
+        start.await()
+        (1 to rounds).foreach { i =>
+          val (c, g) = if (i % 2 == 0) stateA else stateB
+          cat.updateAliases(Seq("users" -> c), Seq(home -> s"$home/$g"))
+        }
+        stop.set(true)
+      }
+    })
+    def reader = new Runnable {
+      def run(): Unit = {
+        start.await()
+        while (!stop.get()) {
+          // the same one-snapshot resolution openWithIndexes uses
+          val snap = cat.groupSnapshot()
+          val c = AliasGroup.valueIn(fs, snap, new Path(root, ".aliases/users"))
+          val g = AliasGroup.valueIn(fs, snap, IndexAlias.ptrDir(home))
+          val seen = (c.getOrElse("?"), g.getOrElse("?"))
+          if (seen != stateA && seen != stateB) torn.add(seen.toString)
+        }
+      }
+    }
+    pool.submit(reader); pool.submit(reader)
+    start.countDown()
+    writer.get()
+    pool.shutdown()
+    assert(pool.awaitTermination(120, TimeUnit.SECONDS), "swap pool did not drain")
+    assert(torn.isEmpty, s"mixed generations observed: ${torn.toArray.take(5).mkString("; ")}")
+
+    // the functional read-side API resolves the same consistent pair
+    val (df, idx) = cat.openWithIndexes("users", Seq(home))
+    val gen = df.select("gen").as[String].head()
+    val idxGen = new Path(idx(home)).getName
+    assert((if (gen == "A") stateA else stateB) == (s"users_${gen.toLowerCase}", idxGen),
+      s"openWithIndexes returned gen=$gen with index $idxGen")
+  }
+
+  test("setAll commits several index homes in one write; set on an enrolled home stays grouped") {
+    val base = Files.createTempDirectory("graft-group-idx").toString
+    val groupDir = s"$base/.txn"
+    val h1 = s"$base/vec"; val h2 = s"$base/text"
+    val (g10, g11) = (mkGen(h1), mkGen(h1))
+    val g20 = mkGen(h2)
+    IndexAlias.setAll(spark, groupDir, Seq(h1 -> g10, h2 -> g20))
+    assert(IndexAlias.resolve(spark, h1) == new Path(g10).toString)
+    assert(IndexAlias.resolve(spark, h2) == new Path(g20).toString)
+    assert(IndexAlias.installed(spark, h1) && IndexAlias.installed(spark, h2))
+    val fs = fsFor(base)
+    // both members redirect to ONE manifest
+    assert(AliasGroup.groupOf(fs, IndexAlias.ptrDir(h1)).map(_.toString)
+      == Some(new Path(groupDir).toString))
+    assert(AliasGroup.groupOf(fs, IndexAlias.ptrDir(h2)).isDefined)
+    // single-home set on an ENROLLED home routes through the group:
+    // the manifest moves, the redirect stays
+    IndexAlias.set(spark, h1, g11)
+    assert(IndexAlias.resolve(spark, h1) == new Path(g11).toString)
+    assert(AliasGroup.groupOf(fs, IndexAlias.ptrDir(h1)).isDefined,
+      "set() un-enrolled the home from its group")
+    assert(AliasGroup.snapshot(fs, new Path(groupDir))
+      .get(AliasGroup.keyOf(IndexAlias.ptrDir(h1))).contains(new Path(g11).getName))
+    // h2 untouched by h1's repoint (merge, not overwrite)
+    assert(IndexAlias.resolve(spark, h2) == new Path(g20).toString)
+  }
+
+  test("pruneGenerations reads drain-grace history through the group manifest") {
+    val base = Files.createTempDirectory("graft-group-prune").toString
+    val groupDir = s"$base/.txn"
+    val home = s"$base/vec"
+    val g0 = mkGen(home)
+    IndexAlias.setAll(spark, groupDir, Seq(home -> g0))
+    val g1 = mkGen(home)
+    IndexAlias.set(spark, home, g1) // g0 = previously live, draining
+    val g2 = mkGen(home)            // crashed rebuild, never pointed at
+    val pruned = IndexAlias.pruneGenerations(spark, home, keep = 1)
+    assert(pruned == Seq(new Path(g2).getName),
+      s"pruned $pruned; expected only the never-live ${new Path(g2).getName}")
+    assert(IndexAlias.generations(spark, home).toSet ==
+      Set(new Path(g0).getName, new Path(g1).getName))
+  }
+
+  test("reindex with indexSwaps lands collection and index repoints in one commit") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-group-reindex").toString
+    val cat = CollectionCatalog(spark, root)
+    cat.create("docs_v1", Seq((1L, "keep"), (2L, "drop")).toDF("id", "tag"))
+    cat.updateAliases(Seq("docs" -> "docs_v1"))
+    val home = s"$root/.indexes/docs-text"
+    val gen0 = mkGen(home)
+    cat.updateAliases(Nil, Seq(home -> gen0))
+    val gen1 = mkGen(home) // the rebuilt index for the filtered copy
+
+    val n = cat.reindex("docs", "docs_v2",
+      filterJson = Some("""{ "must": [ {"key": "tag", "match": {"value": "keep"}} ] }"""),
+      alias = Some("docs"), indexSwaps = Seq(home -> gen1))
+    assert(n == 1L)
+    val (df, idx) = cat.openWithIndexes("docs", Seq(home))
+    assert(df.select("id").as[Long].collect().toSeq == Seq(1L))
+    assert(idx(home) == new Path(gen1).toString)
+    // and the single-path resolvers agree with the grouped view
+    assert(cat.resolveAlias("docs").contains("docs_v2"))
+    assert(IndexAlias.resolve(spark, home) == new Path(gen1).toString)
+    // indexSwaps without an alias is a contract error on reindex
+    intercept[IllegalArgumentException] {
+      cat.reindex("docs", "docs_v3", indexSwaps = Seq(home -> gen1))
+    }
+  }
+
+  test("un-enrolled aliases and homes fall back to standalone pointers in a group read") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-group-fallback").toString
+    val cat = CollectionCatalog(spark, root)
+    cat.create("solo", Seq((9L, "S")).toDF("id", "gen"))
+    cat.setAlias("lone", "solo") // never grouped
+    val home = s"$root/.indexes/lone-vec"
+    val g0 = mkGen(home)
+    IndexAlias.set(spark, home, g0) // standalone pointer
+    val (df, idx) = cat.openWithIndexes("lone", Seq(home))
+    assert(df.select("id").as[Long].head() == 9L)
+    assert(idx(home) == new Path(g0).toString)
+    // concurrent-writer primitive: two same-base manifest merges both land
+    val fs = fsFor(root)
+    val dir = new Path(root, ".txn")
+    AliasGroup.swap(fs, dir, Seq(new Path(root, ".aliases/x") -> "v1"))
+    val v = VersionedPointer.readVersioned(fs, dir).get._1
+    assert(AliasGroup.snapshot(fs, dir).nonEmpty)
+    assert(!VersionedPointer.writeIfAtVersion(fs, dir, "bogus", v - 1),
+      "stale-version manifest write must refuse")
+  }
+}
