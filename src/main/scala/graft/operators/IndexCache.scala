@@ -35,6 +35,26 @@ private[graft] object IndexCache {
   private val keyPins =
     new java.util.concurrent.ConcurrentHashMap[String, Set[Int]]()
 
+  /** Pins RETIRED by [[dropMatching]] (the frame was invalidated —
+    * epoch bump — but an in-flight request may still hold it), with
+    * their retirement instant. Retired blocks get an AGE-based drain
+    * grace before [[releaseTransients]] reclaims them: a request that
+    * was handed the frame before the invalidation finishes against
+    * it, however often the release hygiene fires meanwhile — the
+    * in-memory mirror of the generation drain-grace at rest. A
+    * concurrent map because dropMatching may run inside a build
+    * (read lock held by this thread).
+    */
+  private val retired =
+    new java.util.concurrent.ConcurrentHashMap[Int, Long]()
+
+  /** Default retire grace: longer than any single serving request at
+    * the scales the session cache targets, far shorter than the
+    * session. A retired corpus frame therefore occupies storage for
+    * at most one more grace window after its epoch ends.
+    */
+  val DefaultRetireGraceMs: Long = 30000L
+
   /** Builds (pin registration) take the read side — they may run
     * concurrently with each other; [[releaseTransients]] and
     * [[dropMatching]] take the write side, so neither can observe a
@@ -99,21 +119,35 @@ private[graft] object IndexCache {
     * 1.6× pass-1, at-rest IVF reads 18×, before this hook). Call it
     * AFTER the request's frames are fully consumed — a transient
     * checkpoint still in use has no lineage to recompute from; for
-    * the same reason requests must be serialized around the call (it
-    * drops EVERY unpinned block, including another in-flight
-    * request's). Builds registering pins are safe concurrently — the
-    * write lock waits for any in-flight [[materialized]] diff window.
-    * Returns the number of RDDs released.
+    * the same reason TRANSIENT-holding requests must be serialized
+    * around the call (it drops every never-pinned block, including
+    * another in-flight request's). Standing frames are safer:
+    * builds registering pins are safe concurrently (the write lock
+    * waits for any in-flight [[materialized]] diff window), and a
+    * frame RETIRED by an invalidation keeps its blocks for `graceMs`
+    * after retirement — an in-flight request that was handed the
+    * frame before the epoch bump finishes against it, however often
+    * the hygiene fires meanwhile (IndexCacheRaceSpec drives exactly
+    * that interleaving). Returns the number of RDDs released.
     */
-  def releaseTransients(spark: SparkSession): Int = {
+  def releaseTransients(spark: SparkSession,
+                        graceMs: Long = DefaultRetireGraceMs): Int = {
     pinLock.writeLock().lock()
     try {
+      val now = System.currentTimeMillis()
       var n = 0
-      spark.sparkContext.getPersistentRDDs.foreach { case (id, rdd) =>
-        if (!keyPins.values().stream().anyMatch(_.contains(id))) {
-          rdd.unpersist(blocking = false); n += 1
+      val persistent = spark.sparkContext.getPersistentRDDs
+      persistent.foreach { case (id, rdd) =>
+        val retiredAt = retired.get(id)
+        val inGrace = retired.containsKey(id) && now - retiredAt < graceMs
+        if (!inGrace && !keyPins.values().stream().anyMatch(_.contains(id))) {
+          rdd.unpersist(blocking = false)
+          retired.remove(id)
+          n += 1
         }
       }
+      // drop bookkeeping for retired ids whose RDDs are already gone
+      retired.keySet.removeIf(id => !persistent.contains(id))
       n
     } finally pinLock.writeLock().unlock()
   }
@@ -134,7 +168,17 @@ private[graft] object IndexCache {
     if (!building) pinLock.writeLock().lock()
     try {
       cache.keySet.removeIf(_.contains(marker))
-      keyPins.keySet.removeIf(_.contains(marker))
+      // un-pin via RETIREMENT, not straight to transient: a request
+      // handed the frame before this invalidation is still entitled
+      // to finish against it (drain grace, one release cycle)
+      val evicted = Set.newBuilder[Int]
+      keyPins.entrySet().removeIf { e =>
+        val hit = e.getKey.contains(marker)
+        if (hit) evicted ++= e.getValue
+        hit
+      }
+      val now = System.currentTimeMillis()
+      evicted.result().foreach(id => retired.put(id, now))
     } finally if (!building) pinLock.writeLock().unlock()
   }
 
@@ -154,7 +198,8 @@ private[graft] object IndexCache {
       var n = 0
       val persistent = spark.sparkContext.getPersistentRDDs
       ids.foreach { id =>
-        if (!keyPins.values().stream().anyMatch(_.contains(id)))
+        if (!retired.containsKey(id) &&
+          !keyPins.values().stream().anyMatch(_.contains(id)))
           persistent.get(id).foreach { r => r.unpersist(blocking = false); n += 1 }
       }
       n
