@@ -196,6 +196,7 @@ object SparkEntry {
     "q_logsumexp"       -> (Relational.qLogSumExp _),
     "q_geo_polygon"     -> (Geo.qGeoPolygon _),
     "q_geo_polygon_indexed" -> (Geo.qGeoPolygonIndexed _),
+    "q_geo_shape"       -> (Geo.qGeoShape _),
     "q_analyze"         -> (FullText.qAnalyze _),
     "q_grouping_search" -> (VectorSearch.qGroupingSearch _),
     "q_bpe_pairs"       -> (TrainingPipeline.qBpePairs _),
@@ -1360,6 +1361,28 @@ object SparkEntry {
          |  FROM g)
          |SELECT user_id, lat, lon FROM c WHERE crossings % 2 = 1
          |ORDER BY user_id LIMIT 200""".stripMargin,
+    // geo_shape intersection: the Spark side runs the GENERIC
+    // three-leg polygon-intersection expression over the stored
+    // diamond vertices; the oracle answers through the Minkowski
+    // reduction — a constant-extent symmetric diamond D intersects
+    // the convex query polygon P iff its CENTER lies in P ⊕ D — so
+    // two independent formulations of one region must agree row for
+    // row (the dilated polygon's vertices are driver doubles shared
+    // with nothing: any drift in the generic machinery breaks the
+    // hash)
+    "q_geo_shape" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |g AS (SELECT user_id,
+         |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+         |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+         |  FROM u),
+         |c AS (SELECT user_id, lat, lon,
+         |  ${operators.Geo.polygonCrossingsSql(operators.Geo.shapeOracleVerts)} AS crossings
+         |  FROM g)
+         |SELECT user_id, lat, lon FROM c WHERE crossings % 2 = 1
+         |ORDER BY user_id LIMIT 300""".stripMargin,
     "q_analyze" ->
       """WITH t AS (SELECT string_split(text, ' ') AS toks FROM documents WHERE doc_id = 42),
         |p AS (SELECT toks, CAST(unnest(range(len(toks))) AS BIGINT) AS pos0 FROM t)

@@ -149,6 +149,33 @@ object FilterDsl {
       bboxColumn && graft.operators.Geo.pointInPolygon(lonCol, latCol, verts)
   }
 
+  /** Shape-valued payload intersection (ES `geo_shape` with
+    * `relation: intersects`): the field `k` is stored as the vertex
+    * column `k_shape` (`array<struct<lon:double,lat:double>>`, a
+    * simple polygon ring) plus its bbox columns `k_latmin`/
+    * `k_latmax`/`k_lonmin`/`k_lonmax` (ingest-time constants of the
+    * shape). The exact test is the generic three-leg polygon
+    * intersection ([[graft.operators.Geo.shapeIntersectsPolygon]]);
+    * the conjoined bbox-OVERLAP predicate is logically implied by
+    * intersection, and — being plain ranges on the stored bbox
+    * columns — is what parquet footer min/max prunes files on under
+    * the [[PayloadIndex]] geo-shape layout.
+    */
+  final case class GeoShapeIntersects(key: String, verts: Seq[(Double, Double)])
+      extends Condition {
+    require(verts.size >= 3, s"query polygon needs >= 3 vertices, got ${verts.size}")
+    private def qBbox: (Double, Double, Double, Double) =
+      (verts.map(_._2).min, verts.map(_._2).max,
+        verts.map(_._1).min, verts.map(_._1).max)
+    private[api] def bboxColumn: Column = {
+      val (latMin, latMax, lonMin, lonMax) = qBbox
+      col(s"${key}_latmax") >= lit(latMin) && col(s"${key}_latmin") <= lit(latMax) &&
+        col(s"${key}_lonmax") >= lit(lonMin) && col(s"${key}_lonmin") <= lit(lonMax)
+    }
+    def toColumn: Column =
+      bboxColumn && graft.operators.Geo.shapeIntersectsPolygon(col(s"${key}_shape"), verts)
+  }
+
   /** Nested boolean clause — bool-in-bool, arbitrarily deep. */
   final case class Nested(filter: Filter) extends Condition {
     def toColumn: Column = filter.toColumn
@@ -201,16 +228,17 @@ object FilterDsl {
         }
         def point(v: JValue, what: String): (Double, Double) =
           (dbl(v \ "lat", s"$what.lat"), dbl(v \ "lon", s"$what.lon"))
-        (o \ "geo_bounding_box", o \ "geo_radius", o \ "geo_polygon") match {
-          case (b: JObject, JNothing, JNothing) =>
+        (o \ "geo_bounding_box", o \ "geo_radius", o \ "geo_polygon",
+          o \ "geo_shape") match {
+          case (b: JObject, JNothing, JNothing, JNothing) =>
             val (tlLat, tlLon) = point(b \ "top_left", "top_left")
             val (brLat, brLon) = point(b \ "bottom_right", "bottom_right")
             return GeoBoundingBox(key, minLat = brLat, maxLat = tlLat,
               minLon = tlLon, maxLon = brLon)
-          case (JNothing, r: JObject, JNothing) =>
+          case (JNothing, r: JObject, JNothing, JNothing) =>
             val (cLat, cLon) = point(r \ "center", "center")
             return GeoRadius(key, cLat, cLon, dbl(r \ "radius", "radius"))
-          case (JNothing, JNothing, p: JObject) =>
+          case (JNothing, JNothing, p: JObject, JNothing) =>
             (p \ "exterior" \ "points") match {
               case JArray(pts) =>
                 return GeoPolygon(key, pts.map { pt =>
@@ -218,7 +246,21 @@ object FilterDsl {
                 })
               case other => sys.error(s"geo_polygon needs exterior.points: $other")
             }
-          case (JNothing, JNothing, JNothing) => // not geo; fall through
+          case (JNothing, JNothing, JNothing, s: JObject) =>
+            (s \ "relation") match {
+              case JNothing | JString("intersects") => ()
+              case JString(rel) => sys.error(
+                s"geo_shape relation '$rel' unsupported (intersects only)")
+              case other => sys.error(s"geo_shape relation must be a string: $other")
+            }
+            (s \ "shape" \ "points") match {
+              case JArray(pts) =>
+                return GeoShapeIntersects(key, pts.map { pt =>
+                  val (la, lo) = point(pt, "shape point"); (lo, la)
+                })
+              case other => sys.error(s"geo_shape needs shape.points: $other")
+            }
+          case (JNothing, JNothing, JNothing, JNothing) => // not geo; fall through
           case other => sys.error(s"ambiguous geo condition shape: $other")
         }
         (o \ "match", o \ "range", o \ "is_null") match {

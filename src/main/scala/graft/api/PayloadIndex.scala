@@ -43,9 +43,10 @@ object PayloadIndex {
     */
   final case class Layout(keyword: Seq[String] = Nil,
                           numeric: Seq[String] = Nil,
-                          geo: Option[String] = None) {
-    require(geo.isEmpty || numeric.isEmpty,
-      "a layout clusters by EITHER its numeric fields or its geo field")
+                          geo: Option[String] = None,
+                          geoShape: Option[String] = None) {
+    require(Seq(geo.nonEmpty, geoShape.nonEmpty, numeric.nonEmpty).count(identity) <= 1,
+      "a layout clusters by EITHER its numeric fields, its geo field, or its geo-shape field")
   }
 
   /** Geo bucketing resolution: 2^GeoBits buckets per axis (~0.003°
@@ -61,21 +62,30 @@ object PayloadIndex {
     * clustered write.
     */
   def write(df: DataFrame, path: String, layout: Layout, numFiles: Int = 8): Unit = {
-    val (toWrite, clusterCols) = layout.geo match {
-      case Some(g) =>
-        // bucket each axis into [0, 2^GeoBits) — zValue's contract —
-        // then interleave; the z column is dropped before the write,
-        // so the layout is pure file ORDER, not schema
-        val scale = (1 << GeoBits) - 1
-        val withZ = df
-          .withColumn("__gx", greatest(lit(0L), least(lit(scale.toLong),
-            floor((col(s"${g}_lat") + 90.0) / 180.0 * (scale + 1)).cast("long"))))
-          .withColumn("__gy", greatest(lit(0L), least(lit(scale.toLong),
-            floor((col(s"${g}_lon") + 180.0) / 360.0 * (scale + 1)).cast("long"))))
-          .withColumn("__z", ScaleOps.zValue("__gx", "__gy", GeoBits))
-          .drop("__gx", "__gy")
-        (withZ, Seq(col("__z")))
-      case None =>
+    // bucket a (lat, lon) column pair into [0, 2^GeoBits) per axis —
+    // zValue's contract — and interleave; the z column is dropped
+    // before the write, so the layout is pure file ORDER, not schema
+    def withMorton(d: DataFrame, latC: org.apache.spark.sql.Column,
+                   lonC: org.apache.spark.sql.Column): DataFrame = {
+      val scale = (1 << GeoBits) - 1
+      d.withColumn("__gx", greatest(lit(0L), least(lit(scale.toLong),
+          floor((latC + 90.0) / 180.0 * (scale + 1)).cast("long"))))
+        .withColumn("__gy", greatest(lit(0L), least(lit(scale.toLong),
+          floor((lonC + 180.0) / 360.0 * (scale + 1)).cast("long"))))
+        .withColumn("__z", ScaleOps.zValue("__gx", "__gy", GeoBits))
+        .drop("__gx", "__gy")
+    }
+    val (toWrite, clusterCols) = (layout.geo, layout.geoShape) match {
+      case (Some(g), _) =>
+        (withMorton(df, col(s"${g}_lat"), col(s"${g}_lon")), Seq(col("__z")))
+      case (None, Some(g)) =>
+        // shapes cluster by their bbox CENTER: constant-extent-class
+        // shapes land in files covering small rectangles, and the
+        // bbox columns' footer min/max stay tight per file — which is
+        // what a GeoShapeIntersects bbox-overlap predicate skips on
+        (withMorton(df, (col(s"${g}_latmin") + col(s"${g}_latmax")) / 2.0,
+          (col(s"${g}_lonmin") + col(s"${g}_lonmax")) / 2.0), Seq(col("__z")))
+      case (None, None) =>
         (df, (layout.keyword ++ layout.numeric).map(col))
     }
     val clustered =
@@ -107,6 +117,11 @@ object PayloadIndex {
       // reach the footer stats
       case g: FilterDsl.GeoCondition if layout.geo.contains(g.key) =>
         g.key -> "file_stats_skipped"
+      // a shape-intersection on the clustered shape field prunes
+      // through its bbox-OVERLAP ranges against the stored bbox
+      // columns' footer stats
+      case s: FilterDsl.GeoShapeIntersects if layout.geoShape.contains(s.key) =>
+        s.key -> "file_stats_skipped"
       case other => fieldOf(other) -> "row_filtered"
     }
     def fieldOf(c: FilterDsl.Condition): String = c match {
@@ -117,6 +132,7 @@ object PayloadIndex {
       case FilterDsl.TextContains(k, _) => k
       case FilterDsl.IsNull(k) => k
       case g: FilterDsl.GeoCondition => g.key
+      case s: FilterDsl.GeoShapeIntersects => s.key
       case FilterDsl.Nested(_) => "(nested)"
     }
     filter.must.map(classify) ++

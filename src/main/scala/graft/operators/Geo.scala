@@ -227,6 +227,179 @@ object Geo {
       .orderBy(col("user_id"))
       .limit(200)
 
+  // ---- geo_shape payloads (ES geo_shape, relation=intersects) ------
+
+  /** Even-odd ray cast where the POLYGON is a column (a shape-valued
+    * payload field, `array<struct<lon:double,lat:double>>`) and the
+    * point is a literal — the mirror image of [[pointInPolygon]].
+    * Pure per-row array arithmetic (`transform` + `aggregate`), no
+    * UDF. A horizontal edge contributes 0 crossings via the same
+    * first-conjunct guard (the double division then yields ±Inf,
+    * which the guarded comparison never consults).
+    */
+  def pointInShape(shape: Column, lonQ: Double, latQ: Double): Column = {
+    val n = size(shape)
+    val crossings = aggregate(
+      transform(shape, (v, i) => {
+        val w = element_at(shape, pmod(i + 1, n) + 1) // next vertex, ring-closed
+        val (xi, yi) = (v("lon"), v("lat"))
+        val (xj, yj) = (w("lon"), w("lat"))
+        when(((yi > lit(latQ)) =!= (yj > lit(latQ))) &&
+          (lit(lonQ) < (xj - xi) / (yj - yi) * (lit(latQ) - yi) + xi),
+          1).otherwise(0)
+      }),
+      lit(0), _ + _)
+    crossings % 2 === 1
+  }
+
+  // signed area of the (P,Q,R) triangle ×2 — the orientation test
+  // behind the segment-crossing predicate
+  private def ccw(px: Column, py: Column, qx: Column, qy: Column,
+                  rx: Column, ry: Column): Column =
+    (qx - px) * (ry - py) - (qy - py) * (rx - px)
+
+  /** Does the stored shape INTERSECT the literal simple polygon
+    * `verts` (ES `geo_shape` with `relation: intersects`)? The
+    * standard three-way decomposition for simple polygons:
+    *  1. a stored vertex lies inside the query polygon, or
+    *  2. a query vertex lies inside the stored shape, or
+    *  3. a stored edge properly crosses a query edge.
+    * Containment either way hits 1 or 2; partial overlap hits 3 (or
+    * both). Proper crossings only (strict orientation signs):
+    * boundary-touching shapes are treated as disjoint, the usual
+    * floating-point-geometry convention. All three legs are per-row
+    * expressions over the 2·|shape| doubles — scan-level, prunable
+    * by the stored bbox columns, no shuffle.
+    */
+  def shapeIntersectsPolygon(shape: Column, verts: Seq[(Double, Double)]): Column = {
+    val storedVertexInP =
+      exists(shape, v => pointInPolygon(v("lon"), v("lat"), verts))
+    val pVertexInShape =
+      verts.map { case (lo, la) => pointInShape(shape, lo, la) }.reduce(_ || _)
+    val n = size(shape)
+    val edgeCross = exists(
+      transform(shape, (v, i) => {
+        val w = element_at(shape, pmod(i + 1, n) + 1)
+        val (ax, ay) = (v("lon"), v("lat"))
+        val (bx, by) = (w("lon"), w("lat"))
+        verts.indices.map { k =>
+          val (cx, cy) = verts(k)
+          val (dx, dy) = verts((k + 1) % verts.size)
+          (ccw(ax, ay, bx, by, lit(cx), lit(cy)) *
+            ccw(ax, ay, bx, by, lit(dx), lit(dy)) < 0) &&
+            (ccw(lit(cx), lit(cy), lit(dx), lit(dy), ax, ay) *
+              ccw(lit(cx), lit(cy), lit(dx), lit(dy), bx, by) < 0)
+        }.reduce(_ || _)
+      }),
+      (b: Column) => b)
+    storedVertexInP || pVertexInShape || edgeCross
+  }
+
+  /** Minkowski sum of two CONVEX polygons (both in (lon, lat), any
+    * vertex order; normalized to ccw-from-bottom internally) — the
+    * classic edge-angle merge. Used by the q_geo_shape ORACLE: a
+    * constant-size symmetric shape D centered at c intersects a
+    * convex polygon P iff c ∈ P ⊕ D, which turns the generic
+    * shape-intersection answer into a point-in-polygon SQL mirror an
+    * independent engine can check.
+    */
+  private[graft] def minkowskiSum(p: Seq[(Double, Double)],
+                                  d: Seq[(Double, Double)]): Seq[(Double, Double)] = {
+    def normalize(v: Seq[(Double, Double)]): IndexedSeq[(Double, Double)] = {
+      val area = v.indices.map { i =>
+        val (x1, y1) = v(i); val (x2, y2) = v((i + 1) % v.size)
+        x1 * y2 - x2 * y1
+      }.sum
+      val ccwV = (if (area < 0) v.reverse else v).toIndexedSeq
+      val start = ccwV.indices.minBy(i => (ccwV(i)._2, ccwV(i)._1))
+      ccwV.drop(start) ++ ccwV.take(start)
+    }
+    val (a, b) = (normalize(p), normalize(d))
+    val (n, m) = (a.size, b.size)
+    def edge(v: IndexedSeq[(Double, Double)], i: Int): (Double, Double) = {
+      val (x1, y1) = v(i % v.size); val (x2, y2) = v((i + 1) % v.size)
+      (x2 - x1, y2 - y1)
+    }
+    val out = Vector.newBuilder[(Double, Double)]
+    var (i, j) = (0, 0)
+    while (i < n || j < m) {
+      val (ax, ay) = a(i % n); val (bx, by) = b(j % m)
+      out += ((ax + bx, ay + by))
+      val (e1x, e1y) = edge(a, i); val (e2x, e2y) = edge(b, j)
+      val cross = e1x * e2y - e1y * e2x
+      if (i >= n) j += 1
+      else if (j >= m) i += 1
+      else if (cross > 0) i += 1
+      else if (cross < 0) j += 1
+      else { i += 1; j += 1 }
+    }
+    out.result()
+  }
+
+  /** Constant half-extents of every stored diamond shape — constant
+    * BY DESIGN: it is what makes the oracle's Minkowski reduction
+    * exact (per-row sizes would need a per-row dilation).
+    */
+  val ShapeRLat = 3.17
+  val ShapeRLon = 5.73
+
+  /** The q_geo_shape query polygon: convex, ccw, no horizontal or
+    * vertical edges (so every Minkowski-sum edge keeps a finite
+    * nonzero ray-cast slope), vertices off the 0.01° data grid.
+    */
+  val ShapeQueryVerts: Seq[(Double, Double)] = Seq(
+    (-40.37, -25.115), (35.29, -30.425), (48.73, 22.175), (-25.19, 38.645))
+
+  /** The diamond D centered at the origin, ccw from the east vertex. */
+  private def shapeDiamond: Seq[(Double, Double)] = Seq(
+    (ShapeRLon, 0.0), (0.0, ShapeRLat), (-ShapeRLon, 0.0), (0.0, -ShapeRLat))
+
+  /** Per-user shape payloads: a diamond of constant half-extents
+    * around each user's point — the shape-valued payload FIELD
+    * `zone`, stored in the [[graft.api.FilterDsl.GeoShapeIntersects]]
+    * naming convention (`zone_shape: array<struct<lon,lat>>` plus the
+    * four `zone_*` bbox columns the [[graft.api.PayloadIndex]]
+    * geo-shape layout clusters and prunes on).
+    */
+  def userShapes(spark: SparkSession, sfDir: String): DataFrame = {
+    def vert(lonC: Column, latC: Column): Column =
+      struct(lonC.as("lon"), latC.as("lat"))
+    userGeo(spark, sfDir)
+      .withColumn("zone_shape", array(
+        vert(col("lon") + ShapeRLon, col("lat")),
+        vert(col("lon"), col("lat") + ShapeRLat),
+        vert(col("lon") - ShapeRLon, col("lat")),
+        vert(col("lon"), col("lat") - ShapeRLat)))
+      .withColumn("zone_latmin", col("lat") - ShapeRLat)
+      .withColumn("zone_latmax", col("lat") + ShapeRLat)
+      .withColumn("zone_lonmin", col("lon") - ShapeRLon)
+      .withColumn("zone_lonmax", col("lon") + ShapeRLon)
+  }
+
+  /** The oracle polygon: P ⊕ D, computed in driver doubles so the
+    * SQL mirror carries the same literals.
+    */
+  private[graft] def shapeOracleVerts: Seq[(Double, Double)] =
+    minkowskiSum(ShapeQueryVerts, shapeDiamond)
+
+  /** Shape-intersection search (ES `geo_shape`, relation
+    * intersects): users whose stored shape payload intersects the
+    * query polygon. The generic three-leg intersection expression
+    * runs against the shape column; the DuckDB oracle checks the
+    * same rows through the Minkowski reduction (center ∈ P ⊕ D) —
+    * two independent formulations of one region, agreeing row for
+    * row. Scan-level like every geo predicate; the bbox-overlap
+    * pre-filter below is logically implied by intersection, so the
+    * result is unchanged while footer min/max pruning gets plain
+    * range predicates to skip files on.
+    */
+  def qGeoShape(spark: SparkSession, sfDir: String): DataFrame =
+    userShapes(spark, sfDir)
+      .filter(graft.api.FilterDsl.GeoShapeIntersects("zone", ShapeQueryVerts).toColumn)
+      .orderBy(col("user_id"))
+      .limit(300)
+      .select(col("user_id"), col("lat"), col("lon"))
+
   /** Distance-ring aggregation (ES `geo_distance` agg): concentric
     * bands around a query point, each with its point count and mean
     * distance. The ring key is a per-row expression over the same

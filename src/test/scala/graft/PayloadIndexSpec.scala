@@ -118,4 +118,50 @@ class PayloadIndexSpec extends SparkSpec {
       assert(hf >= 26, s"$label: hash layout touched only $hf of 32 files")
     }
   }
+
+  test("geo-shape layout: an intersection wire filter skips most bbox-clustered files") {
+    // a shape frame with a shape-valued payload field `zone`:
+    // constant-extent diamonds around hash-uniform centers, stored as
+    // zone_shape + its four bbox columns (the at-rest geo_shape form)
+    val rLat = 2.0; val rLon = 3.0
+    val pts = spark.range(0, 20000).toDF("user_id")
+      .withColumn("lat",
+        pmod(xxhash64(col("user_id")), lit(18000L)).cast("double") / 100.0 - 90.0)
+      .withColumn("lon",
+        pmod(xxhash64(col("user_id") + 7), lit(36000L)).cast("double") / 100.0 - 180.0)
+      .withColumn("zone_shape", array(
+        struct((col("lon") + rLon).as("lon"), col("lat").as("lat")),
+        struct(col("lon").as("lon"), (col("lat") + rLat).as("lat")),
+        struct((col("lon") - rLon).as("lon"), col("lat").as("lat")),
+        struct(col("lon").as("lon"), (col("lat") - rLat).as("lat"))))
+      .withColumn("zone_latmin", col("lat") - rLat)
+      .withColumn("zone_latmax", col("lat") + rLat)
+      .withColumn("zone_lonmin", col("lon") - rLon)
+      .withColumn("zone_lonmax", col("lon") + rLon)
+      .localCheckpoint()
+    val sDir = Files.createTempDirectory("graft-payload-shape").toString + "/s"
+    val hDir = Files.createTempDirectory("graft-payload-shape").toString + "/h"
+    val sl = PayloadIndex.Layout(geoShape = Some("zone"))
+    PayloadIndex.write(pts, sDir, sl, numFiles = 32)
+    pts.repartition(32, col("user_id")).write.parquet(hDir)
+
+    val wire =
+      """{ "must": [ {"key": "zone", "geo_shape": { "shape": { "points": [
+        |  {"lat": 5.0, "lon": 10.0}, {"lat": 4.0, "lon": 40.0},
+        |  {"lat": 35.0, "lon": 41.0}, {"lat": 36.0, "lon": 11.0} ] } } } ] }""".stripMargin
+    val f = FilterDsl.fromJson(wire)
+    assert(PayloadIndex.plan(f, sl) == Seq("zone" -> "file_stats_skipped"))
+    // identical answers from both layouts, then the pruning bound
+    val got = PayloadIndex.scan(spark, sDir, f)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    val want = PayloadIndex.scan(spark, hDir, f)
+      .select("user_id").collect().map(_.getLong(0)).toSet
+    assert(got == want && got.nonEmpty, s"rows: z=${got.size} hash=${want.size}")
+    def filesTouched(path: String): Long =
+      spark.read.parquet(path).filter(f.toColumn)
+        .select(input_file_name()).distinct().count()
+    val (zf, hf) = (filesTouched(sDir), filesTouched(hDir))
+    assert(zf <= 10, s"shape z-layout touched $zf of 32 files")
+    assert(hf >= 26, s"hash layout touched only $hf of 32 files")
+  }
 }
