@@ -34,7 +34,8 @@ object SlopeBench {
     "q_dup_clusters", "q_dedup_ngram", "q_dedup_minhash",
     "q_dedup_simhash", "q_contamination", "q_cooccur_pmi",
     "q_boilerplate", "q_bpe_pairs", "q_media_knn", "q_significant_text",
-    "q_dedup_substring", "q_frequent_item_sets")
+    "q_dedup_substring", "q_frequent_item_sets",
+    "q_dedup_embedding", "q_dedup_embedding_lsh")
 
   /** Slope-only operators (not SparkEntry entries): the fixed-query
     * media kNN isolates the OPERATOR's corpus slope from the
@@ -109,6 +110,54 @@ object SlopeBench {
       operators.Dedup.writeMinhashIndex(Tables.documents(spark, dir),
         s"target/slope/bench-midx"); () })
 
+  /** Replicates the ENTIRE star schema `factor`× into `outDir` — the
+    * sf1-class corpus for the full-suite bench (the driver ships
+    * sf ≤ 0.1; everything above is replication of its own tables,
+    * same discipline as the heavy-family slope corpora). Foreign
+    * keys are offset CONSISTENTLY per replica (one id band per
+    * replica, the band constant shared with [[buildScaled]]), so
+    * every join degree and selectivity stays what it was — result
+    * sizes scale linearly, never quadratically. Dimension tables
+    * (region, nation) are fixed by the schema and copied as-is;
+    * event timestamps keep their range, so time windows densify
+    * `factor`× — the load pattern a real `factor`×-traffic deployment
+    * has. Text/embedding tables reuse the shifted replication of the
+    * slope harness.
+    */
+  def buildScaledAll(spark: SparkSession, baseDir: String, outDir: String,
+                     factor: Int): Unit = {
+    val Band = 10000000000L
+    def replicate(table: String, keyCols: Seq[String]): Unit = {
+      val marker = new java.io.File(s"$outDir/$table.parquet/_SUCCESS")
+      if (marker.exists()) return
+      val base = if (table == "events") Tables.events(spark, baseDir)
+        else Tables.load(spark, baseDir, table)
+      val replicas = (0 until factor).map { r =>
+        keyCols.foldLeft(base) { (d, k) =>
+          d.withColumn(k, col(k) + lit(r.toLong * Band))
+        }
+      }
+      replicas.reduce(_.unionByName(_))
+        .repartition(32)
+        .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    def copy(table: String): Unit = {
+      val marker = new java.io.File(s"$outDir/$table.parquet/_SUCCESS")
+      if (!marker.exists())
+        Tables.load(spark, baseDir, table)
+          .write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+    copy("region"); copy("nation")
+    replicate("customer", Seq("c_custkey"))
+    replicate("supplier", Seq("s_suppkey"))
+    replicate("part", Seq("p_partkey"))
+    replicate("orders", Seq("o_orderkey", "o_custkey"))
+    replicate("lineitem", Seq("l_orderkey", "l_partkey", "l_suppkey"))
+    replicate("events", Seq("event_id", "user_id"))
+    buildScaled(spark, baseDir, outDir, factor)
+    buildScaledEmbeddings(spark, baseDir, outDir, factor)
+  }
+
   def main(args: Array[String]): Unit = {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
@@ -140,7 +189,8 @@ object SlopeBench {
     }
     val withBuilds = buildSel != "0"
     val needsEmbeddings = buildChosen("vector_index_build") ||
-      selected.exists(_.startsWith("q_media_knn"))
+      selected.exists(_.startsWith("q_media_knn")) ||
+      selected.exists(_.startsWith("q_dedup_embedding"))
 
     buildScaled(spark, baseDir, scaledDir, factor)
     if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
@@ -190,6 +240,33 @@ object SlopeBench {
     out.getParentFile.mkdirs()
     val w = new java.io.PrintWriter(out, "UTF-8")
     try w.println(json) finally w.close()
+    spark.stop()
+  }
+}
+
+/** Builds the sf1-class full corpus (every table, consistent key
+  * bands) and exits — run BEFORE `graft.Bench` with
+  * `SPARK_GRAFT_SF_DIR` pointed at the output, so the full 182-query
+  * suite benches one order of magnitude above sf0.1:
+  * {{{
+  *   sbt "runMain graft.FullCorpus"   # writes target/fullsf/sf0.1x10
+  *   SPARK_GRAFT_SF_DIR=target/fullsf/sf0.1x10 sbt "runMain graft.Bench"
+  * }}}
+  */
+object FullCorpus {
+  def main(args: Array[String]): Unit = {
+    val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = s"target/fullsf/${new java.io.File(baseDir).getName}x$factor"
+    val spark = org.apache.spark.sql.SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    SlopeBench.buildScaledAll(spark, baseDir, outDir, factor)
+    println(s"""{"built":"$outDir","factor":$factor}""")
     spark.stop()
   }
 }

@@ -66,6 +66,7 @@ object SparkEntry {
     "q_dedup_exact"     -> (Dedup.qDedupExact _),
     "q_dedup_ngram"     -> (Dedup.qDedupNgram _),
     "q_dedup_embedding" -> (Dedup.qDedupEmbedding _),
+    "q_dedup_embedding_lsh" -> (Dedup.qDedupEmbeddingLsh _),
     "q_dedup_minhash"   -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash"   -> (Dedup.qDedupSimhash _),
     "q_dup_clusters"    -> (Dedup.qDupClusters _),

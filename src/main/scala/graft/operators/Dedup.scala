@@ -222,14 +222,56 @@ object Dedup {
     * construction. The unblocked scale path is qDedupMinhash.
     */
   def qDedupEmbedding(spark: SparkSession, sfDir: String): DataFrame = {
-    val e = Tables.embeddings(spark, sfDir)
-    val aug = e.select(col("vec_id"), col("embedding"), col("label"))
-      .unionByName(e.filter(col("vec_id") % 25 === 0)
-        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"), col("label")))
+    val aug = augmentedEmbeddings(spark, sfDir)
     val a = aug.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = aug.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
     a.join(b, "label")
       .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= 0.35)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("score"))
+      .orderBy(col("vec_a"), col("vec_b"))
+  }
+
+  private def augmentedEmbeddings(spark: SparkSession, sfDir: String): DataFrame = {
+    val e = Tables.embeddings(spark, sfDir)
+    e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"), col("label")))
+  }
+
+  /** Row 267 (rows-only): the SCALE PATH for embedding near-dup —
+    * the candidate discipline [[qDedupMinhash]] applies to text,
+    * applied to vectors: each embedding lands in 16 random-hyperplane
+    * band buckets ([[Ann.bandKeys]] — the same signatures the at-rest
+    * LSH index serves), candidates are id pairs sharing a
+    * (label, band, bucket), deduplicated, then verified by the exact
+    * rounded cosine ≥ 0.35. Work is Σ bucket-occupancy², not
+    * Σ label-block²: the round-8 full-suite 10× bench measured the
+    * label-blocked exact scorer ([[qDedupEmbedding]]) at 13.3× — its
+    * pair mass is quadratic in corpus at fixed label count, which IS
+    * its asymptote (same precedent as q_dedup_ngram's exact pair
+    * grid); this variant is the one a 100 TB corpus runs. Candidate
+    * buckets shuffle ids + band keys only (16 small rows per vector,
+    * never 16 embedding copies); embeddings are joined back for the
+    * verify on the deduplicated pair set alone. Every reported pair
+    * is a TRUE pair of the exact relation (verification is the same
+    * rounded cosine on the same label blocks); banding only bounds
+    * recall — measured in DedupSpec against the exact scorer.
+    */
+  def qDedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame = {
+    val aug = augmentedEmbeddings(spark, sfDir)
+    val keyed = aug.select(col("vec_id"), col("label"),
+      explode(Ann.bandKeys(col("embedding"))).as("bk"))
+    val a = keyed.select(col("label"), col("bk"), col("vec_id").as("vec_a"))
+    val b = keyed.select(col("label"), col("bk"), col("vec_id").as("vec_b"))
+    val pairs = a.join(b, Seq("label", "bk"))
+      .filter(col("vec_a") < col("vec_b"))
+      .select(col("label"), col("vec_a"), col("vec_b"))
+      .dropDuplicates("vec_a", "vec_b")
+    pairs
+      .join(aug.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
+      .join(aug.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("score") >= 0.35)
       .select(col("vec_a"), col("vec_b"), col("label"), col("score"))

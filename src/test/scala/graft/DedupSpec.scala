@@ -132,6 +132,25 @@ class DedupSpec extends SparkSpec {
       r.getAs[Double]("score") == 1.0) == expected)
   }
 
+  test("q_dedup_embedding_lsh: subset of the exact relation, exact copies fully recalled, recall bounded") {
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = pairSet(Dedup.qDedupEmbedding(spark, sfDir))
+    val lsh = pairSet(Dedup.qDedupEmbeddingLsh(spark, sfDir))
+    // verification is the same rounded cosine on the same label
+    // blocks, so precision is 1 by construction
+    assert(lsh.subsetOf(exact), s"false pairs: ${(lsh -- exact).take(5)}")
+    // the constructed sim-1.0 copies agree on every hyperplane sign,
+    // hence share all 16 bands — recall 1.0 on them is structural
+    val copies = exact.filter { case (a, b) => b == a + 1000000000L }
+    assert(copies.nonEmpty && copies.subsetOf(lsh),
+      s"missed exact copies: ${(copies -- lsh).take(5)}")
+    // organic pairs (cosine >= 0.35) need only ONE of 16 band hits;
+    // measured recall on the standard corpus
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.85, s"LSH candidate recall $recall (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
   test("q_dedup_minhash recalls every constructed exact and near duplicate") {
     val pairs = Dedup.qDedupMinhash(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
