@@ -44,7 +44,33 @@ object SlopeBench {
     */
   val SlopeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_knn_fixedq" -> ((s, dir) => operators.Multimodal.mediaKnn(s, dir,
-      col("doc_id") % 100 === 0 && col("doc_id") < 100000000L)))
+      col("doc_id") % 100 === 0 && col("doc_id") < 100000000L)),
+    // the PRODUCTION configuration of embedding near-dup (high
+    // threshold, wide bands): the registered entry's (4-bit, 0.35)
+    // setting is tuned to the synthetic corpus's low near band and
+    // its 16-bucket bands saturate at scale by design — this is the
+    // shape a real pipeline's slope follows
+    "q_dedup_embedding_hi" -> ((s, dir) => {
+      val e = graft.Tables.embeddings(s, dir)
+      operators.Dedup.embeddingNearDupPairs(
+        e.select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(e.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 1000000000L).as("vec_id"),
+              col("embedding"), col("label"))),
+        threshold = 0.9, bitsPerBand = 8, tables = 16)
+    }),
+    // the banding chosen FROM the corpus (r from occupancy, b from
+    // the recall target) — the configuration whose candidate mass
+    // stays linear across decades, measured instead of argued
+    "q_dedup_embedding_auto" -> ((s, dir) => {
+      val e = graft.Tables.embeddings(s, dir)
+      operators.Dedup.embeddingNearDupAuto(
+        e.select(col("vec_id"), col("embedding"), col("label"))
+          .unionByName(e.filter(col("vec_id") % 25 === 0)
+            .select((col("vec_id") + 1000000000L).as("vec_id"),
+              col("embedding"), col("label"))),
+        threshold = 0.9)
+    }))
 
   private val Lower = ('a' to 'z').mkString
   private val Upper = ('A' to 'Z').mkString
@@ -72,21 +98,38 @@ object SlopeBench {
 
   /** Replicates the base embeddings table `factor`× into
     * `outDir/embeddings.parquet` (skipped if already present):
-    * vec_id offset per replica, and a small per-replica component
-    * shift so cross-replica vectors are distinct — index geometry
-    * (cluster balance, code distribution) stays organic rather than
-    * every centroid gaining factor-1 coincident points.
+    * vec_id offset per replica, and a per-replica SEEDED COMPONENT
+    * PERMUTATION + SIGN PATTERN — a distance-preserving orthogonal
+    * map, so each replica keeps the base table's exact intra-replica
+    * geometry (cluster balance, code distribution, organic near-dup
+    * density) while CROSS-replica cosines collapse to ~N(0, 1/dim) ≈
+    * noise. This is the Caesar-rotation principle of [[buildScaled]]
+    * applied to vectors: the earlier small additive shift left
+    * cross-replica copies near-PARALLEL, which handed every vector
+    * factor−1 artificial sim≈1 twins — quadratic true-pair mass at
+    * high thresholds, a workload nobody runs (measured: the
+    * corpus-adaptive near-dup ran 136× at a 100× corpus before this
+    * fix, 'linear plus banding growth' after). A tiny per-replica
+    * shift stays on top so exact copies remain distinct.
     */
   def buildScaledEmbeddings(spark: SparkSession, baseDir: String,
       outDir: String, factor: Int): Unit = {
     val marker = new java.io.File(s"$outDir/embeddings.parquet/_SUCCESS")
     if (marker.exists()) return
     val e = Tables.embeddings(spark, baseDir)
+    val dim = e.select(size(col("embedding"))).head().getInt(0)
     val replicas = (0 until factor).map { r =>
+      val rnd = new scala.util.Random(1000 + r)
+      val perm = rnd.shuffle((0 until dim).toVector)
+      val sign = Vector.fill(dim)(if (rnd.nextBoolean()) 1.0f else -1.0f)
+      val mapped =
+        if (r == 0) col("embedding") // replica 0 IS the base table
+        else array((0 until dim).map(i =>
+          (element_at(col("embedding"), perm(i) + 1) * lit(sign(i)) +
+            lit(r * 0.001f)).cast("float")): _*)
       e.select(
         (col("vec_id") + lit(r.toLong * 10000000000L)).as("vec_id"),
-        transform(col("embedding"),
-          x => (x + lit(r * 0.001f)).cast("float")).as("embedding"),
+        mapped.as("embedding"),
         col("label"))
     }
     replicas.reduce(_.unionByName(_))
@@ -189,8 +232,8 @@ object SlopeBench {
     }
     val withBuilds = buildSel != "0"
     val needsEmbeddings = buildChosen("vector_index_build") ||
-      selected.exists(_.startsWith("q_media_knn")) ||
-      selected.exists(_.startsWith("q_dedup_embedding"))
+      selected.exists(n => n.startsWith("q_media_knn") ||
+        n.startsWith("q_dedup_embedding"))
 
     buildScaled(spark, baseDir, scaledDir, factor)
     if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)

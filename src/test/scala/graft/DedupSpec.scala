@@ -151,6 +151,84 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.85, s"LSH candidate recall $recall (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("embeddingNearDupPairs at a production threshold: wide bands hold recall with 2^8 buckets") {
+    // the scale configuration a real pipeline runs: high threshold
+    // (0.9 — near-identical content), wide bands (r=8 -> 256 buckets
+    // per label per table, occupancy n/256) held at recall by b=16
+    // tables; predicted recall at s=0.9 is 1-(1-p^8)^16 ≈ 0.996 with
+    // p = 1 - acos(0.9)/π
+    import org.apache.spark.sql.DataFrame
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val e = Tables.embeddings(spark, sfDir)
+    val aug = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"), col("label")))
+      .localCheckpoint()
+    val a = aug.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = aug.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val exact = pairSet(a.join(b, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", round(graft.functions.vec.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= 0.9)
+      .select(col("vec_a"), col("vec_b")))
+    val lsh = pairSet(Dedup.embeddingNearDupPairs(aug,
+      threshold = 0.9, bitsPerBand = 8, tables = 16))
+    assert(lsh.subsetOf(exact), s"false pairs: ${(lsh -- exact).take(5)}")
+    val copies = exact.filter { case (x, y) => y == x + 1000000000L }
+    assert(copies.nonEmpty && copies.subsetOf(lsh),
+      s"missed sim-1.0 copies: ${(copies -- lsh).take(5)}")
+    val recall = lsh.size.toDouble / exact.size
+    assert(recall >= 0.9, s"high-threshold recall $recall (exact=${exact.size}, lsh=${lsh.size})")
+  }
+
+  test("chooseBanding bounds occupancy per decade and holds the recall target") {
+    // a small corpus floors at (4, 4)
+    assert(Dedup.chooseBanding(200, 0.9) == (4, 4))
+    // a 220k-per-label corpus (the 100x decade): r = 12 keeps
+    // occupancy ~54; b = 14 holds recall >= 0.9 at threshold 0.9
+    val (r, b) = Dedup.chooseBanding(220000, 0.9)
+    assert((r, b) == (12, 14), s"got ($r, $b)")
+    val p = 1.0 - math.acos(0.9) / math.Pi
+    assert(1.0 - math.pow(1.0 - math.pow(p, r), b) >= 0.9)
+    assert(220000.0 / (1 << r) <= 64.0)
+    // r is monotone in corpus size; occupancy never exceeds the
+    // target across five decades (until the r = 20 clamp)
+    val decades = Seq(1e3, 1e4, 1e5, 1e6, 1e7).map(n =>
+      Dedup.chooseBanding(n, 0.9))
+    assert(decades.map(_._1) == decades.map(_._1).sorted)
+    decades.zip(Seq(1e3, 1e4, 1e5, 1e6, 1e7)).foreach { case ((ri, _), n) =>
+      assert(n / (1 << ri) <= 64.0 || ri == 20, s"occupancy blown at n=$n (r=$ri)")
+    }
+    // an over-low threshold at scale clamps b and is honest about it
+    // (recall cannot be held at 0.35 with bounded tables — the
+    // low-threshold regime belongs to narrow bands on small blocks)
+    assert(Dedup.chooseBanding(220000, 0.35)._2 == 48)
+  }
+
+  test("embeddingNearDupAuto: measured-size banding, still a subset with copies recalled") {
+    import org.apache.spark.sql.DataFrame
+    def pairSet(df: DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val e = Tables.embeddings(spark, sfDir)
+    val aug = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"), col("label")))
+      .localCheckpoint()
+    val a = aug.select(col("label"), col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val bb = aug.select(col("label"), col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    val exact = pairSet(a.join(bb, "label")
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", round(graft.functions.vec.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= 0.9)
+      .select(col("vec_a"), col("vec_b")))
+    val auto = pairSet(Dedup.embeddingNearDupAuto(aug, threshold = 0.9))
+    assert(auto.subsetOf(exact), s"false pairs: ${(auto -- exact).take(5)}")
+    val copies = exact.filter { case (x, y) => y == x + 1000000000L }
+    assert(copies.nonEmpty && copies.subsetOf(auto))
+    assert(auto.size.toDouble / exact.size >= 0.9)
+  }
+
   test("q_dedup_minhash recalls every constructed exact and near duplicate") {
     val pairs = Dedup.qDedupMinhash(spark, sfDir).collect()
       .map(r => (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
