@@ -98,10 +98,15 @@ object AliasGroup {
       }
     }
     // manifest-first ordering: by the time a member redirects, its
-    // value is already in the manifest
+    // value is already in the manifest. The redirect write KEEPS the
+    // member's standalone version history — a reader draining on a
+    // pre-enrollment generation keeps its [[valueHistory]]-backed
+    // prune protection across the enrollment boundary.
     entries.foreach { case (d, _) =>
-      if (!VersionedPointer.read(fs, d).exists(_.startsWith(Redirect)))
-        VersionedPointer.write(fs, d, Redirect + groupDir.toString)
+      if (!VersionedPointer.read(fs, d).exists(_.startsWith(Redirect))) {
+        VersionedPointer.writeReturningVersion(fs, d,
+          Redirect + groupDir.toString, keepHistory = ManifestHistoryKeep); ()
+      }
     }
   }
 
@@ -149,7 +154,9 @@ object AliasGroup {
   /** The member's past values, newest first — standalone pointers
     * answer from their own version history, enrolled members from
     * the manifest's (consecutive duplicates collapsed, so only
-    * swaps that MOVED this member count).
+    * swaps that MOVED this member count) with the member's retained
+    * PRE-ENROLLMENT standalone history appended after — so drain
+    * grace survives the enrollment boundary.
     */
   def valueHistory(fs: FileSystem, ptrDir: Path, n: Int): Seq[String] =
     groupOf(fs, ptrDir) match {
@@ -158,7 +165,9 @@ object AliasGroup {
         val past = VersionedPointer.history(fs, g, ManifestHistoryKeep)
           .flatMap { case (_, c) => decode(c).get(key) }
         val cur = snapshot(fs, g).get(key)
-        (cur.toSeq ++ past).foldLeft(Vector.empty[String]) {
+        val preEnrollment = VersionedPointer.history(fs, ptrDir, ManifestHistoryKeep)
+          .map(_._2).filterNot(_.startsWith(Redirect))
+        (cur.toSeq ++ past ++ preEnrollment).foldLeft(Vector.empty[String]) {
           case (acc, v) if acc.lastOption.contains(v) => acc
           case (acc, v) => acc :+ v
         }.drop(1).take(n) // drop the live value; history = superseded

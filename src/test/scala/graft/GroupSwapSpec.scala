@@ -125,6 +125,31 @@ class GroupSwapSpec extends SparkSpec {
       Set(new Path(g0).getName, new Path(g1).getName))
   }
 
+  test("drain-grace history survives the enrollment boundary") {
+    // a home with STANDALONE swap history is then enrolled into a
+    // group; the reader draining on the pre-enrollment generation
+    // must keep its prune protection — enrollment is a pointer
+    // change, not a drain event
+    val base = Files.createTempDirectory("graft-group-enroll").toString
+    val groupDir = s"$base/.txn"
+    val home = s"$base/vec"
+    val g0 = mkGen(home); IndexAlias.set(spark, home, g0)
+    val g1 = mkGen(home); IndexAlias.set(spark, home, g1)
+    val g2 = mkGen(home)
+    // enrollment + swap in one grouped commit: g1 becomes the
+    // draining generation, its record now living in the member's
+    // retained standalone history
+    IndexAlias.setAll(spark, groupDir, Seq(home -> g2))
+    val g3 = mkGen(home) // crashed rebuild, never pointed at
+    val pruned = IndexAlias.pruneGenerations(spark, home, keep = 1)
+    val left = IndexAlias.generations(spark, home)
+    assert(left.contains(new Path(g1).getName),
+      s"pre-enrollment draining generation was deleted: $left")
+    assert(left.contains(new Path(g2).getName))
+    assert(!left.contains(new Path(g3).getName), s"crashed dir retained: $left")
+    assert(pruned.toSet == Set(new Path(g0).getName, new Path(g3).getName), pruned.toString)
+  }
+
   test("reindex with indexSwaps lands collection and index repoints in one commit") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-group-reindex").toString
