@@ -177,6 +177,42 @@ class GroupSwapSpec extends SparkSpec {
     }
   }
 
+  test("a REAL second JVM's grouped swaps are never observed half-applied (no simulation)") {
+    val base = Files.createTempDirectory("graft-group-xproc").toString
+    val group = s"$base/.txn"
+    val ptr1 = s"$base/alias-ptr"
+    val ptr2 = s"$base/index-ptr"
+    val fs = fsFor(base)
+    // seed the group from THIS process (state A), then hand the
+    // writer role to an independent JVM
+    AliasGroup.swap(fs, new Path(group),
+      Seq(new Path(ptr1) -> "coll_a", new Path(ptr2) -> "gen-a"))
+    val stateA = ("coll_a", "gen-a")
+    val stateB = ("coll_b", "gen-b")
+    val java = System.getProperty("java.home") + "/bin/java"
+    val cp = System.getProperty("java.class.path")
+    val proc = new ProcessBuilder(java, "-cp", cp, "graft.sources.GroupSwapMain",
+      group, ptr1, ptr2, "coll_a", "gen-a", "coll_b", "gen-b", "120")
+      .redirectErrorStream(true).start()
+    val torn = scala.collection.mutable.ArrayBuffer[String]()
+    try {
+      val done = new Path(base, ".swaps-done")
+      val deadline = System.currentTimeMillis() + 120000L
+      var reads = 0
+      while (!fs.exists(done) && System.currentTimeMillis() < deadline) {
+        assert(proc.isAlive || fs.exists(done), "swap process died mid-run")
+        val snap = AliasGroup.snapshot(fs, new Path(group))
+        val seen = (AliasGroup.valueIn(fs, snap, new Path(ptr1)).getOrElse("?"),
+          AliasGroup.valueIn(fs, snap, new Path(ptr2)).getOrElse("?"))
+        if (seen != stateA && seen != stateB) torn += seen.toString
+        reads += 1
+      }
+      assert(fs.exists(done), "swap process never finished")
+      assert(reads > 50, s"reader barely ran ($reads reads) — not a race test")
+      assert(torn.isEmpty, s"cross-process mixed states: ${torn.take(5).mkString("; ")}")
+    } finally { proc.destroyForcibly(); proc.waitFor() }
+  }
+
   test("un-enrolled aliases and homes fall back to standalone pointers in a group read") {
     import spark.implicits._
     val root = Files.createTempDirectory("graft-group-fallback").toString

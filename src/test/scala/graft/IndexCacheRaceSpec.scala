@@ -42,6 +42,77 @@ class IndexCacheRaceSpec extends SparkSpec {
     assert(dropped >= 1, "retired frame was never reclaimed")
   }
 
+  test("REAL maintenance: serving threads survive live maintain cycles plus release hygiene") {
+    import org.apache.spark.sql.functions._
+    import graft.api.ScaleOps
+    import graft.operators.VectorIndex
+    // a rotating vector index served by two query threads while a
+    // maintenance thread runs REAL compact cycles (debt -> maintain
+    // compacts -> new generation -> prune keep=1) and a hygiene
+    // thread fires releaseTransients — the deployment loop end to
+    // end, not a simulation: every query must answer, no
+    // lost-checkpoint failures, no torn generation reads
+    val home = graft.operators.IndexCache.tempDir("graft-race-maintain") + "/vix"
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    VectorIndex.buildRotating(spark, corpus, home)
+    // lineage-backed on purpose: a bare localCheckpoint here would be
+    // a TRANSIENT held across release boundaries — the one thing the
+    // release contract forbids (and the hygiene thread would prove
+    // it by dropping its blocks mid-query)
+    val q = Tables.embeddings(spark, sfDir).limit(8)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+
+    val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
+    val stop = new java.util.concurrent.atomic.AtomicBoolean(false)
+    val pool = Executors.newFixedThreadPool(4)
+    val start = new CountDownLatch(1)
+    def server = new Runnable {
+      def run(): Unit = {
+        start.await()
+        try while (!stop.get()) {
+          val n = VectorIndex.searchIvf(spark, home, q).count()
+          assert(n > 0, "serving query answered empty mid-maintenance")
+        } catch { case e: Throwable => errors.add(e) }
+      }
+    }
+    val maintainer = new Runnable {
+      def run(): Unit = {
+        start.await()
+        try {
+          (1 to 3).foreach { i =>
+            VectorIndex.delete(spark, home, Seq(i.toLong))
+            val r = ScaleOps.maintain(spark, "vector", home,
+              ScaleOps.MaintenancePolicy(maxDebtRows = 1L))
+            assert(r.action == "compacted", s"cycle $i: $r")
+            Thread.sleep(300L) // in-flight queries drain within a cycle
+          }
+        } catch { case e: Throwable => errors.add(e) }
+        finally stop.set(true)
+      }
+    }
+    val hygiene = new Runnable {
+      def run(): Unit = {
+        start.await()
+        try while (!stop.get()) {
+          graft.operators.IndexCache.releaseTransients(spark)
+          Thread.sleep(50L)
+        } catch { case e: Throwable => errors.add(e) }
+      }
+    }
+    pool.submit(server); pool.submit(server)
+    pool.submit(maintainer); pool.submit(hygiene)
+    start.countDown()
+    pool.shutdown()
+    assert(pool.awaitTermination(300, TimeUnit.SECONDS), "maintain race pool did not drain")
+    assert(errors.isEmpty,
+      s"serving under maintenance failed: ${errors.toArray.take(3).mkString("; ")}")
+    // post-churn: the index serves the post-delete state
+    val got = VectorIndex.searchIvf(spark, home, q).collect()
+    assert(got.nonEmpty &&
+      !got.exists(r => Seq(1L, 2L, 3L).contains(r.getAs[Long]("vec_id"))))
+  }
+
   test("standing frames never recompute-fail under mixed serving, builds, invalidation, and release") {
     val errors = new java.util.concurrent.ConcurrentLinkedQueue[Throwable]()
     val pool = Executors.newFixedThreadPool(5)
