@@ -61,16 +61,29 @@ object SlopeBench {
     }),
     // the banding chosen FROM the corpus (r from occupancy, b from
     // the recall target) — the configuration whose candidate mass
-    // stays linear across decades, measured instead of argued
-    "q_dedup_embedding_auto" -> ((s, dir) => {
-      val e = graft.Tables.embeddings(s, dir)
-      operators.Dedup.embeddingNearDupAuto(
-        e.select(col("vec_id"), col("embedding"), col("label"))
-          .unionByName(e.filter(col("vec_id") % 25 === 0)
-            .select((col("vec_id") + 1000000000L).as("vec_id"),
-              col("embedding"), col("label"))),
-        threshold = 0.9)
-    }))
+    // stays linear across decades, measured instead of argued;
+    // FORCED onto the LSH path so the slope isolates the adaptive
+    // banding from the crossover switch
+    "q_dedup_embedding_adaptive" -> ((s, dir) =>
+      operators.Dedup.embeddingNearDupAdaptive(augEmb(s, dir), threshold = 0.9)),
+    // the exact blocked scorer at the same threshold — the other arm
+    // of the crossover, measured so LshCrossoverAvgBlock is a number
+    // from an artifact rather than an argument
+    "q_dedup_embedding_exact_hi" -> ((s, dir) =>
+      operators.Dedup.embeddingNearDupExact(augEmb(s, dir), threshold = 0.9)),
+    // the production verb itself (crossover + adaptive banding):
+    // exact below the measured tie, LSH above — its slope is the one
+    // a user's maintenance loop actually experiences
+    "q_dedup_embedding_auto" -> ((s, dir) =>
+      operators.Dedup.embeddingNearDupAuto(augEmb(s, dir), threshold = 0.9)))
+
+  private def augEmb(s: SparkSession, dir: String): DataFrame = {
+    val e = graft.Tables.embeddings(s, dir)
+    e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"),
+          col("embedding"), col("label")))
+  }
 
   private val Lower = ('a' to 'z').mkString
   private val Upper = ('A' to 'Z').mkString

@@ -67,6 +67,7 @@ object SparkEntry {
     "q_dedup_ngram"     -> (Dedup.qDedupNgram _),
     "q_dedup_embedding" -> (Dedup.qDedupEmbedding _),
     "q_dedup_embedding_lsh" -> (Dedup.qDedupEmbeddingLsh _),
+    "q_dedup_embedding_auto" -> (Dedup.qDedupEmbeddingAuto _),
     "q_dedup_minhash"   -> (Dedup.qDedupMinhash _),
     "q_dedup_simhash"   -> (Dedup.qDedupSimhash _),
     "q_dup_clusters"    -> (Dedup.qDupClusters _),
@@ -872,6 +873,20 @@ object SparkEntry {
         |FROM p JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
         |ORDER BY jaccard DESC, doc_a, doc_b LIMIT 50""".stripMargin,
     "q_dedup_embedding" ->
+      """WITH aug AS (
+        |  SELECT vec_id, embedding, label FROM embeddings
+        |  UNION ALL
+        |  SELECT vec_id + 1000000000 AS vec_id, embedding, label FROM embeddings WHERE vec_id % 25 = 0)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, a.label,
+        |  round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) AS score
+        |FROM aug a JOIN aug b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE round(list_cosine_similarity(a.embedding::DOUBLE[], b.embedding::DOUBLE[]), 6) >= 0.35
+        |ORDER BY vec_a, vec_b""".stripMargin,
+    // the auto verb resolves to the exact blocked scorer at driver
+    // scale (avg label block 52 << the measured LSH crossover), so
+    // it carries the exact relation's oracle; the above-crossover
+    // LSH branch is spec- and slope-covered (DedupSpec, bench/)
+    "q_dedup_embedding_auto" ->
       """WITH aug AS (
         |  SELECT vec_id, embedding, label FROM embeddings
         |  UNION ALL

@@ -206,7 +206,7 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.chooseBanding(220000, 0.35)._2 == 48)
   }
 
-  test("embeddingNearDupAuto: measured-size banding, still a subset with copies recalled") {
+  test("embeddingNearDupAdaptive: measured-size banding, still a subset with copies recalled") {
     import org.apache.spark.sql.DataFrame
     def pairSet(df: DataFrame) = df.collect()
       .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
@@ -222,11 +222,28 @@ class DedupSpec extends SparkSpec {
       .withColumn("score", round(graft.functions.vec.cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("score") >= 0.9)
       .select(col("vec_a"), col("vec_b")))
-    val auto = pairSet(Dedup.embeddingNearDupAuto(aug, threshold = 0.9))
-    assert(auto.subsetOf(exact), s"false pairs: ${(auto -- exact).take(5)}")
+    val adaptive = pairSet(Dedup.embeddingNearDupAdaptive(aug, threshold = 0.9))
+    assert(adaptive.subsetOf(exact), s"false pairs: ${(adaptive -- exact).take(5)}")
     val copies = exact.filter { case (x, y) => y == x + 1000000000L }
-    assert(copies.nonEmpty && copies.subsetOf(auto))
-    assert(auto.size.toDouble / exact.size >= 0.9)
+    assert(copies.nonEmpty && copies.subsetOf(adaptive))
+    assert(adaptive.size.toDouble / exact.size >= 0.9)
+    // the production verb below the crossover (avg label block ~52
+    // here, crossover 2000) IS the exact scorer: identical relation,
+    // recall exactly 1 — and the plan contains no LSH signature stage
+    val auto = Dedup.embeddingNearDupAuto(aug, threshold = 0.9)
+    assert(pairSet(auto) == exact)
+    // forcing the crossover to zero routes the same call through the
+    // LSH path: a strict-subset-capable plan whose banding came from
+    // chooseBanding (sanity: still recalls every constructed copy)
+    val forced = pairSet(Dedup.embeddingNearDupAuto(aug, threshold = 0.9,
+      lshCrossover = 0.0))
+    assert(forced.subsetOf(exact) && copies.subsetOf(forced))
+  }
+
+  test("q_dedup_embedding_auto matches the exact registered relation at test scale") {
+    val auto = Dedup.qDedupEmbeddingAuto(spark, sfDir).collect().toSeq
+    val exact = Dedup.qDedupEmbedding(spark, sfDir).collect().toSeq
+    assert(auto == exact)
   }
 
   test("q_dedup_minhash recalls every constructed exact and near duplicate") {
