@@ -191,16 +191,30 @@ private[graft] object IndexCache {
     * skips the lock — the caller's own read hold already fences
     * [[releaseTransients]]. Returns the number released.
     */
-  private[graft] def releaseIds(spark: SparkSession, ids: Set[Int]): Int = {
+  private[graft] def releaseIds(spark: SparkSession, ids: Set[Int],
+                                graceMs: Long = DefaultRetireGraceMs): Int = {
     val building = pinLock.getReadHoldCount > 0
     if (!building) pinLock.writeLock().lock()
     try {
       var n = 0
+      val now = System.currentTimeMillis()
       val persistent = spark.sparkContext.getPersistentRDDs
       ids.foreach { id =>
         if (!retired.containsKey(id) &&
           !keyPins.values().stream().anyMatch(_.contains(id)))
           persistent.get(id).foreach { r => r.unpersist(blocking = false); n += 1 }
+      }
+      // the same grace-window reclaim [[releaseTransients]] applies:
+      // retired frames past their grace are dead by definition, and a
+      // workload that only ever runs this targeted hygiene must not
+      // keep them cached until session end
+      val expired = new java.util.ArrayList[Int]()
+      retired.forEach { (id, at) => if (now - at >= graceMs) expired.add(id) }
+      expired.forEach { id =>
+        if (!keyPins.values().stream().anyMatch(_.contains(id))) {
+          persistent.get(id).foreach { r => r.unpersist(blocking = false); n += 1 }
+          retired.remove(id)
+        }
       }
       n
     } finally if (!building) pinLock.writeLock().unlock()

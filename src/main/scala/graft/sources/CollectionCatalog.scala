@@ -62,8 +62,16 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
       .select(col("collection"), col("n_rows"), col("columns"))
   }
 
-  /** Drop a collection (removes the directory). */
-  def drop(name: String): Boolean = fs.delete(dir(name), true)
+  /** Drop a collection (removes the directory). Standing-index homes
+    * under it that were enrolled in grouped swaps have their
+    * transaction-manifest entries removed first — without this a
+    * long-lived catalog's manifest grows monotonically and every
+    * future swap rewrites dead members.
+    */
+  def drop(name: String): Boolean = {
+    AliasGroup.removeUnder(fs, txnDir, dir(name))
+    fs.delete(dir(name), true)
+  }
 
   /** Rename a collection (Chroma `modify_collection` name change):
     * one filesystem rename — no data movement — refusing to clobber
@@ -176,7 +184,16 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
       .flatMap(a => resolveAlias(a).map(a -> _)).toSeq.sorted
   }
 
-  def dropAlias(alias: String): Boolean = fs.delete(aliasDir(alias), true)
+  /** Drop an alias, unenrolling it from the transaction group first
+    * so the manifest does not keep serving (or rewriting) a dead
+    * member key.
+    */
+  def dropAlias(alias: String): Boolean = {
+    val d = aliasDir(alias)
+    val existed = fs.exists(d)
+    AliasGroup.groupOf(fs, d).foreach(g => AliasGroup.remove(fs, g, Seq(d)))
+    fs.delete(d, true) || existed
+  }
 
   /** Open a collection by name OR alias (aliases win, like ES search
     * routing): the indirection every client call sits behind, so a

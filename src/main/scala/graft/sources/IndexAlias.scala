@@ -372,19 +372,25 @@ object IndexAlias {
     * Previously-live beats newest-NAMED deliberately — a crashed
     * rebuild's half-built higher-numbered directory is garbage to
     * delete, not a generation to protect (it was never pointed at);
-    * only when the pointer predates history retention does the
-    * newest-named fallback fill the window. Returns the pruned
-    * names.
+    * ONLY when the pointer has no retained history at all (it
+    * predates history retention) does the newest-named fallback fill
+    * the window. A pointer WITH history but fewer than `keep`
+    * entries does NOT get topped up from names — a non-historied
+    * directory under a historied pointer was never live, and
+    * protecting it would let one crashed rebuild consume the
+    * live+keep disk bound with garbage on every cycle until history
+    * fills. Returns the pruned names.
     */
   def pruneGenerations(spark: SparkSession, home: String,
                        keep: Int = 0): Seq[String] = {
     val fs = fsOf(spark, home)
     val live = new Path(resolve(spark, home)).getName
     val all = generations(spark, home).filterNot(_ == live)
-    val prevLive = AliasGroup.valueHistory(fs, ptrDir(home), PtrHistoryKeep)
-      .distinct.filter(g => g != live && all.contains(g)).take(keep)
-    val fallback = all.filterNot(prevLive.contains)
-      .sorted.reverse.take(math.max(0, keep - prevLive.size))
+    val history = AliasGroup.valueHistory(fs, ptrDir(home), PtrHistoryKeep)
+    val prevLive = history.distinct.filter(g => g != live && all.contains(g)).take(keep)
+    val fallback =
+      if (history.nonEmpty) Nil
+      else all.sorted.reverse.take(math.max(0, keep - prevLive.size))
     val retained = (prevLive ++ fallback).toSet
     val stale = all.filterNot(retained.contains)
     stale.foreach(g => fs.delete(new Path(home, g), true))

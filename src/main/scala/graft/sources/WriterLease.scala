@@ -84,12 +84,20 @@ object WriterLease {
     * this, a writer addressing `home/gen-0000000003` and one
     * addressing `home` would hold different leases and never fence
     * each other.
+    *
+    * The generation NAME alone decides (it is this library's own
+    * convention, [[IndexAlias.nextGenerationPath]]) — deliberately
+    * NOT conditioned on `<parent>/.ptr` existing: the pointer is
+    * first installed by the swap at the END of the first build, so a
+    * first-build writer addressing the concrete gen path would lease
+    * the gen directory, and after the swap every home-addressed
+    * writer would lease the home — two spellings that never fence
+    * each other for the rest of that first lease's lifetime.
     */
   private[sources] def normalizeHome(fs: FileSystem, pathOrHome: String): String = {
     val p = new Path(pathOrHome)
     val parent = p.getParent
-    if (parent != null && p.getName.matches("gen-\\d{10}") &&
-        fs.exists(new Path(parent, ".ptr"))) parent.toString
+    if (parent != null && p.getName.matches("gen-\\d{10}")) parent.toString
     else p.toString
   }
 

@@ -234,4 +234,108 @@ class GroupSwapSpec extends SparkSpec {
     assert(!VersionedPointer.writeIfAtVersion(fs, dir, "bogus", v - 1),
       "stale-version manifest write must refuse")
   }
+
+  test("a standalone write landing inside the swap window is folded into the manifest, not clobbered") {
+    val root = Files.createTempDirectory("graft-group-fold").toString
+    val fs = fsFor(root)
+    val g = new Path(root, ".txn")
+    val d = new Path(root, ".aliases/m")
+    VersionedPointer.write(fs, d, "old") // the pre-swap standalone value
+    val pre = VersionedPointer.readVersioned(fs, d).get._1
+    // stage the exact mid-swap interleaving the ADVICE named: the
+    // swap's manifest merge has committed "swapped"...
+    VersionedPointer.write(fs, g, AliasGroup.keyOf(d) + "\tswapped")
+    // ...and a standalone setOne lands BEFORE the enrollment redirect
+    VersionedPointer.write(fs, d, "solo")
+    AliasGroup.enroll(fs, g, d, pre)
+    // the later writer's value survives: folded into the manifest,
+    // and the member is enrolled
+    assert(AliasGroup.groupOf(fs, d).isDefined, "member must end enrolled")
+    assert(AliasGroup.resolveValue(fs, d).contains("solo"),
+      s"mid-window standalone write lost: ${AliasGroup.resolveValue(fs, d)}")
+    assert(AliasGroup.snapshot(fs, g)(AliasGroup.keyOf(d)) == "solo")
+    // control: with NO intervening write the manifest value stands
+    val d2 = new Path(root, ".aliases/m2")
+    VersionedPointer.write(fs, d2, "old2")
+    val pre2 = VersionedPointer.readVersioned(fs, d2).get._1
+    VersionedPointer.write(fs, g, AliasGroup.keyOf(d) + "\tsolo\n" +
+      AliasGroup.keyOf(d2) + "\tswapped2")
+    AliasGroup.enroll(fs, g, d2, pre2)
+    assert(AliasGroup.resolveValue(fs, d2).contains("swapped2"))
+  }
+
+  test("setOne racing swaps on one member: coherent end state, later writes route through the group") {
+    val root = Files.createTempDirectory("graft-group-race1").toString
+    val fs = fsFor(root)
+    val g = new Path(root, ".txn")
+    val d = new Path(root, ".aliases/hot")
+    VersionedPointer.write(fs, d, "v-init")
+    val pool = Executors.newFixedThreadPool(8)
+    val start = new CountDownLatch(1)
+    val jobs = (0 until 24).map { i =>
+      pool.submit(new Runnable { def run(): Unit = {
+        start.await()
+        if (i % 2 == 0) AliasGroup.swap(fs, g, Seq(d -> s"swap-$i"))
+        else AliasGroup.setOne(fs, d, s"solo-$i", keepHistory = 8)
+      }})
+    }
+    start.countDown()
+    jobs.foreach(_.get(60, TimeUnit.SECONDS))
+    pool.shutdown()
+    // structural coherence: enrolled exactly once, resolvable, and
+    // the resolved value is one of the 24 written values
+    assert(AliasGroup.groupOf(fs, d).contains(g), "member detached by the race")
+    val v = AliasGroup.resolveValue(fs, d)
+    assert(v.exists(s => s.startsWith("swap-") || s.startsWith("solo-")), s"got $v")
+    assert(AliasGroup.snapshot(fs, g)(AliasGroup.keyOf(d)) == v.get)
+    // a post-race setOne lands through the manifest (not a detach)
+    AliasGroup.setOne(fs, d, "final")
+    assert(AliasGroup.resolveValue(fs, d).contains("final"))
+    assert(AliasGroup.snapshot(fs, g)(AliasGroup.keyOf(d)) == "final")
+    assert(AliasGroup.groupOf(fs, d).contains(g))
+  }
+
+  test("valueIn resolves a member enrolled in a DIFFERENT group through that group's manifest") {
+    val root = Files.createTempDirectory("graft-group-xgroup").toString
+    val fs = fsFor(root)
+    val gA = new Path(root, ".txn-a")
+    val gB = new Path(root, ".txn-b")
+    val d = new Path(root, ".aliases/member")
+    AliasGroup.swap(fs, gB, Seq(d -> "live-gen"))
+    AliasGroup.swap(fs, gA, Seq(new Path(root, ".aliases/other") -> "x"))
+    // a reader holding group A's snapshot must NOT fall back to the
+    // member's home path — the member's truth lives in group B
+    val snapA = AliasGroup.snapshot(fs, gA)
+    assert(AliasGroup.valueIn(fs, snapA, d).contains("live-gen"),
+      s"cross-group member resolved to ${AliasGroup.valueIn(fs, snapA, d)}")
+  }
+
+  test("dropped aliases and collections leave the group manifest; later swaps do not resurrect them") {
+    import spark.implicits._
+    val root = Files.createTempDirectory("graft-group-drop").toString
+    val fs = fsFor(root)
+    val cat = CollectionCatalog(spark, root)
+    cat.create("keep_c", Seq((1L, "K")).toDF("id", "gen"))
+    cat.create("dead_c", Seq((2L, "D")).toDF("id", "gen"))
+    // an index home UNDER the doomed collection's directory, plus an
+    // alias for each collection — all enrolled in one grouped swap
+    val home = s"$root/dead_c/.indexes/vec"
+    val gen = mkGen(home)
+    cat.updateAliases(Seq("keep_a" -> "keep_c", "dead_a" -> "dead_c"),
+      indexSwaps = Seq(home -> gen))
+    assert(cat.groupSnapshot().size == 3)
+    // dropAlias unenrolls its member key
+    assert(cat.dropAlias("dead_a"))
+    assert(!cat.groupSnapshot().keys.exists(_.contains(".aliases/dead_a")))
+    // drop removes every member key under the collection directory
+    assert(cat.drop("dead_c"))
+    assert(!cat.groupSnapshot().keys.exists(_.contains("dead_c")),
+      s"manifest still carries dropped members: ${cat.groupSnapshot().keys}")
+    // survivors are untouched and later swaps do not resurrect the dead
+    assert(cat.resolveAlias("keep_a").contains("keep_c"))
+    cat.create("keep_c2", Seq((3L, "K2")).toDF("id", "gen"))
+    cat.updateAliases(Seq("keep_a" -> "keep_c2"))
+    assert(cat.groupSnapshot().size == 1)
+    assert(cat.resolveAlias("keep_a").contains("keep_c2"))
+  }
 }

@@ -42,6 +42,23 @@ class IndexCacheRaceSpec extends SparkSpec {
     assert(dropped >= 1, "retired frame was never reclaimed")
   }
 
+  test("targeted releaseIds alone reclaims retired frames once their grace elapses") {
+    val df = IndexCache.materialized(spark, "race-targeted#e0") {
+      spark.range(20000).toDF("id")
+    }
+    assert(df.count() == 20000)
+    IndexCache.dropMatching("race-targeted#e0") // retire the frame
+    // inside the grace window the targeted hygiene must NOT touch it
+    assert(IndexCache.releaseIds(spark, Set.empty) == 0)
+    assert(df.count() == 20000, "retired frame reclaimed inside its grace window")
+    // grace elapsed: a workload that only ever runs the targeted
+    // hygiene (an iterative operator freeing its own rounds) still
+    // reclaims the retired frame — it must not stay cached until
+    // session end waiting for a full releaseTransients
+    val dropped = IndexCache.releaseIds(spark, Set.empty, graceMs = 0L)
+    assert(dropped >= 1, "retired frame not reclaimed by targeted hygiene after grace")
+  }
+
   test("REAL maintenance: serving threads survive live maintain cycles plus release hygiene") {
     import org.apache.spark.sql.functions._
     import graft.api.ScaleOps

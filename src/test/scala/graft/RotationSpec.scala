@@ -364,4 +364,39 @@ class RotationSpec extends SparkSpec {
     assert(pruned2 == Seq(new Path(g0).getName))
     assert(IndexAlias.generations(spark, home) == Seq(new Path(g1).getName))
   }
+
+  test("a short-history pointer never protects crashed-rebuild garbage via the name fallback") {
+    import org.apache.hadoop.fs.Path
+    val home = IndexCache.tempDir("graft-prune-short") + "/ix"
+    val fs = new Path(home).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def mkGen(): String = {
+      val g = IndexAlias.nextGenerationPath(spark, home)
+      fs.mkdirs(new Path(g)); g
+    }
+    // ONE swap so far: history exists but holds fewer entries than
+    // keep = 2 — round 8 topped the window up from newest NAMES,
+    // repeatedly protecting a crashed rebuild's half-built dir
+    val g0 = mkGen(); IndexAlias.set(spark, home, g0)
+    val g1 = mkGen(); IndexAlias.set(spark, home, g1)
+    val crashed = mkGen() // never pointed at
+    val pruned = IndexAlias.pruneGenerations(spark, home, keep = 2)
+    val left = IndexAlias.generations(spark, home)
+    assert(left.contains(new Path(g0).getName), "previously-live gen must survive")
+    assert(!left.contains(new Path(crashed).getName),
+      s"crashed dir protected by the fallback again: $left")
+    assert(pruned == Seq(new Path(crashed).getName))
+    // a pointer with NO history at all (predates retention) still
+    // falls back to newest-named — the only signal it has
+    val home2 = IndexCache.tempDir("graft-prune-nohist") + "/ix2"
+    def mkGen2(): String = {
+      val g = IndexAlias.nextGenerationPath(spark, home2)
+      fs.mkdirs(new Path(g)); g
+    }
+    val h0 = mkGen2(); val h1 = mkGen2()
+    graft.sources.VersionedPointer.write(fs,
+      new Path(home2, ".ptr"), new Path(h1).getName) // keepHistory = 0
+    val pruned2 = IndexAlias.pruneGenerations(spark, home2, keep = 1)
+    assert(pruned2.isEmpty, s"no-history fallback should retain newest-named: $pruned2")
+    assert(IndexAlias.generations(spark, home2).contains(new Path(h0).getName))
+  }
 }

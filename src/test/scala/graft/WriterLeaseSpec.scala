@@ -238,6 +238,34 @@ class WriterLeaseSpec extends SparkSpec {
     assert(after.exists(_.startsWith("free ")), s"lease after exit: $after")
   }
 
+  test("first-build fencing: a gen-path lease taken BEFORE the pointer exists fences the home") {
+    import graft.sources.IndexAlias
+    val home = freshHome("firstbuild")
+    val fs = fsFor(home)
+    // the first build addresses the concrete generation directory
+    // while NO .ptr exists yet (the swap installs it at the end)
+    val gen = IndexAlias.nextGenerationPath(spark, home)
+    fs.mkdirs(new Path(gen))
+    assert(!fs.exists(new Path(home, ".ptr")))
+    val t = WriterLease.acquire(fs, gen, ownerId = "B@1",
+      ttlMs = 60000L, settleMs = 0L)
+    // a home-addressed writer must contend on the SAME lease even
+    // pre-pointer — round 8 keyed on the home only once .ptr existed,
+    // so these two spellings stopped fencing each other for the
+    // first lease's lifetime
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.acquire(fs, home, ownerId = "H@2", settleMs = 0L)
+    }
+    // ...including after the swap installs the pointer mid-lease
+    IndexAlias.set(spark, home, gen)
+    intercept[WriterLease.ConcurrentWriterException] {
+      WriterLease.acquire(fs, home, ownerId = "H@2", settleMs = 0L)
+    }
+    WriterLease.release(fs, t)
+    val t2 = WriterLease.acquire(fs, home, ownerId = "H@2", settleMs = 0L)
+    WriterLease.release(fs, t2)
+  }
+
   test("break_ force-frees a stuck lease") {
     val home = freshHome("break")
     val fs = fsFor(home)
