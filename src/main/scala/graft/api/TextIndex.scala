@@ -327,7 +327,13 @@ object TextIndex {
     post.groupBy(col(idCol)).agg(first(col("dl")).as("dl"))
       .agg(count(lit(1)).as("n_docs"), sum(col("dl")).as("sum_dl"))
       .write.mode(mode).parquet(s"$path/stats")
+    graft.sources.IndexStats.refreshManifest(docs.sparkSession, path, LayoutTables)
   }
+
+  /** Layout tables of the at-rest text index — the write-time stats
+    * manifest unit (see [[graft.sources.IndexStats]]).
+    */
+  private val LayoutTables = Seq("postings", "vocab", "stats", "tombstones")
 
   /** Per-(doc, token) tf + doc length — the shared indexing scan. */
   private def tokenized(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
@@ -379,6 +385,7 @@ object TextIndex {
           .write.mode("append").parquet(s"$path/stats")
         post.select(col(idCol)).distinct()
           .write.mode("append").parquet(s"$path/tombstones")
+        graft.sources.IndexStats.refreshManifest(docs.sparkSession, path, LayoutTables)
       }
     }
   }
@@ -457,11 +464,13 @@ object TextIndex {
     destRoot match {
       case Some(d) =>
         graft.sources.IndexStats.markCompacted(fs, d)
+        graft.sources.IndexStats.refreshManifest(spark, d, LayoutTables)
         graft.sources.WriterLease.renewHeld(spark, rawPath)
         graft.sources.IndexAlias.set(spark, rawPath, d)
       case None =>
         fs.delete(new Path(s"$path/tombstones"), true)
         graft.sources.IndexStats.markCompacted(fs, path)
+        graft.sources.IndexStats.refreshManifest(spark, path, LayoutTables)
     }
   }
 

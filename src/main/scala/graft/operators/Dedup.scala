@@ -599,7 +599,13 @@ object Dedup {
     bandPostings(triH).write.mode("overwrite")
       .partitionBy("band_id").parquet(s"$path/postings")
     triH.write.mode("overwrite").parquet(s"$path/shingles")
+    graft.sources.IndexStats.refreshManifest(docs.sparkSession, path, DedupLayoutTables)
   }
+
+  /** Layout tables of the at-rest dedup index — the write-time stats
+    * manifest unit (see [[graft.sources.IndexStats]]).
+    */
+  private val DedupLayoutTables = Seq("postings", "shingles", "tombstones")
 
   /** Zero-downtime rebuild of a ROTATING dedup index (see
     * [[graft.sources.IndexAlias]]): re-shingle `docs` into the next
@@ -628,6 +634,7 @@ object Dedup {
       bandPostings(triH).write.mode("append")
         .partitionBy("band_id").parquet(s"$path/postings")
       triH.write.mode("append").parquet(s"$path/shingles")
+      graft.sources.IndexStats.refreshManifest(docs.sparkSession, path, DedupLayoutTables)
     }
 
   /** Retract documents from the at-rest dedup index — the takedown /
@@ -655,6 +662,7 @@ object Dedup {
       val path = graft.sources.IndexAlias.resolve(ids.sparkSession, rawPath)
       ids.select(col("doc_id").cast("long").as("doc_id")).distinct()
         .coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+      graft.sources.IndexStats.refreshManifest(ids.sparkSession, path, DedupLayoutTables)
     }
 
   private val indexTombstonesSchema =
@@ -705,11 +713,13 @@ object Dedup {
     destRoot match {
       case Some(d) =>
         graft.sources.IndexStats.markCompacted(fs, d)
+        graft.sources.IndexStats.refreshManifest(spark, d, DedupLayoutTables)
         graft.sources.WriterLease.renewHeld(spark, rawPath)
         graft.sources.IndexAlias.set(spark, rawPath, d)
       case None =>
         fs.delete(new Path(s"$path/tombstones"), true)
         graft.sources.IndexStats.markCompacted(fs, path)
+        graft.sources.IndexStats.refreshManifest(spark, path, DedupLayoutTables)
     }
   }
 

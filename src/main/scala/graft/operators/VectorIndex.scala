@@ -103,7 +103,7 @@ object VectorIndex {
     // seed this session's entry with the geometry just written
     metaCache.keySet.removeIf(_.endsWith("#" + p))
     metaCache.put(IndexCache.sessionKey(spark) + "#" + p, meta)
-    mutated(p)
+    mutated(spark, p)
   }
 
   /** Build a ROTATING index: the first generation of an
@@ -163,7 +163,7 @@ object VectorIndex {
     graft.sources.WriterLease.exclusive(spark, path) {
       val p = IndexAlias.resolve(spark, path)
       encodeAndWrite(batch, readMeta(spark, p), p, "append")
-      mutated(p)
+      mutated(spark, p)
     }
 
   /** One corpus pass computing every encoded representation — all
@@ -220,13 +220,21 @@ object VectorIndex {
   private[graft] def invalidate(spark: SparkSession, rawPath: String): Unit = {
     val path = IndexAlias.resolve(spark, rawPath)
     metaCache.keySet.removeIf(_.endsWith("#" + path))
-    mutated(path)
+    mutated(spark, path)
   }
 
-  private def mutated(path: String): Unit = {
+  /** Layout tables of the at-rest vector index — the manifest unit
+    * [[graft.sources.IndexStats.refreshManifest]] tracks.
+    */
+  private val LayoutTables = Seq("vectors", "lsh", "meta", "tombstones", "payload")
+
+  private def mutated(spark: SparkSession, path: String): Unit = {
     epochs.computeIfAbsent(path, _ => new java.util.concurrent.atomic.AtomicLong(0L))
       .incrementAndGet()
     IndexCache.dropMatching(s"vix#$path#")
+    // write-time stats manifest: the verb holds the lease here, so
+    // the poll-time stats read never pays a recursive listing
+    graft.sources.IndexStats.refreshManifest(spark, path, LayoutTables)
   }
 
   /** Session-materialized NARROW serving view — the per-family
@@ -307,7 +315,7 @@ object VectorIndex {
         .groupBy(col("vec_id")).agg(max_by(col("label"), col("__ord")).as("label"))
         .withColumn("seq", lit(nextSeq))
         .write.mode("append").parquet(s"$live/payload")
-      mutated(live)
+      mutated(spark, live)
     }
   }
 
@@ -343,7 +351,7 @@ object VectorIndex {
       val live = IndexAlias.resolve(spark, path)
       ids.toDF("vec_id").coalesce(1)
         .write.mode("append").parquet(s"$live/tombstones")
-      mutated(live)
+      mutated(spark, live)
     }
 
   private def tombstones(spark: SparkSession, path: String): Option[DataFrame] = {
@@ -653,13 +661,13 @@ object VectorIndex {
         graft.sources.IndexStats.markCompacted(fs, d)
         graft.sources.WriterLease.renewHeld(spark, rawPath)
         IndexAlias.set(spark, rawPath, d)
-        mutated(path); mutated(d)
+        mutated(spark, path); mutated(spark, d)
         countFiles(new Path(s"$d/vectors")) + countFiles(new Path(s"$d/lsh"))
       case None =>
         fs.delete(new Path(s"$path/tombstones"), true)
         fs.delete(new Path(s"$path/payload"), true)
         graft.sources.IndexStats.markCompacted(fs, path)
-        mutated(path)
+        mutated(spark, path)
         countFiles(new Path(s"$path/vectors")) + countFiles(new Path(s"$path/lsh"))
     }
     (before, after)

@@ -88,6 +88,10 @@ object IndexSnapshot {
       // generation; in-flight readers drain on the old one
       val next = IndexAlias.nextGenerationPath(spark, pathOrHome)
       copyInto(spark, fs, src, new Path(next))
+      // the restored generation needs its own write-time stats
+      // manifest (copyInto moves tables, not dot-state)
+      IndexStats.refreshManifest(spark, next,
+        tables(fs, new Path(next)).map(_.getName))
       IndexAlias.set(spark, pathOrHome, next)
     } else {
       val tmp = new Path(pathOrHome, ".restore")
@@ -99,6 +103,10 @@ object IndexSnapshot {
       fs.delete(tmp, true)
       // an in-place restore changes what reads at this path must see
       graft.operators.VectorIndex.invalidate(spark, pathOrHome)
+      // re-derive the stats manifest from the restored tables (the
+      // snapshot is kind-agnostic: list what actually came back)
+      IndexStats.refreshManifest(spark, pathOrHome,
+        tables(fs, new Path(pathOrHome)).map(_.getName))
     }
     }
   }

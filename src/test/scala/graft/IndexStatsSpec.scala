@@ -147,4 +147,80 @@ class IndexStatsSpec extends SparkSpec {
       Seq("dedup", "vector"))
     assert(roll.count() == 8) // 3 dedup tables + 5 vector tables
   }
+
+  test("write-time stats manifest equals the recursive listing across the full lifecycle") {
+    import spark.implicits._
+    import graft.sources.IndexSnapshot
+    def check(tag: String, home: String, tables: Seq[String], st: DataFrame): Unit = {
+      val live = IndexAlias.resolve(spark, home)
+      val listed = IndexStats.listedStats(spark, live, tables)
+      val got = st.collect().map(r => r.getAs[String]("table") ->
+        ((r.getAs[Long]("files"), r.getAs[Long]("bytes")))).toMap
+      tables.foreach { t =>
+        assert(got(t) == listed(t),
+          s"$tag/$t: manifest ${got(t)} != recursive listing ${listed(t)}")
+      }
+    }
+    // vector: build -> append -> delete -> setPayload -> compact ->
+    // retrain -> snapshot/restore, manifest ≡ listing at every step
+    val vHome = IndexCache.tempDir("graft-manif-vec") + "/vix"
+    val vT = Seq("vectors", "lsh", "meta", "tombstones", "payload")
+    val corpus = Tables.embeddings(spark, sfDir)
+    VectorIndex.buildRotating(spark, corpus, vHome)
+    check("vec/build", vHome, vT, VectorIndex.stats(spark, vHome))
+    VectorIndex.append(spark, corpus.limit(30)
+      .select((col("vec_id") + 910000L).as("vec_id"), col("embedding"), col("label")), vHome)
+    check("vec/append", vHome, vT, VectorIndex.stats(spark, vHome))
+    VectorIndex.delete(spark, vHome, Seq(1L, 2L, 3L))
+    check("vec/delete", vHome, vT, VectorIndex.stats(spark, vHome))
+    VectorIndex.setPayload(spark, vHome, Seq((5L, 9)).toDF("vec_id", "label"))
+    check("vec/payload", vHome, vT, VectorIndex.stats(spark, vHome))
+    VectorIndex.compact(spark, vHome)
+    check("vec/compact", vHome, vT, VectorIndex.stats(spark, vHome))
+    VectorIndex.retrain(spark, vHome)
+    check("vec/retrain", vHome, vT, VectorIndex.stats(spark, vHome))
+    val snapId = IndexSnapshot.create(spark, vHome)
+    VectorIndex.delete(spark, vHome, Seq(7L))
+    IndexSnapshot.restore(spark, vHome, snapId)
+    check("vec/restore", vHome, vT, VectorIndex.stats(spark, vHome))
+    // text: write -> append -> delete -> compact
+    val tHome = IndexCache.tempDir("graft-manif-text") + "/tix"
+    val tT = Seq("postings", "vocab", "stats", "tombstones")
+    val docs = (0L to 39L).map(i => (i, s"kilo lima mike nov$i oscar papa"))
+      .toDF("doc_id", "text")
+    TextIndex.rotate(docs, tHome)
+    check("text/build", tHome, tT, TextIndex.stats(spark, tHome))
+    TextIndex.append(docs.select((col("doc_id") + 1000L).as("doc_id"), col("text")), tHome)
+    check("text/append", tHome, tT, TextIndex.stats(spark, tHome))
+    TextIndex.delete(docs.limit(3), tHome)
+    check("text/delete", tHome, tT, TextIndex.stats(spark, tHome))
+    TextIndex.compact(spark, tHome)
+    check("text/compact", tHome, tT, TextIndex.stats(spark, tHome))
+    // dedup: write -> append -> delete -> compact
+    val dHome = IndexCache.tempDir("graft-manif-dedup") + "/dix"
+    val dT = Seq("postings", "shingles", "tombstones")
+    Dedup.rotateMinhashIndex(docs, dHome)
+    check("dedup/build", dHome, dT, Dedup.indexStats(spark, dHome))
+    Dedup.appendToMinhashIndex(
+      docs.select((col("doc_id") + 2000L).as("doc_id"), col("text")), dHome)
+    check("dedup/append", dHome, dT, Dedup.indexStats(spark, dHome))
+    Dedup.deleteFromMinhashIndex(spark, Seq(0L), IndexAlias.resolve(spark, dHome))
+    check("dedup/delete", dHome, dT, Dedup.indexStats(spark, dHome))
+    Dedup.compactMinhashIndex(spark, dHome)
+    check("dedup/compact", dHome, dT, Dedup.indexStats(spark, dHome))
+    // the poll path really reads the MANIFEST, not the filesystem: a
+    // rogue file dropped into the layout outside any verb is
+    // invisible to stats (a listing-based poll would count it) until
+    // the next mutation refreshes the manifest
+    val live = IndexAlias.resolve(spark, dHome)
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val before = files(Dedup.indexStats(spark, dHome), "postings")
+    val rogue = new org.apache.hadoop.fs.Path(s"$live/postings/rogue.parquet")
+    val out = fs.create(rogue, true); out.write(Array[Byte](1, 2, 3)); out.close()
+    assert(files(Dedup.indexStats(spark, dHome), "postings") == before,
+      "stats polled the filesystem instead of the write-time manifest")
+    fs.delete(rogue, false)
+    check("dedup/after-rogue", dHome, dT, Dedup.indexStats(spark, dHome))
+  }
 }
