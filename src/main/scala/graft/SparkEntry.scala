@@ -81,9 +81,9 @@ object SparkEntry {
     // rows-only: HLL++/KLL sketch internals are engine-specific; the
     // error bounds vs exact answers are asserted in TextAnalysisSpec
     "q_sketch_stats"  -> (TextAnalysis.qSketchStats _),
-    "q_multimodal_meta" -> (Multimodal.qMultimodalMeta _),
-    "q_media_resize"    -> (Multimodal.qMediaResize _),
-    "q_media_frames"    -> (Multimodal.qMediaFrames _),
+    "q_multimodal_meta" -> ((s: SparkSession, d: String) => Multimodal.qMultimodalMeta(s, d)),
+    "q_media_resize"    -> ((s: SparkSession, d: String) => Multimodal.qMediaResize(s, d)),
+    "q_media_frames"    -> ((s: SparkSession, d: String) => Multimodal.qMediaFrames(s, d)),
     "q_sessionize" -> ((s: SparkSession, dir: String) =>
       graft.streaming.Sessionize.batch(Tables.events(s, dir))
         .select(col("user_id"), col("session_start"), col("session_end"),
@@ -107,7 +107,7 @@ object SparkEntry {
     "q_significant_terms"  -> (FullText.qSignificantTerms _),
     "q_significant_text"   -> (FullText.qSignificantText _),
     "q_highlight"          -> (FullText.qHighlight _),
-    "q_media_dedup"        -> (Multimodal.qMediaDedup _),
+    "q_media_dedup"        -> ((s: SparkSession, d: String) => Multimodal.qMediaDedup(s, d)),
     "q_media_knn"          -> (Multimodal.qMediaKnn _),
     "q_search_after"   -> (Collection.qSearchAfter _),
     "q_rollup"         -> (Relational.qRollup _),
@@ -155,7 +155,7 @@ object SparkEntry {
     "q_scroll_slice"    -> (Collection.qScrollSlice _),
     "q_geo_grid"        -> (Geo.qGeoGrid _),
     "q_terms_by_metric" -> (Relational.qTermsByMetric _),
-    "q_media_audio"     -> (Multimodal.qMediaAudio _),
+    "q_media_audio"     -> ((s: SparkSession, d: String) => Multimodal.qMediaAudio(s, d)),
     "q_rescore"         -> (FullText.qRescore _),
     "q_pinned"          -> (FullText.qPinned _),
     "q_matrix_stats"    -> (Relational.qMatrixStats _),

@@ -3,31 +3,26 @@ package graft.operators
 import org.apache.spark.sql.{Column, DataFrame, Dataset, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.Tables
+import graft.api.{MediaCodec, MediaFeatures, StubMediaCodec}
 
 /** Multimodal column plumbing (SURVEY.md §2 row 28): media payloads
   * as opaque `binary` columns with typed metadata, exactly how a
   * 100 TB training-data lake stores image/audio bytes next to the
   * text and embeddings they belong to.
   *
-  * The *decode* step (JPEG/audio codec) is STUBBED — the codec
-  * libraries are not in this environment — with a deterministic fake
-  * that reads structural bytes, so the Spark-side contract that
-  * matters at scale is real and tested: binary column handling,
-  * schema of the extracted features, per-partition batching, and the
-  * aggregation shapes downstream.
+  * The *decode* step is the pluggable [[graft.api.MediaCodec]]
+  * boundary: one codec instance per partition inside a single
+  * `mapPartitions` stage ([[decodeWith]]), emitting the typed
+  * [[graft.api.MediaFeatures]] record. Decoded frames MATERIALIZE
+  * once per (codec, corpus) — the decode-at-ingest step of every
+  * production media pipeline — and all `q_media_*` plans are
+  * relational reads off that frame, so a real CLIP/CLAP codec drops
+  * in without touching a single query plan. The default
+  * [[graft.api.StubMediaCodec]] derives features deterministically
+  * from payload bytes (the codec libraries are not in this
+  * environment), which keeps the whole family DuckDB-oracle-able.
   */
 object Multimodal {
-
-  /** A typed media-feature record, the schema a real decoder would
-    * emit (dimensions, frame count, channel stats).
-    */
-  case class MediaFeatures(
-      doc_id: Long,
-      n_bytes: Long,
-      digest: String,
-      width: Int,
-      height: Int,
-      n_frames: Int)
 
   /** The "media" collection: document bytes reinterpreted as an
     * opaque binary payload column — the plumbing is identical for
@@ -38,55 +33,65 @@ object Multimodal {
       .select(col("doc_id"), col("source"),
         encode(col("text"), "UTF-8").as("payload"))
 
-  /** STUB decoder: a real implementation would hand `payload` to a
-    * codec (JPEG/PNG/PCM) per partition. The fake derives
-    * "dimensions" deterministically from payload bytes so the
-    * pipeline shape — mapPartitions over binary, one codec init per
-    * partition, typed output — is the production one.
+  /** Run `media` (doc_id, source, payload) through `codec`: ONE
+    * codec instance per partition — `open()` before the first item,
+    * `close()` after the last — so a production codec amortizes
+    * context/model init across a whole parquet row-group batch and
+    * the payload bytes never shuffle (the decode is map-only; only
+    * the much smaller feature record flows downstream).
     */
-  def decodeFeatures(spark: SparkSession, sfDir: String): Dataset[MediaFeatures] = {
+  def decodeWith(media: DataFrame, codec: MediaCodec): Dataset[MediaFeatures] = {
+    val spark = media.sparkSession
     import spark.implicits._
-    mediaTable(spark, sfDir)
-      .select(col("doc_id"), col("payload"))
-      .as[(Long, Array[Byte])]
+    media.select(col("doc_id"), col("source"), col("payload"))
+      .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
-        // codec initialization would happen once per partition here
-        rows.map { case (id, bytes) =>
-          val digest = java.security.MessageDigest.getInstance("MD5")
-            .digest(bytes).map("%02x".format(_)).mkString
-          MediaFeatures(
-            doc_id = id,
-            n_bytes = bytes.length.toLong,
-            digest = digest,
-            width = 64 + (bytes.headOption.getOrElse(0: Byte) & 0x7f),
-            height = 64 + (bytes.lastOption.getOrElse(0: Byte) & 0x7f),
-            n_frames = 1 + bytes.length % 16)
+        codec.open()
+        var closed = false
+        new Iterator[MediaFeatures] {
+          def hasNext: Boolean = {
+            val h = rows.hasNext
+            if (!h && !closed) { closed = true; codec.close() }
+            h
+          }
+          def next(): MediaFeatures = {
+            val (id, src, bytes) = rows.next()
+            codec.decode(id, src, bytes)
+          }
         }
       }
   }
 
-  /** Stub media geometry, derived deterministically from the payload
-    * size (a real decoder reads it from the codec header). Keeping it
-    * arithmetic-on-bytes makes the whole downstream pipeline —
-    * resize planning, frame sampling — bit-reproducible in the SQL
-    * oracle.
+  /** The corpus's decoded-feature frame, materialized once per
+    * (codec, corpus) — every `q_media_*` plan reads columns off this
+    * frame. At cluster scale this is the table the ingest job
+    * persists next to the raw bytes; here the session cache stands in
+    * for that at-rest table.
     */
-  private def withGeometry(media: DataFrame): DataFrame =
-    media
-      .withColumn("n_bytes", length(col("payload")).cast("long"))
-      .withColumn("width", lit(64L) + col("n_bytes") % 128)
-      .withColumn("height", lit(64L) + (col("n_bytes") * 7) % 128)
-      .withColumn("n_frames", lit(1L) + col("n_bytes") % 16)
+  def decoded(spark: SparkSession, sfDir: String,
+              codec: MediaCodec = StubMediaCodec): DataFrame =
+    IndexCache.materialized(spark, s"media-decoded#${codec.name}#$sfDir") {
+      decodeWith(mediaTable(spark, sfDir), codec).toDF()
+    }
+
+  /** Typed decode of the corpus through `codec` (default stub) — the
+    * uncached building block; [[decoded]] is the cached frame the
+    * queries use.
+    */
+  def decodeFeatures(spark: SparkSession, sfDir: String,
+                     codec: MediaCodec = StubMediaCodec): Dataset[MediaFeatures] =
+    decodeWith(mediaTable(spark, sfDir), codec)
 
   /** Resize planning (aspect-preserving fit into 224×224) — the
     * geometry half of every image pre-processing stage, as a pure
-    * per-row expression pipeline: the real pixel work happens in the
-    * partition-local decoder, but WHAT to resize to is computed (and
-    * verified) relationally. No shuffle.
+    * per-row expression pipeline over the decoded frame: the pixel
+    * work happens in the partition-local codec, but WHAT to resize
+    * to is computed (and verified) relationally. No shuffle.
     */
-  def qMediaResize(spark: SparkSession, sfDir: String): DataFrame = {
+  def qMediaResize(spark: SparkSession, sfDir: String,
+                   codec: MediaCodec = StubMediaCodec): DataFrame = {
     val scale = least(lit(224.0) / col("width"), lit(224.0) / col("height"))
-    withGeometry(mediaTable(spark, sfDir))
+    decoded(spark, sfDir, codec)
       .select(col("doc_id"), col("width"), col("height"),
         floor(col("width") * scale).as("out_w"),
         floor(col("height") * scale).as("out_h"))
@@ -95,12 +100,13 @@ object Multimodal {
 
   /** Frame sampling — every 4th frame index of each media row, the
     * video-pipeline shape (decode → sample → per-frame features): one
-    * scan, one per-row explode of the sampled index sequence, no
-    * shuffle. The per-frame digest stands in for the frame's feature
-    * payload.
+    * read of the decoded frame, one per-row explode of the sampled
+    * index sequence, no shuffle. The per-frame digest stands in for
+    * the frame's feature payload.
     */
-  def qMediaFrames(spark: SparkSession, sfDir: String): DataFrame =
-    withGeometry(mediaTable(spark, sfDir))
+  def qMediaFrames(spark: SparkSession, sfDir: String,
+                   codec: MediaCodec = StubMediaCodec): DataFrame =
+    decoded(spark, sfDir, codec)
       .select(col("doc_id"), col("n_frames"),
         explode(sequence(lit(0L), col("n_frames") - 1, lit(4L))).as("frame_idx"))
       .select(col("doc_id"), col("n_frames"), col("frame_idx"),
@@ -111,17 +117,15 @@ object Multimodal {
   /** Audio windowing — the audio-pipeline twin of frame sampling:
     * fixed 1 s analysis windows with a 500 ms hop over each clip
     * (the universal STFT/feature-extraction pre-pass). Sample rate
-    * and duration derive deterministically from the payload bytes
-    * (a real decoder reads the codec header); the window plan —
-    * ids, start/end ms, start sample — is pure per-row arithmetic +
-    * one explode, no shuffle: scan-bound at any corpus size, exactly
-    * like the video frame sampler.
+    * and duration come off the decoded frame (the codec reads them
+    * from the payload — header fields in a real codec); the window
+    * plan — ids, start/end ms, start sample — is pure per-row
+    * arithmetic + one explode, no shuffle: scan-bound at any corpus
+    * size, exactly like the video frame sampler.
     */
-  def qMediaAudio(spark: SparkSession, sfDir: String): DataFrame =
-    mediaTable(spark, sfDir)
-      .withColumn("n_bytes", length(col("payload")).cast("long"))
-      .withColumn("sample_rate", lit(8000L) + (col("n_bytes") % 3) * lit(4000L))
-      .withColumn("duration_ms", lit(1000L) + (col("n_bytes") * 13) % 9000)
+  def qMediaAudio(spark: SparkSession, sfDir: String,
+                  codec: MediaCodec = StubMediaCodec): DataFrame =
+    decoded(spark, sfDir, codec)
       .select(col("doc_id"), col("sample_rate"), col("duration_ms"),
         explode(sequence(lit(0L), expr("(duration_ms - 1000) div 500"))).as("win_id"))
       .select(col("doc_id"), col("sample_rate"), col("duration_ms"), col("win_id"),
@@ -130,15 +134,14 @@ object Multimodal {
         expr("win_id * 500 * sample_rate div 1000").as("start_sample"))
       .orderBy(col("doc_id"), col("win_id"))
 
-  /** Row 28 (SQL-oracled): per-source metadata over the binary
-    * payload column — byte sizes and content digests, the part of the
-    * multimodal path DuckDB can replicate bit-for-bit. Single scan,
+  /** Row 28 (SQL-oracled): per-source metadata over the decoded
+    * frame — byte sizes and content digests, the part of the
+    * multimodal path DuckDB can replicate bit-for-bit. Single read,
     * map-side combinable aggregate.
     */
-  def qMultimodalMeta(spark: SparkSession, sfDir: String): DataFrame =
-    mediaTable(spark, sfDir)
-      .select(col("source"), length(col("payload")).cast("long").as("n_bytes"),
-        md5(col("payload")).as("digest"))
+  def qMultimodalMeta(spark: SparkSession, sfDir: String,
+                      codec: MediaCodec = StubMediaCodec): DataFrame =
+    decoded(spark, sfDir, codec)
       .groupBy(col("source"))
       .agg(
         count(lit(1)).as("n_items"),
@@ -148,19 +151,24 @@ object Multimodal {
       .orderBy(col("source"))
 
   /** Exact media dedup (content-addressable-storage shape): the
-    * binary payloads of the duplicate-augmented corpus grouped by
-    * content digest — one row per duplicate group with its keeper,
-    * copy count, and reclaimable bytes. Unlike text dedup there is no
-    * normalization: media bytes either match or don't, so the digest
-    * groupBy (16-byte keys, map-side combinable) IS the whole
-    * operator — the petabyte-scale dedup every multimodal lake runs
-    * at ingest.
+    * binary payloads of the duplicate-augmented corpus decoded
+    * through the codec and grouped by content digest — one row per
+    * duplicate group with its keeper, copy count, and reclaimable
+    * bytes. Unlike text dedup there is no normalization: media bytes
+    * either match or don't, so the digest groupBy (16-byte keys,
+    * map-side combinable) IS the whole operator — the petabyte-scale
+    * dedup every multimodal lake runs at ingest. The augmented
+    * corpus differs from the standing media corpus, so this decode
+    * runs inline (the ingest-time pass itself), not off the cached
+    * frame.
     */
-  def qMediaDedup(spark: SparkSession, sfDir: String): DataFrame =
-    Dedup.augmentedDocs(spark, sfDir)
-      .select(col("doc_id"), encode(col("text"), "UTF-8").as("payload"))
-      .select(col("doc_id"), md5(col("payload")).as("digest"),
-        length(col("payload")).cast("long").as("n_bytes"))
+  def qMediaDedup(spark: SparkSession, sfDir: String,
+                  codec: MediaCodec = StubMediaCodec): DataFrame =
+    decodeWith(
+      Dedup.augmentedDocs(spark, sfDir)
+        .select(col("doc_id"), lit("aug").as("source"),
+          encode(col("text"), "UTF-8").as("payload")),
+      codec).toDF()
       .groupBy(col("digest"))
       .agg(min(col("doc_id")).as("keeper_id"),
         count(lit(1)).as("n_copies"),
@@ -171,15 +179,15 @@ object Multimodal {
       .orderBy(col("keeper_id"))
 
   /** Near-media search (Weaviate `near_image` / `near_audio`): the
-    * stub "decoder" turns each payload into a dense feature vector —
-    * here the 26-dim letter-frequency histogram of the payload bytes,
-    * deterministic so the whole query is SQL-oracle-able; a real
-    * codec would emit CLIP/CLAP embeddings from the same
-    * mapPartitions stage — and search is then plain cosine top-k over
-    * the feature column, sharing every scale property of the vector
-    * family (broadcast query set, WindowGroupLimit partial top-k).
-    * The query item itself ranks first at similarity 1 — near_image
-    * is "find items like this one", self included.
+    * codec's feature vector — for the stub, the 26-dim
+    * letter-frequency histogram of the payload bytes, deterministic
+    * so the whole query is SQL-oracle-able; a real codec emits
+    * CLIP/CLAP embeddings into the same column — and search is then
+    * plain cosine top-k over the decoded frame, sharing every scale
+    * property of the vector family (broadcast query set,
+    * WindowGroupLimit partial top-k). The query item itself ranks
+    * first at similarity 1 — near_image is "find items like this
+    * one", self included.
     */
   def qMediaKnn(spark: SparkSession, sfDir: String): DataFrame =
     mediaKnn(spark, sfDir, col("doc_id") % 100 === 0)
@@ -191,22 +199,15 @@ object Multimodal {
     * so its work grows as queries × corpus = quadratic in corpus
     * size BY CONSTRUCTION of the benchmark, not of the operator).
     */
-  def mediaKnn(spark: SparkSession, sfDir: String, queryPred: Column): DataFrame = {
-    // the feature extraction is entirely per-row and shuffle-free:
-    // each histogram slot is a constant-folded translate-and-length
-    // count (native codegen'd string ops — no char explode, no HOF
-    // lambda re-evaluating its non-foldable bounds 26×). Features
-    // MATERIALIZE once per corpus (the decode-at-ingest step — a real
-    // codec's embeddings would be persisted exactly like the
-    // quantized vector corpora): without the barrier Catalyst
-    // collapses the 52-string-op projection INTO the scoring join and
-    // re-decodes every payload once per (query, doc) pair.
-    val decoded = decode(col("payload"), "UTF-8")
-    val v = array(('a' to 'z').map(ch =>
-      (length(decoded) - length(translate(decoded, ch.toString, ""))).cast("double")): _*)
-    val feats = IndexCache.materialized(spark, s"media-feats#$sfDir") {
-      mediaTable(spark, sfDir).select(col("doc_id"), v.as("v"))
-    }
+  def mediaKnn(spark: SparkSession, sfDir: String, queryPred: Column,
+               codec: MediaCodec = StubMediaCodec): DataFrame = {
+    // features come off the materialized decoded frame (the
+    // decode-at-ingest step — a real codec's embeddings would be
+    // persisted exactly like the quantized vector corpora): without
+    // the materialization barrier Catalyst would collapse the decode
+    // into the scoring join and re-decode every payload once per
+    // (query, doc) pair.
+    val feats = decoded(spark, sfDir, codec).select(col("doc_id"), col("feature").as("v"))
     val q = feats.filter(queryPred)
       .select(col("doc_id").as("q_id"), col("v").as("qv"))
     val scored = feats.crossJoin(broadcast(q))

@@ -41,14 +41,50 @@ class MultimodalSpec extends SparkSpec {
     val a = Multimodal.decodeFeatures(spark, sfDir).collect().sortBy(_.doc_id)
     val b = Multimodal.decodeFeatures(spark, sfDir).collect().sortBy(_.doc_id)
     assert(a.length == 500)
-    assert(a.sameElements(b))
+    a.zip(b).foreach { case (x, y) =>
+      assert(x.copy(feature = null) == y.copy(feature = null))
+      assert(x.feature.sameElements(y.feature))
+    }
     a.foreach { f =>
       assert(f.n_bytes > 0)
       assert(f.digest.length == 32)
       assert(f.width >= 64 && f.width < 192)
       assert(f.height >= 64 && f.height < 192)
       assert(f.n_frames >= 1 && f.n_frames <= 16)
+      assert(f.feature.length == 26 && f.feature.sum > 0)
     }
+  }
+
+  test("codec swap changes only feature values, never a query plan") {
+    import org.apache.spark.sql.functions.col
+    // a toy second codec: different geometry arithmetic, a 2-dim
+    // feature — everything else (plumbing, schema, per-partition
+    // open/close, downstream plans) identical
+    object ToyCodec extends graft.api.MediaCodec {
+      override def name = "toy"
+      override def decode(id: Long, src: String, payload: Array[Byte]): graft.api.MediaFeatures = {
+        val n = payload.length.toLong
+        graft.api.MediaFeatures(id, src, n, n.toString, 32L + n % 64, 32L + (n * 3) % 64,
+          1L + n % 4, 16000L, 2000L, Array(n.toDouble, (payload.head & 0xff).toDouble))
+      }
+    }
+    val stub = Multimodal.qMediaResize(spark, sfDir).collect()
+    val toy = Multimodal.qMediaResize(spark, sfDir, ToyCodec).collect()
+    // same schema, same rows, same doc ids — only the decoded
+    // geometry (and what derives from it) differs
+    assert(stub.length == toy.length)
+    assert(stub.head.schema == toy.head.schema)
+    assert(stub.map(_.getAs[Long]("doc_id")).sameElements(toy.map(_.getAs[Long]("doc_id"))))
+    assert(toy.forall(r => r.getAs[Long]("width") < 96 && r.getAs[Long]("out_w") <= 224))
+    assert(stub.exists(r => r.getAs[Long]("width") >= 96)) // codecs really disagree
+    // near-media search scores through the toy codec's 2-dim feature
+    val knn = Multimodal.mediaKnn(spark, sfDir, col("doc_id") % 100 === 0, ToyCodec).collect()
+    assert(knn.nonEmpty)
+    knn.filter(r => r.getAs[Long]("q_id") == r.getAs[Long]("doc_id"))
+      .foreach(r => assert(r.getAs[Double]("score") == 1.0))
+    // swapping back serves the stub's cached frame, not the toy's
+    val again = Multimodal.qMediaResize(spark, sfDir).collect()
+    assert(again.map(_.getAs[Long]("width")).sameElements(stub.map(_.getAs[Long]("width"))))
   }
 
   test("decode digest agrees with the SQL-side md5") {
