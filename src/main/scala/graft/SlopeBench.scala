@@ -75,7 +75,41 @@ object SlopeBench {
     // exact below the measured tie, LSH above — its slope is the one
     // a user's maintenance loop actually experiences
     "q_dedup_embedding_auto" -> ((s, dir) =>
-      operators.Dedup.embeddingNearDupAuto(augEmb(s, dir), threshold = 0.9)))
+      operators.Dedup.embeddingNearDupAuto(augEmb(s, dir), threshold = 0.9)),
+    // fixed-query twins of the two remaining growing-query-set
+    // entries (queries pinned to the base-replica id band, which
+    // every scaled corpus contains) — same rationale as
+    // q_media_knn_fixedq: the registered entries' work grows as
+    // queries × corpus BY BENCHMARK CONSTRUCTION, so their corpus
+    // slope needs the query set held still
+    "q_maxsim_fixedq" -> ((s, dir) => {
+      val vs = operators.VectorSearch
+      vs.collection(s, dir).searchMaxsim(
+        vs.querySet(s, dir).filter(col("q_id") < 10000000000L),
+        vs.K, vs.MaxsimSubs, vs.MaxsimDim)
+    }),
+    "q_where_document_fixedq" -> ((s, dir) => {
+      // the scaled corpora Caesar-rotate each replica's text, so a
+      // single needle would match only replica 0 (a constant-size
+      // result fakes a flat slope); the rotation-closed needle set
+      // keeps the filter's SELECTIVITY what the base corpus has
+      val needles = (0 until 26).map(r =>
+        "vector".map(c => ((c - 'a' + r) % 26 + 'a').toChar))
+      val matching = Tables.documents(s, dir)
+        .filter(col("text").rlike(needles.mkString("|")))
+        .select(col("doc_id").as("vec_id"))
+      val corpus = Tables.embeddings(s, dir).join(matching, "vec_id")
+      val qs = operators.VectorSearch.querySet(s, dir)
+        .filter(col("q_id") < 10000000000L)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+      corpus.crossJoin(broadcast(qs))
+        .withColumn("score",
+          round(graft.functions.vec.cosine(col("q_emb"), col("embedding")), 6))
+        .withColumn("rn", row_number().over(w).cast("long"))
+        .filter(col("rn") <= operators.VectorSearch.K)
+        .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+    }))
 
   private def augEmb(s: SparkSession, dir: String): DataFrame = {
     val e = graft.Tables.embeddings(s, dir)
@@ -230,12 +264,20 @@ object SlopeBench {
     // the two operators whose 10× ratios crowd the linear bar):
     // replicating embeddings or timing index builds at 100× would
     // dominate the run without informing the question being asked
-    val known = Heavy ++ SlopeOnly.keys
+    // ANY registered entry can be slope-measured, not just the heavy
+    // family: the x10 full-suite runs rank a next tier (q_maxsim,
+    // q_eql_sequence, q3_join, ...) that 10× alone can't separate
+    // from fixed costs — those need this harness at 100×
+    val known = Heavy ++ SlopeOnly.keys ++ SparkEntry.queries.keys
     val selected = sys.env.get("SPARK_GRAFT_SLOPE_QUERIES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSeq)
       .getOrElse(Heavy)
     require(selected.forall(known.contains),
       s"unknown slope queries: ${selected.filterNot(known.contains)}")
+    // the heavy family reads only documents/embeddings; anything
+    // else may touch the star schema — replicate the whole corpus
+    val needsFull = selected.exists(n =>
+      !Heavy.contains(n) && !SlopeOnly.contains(n))
     // "1" = all builds, "0" = none, else a comma list of build names
     val buildSel = sys.env.getOrElse("SPARK_GRAFT_SLOPE_BUILDS", "1")
     def buildChosen(name: String): Boolean = buildSel match {
@@ -248,8 +290,11 @@ object SlopeBench {
       selected.exists(n => n.startsWith("q_media_knn") ||
         n.startsWith("q_dedup_embedding"))
 
-    buildScaled(spark, baseDir, scaledDir, factor)
-    if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
+    if (needsFull) buildScaledAll(spark, baseDir, scaledDir, factor)
+    else {
+      buildScaled(spark, baseDir, scaledDir, factor)
+      if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
+    }
 
     def fnOf(n: String) = SlopeOnly.getOrElse(n, SparkEntry.queries(n))
     val qs = selected.map(n => n -> fnOf(n))

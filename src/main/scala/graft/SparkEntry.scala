@@ -185,6 +185,7 @@ object SparkEntry {
     "q_change_point"    -> (Relational.qChangePoint _),
     "q_hard_negatives"  -> (VectorSearch.qHardNegatives _),
     "q_where_document"  -> (VectorSearch.qWhereDocument _),
+    "q_where_document_neg" -> (VectorSearch.qWhereDocumentNeg _),
     "q_normalize_agg"   -> (Relational.qNormalizeAgg _),
     "q_has_parent"      -> (Relational.qHasParent _),
     "q_geo_bounds"      -> (Geo.qGeoBounds _),
@@ -1956,6 +1957,19 @@ object SparkEntry {
       s"""WITH q AS ($oracleQuerySet),
          |m AS (SELECT doc_id AS vec_id FROM documents
          |      WHERE list_contains(string_split(text, ' '), 'vector')),
+         |s AS (SELECT q.q_id, e.vec_id,
+         |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
+         |      FROM q CROSS JOIN embeddings e JOIN m USING (vec_id))
+         |SELECT q_id, vec_id, rn, score FROM (
+         |  SELECT q_id, vec_id, score,
+         |    row_number() OVER (PARTITION BY q_id ORDER BY score DESC, vec_id) AS rn
+         |  FROM s)
+         |WHERE rn <= 10 ORDER BY q_id, rn""".stripMargin,
+    "q_where_document_neg" ->
+      s"""WITH q AS ($oracleQuerySet),
+         |m AS (SELECT doc_id AS vec_id FROM documents
+         |      WHERE NOT contains(text, 'vector')
+         |        AND regexp_matches(text, '(hash|sort) (join|merge)')),
          |s AS (SELECT q.q_id, e.vec_id,
          |        round(list_cosine_similarity(q.q_emb, e.embedding::DOUBLE[]), 6) AS score
          |      FROM q CROSS JOIN embeddings e JOIN m USING (vec_id))

@@ -61,6 +61,28 @@ object FilterDsl {
     def toColumn: Column = col(key).contains(needle)
   }
 
+  /** Negated substring containment (Chroma `where_document`
+    * `$not_contains`). NULL text is excluded, matching Chroma (a
+    * document store has no null documents; a null payload field
+    * satisfies neither polarity).
+    */
+  final case class TextNotContains(key: String, needle: String) extends Condition {
+    def toColumn: Column = !col(key).contains(needle)
+  }
+
+  /** Regular-expression match on a text payload (Chroma
+    * `where_document` `$regex` / `$not_regex` via `negate`) —
+    * UNANCHORED like Chroma's: the pattern may match any substring.
+    * Compiles to the codegen'd `RLike`; patterns should stick to the
+    * RE2/Java common subset (no backreferences) to stay portable
+    * across engines.
+    */
+  final case class TextRegex(key: String, pattern: String,
+                             negate: Boolean = false) extends Condition {
+    def toColumn: Column =
+      if (negate) !col(key).rlike(pattern) else col(key).rlike(pattern)
+  }
+
   /** Payload field absent (Qdrant `is_null` / ES `must_not exists`). */
   final case class IsNull(key: String) extends Condition {
     def toColumn: Column = col(key).isNull
@@ -265,6 +287,13 @@ object FilterDsl {
         }
         (o \ "match", o \ "range", o \ "is_null") match {
           case (m: JObject, JNothing, JNothing) =>
+            (m \ "not_text", m \ "regex", m \ "not_regex") match {
+              case (JString(t), JNothing, JNothing) => return TextNotContains(key, t)
+              case (JNothing, JString(p), JNothing) => return TextRegex(key, p)
+              case (JNothing, JNothing, JString(p)) => return TextRegex(key, p, negate = true)
+              case (JNothing, JNothing, JNothing) => // plain match; fall through
+              case other => sys.error(s"ambiguous text-match shape: $other")
+            }
             (m \ "value", m \ "any", m \ "text", m \ "except") match {
               case (JNothing, JNothing, JString(t), JNothing) => TextContains(key, t)
               case (JNothing, JArray(vs), JNothing, JNothing) => MatchAny(key, vs.map(scalar))

@@ -553,6 +553,35 @@ object VectorSearch {
       .orderBy(col("q_id"), col("rn"))
   }
 
+  /** The negated/regex document-content predicates (Chroma
+    * `where_document` `$not_contains` / `$regex`): kNN restricted to
+    * points whose paired document does NOT contain a token AND
+    * matches a regular expression — the remaining two Chroma
+    * document-predicate forms after [[qWhereDocument]]'s
+    * `$contains`. Same scale shape: the content predicate shrinks
+    * the id set at the documents scan (`NOT contains` is a cheap
+    * per-row string scan, the regex a codegen'd `RLike` — both
+    * map-side, never shuffled), ids join the embeddings scan, and
+    * scoring + top-k run on the reduced corpus only. The wire forms
+    * parse via [[graft.api.FilterDsl]] `match.not_text` /
+    * `match.regex`.
+    */
+  def qWhereDocumentNeg(spark: SparkSession, sfDir: String): DataFrame = {
+    val matching = Tables.documents(spark, sfDir)
+      .filter(!col("text").contains("vector") &&
+        col("text").rlike("(hash|sort) (join|merge)"))
+      .select(col("doc_id").as("vec_id"))
+    val corpus = Tables.embeddings(spark, sfDir).join(matching, "vec_id")
+    val qs = querySet(spark, sfDir)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    corpus.crossJoin(broadcast(qs))
+      .withColumn("score", round(vec.cosine(col("q_emb"), col("embedding")), 6))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= K)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .orderBy(col("q_id"), col("rn"))
+  }
+
   /** Hard-negative mining — the contrastive-training data op every
     * embedding pipeline runs (DPR/Contriever-style): for each query,
     * the top-5 most similar corpus vectors whose label DIFFERS from

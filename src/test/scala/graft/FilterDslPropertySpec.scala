@@ -52,6 +52,11 @@ class FilterDslPropertySpec extends SparkSpec {
       if gte.nonEmpty || gt.nonEmpty || lte.nonEmpty || lt.nonEmpty
     } yield Range(k, gte, gt, lte, lt)),
     2 -> Gen.oneOf(tokens ++ Seq("alp", "zz")).map(TextContains("text", _)),
+    1 -> Gen.oneOf(tokens ++ Seq("alp", "zz")).map(TextNotContains("text", _)),
+    1 -> (for {
+      p <- Gen.oneOf("al.ha", "(alpha|echo)", "bravo charlie", "zz+", "^delta", "echo$")
+      neg <- Gen.oneOf(false, true)
+    } yield TextRegex("text", p, neg)),
     1 -> Gen.oneOf("lang", "label").map(IsNull(_)))
 
   private def genCond(depth: Int): Gen[Condition] =
@@ -81,6 +86,10 @@ class FilterDslPropertySpec extends SparkSpec {
     case MatchAny(k, vs) => s"""{"key":${q(k)},"match":{"any":[${vs.map(jv).mkString(",")}]}}"""
     case MatchExcept(k, vs) => s"""{"key":${q(k)},"match":{"except":[${vs.map(jv).mkString(",")}]}}"""
     case TextContains(k, t) => s"""{"key":${q(k)},"match":{"text":${q(t)}}}"""
+    case TextNotContains(k, t) => s"""{"key":${q(k)},"match":{"not_text":${q(t)}}}"""
+    case TextRegex(k, p, neg) =>
+      val f = if (neg) "not_regex" else "regex"
+      s"""{"key":${q(k)},"match":{${q(f)}:${q(p)}}}"""
     case Range(k, gte, gt, lte, lt) =>
       val bs = Seq("gte" -> gte, "gt" -> gt, "lte" -> lte, "lt" -> lt)
         .collect { case (n, Some(v)) => s"${q(n)}:${jv(v)}" }
@@ -119,6 +128,11 @@ class FilterDslPropertySpec extends SparkSpec {
     case MatchAny(k, vs) => field(r, k).map(vs.contains)
     case MatchExcept(k, vs) => field(r, k).map(x => !vs.contains(x))
     case TextContains(k, t) => field(r, k).map(_.toString.contains(t))
+    case TextNotContains(k, t) => field(r, k).map(x => !x.toString.contains(t))
+    case TextRegex(k, p, neg) => field(r, k).map { x =>
+      val hit = java.util.regex.Pattern.compile(p).matcher(x.toString).find()
+      if (neg) !hit else hit
+    }
     case IsNull(k) => Some(field(r, k).isEmpty)
     case Range(k, gte, gt, lte, lt) => field(r, k).map { x0 =>
       val x = asD(x0)
