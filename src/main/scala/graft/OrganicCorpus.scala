@@ -1,0 +1,188 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Organic (dbgen-style) corpus generator: produces the full star
+  * schema + documents/embeddings/events at an arbitrary scale factor
+  * by INDEPENDENT sampling from the driver data's measured
+  * distributions — not by replicating the driver tables. The
+  * replicated corpora (`SlopeBench.buildScaledAll`) preserve join
+  * degrees by construction; this generator removes the remaining
+  * "but replicas aren't organic" caveat from the scale measurements:
+  * every key draw, text, vector, and timestamp is fresh, so
+  * cardinality growth (distinct users, vocab co-occurrence mass,
+  * duplicate-group counts) follows the same organic laws a real
+  * corpus follows at 10× the data.
+  *
+  * Distributions were measured off `/root/testdata/sf0.01` (see
+  * TESTDATA.md): 31-word document vocab with `dup` rare, uniform
+  * sources, weighted langs, unit-norm iid Gaussian 64-dim embeddings
+  * with 10 uniform labels, exponential(mean 50) event values over a
+  * 30-day window, TPC-H-ish uniform columns with dense key spaces
+  * and uniform foreign keys (orders/customer ≈ 10, events/user ≈ 67,
+  * lineitem/order ~ U{1..7}).
+  *
+  * Scale shape: every table generates DISTRIBUTED — `spark.range`
+  * over the key space, one seeded PRNG per row (splitmix64 of the
+  * row id, so the output is independent of partitioning and
+  * identical across runs/cluster sizes), `mapPartitions` emission,
+  * no driver-side loops. At sf=100 this writes ~6 B lineitem rows
+  * without the driver ever holding a row.
+  */
+object OrganicCorpus {
+
+  // ---- deterministic per-row randomness -------------------------
+  /** splitmix64 — one 64-bit mix per draw; seeding a JDK Random with
+    * a raw `id` would correlate adjacent rows (same high bits).
+    */
+  private def mix(z0: Long): Long = {
+    var z = z0 + 0x9e3779b97f4a7c15L
+    z = (z ^ (z >>> 30)) * 0xbf58476d1ce4e5b9L
+    z = (z ^ (z >>> 27)) * 0x94d049bb133111ebL
+    z ^ (z >>> 31)
+  }
+
+  private def rng(table: Int, id: Long, seed: Long) =
+    new java.util.Random(mix(seed ^ (table.toLong << 56) ^ id))
+
+  // ---- measured distributions -----------------------------------
+  private val Vocab: Array[String] = Array(
+    "a", "agg", "batch", "big", "column", "customer", "data", "fast",
+    "filter", "group", "hash", "join", "key", "line", "merge", "order",
+    "part", "query", "row", "scan", "slow", "small", "sort", "spark",
+    "stream", "table", "the", "value", "vector", "window")
+  private val RareWord = "dup" // measured ~0.1% of tokens
+  private val Langs = Array("en", "zh", "es", "de", "fr")
+  private val LangCum = Array(0.436, 0.586, 0.732, 0.872, 1.0)
+  private val EventTypes = Array("view", "click", "purchase", "signup", "error")
+  private val Segments = Array("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+  private val Priorities = Array("1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW")
+  private val PartAdjs = Array("small", "red", "blue", "hot", "old", "big", "new", "green")
+  private val PartNouns = Array("ring", "widget", "bolt", "gear", "gizmo", "cog", "valve", "wire")
+  private val PartTypes = Array("ECONOMY", "SMALL", "MEDIUM", "LARGE", "STANDARD", "PROMO")
+  private val Regions = Array("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
+
+  private val OrderEpochDay = 9131L  // 1995-01-01
+  private val OrderDays = 2404      // .. 2001-08-01
+  private val ShipDays = OrderDays + 95
+  private val EventEpochMicros = 1704067200000000L // 2024-01-01 UTC
+  private val EventSpanMicros = 30L * 86400L * 1000000L
+
+  /** Row counts per unit scale factor (sf=1), from TESTDATA.md's
+    * sf0.01 counts ÷ 0.01.
+    */
+  private def n(base: Long, sf: Double): Long = math.max(1L, (base * sf).toLong)
+
+  def generate(spark: SparkSession, sf: Double, outDir: String, seed: Long = 443L): Unit = {
+    import spark.implicits._
+    val nCust = n(150000, sf); val nSupp = n(10000, sf); val nPart = n(200000, sf)
+    val nOrd = n(1500000, sf); val nDocs = n(50000, sf)
+    val nEvents = n(1000000, sf); val nUsers = n(15000, sf)
+    val parts = math.max(spark.sparkContext.defaultParallelism, 32)
+
+    def write(df: DataFrame, table: String): Unit = {
+      val marker = new java.io.File(s"$outDir/$table.parquet/_SUCCESS")
+      if (!marker.exists())
+        df.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
+    }
+
+    write(Regions.indices.map(i => (i, Regions(i))).toDF("r_regionkey", "r_name"), "region")
+    write((0 until 25).map(i => (i, s"NATION_$i", i % 5))
+      .toDF("n_nationkey", "n_name", "n_regionkey"), "nation")
+
+    write(spark.range(0, nCust, 1, parts).mapPartitions(_.map { id =>
+      val r = rng(1, id, seed)
+      (id, f"Customer#$id%09d", r.nextInt(25),
+        math.rint((r.nextDouble() * 11000 - 1000) * 100) / 100,
+        Segments(r.nextInt(5)))
+    }).toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal", "c_mktsegment"), "customer")
+
+    write(spark.range(0, nSupp, 1, parts).mapPartitions(_.map { id =>
+      val r = rng(2, id, seed)
+      (id, f"Supplier#$id%09d", r.nextInt(25),
+        math.rint((r.nextDouble() * 11000 - 1000) * 100) / 100)
+    }).toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"), "supplier")
+
+    write(spark.range(0, nPart, 1, parts).mapPartitions(_.map { id =>
+      val r = rng(3, id, seed)
+      (id, s"${PartAdjs(r.nextInt(8))} ${PartNouns(r.nextInt(8))}",
+        s"Brand#${r.nextInt(25)}", PartTypes(r.nextInt(6)), 1 + r.nextInt(50),
+        900.0 + (id % 1000) * 0.1)
+    }).toDF("p_partkey", "p_name", "p_brand", "p_type", "p_size", "p_retailprice"), "part")
+
+    write(spark.range(0, nOrd, 1, parts).mapPartitions(_.map { id =>
+      val r = rng(4, id, seed)
+      (id, math.floorMod(mix(seed ^ 0x04AAL ^ id), nCust),
+        "POF".charAt(r.nextInt(3)).toString,
+        math.rint((1000.0 + r.nextDouble() * 499000.0) * 100) / 100,
+        // LocalDateTime → TIMESTAMP_NTZ, matching the driver files
+        java.time.LocalDateTime.ofEpochSecond(
+          (OrderEpochDay + r.nextInt(OrderDays)) * 86400L, 0, java.time.ZoneOffset.UTC),
+        Priorities(r.nextInt(5)))
+    }).toDF("o_orderkey", "o_custkey", "o_orderstatus", "o_totalprice",
+      "o_orderdate", "o_orderpriority"), "orders")
+
+    write(spark.range(0, nOrd, 1, parts).mapPartitions(_.flatMap { oid =>
+      val r = rng(5, oid, seed)
+      (1 to 1 + r.nextInt(7)).map { ln =>
+        (oid, math.floorMod(mix(seed ^ 0x05AAL ^ (oid * 8 + ln)), nPart),
+          math.floorMod(mix(seed ^ 0x05BBL ^ (oid * 8 + ln)), nSupp), ln,
+          (1 + r.nextInt(50)).toDouble,
+          math.rint((900.0 + r.nextDouble() * 104100.0) * 100) / 100,
+          r.nextInt(11) * 0.01, r.nextInt(9) * 0.01,
+          "ANR".charAt(r.nextInt(3)).toString, "FO".charAt(r.nextInt(2)).toString,
+          java.time.LocalDateTime.ofEpochSecond(
+            (OrderEpochDay + 1 + r.nextInt(ShipDays)) * 86400L, 0, java.time.ZoneOffset.UTC))
+      }
+    }).toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber", "l_quantity",
+      "l_extendedprice", "l_discount", "l_tax", "l_returnflag", "l_linestatus",
+      "l_shipdate"), "lineitem")
+
+    write(spark.range(0, nEvents, 1, parts).mapPartitions(_.map { id =>
+      val r = rng(6, id, seed)
+      val value = math.max(0.01,
+        math.rint(-50.0 * math.log(1.0 - r.nextDouble()) * 100) / 100)
+      val us = EventEpochMicros + (r.nextDouble() * EventSpanMicros).toLong
+      (id, java.time.LocalDateTime.ofEpochSecond(
+          us / 1000000L, (us % 1000000L).toInt * 1000, java.time.ZoneOffset.UTC),
+        math.floorMod(mix(seed ^ 0x06AAL ^ id), nUsers),
+        EventTypes(r.nextInt(5)), value, s"""{"k": ${r.nextInt(100)}}""")
+    }).toDF("event_id", "ts", "user_id", "event_type", "value", "props"), "events")
+
+    write(spark.range(0, nDocs, 1, parts).mapPartitions(_.map { id =>
+      val r = rng(7, id, seed)
+      val nWords = 10 + r.nextInt(90)
+      val text = Seq.fill(nWords)(
+        if (r.nextDouble() < 0.001) RareWord else Vocab(r.nextInt(Vocab.length)))
+        .mkString(" ")
+      val u = r.nextDouble()
+      val lang = Langs(LangCum.indexWhere(u <= _))
+      (id, text, lang, s"src${r.nextInt(20)}", text.length.toLong)
+    }).toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
+
+    write(spark.range(0, nDocs, 1, parts).mapPartitions(_.map { id =>
+      val r = rng(8, id, seed)
+      val v = Array.fill(64)(r.nextGaussian())
+      val norm = math.sqrt(v.map(x => x * x).sum)
+      (id, v.map(x => (x / norm).toFloat), r.nextInt(10))
+    }).toDF("vec_id", "embedding", "label"), "embeddings")
+  }
+
+  /** `SPARK_GRAFT_SF` (default 1.0) → `target/organic/sf<sf>/`. */
+  def main(args: Array[String]): Unit = {
+    val sf = sys.env.getOrElse("SPARK_GRAFT_SF", "1.0").toDouble
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT",
+      s"target/organic/sf${if (sf == sf.toLong.toDouble) sf.toLong.toString else sf.toString}")
+    val spark = SparkSession.builder()
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    generate(spark, sf, outDir)
+    println(s"""{"built":"$outDir","sf":$sf}""")
+    spark.stop()
+  }
+}

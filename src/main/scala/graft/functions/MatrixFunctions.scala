@@ -255,6 +255,83 @@ case class SignBits(child: Expression) extends VectorMatrixExpression {
   override def prettyName: String = "sign_bits"
 }
 
+/** Random-hyperplane LSH band buckets: with `planes` holding
+  * `tables × bitsPerBand` hyperplanes row-major, output[t] =
+  * Σ_{i<bitsPerBand} (plane[t·r+i] · v ≥ 0 ? 1 : 0) << i — one
+  * `array<int>` of band buckets per row.
+  *
+  * This expression exists because banding is a CORPUS-ADAPTIVE knob
+  * (`Dedup.chooseBanding`): r·b grows with corpus size and recall
+  * target, and the composed per-plane expression tree grew CODE
+  * with it — at (10, 48) the 480-term Project breached Janino's
+  * method limits, fell back to interpreted eval, and turned a
+  * signature scan into minutes. Here the plane matrix is a
+  * REFERENCE OBJECT (data, not code): the plan carries one node,
+  * the generated method two fixed loops, and any (r, b) the chooser
+  * picks compiles to the same few hundred bytes. Dot accumulation
+  * is sequential double, bit-identical to the composed
+  * `vec_dot ≥ 0` form it replaces.
+  */
+case class LshBandBuckets(child: Expression, planes: Array[Array[Float]],
+                          bitsPerBand: Int)
+    extends VectorMatrixExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  private def tables: Int = planes.length / bitsPerBand
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = extract(v.asInstanceOf[ArrayData])
+    val out = new Array[Int](tables)
+    var t = 0
+    while (t < out.length) {
+      var bucket = 0
+      var i = 0
+      while (i < bitsPerBand) {
+        val p = planes(t * bitsPerBand + i)
+        val m = math.min(p.length, vv.length)
+        var dot = 0.0
+        var j = 0
+        while (j < m) { dot += p(j).toDouble * vv(j); j += 1 }
+        if (dot >= 0) bucket |= 1 << i
+        i += 1
+      }
+      out(t) = bucket
+      t += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val pl = ctx.addReferenceObj("lshPlanes", planes, "float[][]")
+      val vv = ctx.freshName("vv")
+      val out = ctx.freshName("out")
+      val t = ctx.freshName("t")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |${extractCode(ctx, a, vv)}
+         |int[] $out = new int[$pl.length / $bitsPerBand];
+         |for (int $t = 0; $t < $out.length; $t++) {
+         |  int bucket = 0;
+         |  for (int $i = 0; $i < $bitsPerBand; $i++) {
+         |    float[] p = $pl[$t * $bitsPerBand + $i];
+         |    int m = java.lang.Math.min(p.length, ${vv}n);
+         |    double dot = 0.0;
+         |    for (int $j = 0; $j < m; $j++) { dot += (double)p[$j] * $vv[$j]; }
+         |    if (dot >= 0) bucket |= 1 << $i;
+         |  }
+         |  $out[$t] = bucket;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "lsh_band_buckets"
+}
+
 /** Column API over the matrix expressions. */
 object matrixops {
   def centroidDists(emb: Column, centroids: Seq[Seq[Float]]): Column =
@@ -269,4 +346,8 @@ object matrixops {
 
   def signBits(emb: Column): Column =
     ColumnBridge.column(SignBits(ColumnBridge.expression(emb)))
+
+  def lshBandBuckets(emb: Column, planes: Seq[Seq[Float]], bitsPerBand: Int): Column =
+    ColumnBridge.column(
+      LshBandBuckets(ColumnBridge.expression(emb), planes.map(_.toArray).toArray, bitsPerBand))
 }

@@ -431,14 +431,15 @@ object Dedup {
     val rnd = new scala.util.Random(seed)
     val planes: Seq[Seq[Float]] =
       Seq.fill(bitsPerBand * tables)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
-    val bits: Seq[org.apache.spark.sql.Column] = planes.map(p =>
-      when(vec.dot(typedLit(p), col("embedding")) >= 0, 1).otherwise(0))
-    val bandKeys = array((0 until tables).map { b =>
-      val bucket = (0 until bitsPerBand)
-        .map(i => bits(b * bitsPerBand + i) * (1 << i))
-        .reduce(_ + _)
-      struct(lit(b).as("band_id"), bucket.as("bucket"))
-    }: _*)
+    // ALL r·b plane dots in ONE native expression holding the plane
+    // matrix as a reference object ([[graft.functions.LshBandBuckets]]):
+    // the corpus-adaptive chooser can pick (10, 48) — 480 planes —
+    // without the plan growing 480 expression nodes (the composed
+    // per-plane form breached Janino's method limit there and fell
+    // back to interpreted eval, minutes per scan at a 100× corpus).
+    // Bit-identical to the composed vec_dot ≥ 0 form.
+    val bandKeys = graft.functions.matrixops.lshBandBuckets(
+      col("embedding"), planes, bitsPerBand)
     // signatures materialize ONCE (r·b dot products per row is the
     // kind of expression a self-join would otherwise evaluate on
     // both sides); the checkpointed frame is n rows of ids + keys —
@@ -446,10 +447,12 @@ object Dedup {
     val signatures = collection.select(col("vec_id"), col("label"),
       bandKeys.as("bks")).localCheckpoint()
     val keyed = signatures.select(col("vec_id"), col("label"),
-      explode(col("bks")).as("bk"))
-    val a = keyed.select(col("label"), col("bk"), col("vec_id").as("vec_a"))
-    val b = keyed.select(col("label"), col("bk"), col("vec_id").as("vec_b"))
-    val pairs = a.join(b, Seq("label", "bk"))
+      posexplode(col("bks")).as(Seq("band_id", "bucket")))
+    val a = keyed.select(col("label"), col("band_id"), col("bucket"),
+      col("vec_id").as("vec_a"))
+    val b = keyed.select(col("label"), col("band_id"), col("bucket"),
+      col("vec_id").as("vec_b"))
+    val pairs = a.join(b, Seq("label", "band_id", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
       .select(col("label"), col("vec_a"), col("vec_b"))
       .dropDuplicates("vec_a", "vec_b")

@@ -1,0 +1,96 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+/** The organic corpus generator must be a DROP-IN for the driver
+  * data: same schemas, same key integrity, same measured
+  * distributions — and deterministic, so a committed bench number
+  * against a generated corpus is reproducible bit-for-bit.
+  */
+class OrganicCorpusSpec extends SparkSpec {
+
+  private lazy val dir = {
+    val d = graft.operators.IndexCache.tempDir("graft-organic") + "/sf"
+    OrganicCorpus.generate(spark, 0.002, d)
+    d
+  }
+
+  test("schemas match the driver tables (names and types)") {
+    for (t <- Seq("region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "documents", "embeddings")) {
+      val want = Tables.load(spark, sfDir, t).schema
+        .map(f => f.name -> f.dataType.simpleString)
+      val got = Tables.load(spark, dir, t).schema
+        .map(f => f.name -> f.dataType.simpleString)
+      assert(got == want, s"$t schema drift: $got vs $want")
+    }
+    // events: the driver file is TIMESTAMP(NANOS) readable only via
+    // Tables.events; both sides must agree AFTER that loader
+    val wantE = Tables.events(spark, sfDir).schema.map(f => f.name -> f.dataType.simpleString)
+    val gotE = Tables.events(spark, dir).schema.map(f => f.name -> f.dataType.simpleString)
+    assert(gotE == wantE, s"events schema drift: $gotE vs $wantE")
+  }
+
+  test("key integrity and dense key spaces") {
+    val nOrd = Tables.orders(spark, dir).count()
+    assert(Tables.orders(spark, dir).agg(max(col("o_orderkey"))).head.getLong(0) == nOrd - 1)
+    // every lineitem points at a real order/part/supplier
+    val li = Tables.lineitem(spark, dir)
+    assert(li.join(Tables.orders(spark, dir),
+      col("l_orderkey") === col("o_orderkey"), "left_anti").count() == 0)
+    assert(li.join(Tables.part(spark, dir),
+      col("l_partkey") === col("p_partkey"), "left_anti").count() == 0)
+    assert(Tables.orders(spark, dir).join(Tables.customer(spark, dir),
+      col("o_custkey") === col("c_custkey"), "left_anti").count() == 0)
+    val lpo = li.count().toDouble / nOrd
+    assert(lpo > 3.5 && lpo < 4.5, s"lines/order $lpo drifted from ~4")
+  }
+
+  test("measured distributions hold") {
+    val docs = Tables.documents(spark, dir)
+    // text: vocab-closed, n_chars consistent, langs all present
+    assert(docs.filter(length(col("text")) =!= col("n_chars")).count() == 0)
+    val words = docs.select(explode(split(col("text"), " ")).as("w"))
+      .groupBy("w").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(words.keySet.subsetOf(
+      ("dup" +: Seq("a", "agg", "batch", "big", "column", "customer", "data",
+        "fast", "filter", "group", "hash", "join", "key", "line", "merge",
+        "order", "part", "query", "row", "scan", "slow", "small", "sort",
+        "spark", "stream", "table", "the", "value", "vector", "window")).toSet))
+    assert(words.contains("dup") && words("dup") < words("join") / 10)
+    assert(docs.select(countDistinct(col("lang"))).head.getLong(0) == 5)
+    // embeddings: unit-norm, 10 labels
+    val e = Tables.embeddings(spark, dir)
+      .select(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x).as("sq"))
+    val norms = e.agg(min(col("sq")), max(col("sq"))).head
+    assert(math.abs(norms.getDouble(0) - 1.0) < 1e-6 &&
+      math.abs(norms.getDouble(1) - 1.0) < 1e-6)
+    assert(Tables.embeddings(spark, dir)
+      .select(countDistinct(col("label"))).head.getLong(0) == 10)
+    // events: value is positive with an exponential-ish tail, 5 types
+    val ev = Tables.events(spark, dir)
+    val v = ev.agg(min(col("value")), avg(col("value"))).head
+    assert(v.getDouble(0) >= 0.01 && v.getDouble(1) > 35 && v.getDouble(1) < 65)
+    assert(ev.select(countDistinct(col("event_type"))).head.getLong(0) == 5)
+  }
+
+  test("generation is deterministic and independent of partitioning") {
+    val d2 = graft.operators.IndexCache.tempDir("graft-organic2") + "/sf"
+    OrganicCorpus.generate(spark, 0.002, d2)
+    for (t <- Seq("orders", "lineitem", "documents", "embeddings", "events")) {
+      def digest(d: String): String = {
+        val df = if (t == "events") Tables.events(spark, d) else Tables.load(spark, d, t)
+        // decimal sum: a bigint sum of 64-bit hashes overflows ANSI
+        df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+          .agg(sum(col("h").cast("decimal(38,0)"))).head.getDecimal(0).toString
+      }
+      assert(digest(dir) == digest(d2), s"$t not deterministic")
+    }
+  }
+
+  test("registered entries run against a generated corpus unchanged") {
+    for (q <- Seq("q1_agg", "q_token_count", "q_knn_cosine", "q_eql_sequence"))
+      assert(SparkEntry.queries(q)(spark, dir).count() > 0, s"$q empty on organic corpus")
+  }
+}
