@@ -257,6 +257,9 @@ object SlopeBench {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
+      // drain dead shuffle files promptly (see the System.gc() note
+      // in time()) — the 30 min default outlives a whole slope run
+      .config("spark.cleaner.periodicGC.interval", "1min")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
@@ -300,9 +303,20 @@ object SlopeBench {
     val qs = selected.map(n => n -> fnOf(n))
     def time(dir: String, name: String): Double = {
       val fn = fnOf(name)
+      System.err.println(s"[slope] $name @ $dir")
       val t0 = System.nanoTime()
       fn(spark, dir).count()
-      (System.nanoTime() - t0) / 1e9
+      val dt = (System.nanoTime() - t0) / 1e9
+      // shuffle files of a finished query live until ContextCleaner
+      // GCs their dependencies (periodicGC defaults to 30 min) — at
+      // a 100× corpus the heavy queries write tens of GB of shuffle
+      // each, and two passes × several queries of DEAD shuffle files
+      // exhaust local disk before the timer ever misses. Kick the GC
+      // between timed queries (outside the timed window), exactly
+      // the hygiene a long-lived cluster session gets from its
+      // periodic cleaner.
+      System.gc()
+      dt
     }
     // two passes per scale, min-of-two (same rationale as Bench)
     def pass(dir: String): Map[String, Double] =

@@ -442,26 +442,36 @@ object Dedup {
       col("embedding"), planes, bitsPerBand)
     // signatures materialize ONCE (r·b dot products per row is the
     // kind of expression a self-join would otherwise evaluate on
-    // both sides); the checkpointed frame is n rows of ids + keys —
-    // transient, reclaimed by the request-boundary hygiene
+    // both sides); the checkpointed frame is n rows of ids + keys +
+    // embedding — transient, reclaimed by the request-boundary
+    // hygiene. CARRYING THE EMBEDDING through the bucket join is the
+    // load-bearing shape decision (the MLlib approxSimilarityJoin
+    // shape): candidates are verified by cosine INSIDE the join
+    // stage, map-side, so the only corpus-scaling shuffles are the
+    // two join INPUTS (n·b rows of ~300 B). The previous
+    // ids-only → dedup → two verify joins pipeline shuffled the full
+    // CANDIDATE PAIR set twice with an embedding column attached —
+    // at a 100× corpus that was ~10⁸ pairs × 260 B ≈ 75 GB of dead
+    // exchange per pass, which exhausted local disk before any
+    // timer expired. Survivors of the threshold filter are the near-
+    // dup relation itself (tiny), so the cross-table pair dedup
+    // happens after scoring at negligible cost; scores of duplicate
+    // candidates are identical by determinism of the expression, so
+    // the result relation is unchanged.
     val signatures = collection.select(col("vec_id"), col("label"),
-      bandKeys.as("bks")).localCheckpoint()
-    val keyed = signatures.select(col("vec_id"), col("label"),
+      col("embedding"), bandKeys.as("bks")).localCheckpoint()
+    val keyed = signatures.select(col("vec_id"), col("label"), col("embedding"),
       posexplode(col("bks")).as(Seq("band_id", "bucket")))
     val a = keyed.select(col("label"), col("band_id"), col("bucket"),
-      col("vec_id").as("vec_a"))
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
     val b = keyed.select(col("label"), col("band_id"), col("bucket"),
-      col("vec_id").as("vec_b"))
-    val pairs = a.join(b, Seq("label", "band_id", "bucket"))
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label", "band_id", "bucket"))
       .filter(col("vec_a") < col("vec_b"))
-      .select(col("label"), col("vec_a"), col("vec_b"))
-      .dropDuplicates("vec_a", "vec_b")
-    pairs
-      .join(collection.select(col("vec_id").as("vec_a"), col("embedding").as("emb_a")), "vec_a")
-      .join(collection.select(col("vec_id").as("vec_b"), col("embedding").as("emb_b")), "vec_b")
       .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
       .filter(col("score") >= threshold)
       .select(col("vec_a"), col("vec_b"), col("label"), col("score"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** MinHash parameters: 64 permutations in 16 bands of 4 rows.
