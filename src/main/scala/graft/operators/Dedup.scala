@@ -393,15 +393,19 @@ object Dedup {
     * the band-bucket shuffle are a FIXED tax that a small pair block
     * never amortizes; above it the exact scorer's Σ n_b² goes
     * quadratic while bounded-occupancy banding stays n^(1+ρ).
-    * Measured on the organic scaled corpus (threshold 0.9,
-    * `bench/slope_crossover_r9.json`): at avg block 208 exact runs
-    * ~0.6 s vs LSH ~1.0 s; at avg 2 080 the two tie (~6 s each); at
-    * avg 20 800 LSH wins 168 s vs an extrapolated ~600 s. The same
-    * shape as [[graft.operators.Ann.filteredIvfKnn]]'s
-    * selectivity switch: pick the plan from the measured statistic,
-    * not a hand pin.
+    * Measured arms at threshold 0.9 on the organic scaled corpus
+    * (`bench/slope_x10_embedding_r9.json`, the join-side-verify
+    * shape): at avg block 520 exact wins 0.47 s vs adaptive 0.78 s;
+    * at avg block 5 200 adaptive wins 1.63 s vs exact 6.23 s.
+    * Power-law interpolation of the two arms (exact exponent ≈ 1.1,
+    * LSH ≈ 0.3 across that decade) puts the tie at avg block ≈ 970;
+    * 1000 is the pinned switch. Either arm is within ~2× of optimal
+    * across the whole measured bracket, so the constant's job is to
+    * avoid the ORDER-OF-MAGNITUDE losses outside it. The same shape
+    * as [[graft.operators.Ann.filteredIvfKnn]]'s selectivity switch:
+    * pick the plan from the measured statistic, not a hand pin.
     */
-  val LshCrossoverAvgBlock: Double = 2000.0
+  val LshCrossoverAvgBlock: Double = 1000.0
 
   /** The production embedding-near-dup verb: measures the collection
     * (one metadata-cheap count/countDistinct pass), runs the exact

@@ -228,7 +228,7 @@ class DedupSpec extends SparkSpec {
     assert(copies.nonEmpty && copies.subsetOf(adaptive))
     assert(adaptive.size.toDouble / exact.size >= 0.9)
     // the production verb below the crossover (avg label block ~52
-    // here, crossover 2000) IS the exact scorer: identical relation,
+    // here, crossover 1000) IS the exact scorer: identical relation,
     // recall exactly 1 — and the plan contains no LSH signature stage
     val auto = Dedup.embeddingNearDupAuto(aug, threshold = 0.9)
     assert(pairSet(auto) == exact)
