@@ -107,4 +107,31 @@ class VectorPropertySpec extends SparkSpec {
       assert(h == ref, s"hamming $h != ref $ref (n=$n)")
     }
   }
+
+  test("lsh_band_buckets is bit-identical to the composed vec_dot >= 0 form") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(17)
+    // bandings spanning the chooser's whole clamp range, including
+    // the (10, 48) production size whose composed form breached
+    // Janino — the native expression must agree with the COMPOSED
+    // EXPRESSION PIPELINE (not just local math) on every bucket
+    for ((r, b) <- Seq((4, 4), (7, 16), (10, 48))) {
+      val dim = 32
+      val planes: Seq[Seq[Float]] =
+        Seq.fill(r * b)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
+      val vecs = Seq.fill(50)(Array.fill(dim)((rnd.nextGaussian()).toFloat))
+      val df = vecs.toDF("embedding").localCheckpoint()
+      val native = df.select(
+        graft.functions.matrixops.lshBandBuckets($"embedding", planes, r).as("bks"))
+        .collect().map(_.getSeq[Int](0))
+      val bits = planes.map(p =>
+        when(vec.dot(typedLit(p), $"embedding") >= 0, 1).otherwise(0))
+      val composed = df.select(array((0 until b).map { t =>
+        (0 until r).map(i => bits(t * r + i) * (1 << i)).reduce(_ + _)
+      }: _*).as("bks")).collect().map(_.getSeq[Int](0))
+      native.zip(composed).foreach { case (n, c) =>
+        assert(n == c, s"banding ($r,$b): native $n != composed $c")
+      }
+    }
+  }
 }
