@@ -252,7 +252,13 @@ object SlopeBench {
     val baseDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val factor = sys.env.getOrElse("SPARK_GRAFT_SCALE", "10").toInt
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
-    val scaledDir = s"target/slope/${new java.io.File(baseDir).getName}x$factor"
+    // SPARK_GRAFT_SLOPE_SCALED_DIR points the scaled arm at a
+    // PRE-BUILT corpus (e.g. graft.OrganicCorpus output) instead of
+    // replicating baseDir — the organic-decade measurement: both
+    // arms independently generated, no replication anywhere
+    val scaledOverride = sys.env.get("SPARK_GRAFT_SLOPE_SCALED_DIR")
+    val scaledDir = scaledOverride.getOrElse(
+      s"target/slope/${new java.io.File(baseDir).getName}x$factor")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -293,10 +299,12 @@ object SlopeBench {
       selected.exists(n => n.startsWith("q_media_knn") ||
         n.startsWith("q_dedup_embedding"))
 
-    if (needsFull) buildScaledAll(spark, baseDir, scaledDir, factor)
-    else {
-      buildScaled(spark, baseDir, scaledDir, factor)
-      if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
+    if (scaledOverride.isEmpty) {
+      if (needsFull) buildScaledAll(spark, baseDir, scaledDir, factor)
+      else {
+        buildScaled(spark, baseDir, scaledDir, factor)
+        if (needsEmbeddings) buildScaledEmbeddings(spark, baseDir, scaledDir, factor)
+      }
     }
 
     def fnOf(n: String) = SlopeOnly.getOrElse(n, SparkEntry.queries(n))
