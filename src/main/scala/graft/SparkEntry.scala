@@ -181,6 +181,9 @@ object SparkEntry {
     "q_multi_terms"     -> (Collection.qMultiTerms _),
     "q_range_band_search" -> (VectorSearch.qRangeBandSearch _),
     "q_geo_rings"       -> (Geo.qGeoRings _),
+    "q_geo_line"        -> (Geo.qGeoLine _),
+    "q_termvectors"     -> (FullText.qTermvectors _),
+    "q_quality_classifier" -> (TextAnalysis.qQualityClassifier _),
     "q_percentiles_bucket" -> (Relational.qPercentilesBucket _),
     "q_change_point"    -> (Relational.qChangePoint _),
     "q_hard_negatives"  -> (VectorSearch.qHardNegatives _),
@@ -1917,6 +1920,47 @@ object SparkEntry {
         |  count(*) AS n_users,
         |  round(avg(dist_km), 6) AS avg_dist_km
         |FROM d GROUP BY 1 ORDER BY ring""".stripMargin,
+    "q_geo_line" ->
+      """WITH e AS (SELECT user_id, event_id, ts,
+        |  CAST(CAST('0x' || substring(md5('x' || CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 36000 AS BIGINT) - 18000 AS lonc,
+        |  CAST(CAST('0x' || substring(md5(CAST(event_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 18000 AS BIGINT) - 9000 AS latc
+        |  FROM events WHERE user_id % 15 = 7),
+        |r AS (SELECT user_id, lonc, latc,
+        |  row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+        |  count(*) OVER (PARTITION BY user_id) AS n_points FROM e)
+        |SELECT user_id, n_points,
+        |  string_agg(CAST(lonc AS VARCHAR) || ':' || CAST(latc AS VARCHAR), ' ' ORDER BY rn) AS line,
+        |  n_points <= 10 AS complete
+        |FROM r WHERE rn <= 10
+        |GROUP BY user_id, n_points ORDER BY user_id""".stripMargin,
+    "q_termvectors" ->
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
+        |           FROM documents WHERE doc_id IN (5, 17, 42)),
+        |p AS (SELECT doc_id, toks, CAST(unnest(range(len(toks))) AS BIGINT) AS pos0 FROM d),
+        |t AS (SELECT doc_id, toks[CAST(pos0 + 1 AS INT)] AS term, pos0 + 1 AS pos FROM p),
+        |pd AS (SELECT doc_id, term, count(*) AS term_freq, min(pos) AS first_pos
+        |       FROM t GROUP BY 1, 2),
+        |c AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term FROM documents),
+        |cs AS (SELECT term, CAST(count(DISTINCT doc_id) AS BIGINT) AS doc_freq,
+        |         count(*) AS ttf
+        |       FROM c WHERE term IN (SELECT DISTINCT term FROM pd) GROUP BY 1)
+        |SELECT pd.doc_id, pd.term, pd.term_freq, pd.first_pos, cs.doc_freq, cs.ttf
+        |FROM pd JOIN cs USING (term) ORDER BY doc_id, term""".stripMargin,
+    "q_quality_classifier" ->
+      """WITH t AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    unnest(string_split(text, ' ')) AS tok FROM documents),
+        |w AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    sum((CAST(CAST('0x' || substring(md5(tok), 1, 8) AS BIGINT) % 4096 AS BIGINT)
+        |         * 2654435761) % 1000003 - 500000) AS w_sum
+        |  FROM t GROUP BY 1, 2),
+        |s AS (SELECT doc_id, n_tokens, w_sum,
+        |    4.0 * w_sum / (n_tokens * 1000003.0) AS logit FROM w)
+        |SELECT doc_id, n_tokens,
+        |  round(0.5 + 0.5 * logit / (1.0 + abs(logit)), 6) AS score,
+        |  w_sum >= 0 AS keep
+        |FROM s ORDER BY doc_id""".stripMargin,
     "q_percentiles_bucket" ->
       """WITH b AS (SELECT o_orderdate::DATE AS day, sum(o_totalprice) AS rev
         |           FROM orders GROUP BY 1)

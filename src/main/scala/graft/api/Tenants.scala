@@ -1,0 +1,211 @@
+package graft.api
+
+import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.col
+import graft.sources.{VersionedPointer, WriterLease}
+
+/** Multi-tenant collection lifecycle — the Weaviate tenant-state
+  * machine (`HOT` / `COLD` / `OFFLOADED`; reference stack boots
+  * Weaviate at /root/reference/tests/cpu/docker-compose.yml:71-86)
+  * re-expressed as a partitioned at-rest layout:
+  *
+  *   - the collection lands under `<home>/data/tenant=<name>/…`
+  *     (Spark partitionBy), so every tenant is a disjoint directory
+  *     subtree and a tenant predicate prunes at the FILE LISTING —
+  *     one tenant's query never lists, let alone reads, another
+  *     tenant's files. At 100 TB across thousands of tenants this is
+  *     the property that matters: per-tenant work is bounded by that
+  *     tenant's data, not the collection's.
+  *   - tenant STATUS lives in a `.tenants` [[VersionedPointer]]
+  *     manifest (`name<TAB>status[<TAB>offloadPath]` lines), updated
+  *     by CAS merge — concurrent status changes on different tenants
+  *     both land; readers resolve one snapshot.
+  *   - `HOT` serves; `COLD` keeps files in place but refuses serving
+  *     (Weaviate's INACTIVE: no memory/serving cost, instant
+  *     reactivation); `OFFLOADED` physically moves the tenant
+  *     subtree to an offload root (cold object storage tier) and
+  *     records where — reactivation moves it back.
+  *
+  * All mutations run under [[WriterLease.exclusive]] on the home, so
+  * two driver processes cannot interleave status flips with data
+  * moves. Same-filesystem moves are renames; a cross-store offload
+  * would swap the rename for a copy job at the same seam.
+  */
+object Tenants {
+
+  sealed abstract class Status(val wire: String)
+  case object Hot extends Status("HOT")
+  case object Cold extends Status("COLD")
+  final case class Offloaded(location: String) extends Status("OFFLOADED")
+
+  final case class TenantState(name: String, status: Status)
+
+  private def fsOf(spark: SparkSession, p: String): FileSystem =
+    new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
+
+  private def manifestDir(home: String): Path = new Path(home, ".tenants")
+  private def dataDir(home: String): String = s"$home/data"
+  private def tenantDir(home: String, tenant: String): Path =
+    new Path(dataDir(home), s"tenant=$tenant")
+
+  private def render(m: Map[String, Status]): String =
+    m.toSeq.sortBy(_._1).map {
+      case (n, Offloaded(loc)) => s"$n\tOFFLOADED\t$loc"
+      case (n, s)              => s"$n\t${s.wire}"
+    }.mkString("\n")
+
+  private def parse(s: String): Map[String, Status] =
+    s.split("\n").filter(_.nonEmpty).map { line =>
+      line.split("\t") match {
+        case Array(n, "HOT")            => n -> (Hot: Status)
+        case Array(n, "COLD")           => n -> (Cold: Status)
+        case Array(n, "OFFLOADED", loc) => n -> (Offloaded(loc): Status)
+        case other => throw new IllegalStateException(
+          s"corrupt tenant manifest line: ${other.mkString("\t")}")
+      }
+    }.toMap
+
+  /** CAS-merge a manifest edit: concurrent edits touching DIFFERENT
+    * tenants both land; a lost race re-reads and re-applies.
+    */
+  private def editManifest(fs: FileSystem, home: String)
+                          (f: Map[String, Status] => Map[String, Status]): Unit = {
+    val dir = manifestDir(home)
+    var done = false
+    while (!done) {
+      val cur = VersionedPointer.readVersioned(fs, dir)
+      val (v, m) = cur.map { case (ver, s) => (ver, parse(s)) }.getOrElse((-1L, Map.empty[String, Status]))
+      done = VersionedPointer.writeIfAtVersion(fs, dir, render(f(m)), v)
+    }
+  }
+
+  /** Current tenant → status map (one small manifest read). */
+  def states(spark: SparkSession, home: String): Map[String, Status] =
+    VersionedPointer.read(fsOf(spark, home), manifestDir(home))
+      .map(parse).getOrElse(Map.empty)
+
+  /** Create (or extend) the collection from a frame carrying a
+    * `tenant` column: data lands partitioned by tenant, and every
+    * tenant present in the batch is enrolled HOT. Append-mode so
+    * `create` and later tenant additions are the same verb.
+    */
+  def write(spark: SparkSession, home: String, df: DataFrame): Unit =
+    WriterLease.exclusive(spark, home) {
+      require(df.columns.contains("tenant"),
+        "Tenants.write expects a 'tenant' column to partition by")
+      val names = df.select(col("tenant").cast("string")).distinct()
+        .collect().map(_.getString(0)).toSeq // bounded: one row per tenant in the batch
+      df.write.mode("append").partitionBy("tenant").parquet(dataDir(home))
+      editManifest(fsOf(spark, home), home)(m => m ++ names.filterNot(m.contains).map(_ -> (Hot: Status)))
+    }
+
+  /** Serve one tenant. Only HOT tenants serve — a COLD or OFFLOADED
+    * tenant fails loudly (the Weaviate "tenant not active" error)
+    * instead of silently scanning a tier the operator retired. The
+    * tenant predicate binds to the partition column, so the scan
+    * lists exactly one tenant subtree at any collection size.
+    */
+  def read(spark: SparkSession, home: String, tenant: String): DataFrame =
+    states(spark, home).get(tenant) match {
+      case Some(Hot) =>
+        spark.read.parquet(dataDir(home)).where(col("tenant") === tenant)
+      case Some(Cold) => throw new IllegalStateException(
+        s"tenant '$tenant' is deactivated (COLD); Tenants.activate it before reading")
+      case Some(Offloaded(loc)) => throw new IllegalStateException(
+        s"tenant '$tenant' is OFFLOADED to $loc; Tenants.activate it before reading")
+      case None => throw new IllegalArgumentException(
+        s"unknown tenant '$tenant' under $home")
+    }
+
+  /** Serve every HOT tenant (the cross-tenant aggregate path): the
+    * hot set compiles to an IN-list on the partition column — COLD
+    * and OFFLOADED subtrees are pruned at the listing, not filtered
+    * after a read.
+    */
+  def readHot(spark: SparkSession, home: String): DataFrame = {
+    val hot = states(spark, home).collect { case (n, Hot) => n }.toSeq
+    spark.read.parquet(dataDir(home)).where(col("tenant").isin(hot: _*))
+  }
+
+  /** HOT → COLD: files stay in place, serving stops, reactivation is
+    * a manifest flip.
+    */
+  def deactivate(spark: SparkSession, home: String, tenant: String): Unit =
+    WriterLease.exclusive(spark, home) {
+      editManifest(fsOf(spark, home), home) { m =>
+        m.get(tenant) match {
+          case Some(Hot) | Some(Cold) => m.updated(tenant, Cold)
+          case Some(o: Offloaded) => throw new IllegalStateException(
+            s"tenant '$tenant' is OFFLOADED to ${o.location}; activate it first")
+          case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
+        }
+      }
+    }
+
+  /** COLD → HOT (manifest flip), or OFFLOADED → HOT (move the
+    * subtree back from the offload tier, then flip).
+    */
+  def activate(spark: SparkSession, home: String, tenant: String): Unit =
+    WriterLease.exclusive(spark, home) {
+      val fs = fsOf(spark, home)
+      states(spark, home).get(tenant) match {
+        case Some(Hot) | Some(Cold) =>
+          editManifest(fs, home)(_.updated(tenant, Hot))
+        case Some(Offloaded(loc)) =>
+          val src = new Path(loc)
+          val dst = tenantDir(home, tenant)
+          if (!fs.rename(src, dst)) {
+            // cross-filesystem offload tier: copy, then delete source
+            if (!FileUtil.copy(fs, src, fs, dst, true, spark.sparkContext.hadoopConfiguration))
+              throw new IllegalStateException(
+                s"failed to restore tenant '$tenant' from $loc")
+          }
+          editManifest(fs, home)(_.updated(tenant, Hot))
+        case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
+      }
+    }
+
+  /** Move the tenant's subtree to the offload root (cold storage
+    * tier) and record the location. The manifest flips AFTER the
+    * move: a crash between the two leaves a moved-but-COLD/HOT
+    * tenant whose next read fails on the missing dir — loud, and
+    * repairable by re-running offload (idempotent on the recorded
+    * location) — never a manifest pointing at data that is gone.
+    */
+  def offload(spark: SparkSession, home: String, tenant: String,
+              offloadRoot: String): Unit =
+    WriterLease.exclusive(spark, home) {
+      val fs = fsOf(spark, home)
+      states(spark, home).get(tenant) match {
+        case Some(Hot) | Some(Cold) =>
+          val src = tenantDir(home, tenant)
+          val dst = new Path(offloadRoot, tenant)
+          fs.mkdirs(new Path(offloadRoot))
+          if (!fs.rename(src, dst))
+            throw new IllegalStateException(
+              s"failed to offload tenant '$tenant' to $dst")
+          editManifest(fs, home)(_.updated(tenant, Offloaded(dst.toString)))
+        case Some(Offloaded(loc)) =>
+          if (loc != new Path(offloadRoot, tenant).toString)
+            throw new IllegalStateException(
+              s"tenant '$tenant' already offloaded to $loc")
+        case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
+      }
+    }
+
+  /** Drop a tenant entirely: data deleted, manifest entry removed
+    * (the AliasGroup drop-hygiene contract — no tombstone rows
+    * accumulate in the manifest).
+    */
+  def drop(spark: SparkSession, home: String, tenant: String): Unit =
+    WriterLease.exclusive(spark, home) {
+      val fs = fsOf(spark, home)
+      states(spark, home).get(tenant) match {
+        case Some(Offloaded(loc)) => fs.delete(new Path(loc), true)
+        case Some(_)              => fs.delete(tenantDir(home, tenant), true)
+        case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
+      }
+      editManifest(fs, home)(_ - tenant)
+    }
+}

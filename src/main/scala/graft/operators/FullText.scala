@@ -845,4 +845,42 @@ object FullText {
         col("doc_id"), col("n_chars"))
       .orderBy(col("lang"), col("rank"))
   }
+
+  /** Term vectors (ES `_termvectors` / `_mtermvectors` with
+    * `term_statistics=true`): for a handful of documents, every term
+    * with its in-doc frequency and first position, plus the
+    * corpus-level doc_freq and total term frequency ES attaches when
+    * term statistics are requested.
+    *
+    * Scale shape: the per-doc side is a pushed-down id scan (a few
+    * row groups at any corpus size); the corpus statistics pass
+    * explodes the corpus ONCE but joins against the broadcast tiny
+    * term set BEFORE aggregating — the shuffle carries only the
+    * requested terms' postings, not the whole vocabulary. With a
+    * standing [[graft.api.TextIndex]] the same df/ttf columns come
+    * straight off the at-rest dictionary and the corpus scan
+    * disappears entirely (the `q_bm25_indexed` pattern).
+    */
+  def qTermvectors(spark: SparkSession, sfDir: String): DataFrame = {
+    val docIds = Seq(5L, 17L, 42L)
+    val docs = Tables.documents(spark, sfDir)
+    val perDoc = docs
+      .filter(col("doc_id").isin(docIds: _*))
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .groupBy(col("doc_id"), col("col").as("term"))
+      .agg(count(lit(1)).as("term_freq"),
+        (min(col("pos")).cast("long") + 1).as("first_pos"))
+    val termSet = perDoc.select(col("term")).distinct()
+    val corpusStats = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("term"))
+      .join(broadcast(termSet), "term")
+      .groupBy(col("term"))
+      .agg(countDistinct(col("doc_id")).as("doc_freq"),
+        count(lit(1)).as("ttf"))
+    perDoc
+      .join(broadcast(corpusStats), "term")
+      .select(col("doc_id"), col("term"), col("term_freq"),
+        col("first_pos"), col("doc_freq"), col("ttf"))
+      .orderBy(col("doc_id"), col("term"))
+  }
 }

@@ -423,4 +423,51 @@ object Geo {
         round(avg(col("dist_km")), 6).as("avg_dist_km"))
       .orderBy(col("ring"))
   }
+
+  /** Track aggregation (ES `geo_line`): per user, connect that
+    * user's event points — coordinates derived per EVENT on the same
+    * 0.01° md5 grid as [[userGeo]] — into a line ordered by event
+    * time, truncated to the first `LineSize` points (ES returns
+    * `complete=false` when the track was truncated, mirrored here).
+    * The line is serialized as integer centidegrees ("lonc:latc …")
+    * so the string is bit-identical across engines — no float
+    * formatting in the hash path.
+    *
+    * Scale shape: the per-user rank is one window whose
+    * `row_number ≤ k` plans as WindowGroupLimit (each partition
+    * pre-limits to k before the user-keyed shuffle), and the line
+    * assembly aggregates only the ≤k survivors per user; n_points
+    * rides the same shuffle as a combinable count. No corpus-sized
+    * collect anywhere — the track store pattern for billions of
+    * pings.
+    */
+  def qGeoLine(spark: SparkSession, sfDir: String): DataFrame = {
+    val LineSize = 10
+    val pts = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") % 15 === 7)
+      .select(col("user_id"), col("event_id"), col("ts"))
+      .withColumn("lonc",
+        graft.functions.hashes.md5Bucket(
+          concat(lit("x"), col("event_id").cast("string")), 36000) - 18000)
+      .withColumn("latc",
+        graft.functions.hashes.md5Bucket(col("event_id").cast("string"), 18000) - 9000)
+    val byUser = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val counts = pts.groupBy(col("user_id")).agg(count(lit(1)).as("n_points"))
+    pts
+      .withColumn("rn", row_number().over(byUser))
+      .filter(col("rn") <= LineSize)
+      .withColumn("pt", concat(col("lonc").cast("string"), lit(":"),
+        col("latc").cast("string")))
+      .groupBy(col("user_id"))
+      // struct sort keys the collected points by rank — collect_list
+      // order is not deterministic across partitions on its own
+      .agg(concat_ws(" ", expr(
+        "transform(array_sort(collect_list(named_struct('rn', rn, 'pt', pt))), s -> s.pt)"))
+        .as("line"))
+      .join(broadcast(counts), "user_id")
+      .select(col("user_id"), col("n_points"), col("line"),
+        (col("n_points") <= LineSize).as("complete"))
+      .orderBy(col("user_id"))
+  }
 }

@@ -457,4 +457,42 @@ object TextAnalysis {
       .agg(count(lit(1)).as("n_docs"), min(col("doc_id")).as("sample_doc"))
       .orderBy(col("n_docs").desc, col("category"))
       .limit(20)
+
+  /** Linear quality-classifier inference (the fasttext-style filter
+    * of CCNet / GPT-3-class pipeline cleans): hash each token into a
+    * 4096-bucket feature space, look up the bucket's weight, and
+    * score the document by the mean weight through a bounded link —
+    * exactly the hashed-bag-of-words linear model shape, with the
+    * trained weight vector replaced by a closed-form keyed weight so
+    * the DuckDB oracle can recompute it (a real model is one
+    * broadcast `Array[Double]` lookup in the same expression slot).
+    *
+    * Determinism across engines: the per-token weight is an INTEGER
+    * (`(bucket · 2654435761) mod 1000003 − 500000`, exact in int64
+    * for both engines), so the document sum is exact integer
+    * arithmetic in any fold order; floats appear only in the final
+    * per-doc division and link, on exact integer inputs. The link is
+    * the algebraic sigmoid x/(1+|x|) — engine-portable where
+    * libm `exp` is not bit-stable across implementations.
+    *
+    * Scale shape: scan-only — one higher-order fold per row, no
+    * explode, no shuffle; the classifier runs at parquet-scan
+    * throughput on any corpus size.
+    */
+  def qQualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
+    Tables.documents(spark, sfDir)
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
+      .select(col("doc_id"),
+        size(col("toks")).cast("long").as("n_tokens"),
+        expr("""aggregate(toks, 0L, (acc, t) ->
+            acc + (pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), 4096)
+                   * 2654435761L) % 1000003L - 500000L)""").as("w_sum"))
+      .withColumn("logit",
+        lit(4.0) * col("w_sum") / (col("n_tokens") * lit(1000003.0)))
+      .select(col("doc_id"), col("n_tokens"),
+        round(lit(0.5) + lit(0.5) * col("logit") / (lit(1.0) + abs(col("logit"))), 6)
+          .as("score"),
+        // keep decided on the exact integer sum, not the rounded float
+        (col("w_sum") >= 0L).as("keep"))
+      .orderBy(col("doc_id"))
 }

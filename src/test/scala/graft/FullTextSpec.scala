@@ -458,4 +458,34 @@ class FullTextSpec extends SparkSpec {
     }
     assert(byLang.map { case (_, rs) => rs.head.getAs[Long]("n_hits") }.sum == total)
   }
+
+  test("q_termvectors: per-doc tf sums to doc length, df/ttf match a direct recount") {
+    import org.apache.spark.sql.functions._
+    val rows = FullText.qTermvectors(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val docs = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).split(" ").toSeq).toMap
+    // tf over a doc's terms sums to that doc's token count, and each
+    // first_pos is genuinely the first occurrence (1-based)
+    rows.groupBy(_.getAs[Long]("doc_id")).foreach { case (id, rs) =>
+      assert(rs.map(_.getAs[Long]("term_freq")).sum == docs(id).length)
+      rs.foreach { r =>
+        val term = r.getAs[String]("term")
+        assert(r.getAs[Long]("first_pos") == docs(id).indexOf(term) + 1)
+      }
+    }
+    // corpus statistics: independently recount df and ttf for a
+    // handful of the returned terms
+    val terms = rows.map(_.getAs[String]("term")).distinct.take(5)
+    val recount = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("t"))
+      .filter(col("t").isin(terms: _*))
+      .groupBy("t").agg(countDistinct("doc_id").as("df"), count(lit(1)).as("ttf"))
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2))).toMap
+    rows.filter(r => terms.contains(r.getAs[String]("term"))).foreach { r =>
+      val (df, ttf) = recount(r.getAs[String]("term"))
+      assert(r.getAs[Long]("doc_freq") == df && r.getAs[Long]("ttf") == ttf)
+    }
+  }
 }

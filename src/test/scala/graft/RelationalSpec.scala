@@ -168,6 +168,42 @@ class RelationalSpec extends SparkSpec {
     assert(rows.map(_.getAs[Long]("n_events")).forall(_ > 0))
   }
 
+  test("q_geo_line tracks are time-ordered, truncated at 10, complete ⇔ untruncated") {
+    val rows = graft.operators.Geo.qGeoLine(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val pts = r.getAs[String]("line").split(" ")
+      val n = r.getAs[Long]("n_points")
+      assert(pts.length == math.min(n, 10L))
+      assert(r.getAs[Boolean]("complete") == (n <= 10))
+      // every vertex is a valid centidegree pair
+      pts.foreach { p =>
+        val Array(lonc, latc) = p.split(":").map(_.toLong)
+        assert(lonc >= -18000 && lonc < 18000 && latc >= -9000 && latc < 9000)
+      }
+    }
+    // the line really follows event time: recompute one user's first
+    // points from the raw events
+    val uid = rows.head.getAs[Long]("user_id")
+    import org.apache.spark.sql.functions._
+    val firstIds = graft.Tables.events(spark, sfDir)
+      .filter(col("user_id") === uid)
+      .orderBy(col("ts"), col("event_id")).limit(10)
+      .select(col("event_id")).collect().map(_.getLong(0))
+    def md5Bucket(key: String, mod: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(key.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % mod
+    }
+    val expected = firstIds.map { id =>
+      val lonc = md5Bucket(s"x$id", 36000) - 18000
+      val latc = md5Bucket(id.toString, 18000) - 9000
+      s"$lonc:$latc"
+    }.mkString(" ")
+    assert(rows.head.getAs[String]("line") == expected)
+  }
+
   test("q_geo_grid cells are densest-first with centroids inside the cell") {
     val rows = graft.operators.Geo.qGeoGrid(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)

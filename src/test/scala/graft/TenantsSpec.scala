@@ -1,0 +1,100 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import graft.api.Tenants
+import graft.operators.IndexCache
+
+/** Weaviate-style tenant lifecycle over the partitioned at-rest
+  * layout: HOT serves (pruned to the tenant's own subtree), COLD
+  * refuses without touching data, OFFLOADED physically tiers the
+  * subtree out and back, drop leaves no manifest residue, and
+  * concurrent status flips on different tenants merge.
+  */
+class TenantsSpec extends SparkSpec {
+
+  private def corpus(tenants: Seq[String], perTenant: Int): DataFrame = {
+    import spark.implicits._
+    tenants.zipWithIndex.flatMap { case (t, ti) =>
+      (0 until perTenant).map(i => (ti.toLong * 1000 + i, s"doc $t $i", t))
+    }.toDF("id", "body", "tenant")
+  }
+
+  test("lifecycle: hot serves pruned, cold refuses, offload tiers out and back, drop erases") {
+    val home = IndexCache.tempDir("graft-tenants") + "/coll"
+    val offloadRoot = IndexCache.tempDir("graft-tenants-offload")
+    Tenants.write(spark, home, corpus(Seq("acme", "beta", "corp"), 20))
+
+    assert(Tenants.states(spark, home).keySet === Set("acme", "beta", "corp"))
+
+    // HOT read returns exactly the tenant's rows, and the scan reads
+    // only files under that tenant's partition subtree (file-listing
+    // pruning — the property that bounds per-tenant cost at scale)
+    val acme = Tenants.read(spark, home, "acme")
+    assert(acme.count() === 20)
+    val filesTouched = acme.select(input_file_name()).distinct()
+      .collect().map(_.getString(0))
+    assert(filesTouched.nonEmpty && filesTouched.forall(_.contains("tenant=acme")))
+
+    // readHot spans all hot tenants
+    assert(Tenants.readHot(spark, home).count() === 60)
+
+    // COLD: serving refused, other tenants unaffected, aggregate excludes it
+    Tenants.deactivate(spark, home, "beta")
+    val e1 = intercept[IllegalStateException](Tenants.read(spark, home, "beta"))
+    assert(e1.getMessage.contains("COLD"))
+    assert(Tenants.read(spark, home, "acme").count() === 20)
+    assert(Tenants.readHot(spark, home).count() === 40)
+
+    // reactivation is a manifest flip — data intact
+    Tenants.activate(spark, home, "beta")
+    assert(Tenants.read(spark, home, "beta").count() === 20)
+
+    // OFFLOADED: subtree physically moves, read names the location,
+    // activate moves it back with rows intact
+    val betaBefore = Tenants.read(spark, home, "beta")
+      .select("id", "body").collect().map(_.toString).sorted
+    Tenants.offload(spark, home, "beta", offloadRoot)
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$home/data/tenant=beta")))
+    assert(fs.exists(new org.apache.hadoop.fs.Path(s"$offloadRoot/beta")))
+    val e2 = intercept[IllegalStateException](Tenants.read(spark, home, "beta"))
+    assert(e2.getMessage.contains(offloadRoot))
+    assert(Tenants.readHot(spark, home).count() === 40)
+    Tenants.activate(spark, home, "beta")
+    val betaAfter = Tenants.read(spark, home, "beta")
+      .select("id", "body").collect().map(_.toString).sorted
+    assert(betaAfter === betaBefore)
+
+    // drop: data gone, manifest entry gone (no tombstone growth)
+    Tenants.drop(spark, home, "corp")
+    assert(Tenants.states(spark, home).keySet === Set("acme", "beta"))
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$home/data/tenant=corp")))
+    intercept[IllegalArgumentException](Tenants.read(spark, home, "corp"))
+  }
+
+  test("later write batches enroll new tenants hot and leave existing statuses alone") {
+    val home = IndexCache.tempDir("graft-tenants-add") + "/coll"
+    Tenants.write(spark, home, corpus(Seq("a"), 5))
+    Tenants.deactivate(spark, home, "a")
+    Tenants.write(spark, home, corpus(Seq("b"), 5))
+    val st = Tenants.states(spark, home)
+    assert(st("b") === Tenants.Hot)
+    assert(st("a") === Tenants.Cold) // a COLD tenant is not silently reactivated
+    assert(Tenants.readHot(spark, home).count() === 5)
+  }
+
+  test("concurrent status flips on different tenants both land (manifest CAS merge)") {
+    val home = IndexCache.tempDir("graft-tenants-race") + "/coll"
+    val names = (0 until 8).map(i => s"t$i")
+    Tenants.write(spark, home, corpus(names, 2))
+    val threads = names.map { t =>
+      new Thread(() => Tenants.deactivate(spark, home, t))
+    }
+    threads.foreach(_.start()); threads.foreach(_.join())
+    val st = Tenants.states(spark, home)
+    assert(names.forall(t => st(t) === Tenants.Cold))
+    assert(Tenants.readHot(spark, home).count() === 0)
+  }
+}

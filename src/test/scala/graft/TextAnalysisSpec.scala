@@ -192,6 +192,40 @@ class TextAnalysisSpec extends SparkSpec {
     }
   }
 
+  test("q_quality_classifier: score is the bounded link of the mean hashed weight, keep ⇔ sum ≥ 0") {
+    val rows = TextAnalysis.qQualityClassifier(spark, sfDir).collect()
+    assert(rows.length == Tables.documents(spark, sfDir).count())
+    rows.foreach { r =>
+      val score = r.getAs[Double]("score")
+      assert(score > 0.0 && score < 1.0) // x/(1+|x|) never saturates
+      // keep is decided on the exact integer sum; the rounded score
+      // can sit exactly at 0.5 from either side when |sum| is tiny
+      assert(r.getAs[Boolean]("keep") == (score >= 0.5)
+        || math.abs(score - 0.5) <= 1e-6)
+      assert(r.getAs[Long]("n_tokens") > 0)
+    }
+    // the classifier must actually discriminate on this corpus
+    assert(rows.exists(_.getAs[Boolean]("keep")))
+    assert(rows.exists(!_.getAs[Boolean]("keep")))
+    // recompute one document end-to-end on the driver with the same
+    // closed-form weights (md5 bucket → keyed integer weight)
+    val sample = Tables.documents(spark, sfDir)
+      .select("doc_id", "text").orderBy("doc_id").limit(1).collect().head
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def bucket(t: String): Long = {
+      val hex = md.digest(t.getBytes("UTF-8")).take(4)
+        .map(b => f"${b & 0xff}%02x").mkString
+      java.lang.Long.parseLong(hex, 16) % 4096
+    }
+    val toks = sample.getString(1).split(" ", -1)
+    val wSum = toks.map(t => (bucket(t) * 2654435761L) % 1000003L - 500000L).sum
+    val logit = 4.0 * wSum / (toks.length * 1000003.0)
+    val expected = BigDecimal(0.5 + 0.5 * logit / (1.0 + math.abs(logit)))
+      .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+    val got = rows.find(_.getAs[Long]("doc_id") == sample.getLong(0)).get
+    assert(got.getAs[Double]("score") == expected)
+  }
+
   test("frequent_item_sets pairs meet min support and Apriori monotonicity") {
     import org.apache.spark.sql.functions._
     val rows = TextAnalysis.qFrequentItemSets(spark, sfDir).collect()
