@@ -2,7 +2,7 @@ package graft.api
 
 import org.apache.hadoop.fs.{FileSystem, FileUtil, Path}
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.functions.{col, lit}
 import graft.sources.{VersionedPointer, WriterLease}
 
 /** Multi-tenant collection lifecycle — the Weaviate tenant-state
@@ -73,7 +73,10 @@ object Tenants {
                           (f: Map[String, Status] => Map[String, Status]): Unit = {
     val dir = manifestDir(home)
     var done = false
+    var attempt = 0
     while (!done) {
+      attempt += 1
+      require(attempt <= 64, s"tenant manifest at $home: lost ${attempt - 1} merge races")
       val cur = VersionedPointer.readVersioned(fs, dir)
       val (v, m) = cur.map { case (ver, s) => (ver, parse(s)) }.getOrElse((-1L, Map.empty[String, Status]))
       done = VersionedPointer.writeIfAtVersion(fs, dir, render(f(m)), v)
@@ -102,14 +105,21 @@ object Tenants {
 
   /** Serve one tenant. Only HOT tenants serve — a COLD or OFFLOADED
     * tenant fails loudly (the Weaviate "tenant not active" error)
-    * instead of silently scanning a tier the operator retired. The
-    * tenant predicate binds to the partition column, so the scan
-    * lists exactly one tenant subtree at any collection size.
+    * instead of silently scanning a tier the operator retired.
+    *
+    * The scan is rooted at the tenant's OWN subtree (basePath keeps
+    * the partition column): file discovery lists only that tenant's
+    * directory — not "list every tenant, then prune", which at
+    * thousands of tenants is a collection-sized listing per query.
+    * A tenant offloaded between this check and the action surfaces
+    * as a missing-path error at scan time (loud), never a silently
+    * empty result.
     */
   def read(spark: SparkSession, home: String, tenant: String): DataFrame =
     states(spark, home).get(tenant) match {
       case Some(Hot) =>
-        spark.read.parquet(dataDir(home)).where(col("tenant") === tenant)
+        spark.read.option("basePath", dataDir(home))
+          .parquet(tenantDir(home, tenant).toString)
       case Some(Cold) => throw new IllegalStateException(
         s"tenant '$tenant' is deactivated (COLD); Tenants.activate it before reading")
       case Some(Offloaded(loc)) => throw new IllegalStateException(
@@ -119,13 +129,19 @@ object Tenants {
     }
 
   /** Serve every HOT tenant (the cross-tenant aggregate path): the
-    * hot set compiles to an IN-list on the partition column — COLD
-    * and OFFLOADED subtrees are pruned at the listing, not filtered
-    * after a read.
+    * hot set's subtrees are enumerated as scan roots, so COLD and
+    * OFFLOADED subtrees are never LISTED, let alone read — the
+    * discovery cost is bounded by the hot tier, not the collection.
     */
   def readHot(spark: SparkSession, home: String): DataFrame = {
     val hot = states(spark, home).collect { case (n, Hot) => n }.toSeq
-    spark.read.parquet(dataDir(home)).where(col("tenant").isin(hot: _*))
+    if (hot.isEmpty)
+      // schema-stable empty frame: scan the (possibly empty) base
+      // with an always-false partition predicate
+      spark.read.parquet(dataDir(home)).where(lit(false))
+    else
+      spark.read.option("basePath", dataDir(home))
+        .parquet(hot.map(t => tenantDir(home, t).toString): _*)
   }
 
   /** HOT → COLD: files stay in place, serving stops, reactivation is
@@ -155,11 +171,16 @@ object Tenants {
         case Some(Offloaded(loc)) =>
           val src = new Path(loc)
           val dst = tenantDir(home, tenant)
-          if (!fs.rename(src, dst)) {
-            // cross-filesystem offload tier: copy, then delete source
-            if (!FileUtil.copy(fs, src, fs, dst, true, spark.sparkContext.hadoopConfiguration))
-              throw new IllegalStateException(
-                s"failed to restore tenant '$tenant' from $loc")
+          // crash repair: a previous activate that moved the subtree
+          // home but died before the manifest flip leaves src gone
+          // and dst present — only the flip remains to be done
+          if (!(!fs.exists(src) && fs.exists(dst))) {
+            if (!fs.rename(src, dst)) {
+              // cross-filesystem offload tier: copy, then delete source
+              if (!FileUtil.copy(fs, src, fs, dst, true, spark.sparkContext.hadoopConfiguration))
+                throw new IllegalStateException(
+                  s"failed to restore tenant '$tenant' from $loc")
+            }
           }
           editManifest(fs, home)(_.updated(tenant, Hot))
         case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
@@ -182,7 +203,9 @@ object Tenants {
           val src = tenantDir(home, tenant)
           val dst = new Path(offloadRoot, tenant)
           fs.mkdirs(new Path(offloadRoot))
-          if (!fs.rename(src, dst))
+          // crash repair: a previous offload that moved the subtree
+          // but died before the manifest flip — only the flip remains
+          if (!(!fs.exists(src) && fs.exists(dst)) && !fs.rename(src, dst))
             throw new IllegalStateException(
               s"failed to offload tenant '$tenant' to $dst")
           editManifest(fs, home)(_.updated(tenant, Offloaded(dst.toString)))

@@ -85,6 +85,26 @@ class TenantsSpec extends SparkSpec {
     assert(Tenants.readHot(spark, home).count() === 5)
   }
 
+  test("crash repair: a moved-but-unflipped offload or activate completes on retry") {
+    val home = IndexCache.tempDir("graft-tenants-crash") + "/coll"
+    val offloadRoot = IndexCache.tempDir("graft-tenants-crash-off")
+    Tenants.write(spark, home, corpus(Seq("a"), 5))
+    val fs = org.apache.hadoop.fs.FileSystem.getLocal(
+      spark.sparkContext.hadoopConfiguration)
+    // simulate an offload that moved the subtree but died before the
+    // manifest flip: dir at the offload root, manifest still HOT
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$home/data/tenant=a"),
+      new org.apache.hadoop.fs.Path(s"$offloadRoot/a")))
+    Tenants.offload(spark, home, "a", offloadRoot) // retry = repair
+    assert(Tenants.states(spark, home)("a").isInstanceOf[Tenants.Offloaded])
+    // simulate the mirror activate crash: subtree back home, manifest
+    // still OFFLOADED
+    assert(fs.rename(new org.apache.hadoop.fs.Path(s"$offloadRoot/a"),
+      new org.apache.hadoop.fs.Path(s"$home/data/tenant=a")))
+    Tenants.activate(spark, home, "a") // retry = repair
+    assert(Tenants.read(spark, home, "a").count() === 5)
+  }
+
   test("concurrent status flips on different tenants both land (manifest CAS merge)") {
     val home = IndexCache.tempDir("graft-tenants-race") + "/coll"
     val names = (0 until 8).map(i => s"t$i")
