@@ -47,11 +47,21 @@ object Multimodal {
       .as[(Long, String, Array[Byte])]
       .mapPartitions { rows =>
         codec.open()
-        var closed = false
+        // close exactly once, and ALWAYS: eagerly at exhaustion (frees
+        // codec contexts before downstream stage work continues), and
+        // via the task-completion listener for the paths the iterator
+        // contract can't see — a consumer that stops early (limit), or
+        // a task failing mid-decode. A real codec holds native
+        // contexts; "closed on the happy path only" is a leak.
+        val closed = new java.util.concurrent.atomic.AtomicBoolean(false)
+        def closeOnce(): Unit =
+          if (closed.compareAndSet(false, true)) codec.close()
+        Option(org.apache.spark.TaskContext.get())
+          .foreach(_.addTaskCompletionListener[Unit](_ => closeOnce()))
         new Iterator[MediaFeatures] {
           def hasNext: Boolean = {
             val h = rows.hasNext
-            if (!h && !closed) { closed = true; codec.close() }
+            if (!h) closeOnce()
             h
           }
           def next(): MediaFeatures = {

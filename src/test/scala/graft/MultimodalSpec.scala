@@ -87,6 +87,19 @@ class MultimodalSpec extends SparkSpec {
     assert(again.map(_.getAs[Long]("width")).sameElements(stub.map(_.getAs[Long]("width"))))
   }
 
+  test("codec close runs once per opened partition even when the consumer stops early") {
+    Multimodal.decodeWith(Multimodal.mediaTable(spark, sfDir), CountingCodec)
+      .limit(3).collect() // early termination: iterator never drains
+    // the task-completion listener must still balance every open
+    assert(CountingCodec.opens.get() > 0)
+    assert(CountingCodec.closes.get() == CountingCodec.opens.get())
+    val before = CountingCodec.opens.get()
+    Multimodal.decodeWith(Multimodal.mediaTable(spark, sfDir), CountingCodec)
+      .collect() // full drain: eager close at exhaustion, listener is a no-op
+    assert(CountingCodec.opens.get() > before)
+    assert(CountingCodec.closes.get() == CountingCodec.opens.get())
+  }
+
   test("decode digest agrees with the SQL-side md5") {
     import org.apache.spark.sql.functions._
     val sqlSide = Multimodal.mediaTable(spark, sfDir)
@@ -144,4 +157,17 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("wasted_bytes") % (r.getAs[Long]("n_copies") - 1) == 0)
     }
   }
+}
+
+/** Top-level so the closure serializes the singleton, and local-mode
+  * tasks bump the same JVM's counters.
+  */
+object CountingCodec extends graft.api.MediaCodec {
+  val opens = new java.util.concurrent.atomic.AtomicInteger(0)
+  val closes = new java.util.concurrent.atomic.AtomicInteger(0)
+  override def name = "counting"
+  override def open(): Unit = { opens.incrementAndGet(); () }
+  override def close(): Unit = { closes.incrementAndGet(); () }
+  override def decode(id: Long, src: String, payload: Array[Byte]): graft.api.MediaFeatures =
+    graft.api.StubMediaCodec.decode(id, src, payload)
 }
