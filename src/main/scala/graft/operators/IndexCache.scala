@@ -170,15 +170,17 @@ private[graft] object IndexCache {
       cache.keySet.removeIf(_.contains(marker))
       // un-pin via RETIREMENT, not straight to transient: a request
       // handed the frame before this invalidation is still entitled
-      // to finish against it (drain grace, one release cycle)
-      val evicted = Set.newBuilder[Int]
-      keyPins.entrySet().removeIf { e =>
-        val hit = e.getKey.contains(marker)
-        if (hit) evicted ++= e.getValue
-        hit
-      }
+      // to finish against it (drain grace, one release cycle).
+      // Retire BEFORE removing the pin: on the building-thread path
+      // this runs without the write lock, and a concurrent release
+      // from another build thread must never observe an id that is
+      // already unpinned but not yet retired — that instant would
+      // reclaim the frame with zero grace.
       val now = System.currentTimeMillis()
-      evicted.result().foreach(id => retired.put(id, now))
+      keyPins.forEach { (k, ids) =>
+        if (k.contains(marker)) ids.foreach(id => retired.put(id, now))
+      }
+      keyPins.keySet.removeIf(_.contains(marker))
     } finally if (!building) pinLock.writeLock().unlock()
   }
 
