@@ -182,6 +182,8 @@ object SparkEntry {
     "q_range_band_search" -> (VectorSearch.qRangeBandSearch _),
     "q_geo_rings"       -> (Geo.qGeoRings _),
     "q_geo_line"        -> (Geo.qGeoLine _),
+    "q_geo_tile"        -> (Geo.qGeoTile _),
+    "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_termvectors"     -> (FullText.qTermvectors _),
     "q_quality_classifier" -> (TextAnalysis.qQualityClassifier _),
     "q_percentiles_bucket" -> (Relational.qPercentilesBucket _),
@@ -1935,6 +1937,72 @@ object SparkEntry {
         |  n_points <= 10 AS complete
         |FROM r WHERE rn <= 10
         |GROUP BY user_id, n_points ORDER BY user_id""".stripMargin,
+    "q_geo_tile" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |g AS (SELECT user_id,
+        |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+        |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+        |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+        |  FROM u),
+        |f AS (SELECT * FROM g WHERE abs(lat) <= 85.0),
+        |t AS (SELECT lat, lon,
+        |  CAST(floor((lon + 180.0) / 360.0 * 64) AS BIGINT) AS tile_x,
+        |  CAST(floor((1.0 - ln(tan(radians(lat)) + 1.0 / cos(radians(lat))) / pi())
+        |       / 2.0 * 64) AS BIGINT) AS tile_y
+        |  FROM f)
+        |SELECT '6/' || tile_x || '/' || tile_y AS tile, count(*) AS n_points,
+        |  round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
+        |FROM t GROUP BY 1, tile_x, tile_y
+        |ORDER BY n_points DESC, tile LIMIT 20""".stripMargin,
+    "q_dedup_keep_best" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper,
+        |        count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n FROM all_docs),
+        |e1 AS (SELECT keeper AS a, doc_id AS b FROM g WHERE n > 1 AND doc_id <> keeper),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |      WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gs FROM t),
+        |ng AS (SELECT doc_id, unnest(gs) AS gg FROM tri),
+        |sz AS (SELECT doc_id, len(gs) AS n_g FROM tri),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM ng a JOIN ng b USING (gg) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e2 AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |       JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |       WHERE round(CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2
+        |          UNION SELECT b AS a, a AS b FROM e1
+        |          UNION SELECT b AS a, a AS b FROM e2),
+        |reach(n, r) AS (
+        |  SELECT a AS n, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.n, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+        |c AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+        |tok AS (SELECT doc_id, len(string_split(text, ' ')) AS n_tokens,
+        |    unnest(string_split(text, ' ')) AS tk FROM all_docs),
+        |w AS (SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+        |    sum((CAST(CAST('0x' || substring(md5(tk), 1, 8) AS BIGINT) % 4096 AS BIGINT)
+        |         * 2654435761) % 1000003 - 500000) AS w_sum
+        |  FROM tok GROUP BY 1, 2),
+        |s AS (SELECT doc_id,
+        |    round(0.5 + 0.5 * (4.0 * w_sum / (n_tokens * 1000003.0))
+        |          / (1.0 + abs(4.0 * w_sum / (n_tokens * 1000003.0))), 6) AS score
+        |  FROM w),
+        |j AS (SELECT c.cluster_id, c.doc_id, s.score FROM c JOIN s USING (doc_id)),
+        |r AS (SELECT cluster_id, doc_id, score,
+        |    row_number() OVER (PARTITION BY cluster_id ORDER BY score DESC, doc_id) AS rk,
+        |    count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
+        |SELECT cluster_id, n_members, doc_id AS keeper_id, score AS keeper_score
+        |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
     "q_termvectors" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id IN (5, 17, 42)),

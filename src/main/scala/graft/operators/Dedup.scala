@@ -928,6 +928,38 @@ object Dedup {
       .orderBy(col("doc_id"))
   }
 
+  /** Duplicate-representative selection by QUALITY (the FineWeb /
+    * RefinedWeb recipe): instead of keeping the min-id member of each
+    * duplicate cluster, keep the member the quality classifier ranks
+    * highest — near-dup clusters mix a full document with truncated
+    * or degraded variants, and min-id keeps whichever crawled first.
+    * Clusters come from [[qDupClusters]]'s exact ∪ trigram-Jaccard
+    * components; scores from the same hashed-linear classifier the
+    * corpus filter runs ([[TextAnalysis.classifierScored]] — exact
+    * integer weight sums, so the ranking is engine-deterministic and
+    * ties fall to min doc_id, which also covers exact-dup clusters
+    * whose members share one text and so one score).
+    *
+    * Scale shape: the cluster frame is the CC output (its own slope
+    * story); scoring is scan-only; the rank is one window over
+    * cluster-sized partitions. Nothing here exceeds the cluster
+    * resolution that produced the input.
+    */
+  def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
+    val clusters = qDupClusters(spark, sfDir)
+    val scored = TextAnalysis.classifierScored(augmentedDocs(spark, sfDir))
+      .select(col("doc_id"), col("score"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    val ranked = clusters.join(scored, "doc_id")
+      .withColumn("rank",
+        row_number().over(byCluster.orderBy(col("score").desc, col("doc_id"))))
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+    ranked.filter(col("rank") === 1)
+      .select(col("cluster_id"), col("n_members"),
+        col("doc_id").as("keeper_id"), col("score").as("keeper_score"))
+      .orderBy(col("cluster_id"))
+  }
+
   /** SimHash block partition for Hamming ≤ 3 candidate generation
     * (the Manku/Jain/Sarma WWW'07 table design): the 64 fingerprint
     * bits split into SIX blocks (4×11 + 2×10), and each document

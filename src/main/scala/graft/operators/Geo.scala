@@ -424,6 +424,40 @@ object Geo {
       .orderBy(col("ring"))
   }
 
+  /** Tile aggregation (ES `geotile_grid`): bucket every point into
+    * its zoom-6 Web-Mercator slippy tile (`z/x/y` — the map-serving
+    * key of `search_mvt` and every tile layer), count and centroid
+    * per tile, densest 20. Distinct from [[qGeoGrid]]'s plain
+    * lat/lon cells: the y axis is the Mercator projection, so the
+    * key matches what a map client requests. Points outside the
+    * Mercator domain (|lat| > 85) are excluded, as ES does.
+    *
+    * The tile indices are pure per-row floor arithmetic, so the
+    * histogram is one map-side-combinable scan; the float work
+    * (ln/tan/cos) lands on INTEGER floors, where a sub-ulp libm
+    * disagreement only matters within 1 ulp of a tile boundary —
+    * nowhere on a 0.01° grid.
+    */
+  def qGeoTile(spark: SparkSession, sfDir: String): DataFrame = {
+    val z = 6
+    val n = 1 << z // 64 tiles per axis
+    userGeo(spark, sfDir)
+      .filter(abs(col("lat")) <= 85.0)
+      .withColumn("tile_x",
+        floor((col("lon") + 180.0) / 360.0 * n).cast("long"))
+      .withColumn("tile_y",
+        floor((lit(1.0) - log(tan(radians(col("lat"))) +
+          lit(1.0) / cos(radians(col("lat")))) / math.Pi) / 2.0 * n).cast("long"))
+      .groupBy(col("tile_x"), col("tile_y"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("lat")), 6).as("centroid_lat"),
+        round(avg(col("lon")), 6).as("centroid_lon"))
+      .select(concat(lit(s"$z/"), col("tile_x"), lit("/"), col("tile_y")).as("tile"),
+        col("n_points"), col("centroid_lat"), col("centroid_lon"))
+      .orderBy(col("n_points").desc, col("tile"))
+      .limit(20)
+  }
+
   /** Track aggregation (ES `geo_line`): per user, connect that
     * user's event points — coordinates derived per EVENT on the same
     * 0.01° md5 grid as [[userGeo]] — into a line ordered by event

@@ -480,7 +480,20 @@ object TextAnalysis {
     * throughput on any corpus size.
     */
   def qQualityClassifier(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    classifierScored(Tables.documents(spark, sfDir))
+      .select(col("doc_id"), col("n_tokens"), col("score"),
+        // keep decided on the exact integer sum, not the rounded float
+        (col("w_sum") >= 0L).as("keep"))
+      .orderBy(col("doc_id"))
+
+  /** The reusable scoring core of [[qQualityClassifier]]: for any
+    * (doc_id, text) frame, (doc_id, n_tokens, w_sum, score) — w_sum
+    * the exact integer feature-weight sum, score the rounded bounded
+    * link. Other pipeline stages (duplicate-representative selection,
+    * mixture weighting) rank on the same score the filter thresholds.
+    */
+  private[graft] def classifierScored(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         size(col("toks")).cast("long").as("n_tokens"),
@@ -489,10 +502,7 @@ object TextAnalysis {
                    * 2654435761L) % 1000003L - 500000L)""").as("w_sum"))
       .withColumn("logit",
         lit(4.0) * col("w_sum") / (col("n_tokens") * lit(1000003.0)))
-      .select(col("doc_id"), col("n_tokens"),
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
         round(lit(0.5) + lit(0.5) * col("logit") / (lit(1.0) + abs(col("logit"))), 6)
-          .as("score"),
-        // keep decided on the exact integer sum, not the rounded float
-        (col("w_sum") >= 0L).as("keep"))
-      .orderBy(col("doc_id"))
+          .as("score"))
 }

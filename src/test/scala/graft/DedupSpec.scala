@@ -109,6 +109,33 @@ class DedupSpec extends SparkSpec {
     assert(pairSet(Dedup.dedupAgainstIndex(spark, batch, pT)) == gotRef)
   }
 
+  test("q_dedup_keep_best keeps each cluster's highest-scored member, not min id") {
+    val clusters = Dedup.qDupClusters(spark, sfDir).collect()
+      .groupBy(_.getAs[Long]("cluster_id"))
+    val scores = graft.operators.TextAnalysis
+      .classifierScored(Dedup.augmentedDocs(spark, sfDir))
+      .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val rows = Dedup.qDedupKeepBest(spark, sfDir).collect()
+    assert(rows.length == clusters.size)
+    rows.foreach { r =>
+      val cid = r.getAs[Long]("cluster_id")
+      val members = clusters(cid).map(_.getAs[Long]("doc_id"))
+      assert(r.getAs[Long]("n_members") == members.length)
+      // the keeper is the (score desc, id asc) argmax over the cluster
+      val expected = members.map(m => (m, scores(m)))
+        .sortBy { case (m, s) => (-s, m) }.head._1
+      assert(r.getAs[Long]("keeper_id") == expected)
+      assert(r.getAs[Double]("keeper_score") == scores(expected))
+    }
+    // quality ranking must actually disagree with min-id somewhere
+    // (near-dup clusters contain a truncated variant whose score
+    // differs from the original's)
+    assert(rows.exists { r =>
+      val members = clusters(r.getAs[Long]("cluster_id")).map(_.getAs[Long]("doc_id"))
+      r.getAs[Long]("keeper_id") != members.min
+    })
+  }
+
   test("q_dedup_ngram top pairs are valid Jaccard scores in [0,1] descending") {
     val rows = Dedup.qDedupNgram(spark, sfDir).collect()
     assert(rows.length == 50)

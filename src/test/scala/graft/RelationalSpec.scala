@@ -204,6 +204,25 @@ class RelationalSpec extends SparkSpec {
     assert(rows.head.getAs[String]("line") == expected)
   }
 
+  test("q_geo_tile keys are valid zoom-6 tiles containing their centroids") {
+    val rows = graft.operators.Geo.qGeoTile(spark, sfDir).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val ns = rows.map(_.getAs[Long]("n_points"))
+    assert(ns.sameElements(ns.sortBy(-(_: Long))))
+    rows.foreach { r =>
+      val Array(z, x, y) = r.getAs[String]("tile").split("/").map(_.toLong)
+      assert(z == 6 && x >= 0 && x < 64 && y >= 0 && y < 64)
+      // recompute the tile of the centroid: it must be the same tile
+      // (centroid of a convex cell stays inside it)
+      val lat = r.getAs[Double]("centroid_lat")
+      val lon = r.getAs[Double]("centroid_lon")
+      val cx = math.floor((lon + 180.0) / 360.0 * 64).toLong
+      val rad = math.toRadians(lat)
+      val cy = math.floor((1.0 - math.log(math.tan(rad) + 1.0 / math.cos(rad)) / math.Pi) / 2.0 * 64).toLong
+      assert(cx == x && cy == y)
+    }
+  }
+
   test("q_geo_grid cells are densest-first with centroids inside the cell") {
     val rows = graft.operators.Geo.qGeoGrid(spark, sfDir).collect()
     assert(rows.nonEmpty && rows.length <= 20)
