@@ -220,6 +220,8 @@ object SparkEntry {
     "q_hybrid_filtered" -> (FullText.qHybridFiltered _),
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),
+    "q_array_filter"    -> (Collection.qArrayFilter _),
+    "q_payload_schema"  -> (Collection.qPayloadSchema _),
     "q_payload_index_scan" -> (Collection.qPayloadIndexScan _),
     "q_has_child"       -> (Relational.qHasChild _),
     "q_crawl_diff"      -> (TrainingPipeline.qCrawlDiff _),
@@ -2233,6 +2235,32 @@ object SparkEntry {
         |WHERE lang = 'en' AND n_chars >= 100 AND n_chars < 900
         |  AND source NOT IN ('src0', 'src1')
         |  AND (contains(text, 'spark') OR contains(text, 'join'))
+        |ORDER BY doc_id""".stripMargin,
+    "q_payload_schema" ->
+      """WITH s AS (
+        |  SELECT 'lang' AS field, 'keyword' AS dtype,
+        |         CAST(count(lang) AS BIGINT) AS points,
+        |         CAST(count(DISTINCT lang) AS BIGINT) AS n_distinct FROM documents
+        |  UNION ALL
+        |  SELECT 'source', 'keyword', CAST(count(source) AS BIGINT),
+        |         CAST(count(DISTINCT source) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'n_chars', 'integer', CAST(count(n_chars) AS BIGINT),
+        |         CAST(count(DISTINCT n_chars) AS BIGINT) FROM documents
+        |  UNION ALL
+        |  SELECT 'text', 'keyword', CAST(count(text) AS BIGINT),
+        |         CAST(count(DISTINCT text) AS BIGINT) FROM documents)
+        |SELECT field, dtype, points, n_distinct FROM s ORDER BY field""".stripMargin,
+    "q_array_filter" ->
+      """WITH t AS (SELECT doc_id, lang, n_chars,
+        |                  string_split(text, ' ') AS tags FROM documents)
+        |SELECT doc_id, lang, n_chars, CAST(len(tags) AS BIGINT) AS n_tags
+        |FROM t
+        |WHERE list_contains(tags, 'vector')
+        |  AND len(tags) >= 40 AND len(tags) < 90
+        |  AND NOT (tags IS NULL OR len(tags) = 0)
+        |  AND ((list_contains(tags, 'spark') AND list_contains(tags, 'data'))
+        |       OR list_contains(tags, 'hash') OR list_contains(tags, 'window'))
         |ORDER BY doc_id""".stripMargin,
     "q_payload_index_scan" ->
       """SELECT doc_id, lang, source, n_chars FROM documents

@@ -88,6 +88,61 @@ object FilterDsl {
     def toColumn: Column = col(key).isNull
   }
 
+  /** Array-payload element containment (Milvus `ARRAY_CONTAINS` /
+    * Qdrant `match.value` on an array field / ES `term` on a
+    * multi-valued field): true when any element equals `value`. A
+    * missing (null) array matches neither polarity (SQL null).
+    */
+  final case class ArrayContains(key: String, value: Any) extends Condition {
+    def toColumn: Column = array_contains(col(key), lit(value))
+  }
+
+  /** All-of element containment (Milvus `ARRAY_CONTAINS_ALL`).
+    * Compiles to a conjunction of `array_contains` — stays inside
+    * whole-stage codegen with no per-row set allocation, and the
+    * value list is a query constant so the conjunction size is fixed
+    * at plan time.
+    */
+  final case class ArrayContainsAll(key: String, values: Seq[Any]) extends Condition {
+    require(values.nonEmpty, s"array_contains_all for key '$key' needs values")
+    def toColumn: Column =
+      values.map(v => array_contains(col(key), lit(v))).reduce(_ && _)
+  }
+
+  /** Any-of element containment (Milvus `ARRAY_CONTAINS_ANY`):
+    * native `arrays_overlap` against the literal value set.
+    */
+  final case class ArrayContainsAny(key: String, values: Seq[Any]) extends Condition {
+    require(values.nonEmpty, s"array_contains_any for key '$key' needs values")
+    def toColumn: Column =
+      arrays_overlap(col(key), array(values.map(lit): _*))
+  }
+
+  /** Element-count range on an array payload (Qdrant `values_count`).
+    * A missing (null) field counts as ZERO values — the explicit
+    * `when` guard (rather than bare `size`) pins that semantics
+    * regardless of the engine's legacy `size(NULL)` setting.
+    */
+  final case class ValuesCount(key: String,
+                               gte: Option[Long] = None, gt: Option[Long] = None,
+                               lte: Option[Long] = None, lt: Option[Long] = None)
+      extends Condition {
+    def toColumn: Column = {
+      val n = when(col(key).isNull, lit(0)).otherwise(size(col(key)))
+      Seq(gte.map(n >= lit(_)), gt.map(n > lit(_)),
+        lte.map(n <= lit(_)), lt.map(n < lit(_)))
+        .flatten.reduceOption(_ && _).getOrElse(lit(true))
+    }
+  }
+
+  /** Qdrant `is_empty`: the array field is absent (null) or has no
+    * elements.
+    */
+  final case class IsEmpty(key: String) extends Condition {
+    def toColumn: Column =
+      when(col(key).isNull, lit(true)).otherwise(size(col(key)) === 0)
+  }
+
   /** A geo payload field `k` is stored as two double columns
     * `k_lat` / `k_lon` (degrees) — the flattened form of Qdrant's
     * `{lat, lon}` geo point / ES `geo_point`.
@@ -284,6 +339,31 @@ object FilterDsl {
             }
           case (JNothing, JNothing, JNothing, JNothing) => // not geo; fall through
           case other => sys.error(s"ambiguous geo condition shape: $other")
+        }
+        (o \ "array_contains", o \ "array_contains_all", o \ "array_contains_any",
+          o \ "values_count", o \ "is_empty") match {
+          case (JNothing, JNothing, JNothing, JNothing, JNothing) => // not array; fall through
+          case (v, JNothing, JNothing, JNothing, JNothing) if v != JNothing =>
+            return ArrayContains(key, scalar(v))
+          case (JNothing, JArray(vs), JNothing, JNothing, JNothing) =>
+            if (vs.isEmpty) sys.error(s"array_contains_all for key '$key' has no values")
+            return ArrayContainsAll(key, vs.map(scalar))
+          case (JNothing, JNothing, JArray(vs), JNothing, JNothing) =>
+            if (vs.isEmpty) sys.error(s"array_contains_any for key '$key' has no values")
+            return ArrayContainsAny(key, vs.map(scalar))
+          case (JNothing, JNothing, JNothing, r: JObject, JNothing) =>
+            def cnt(f: String): Option[Long] = (r \ f) match {
+              case JInt(n) => Some(n.toLong); case JLong(n) => Some(n)
+              case JNothing => None
+              case other => sys.error(s"non-integer values_count bound $f: $other")
+            }
+            val vc = ValuesCount(key, cnt("gte"), cnt("gt"), cnt("lte"), cnt("lt"))
+            if (vc.gte.isEmpty && vc.gt.isEmpty && vc.lte.isEmpty && vc.lt.isEmpty)
+              sys.error(s"values_count for key '$key' has no bounds: $r")
+            return vc
+          case (JNothing, JNothing, JNothing, JNothing, JBool(true)) =>
+            return IsEmpty(key)
+          case other => sys.error(s"ambiguous array condition shape: $other")
         }
         (o \ "match", o \ "range", o \ "is_null") match {
           case (m: JObject, JNothing, JNothing) =>

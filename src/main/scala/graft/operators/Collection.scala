@@ -257,6 +257,71 @@ object Collection {
       .orderBy(col("doc_id"))
   }
 
+  /** Payload-schema introspection — Qdrant collection info's
+    * `payload_schema` (per-field type, count of points carrying the
+    * field, distinct-value count; ES `_field_caps` is the same verb).
+    * One scan: the fields unpivot to (field, value) rows via `stack`
+    * (nulls preserved, so `count(value)` is the points-with-field
+    * count) and a single grouped aggregate computes both counts —
+    * the distinct count two-phases map-side like any groupBy, and
+    * the group key space is the FIELD COUNT, so the final shuffle is
+    * a handful of rows at any corpus size. Types come from the
+    * collection's Spark schema, not the data, so the verb costs no
+    * extra pass.
+    */
+  def qPayloadSchema(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+    val fields = Seq("lang", "source", "n_chars", "text")
+    val dtype = {
+      import org.apache.spark.sql.types._
+      val m = d.schema.fields.map(f => f.name -> (f.dataType match {
+        case StringType => "keyword"
+        case LongType | IntegerType => "integer"
+        case DoubleType | FloatType => "float"
+        case BooleanType => "bool"
+        case other => other.simpleString
+      })).toMap
+      fields.foldLeft(lit(null).cast("string")) { (acc, k) =>
+        when(col("field") === k, lit(m(k))).otherwise(acc)
+      }
+    }
+    val stackArgs = fields
+      .map(k => s"'$k', cast($k as string)").mkString(", ")
+    d.select(expr(s"stack(${fields.size}, $stackArgs) as (field, value)"))
+      .groupBy(col("field"))
+      .agg(count(col("value")).as("points"),
+        countDistinct(col("value")).as("n_distinct"))
+      .select(col("field"), dtype.as("dtype"), col("points"), col("n_distinct"))
+      .orderBy(col("field"))
+  }
+
+  /** Array-payload filtering — Milvus `ARRAY_CONTAINS` /
+    * `ARRAY_CONTAINS_ALL` / `ARRAY_CONTAINS_ANY` and Qdrant
+    * `values_count` / `is_empty`, the array-field half of every
+    * backend's filter DSL (tags, categories, multi-valued labels).
+    * The tag array is derived from the document text at scan time
+    * here; in a real collection it is a stored column, and every
+    * compiled form (`array_contains` conjunctions, `arrays_overlap`,
+    * guarded `size`) is a plain codegen'd expression over that one
+    * column — one scan, no shuffle, no UDF, so the filter costs the
+    * same as a hand-written predicate at any corpus size.
+    */
+  def qArrayFilter(spark: SparkSession, sfDir: String): DataFrame = {
+    val f = graft.api.FilterDsl.fromJson(
+      """{ "must": [ {"key": "tags", "array_contains": "vector"},
+        |            {"key": "tags", "values_count": {"gte": 40, "lt": 90}} ],
+        |  "must_not": [ {"key": "tags", "is_empty": true} ],
+        |  "should": [ {"key": "tags", "array_contains_all": ["spark", "data"]},
+        |              {"key": "tags", "array_contains_any": ["hash", "window"]} ],
+        |  "min_should": 1 }""".stripMargin)
+    Tables.documents(spark, sfDir)
+      .withColumn("tags", split(col("text"), " "))
+      .filter(f.toColumn)
+      .select(col("doc_id"), col("lang"), col("n_chars"),
+        size(col("tags")).cast("long").as("n_tags"))
+      .orderBy(col("doc_id"))
+  }
+
   def qFilterDsl(spark: SparkSession, sfDir: String): DataFrame = {
     val f = graft.api.FilterDsl.fromJson(
       """{ "must": [ {"key": "lang", "match": {"value": "en"}},

@@ -16,9 +16,11 @@ import graft.api.FilterDsl._
 class FilterDslPropertySpec extends SparkSpec {
 
   // ---- test relation: label BIGINT, score DOUBLE, lang STRING
-  // (nullable), text STRING ----
+  // (nullable), text STRING, tags ARRAY<STRING> (nullable, sometimes
+  // empty — the array-condition family's three interesting states) ----
   private case class R(id: Long, label: Long, score: Double,
-                       lang: Option[String], text: String)
+                       lang: Option[String], text: String,
+                       tags: Option[Seq[String]])
 
   private val langs = Seq("en", "de", "fr", "pt")
   private val tokens = Seq("alpha", "bravo", "charlie", "delta", "echo")
@@ -28,7 +30,9 @@ class FilterDslPropertySpec extends SparkSpec {
     (0L until 200L).map { i =>
       R(i, rnd.nextInt(10).toLong, rnd.nextInt(40) / 4.0,
         if (rnd.nextInt(5) == 0) None else Some(langs(rnd.nextInt(langs.size))),
-        Seq.fill(3)(tokens(rnd.nextInt(tokens.size))).mkString(" "))
+        Seq.fill(3)(tokens(rnd.nextInt(tokens.size))).mkString(" "),
+        if (rnd.nextInt(6) == 0) None
+        else Some(Seq.fill(rnd.nextInt(4))(tokens(rnd.nextInt(tokens.size)))))
     }
   }
 
@@ -57,7 +61,18 @@ class FilterDslPropertySpec extends SparkSpec {
       p <- Gen.oneOf("al.ha", "(alpha|echo)", "bravo charlie", "zz+", "^delta", "echo$")
       neg <- Gen.oneOf(false, true)
     } yield TextRegex("text", p, neg)),
-    1 -> Gen.oneOf("lang", "label").map(IsNull(_)))
+    1 -> Gen.oneOf("lang", "label").map(IsNull(_)),
+    2 -> Gen.oneOf(tokens :+ "zz").map(ArrayContains("tags", _)),
+    1 -> (for { n <- Gen.choose(1, 2); vs <- Gen.listOfN(n, Gen.oneOf(tokens :+ "zz")) }
+      yield ArrayContainsAll("tags", vs.distinct)),
+    1 -> (for { n <- Gen.choose(1, 2); vs <- Gen.listOfN(n, Gen.oneOf(tokens :+ "zz")) }
+      yield ArrayContainsAny("tags", vs.distinct)),
+    1 -> (for {
+      gte <- Gen.option(Gen.choose(0L, 4L)); gt <- Gen.option(Gen.choose(0L, 4L))
+      lte <- Gen.option(Gen.choose(0L, 4L)); lt <- Gen.option(Gen.choose(0L, 4L))
+      if gte.nonEmpty || gt.nonEmpty || lte.nonEmpty || lt.nonEmpty
+    } yield ValuesCount("tags", gte, gt, lte, lt)),
+    1 -> Gen.const(IsEmpty("tags")))
 
   private def genCond(depth: Int): Gen[Condition] =
     if (depth <= 0) genLeaf
@@ -95,6 +110,16 @@ class FilterDslPropertySpec extends SparkSpec {
         .collect { case (n, Some(v)) => s"${q(n)}:${jv(v)}" }
       s"""{"key":${q(k)},"range":{${bs.mkString(",")}}}"""
     case IsNull(k) => s"""{"key":${q(k)},"is_null":true}"""
+    case ArrayContains(k, v) => s"""{"key":${q(k)},"array_contains":${jv(v)}}"""
+    case ArrayContainsAll(k, vs) =>
+      s"""{"key":${q(k)},"array_contains_all":[${vs.map(jv).mkString(",")}]}"""
+    case ArrayContainsAny(k, vs) =>
+      s"""{"key":${q(k)},"array_contains_any":[${vs.map(jv).mkString(",")}]}"""
+    case ValuesCount(k, gte, gt, lte, lt) =>
+      val bs = Seq("gte" -> gte, "gt" -> gt, "lte" -> lte, "lt" -> lt)
+        .collect { case (n, Some(v)) => s"${q(n)}:$v" }
+      s"""{"key":${q(k)},"values_count":{${bs.mkString(",")}}}"""
+    case IsEmpty(k) => s"""{"key":${q(k)},"is_empty":true}"""
     case Nested(f) => renderFilter(f)
   }
   private def renderFilter(f: Filter): String = {
@@ -118,7 +143,10 @@ class FilterDslPropertySpec extends SparkSpec {
   private def field(r: R, k: String): Option[Any] = k match {
     case "label" => Some(r.label); case "score" => Some(r.score)
     case "lang" => r.lang; case "text" => Some(r.text)
+    case "tags" => r.tags
   }
+  private def tagsOf(r: R, k: String): Option[Seq[String]] =
+    field(r, k).map(_.asInstanceOf[Seq[String]])
   private def asD(v: Any): Double = v match {
     case l: Long => l.toDouble; case d: Double => d
     case i: Int => i.toDouble; case other => sys.error(s"non-numeric $other")
@@ -134,6 +162,14 @@ class FilterDslPropertySpec extends SparkSpec {
       if (neg) !hit else hit
     }
     case IsNull(k) => Some(field(r, k).isEmpty)
+    case ArrayContains(k, v) => tagsOf(r, k).map(_.contains(v))
+    case ArrayContainsAll(k, vs) => tagsOf(r, k).map(s => vs.forall(s.contains))
+    case ArrayContainsAny(k, vs) => tagsOf(r, k).map(s => vs.exists(s.contains))
+    case ValuesCount(k, gte, gt, lte, lt) =>
+      val n = tagsOf(r, k).map(_.size.toLong).getOrElse(0L)
+      Some(gte.forall(n >= _) && gt.forall(n > _) &&
+        lte.forall(n <= _) && lt.forall(n < _))
+    case IsEmpty(k) => Some(tagsOf(r, k).forall(_.isEmpty))
     case Range(k, gte, gt, lte, lt) => field(r, k).map { x0 =>
       val x = asD(x0)
       gte.forall(b => x >= asD(b)) && gt.forall(b => x > asD(b)) &&
@@ -159,8 +195,8 @@ class FilterDslPropertySpec extends SparkSpec {
   test("random wire filters: parse -> compile agrees with the interpreted semantics on every row") {
     import spark.implicits._
     val filters = Gen.listOfN(80, genFilter(2)).sample.get
-    val df = rows.map(r => (r.id, r.label, r.score, r.lang, r.text))
-      .toDF("id", "label", "score", "lang", "text").localCheckpoint()
+    val df = rows.map(r => (r.id, r.label, r.score, r.lang, r.text, r.tags))
+      .toDF("id", "label", "score", "lang", "text", "tags").localCheckpoint()
     val outCols = filters.zipWithIndex.map { case (f, i) =>
       FilterDsl.fromJson(renderFilter(f)).toColumn.as(s"f$i")
     }
@@ -204,6 +240,17 @@ class FilterDslPropertySpec extends SparkSpec {
       """{ "must": [ {"match": {"value": 1}} ] }""",
       // is_null must be literal true
       """{ "must": [ {"key": "lang", "is_null": "yes"} ] }""",
+      // values_count with zero bounds (same match-all hazard as range)
+      """{ "must": [ {"key": "tags", "values_count": {}} ] }""",
+      // non-integer values_count bound
+      """{ "must": [ {"key": "tags", "values_count": {"gte": "x"}} ] }""",
+      // empty array_contains_all / _any value lists
+      """{ "must": [ {"key": "tags", "array_contains_all": []} ] }""",
+      """{ "must": [ {"key": "tags", "array_contains_any": []} ] }""",
+      // is_empty must be literal true
+      """{ "must": [ {"key": "tags", "is_empty": "yes"} ] }""",
+      // two array shapes on one condition
+      """{ "must": [ {"key": "tags", "array_contains": "a", "is_empty": true} ] }""",
       // scalar where a condition belongs
       """{ "must": [ 42 ] }""",
       // unparseable JSON
