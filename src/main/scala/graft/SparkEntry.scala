@@ -184,6 +184,7 @@ object SparkEntry {
     "q_geo_line"        -> (Geo.qGeoLine _),
     "q_geo_tile"        -> (Geo.qGeoTile _),
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
+    "q_dedup_soft"      -> (Dedup.qDedupSoft _),
     "q_termvectors"     -> (FullText.qTermvectors _),
     "q_quality_classifier" -> (TextAnalysis.qQualityClassifier _),
     "q_percentiles_bucket" -> (Relational.qPercentilesBucket _),
@@ -2005,6 +2006,44 @@ object SparkEntry {
         |    count(*) OVER (PARTITION BY cluster_id) AS n_members FROM j)
         |SELECT cluster_id, n_members, doc_id AS keeper_id, score AS keeper_score
         |FROM r WHERE rk = 1 ORDER BY cluster_id""".stripMargin,
+    "q_dedup_soft" ->
+      """WITH RECURSIVE all_docs AS (
+        |  SELECT doc_id, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 1000000000 AS doc_id, text FROM documents WHERE doc_id % 7 = 0
+        |  UNION ALL
+        |  SELECT doc_id + 2000000000 AS doc_id,
+        |    array_to_string(string_split(text, ' ')[4:], ' ') AS text
+        |  FROM documents WHERE doc_id % 11 = 0),
+        |g AS (SELECT doc_id,
+        |        min(doc_id) OVER (PARTITION BY md5(lower(trim(text)))) AS keeper,
+        |        count(*) OVER (PARTITION BY md5(lower(trim(text)))) AS n FROM all_docs),
+        |e1 AS (SELECT keeper AS a, doc_id AS b FROM g WHERE n > 1 AND doc_id <> keeper),
+        |t AS (SELECT doc_id, string_split(text, ' ') AS toks FROM all_docs
+        |      WHERE len(string_split(text, ' ')) >= 3),
+        |tri AS (SELECT doc_id, list_distinct(list_transform(range(len(toks) - 2),
+        |          i -> toks[i+1] || ' ' || toks[i+2] || ' ' || toks[i+3])) AS gs FROM t),
+        |ng AS (SELECT doc_id, unnest(gs) AS gg FROM tri),
+        |sz AS (SELECT doc_id, len(gs) AS n_g FROM tri),
+        |p AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS common
+        |      FROM ng a JOIN ng b USING (gg) WHERE a.doc_id < b.doc_id GROUP BY 1, 2),
+        |e2 AS (SELECT doc_a AS a, doc_b AS b FROM p
+        |       JOIN sz sa ON doc_a = sa.doc_id JOIN sz sb ON doc_b = sb.doc_id
+        |       WHERE round(CAST(common AS DOUBLE) / (sa.n_g + sb.n_g - common), 6) >= 0.5),
+        |edges AS (SELECT a, b FROM e1 UNION SELECT a, b FROM e2
+        |          UNION SELECT b AS a, a AS b FROM e1
+        |          UNION SELECT b AS a, a AS b FROM e2),
+        |reach(n, r) AS (
+        |  SELECT a AS n, a AS r FROM edges
+        |  UNION
+        |  SELECT reach.n, e.b AS r FROM reach JOIN edges e ON reach.r = e.a),
+        |cl AS (SELECT n AS doc_id, min(r) AS cluster_id FROM reach GROUP BY n),
+        |a AS (SELECT d.doc_id, coalesce(cl.cluster_id, d.doc_id) AS cluster_id
+        |      FROM (SELECT doc_id FROM all_docs) d LEFT JOIN cl USING (doc_id))
+        |SELECT doc_id, cluster_id,
+        |  count(*) OVER (PARTITION BY cluster_id) AS n_members,
+        |  round(1.0 / CAST(count(*) OVER (PARTITION BY cluster_id) AS DOUBLE), 6) AS weight
+        |FROM a ORDER BY doc_id""".stripMargin,
     "q_termvectors" ->
       """WITH d AS (SELECT doc_id, string_split(text, ' ') AS toks
         |           FROM documents WHERE doc_id IN (5, 17, 42)),

@@ -267,7 +267,10 @@ object Collection {
     * the group key space is the FIELD COUNT, so the final shuffle is
     * a handful of rows at any corpus size. Types come from the
     * collection's Spark schema, not the data, so the verb costs no
-    * extra pass.
+    * extra pass. Long text values hash to 16 bytes BEFORE the
+    * distinct exchange (md5 preserves the null and the count;
+    * a collision needs ~2^64 distinct texts) — the partial-distinct
+    * shuffle carries hashes, never document bodies.
     */
   def qPayloadSchema(spark: SparkSession, sfDir: String): DataFrame = {
     val d = Tables.documents(spark, sfDir)
@@ -286,7 +289,8 @@ object Collection {
       }
     }
     val stackArgs = fields
-      .map(k => s"'$k', cast($k as string)").mkString(", ")
+      .map(k => if (k == "text") s"'$k', md5($k)"
+                else s"'$k', cast($k as string)").mkString(", ")
     d.select(expr(s"stack(${fields.size}, $stackArgs) as (field, value)"))
       .groupBy(col("field"))
       .agg(count(col("value")).as("points"),

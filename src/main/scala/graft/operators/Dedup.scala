@@ -960,6 +960,31 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** Soft deduplication — down-WEIGHTING duplicates instead of
+    * dropping them (the SlimPajama-style soft-dedup recipe): every
+    * document keeps a sampling weight 1/|cluster|, so a pretraining
+    * sampler sees each duplicated CONTENT once in expectation while
+    * no copy (and no copy's unique metadata) is lost. Clusters are
+    * [[qDupClusters]]'s exact ∪ trigram-Jaccard components;
+    * singletons weigh 1. Scale shape: the cluster frame is the CC
+    * output, the weight is one count-over-cluster window — nothing
+    * exceeds the cluster resolution that produced the input, and the
+    * output is corpus-sized by construction (one row per document,
+    * the point of the recipe).
+    */
+  def qDedupSoft(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = augmentedDocs(spark, sfDir).select(col("doc_id"))
+    val clusters = qDupClusters(spark, sfDir)
+    val withC = docs.join(clusters, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))
+    val byCluster = Window.partitionBy(col("cluster_id"))
+    withC
+      .withColumn("n_members", count(lit(1)).over(byCluster))
+      .withColumn("weight", round(lit(1.0) / col("n_members"), 6))
+      .orderBy(col("doc_id"))
+  }
+
   /** SimHash block partition for Hamming ≤ 3 candidate generation
     * (the Manku/Jain/Sarma WWW'07 table design): the 64 fingerprint
     * bits split into SIX blocks (4×11 + 2×10), and each document

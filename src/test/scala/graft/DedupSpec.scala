@@ -136,6 +136,34 @@ class DedupSpec extends SparkSpec {
     })
   }
 
+  test("q_dedup_soft weights each duplicated content to unit total mass") {
+    val rows = Dedup.qDedupSoft(spark, sfDir).collect()
+    // one row per document of the augmented corpus — nothing dropped
+    assert(rows.length == Dedup.augmentedDocs(spark, sfDir).count())
+    val byCluster = rows.groupBy(_.getAs[Long]("cluster_id"))
+    byCluster.foreach { case (cid, ms) =>
+      ms.foreach { r =>
+        assert(r.getAs[Long]("n_members") == ms.length)
+        assert(math.abs(r.getAs[Double]("weight") - 1.0 / ms.length) < 1e-6,
+          s"cluster $cid weight")
+      }
+      // per-cluster sampling mass is 1: a sampler sees the content
+      // once in expectation however many copies exist
+      assert(math.abs(ms.map(_.getAs[Double]("weight")).sum - 1.0) < 1e-4)
+    }
+    // the multi-doc clusters agree with the resolution queries'
+    val multi = Dedup.qDupClusters(spark, sfDir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    rows.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      val expected = multi.getOrElse(d, d)
+      assert(r.getAs[Long]("cluster_id") == expected, s"doc $d cluster")
+    }
+    // singletons weigh exactly 1; duplicates strictly less
+    assert(rows.exists(r => r.getAs[Double]("weight") == 1.0))
+    assert(rows.exists(r => r.getAs[Double]("weight") < 1.0))
+  }
+
   test("q_dedup_ngram top pairs are valid Jaccard scores in [0,1] descending") {
     val rows = Dedup.qDedupNgram(spark, sfDir).collect()
     assert(rows.length == 50)
