@@ -99,6 +99,8 @@ object SparkEntry {
     "q_length_buckets" -> (TrainingPipeline.qLengthBuckets _),
     "q_mixture_plan"      -> (TrainingPipeline.qMixturePlan _),
     "q_temperature_sample" -> (TrainingPipeline.qTemperatureSample _),
+    "q_dsir"            -> (TrainingPipeline.qDsir _),
+    "q_zipf"            -> (TextAnalysis.qZipf _),
     "q_perplexity_buckets" -> (TextAnalysis.qPerplexityBuckets _),
     "q_dedup_prefix"   -> (Dedup.qDedupPrefix _),
     "q_dedup_substring" -> (Dedup.qDedupSubstring _),
@@ -1092,6 +1094,37 @@ object SparkEntry {
         |  round(w / total_w, 6) AS share,
         |  round(CAST(1000000 AS DOUBLE) * round(w / total_w, 6) / n_tokens, 6) AS epochs
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_zipf" ->
+      """WITH f AS (SELECT tk, count(*) AS c
+        |  FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)
+        |  GROUP BY 1),
+        |top AS (SELECT c, row_number() OVER (ORDER BY c DESC, tk) AS r
+        |        FROM f ORDER BY c DESC, tk LIMIT 1000),
+        |p AS (SELECT ln(CAST(r AS DOUBLE)) AS x, ln(CAST(c AS DOUBLE)) AS y FROM top),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(x*y) AS sxy FROM p)
+        |SELECT CAST(n AS BIGINT) AS n_vocab,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS zipf_slope,
+        |  round((sy - (n*sxy - sx*sy) / (n*sxx - sx*sx) * sx) / n, 6) AS zipf_intercept
+        |FROM a""".stripMargin,
+    "q_dsir" ->
+      """WITH tok AS (SELECT doc_id, lang, unnest(string_split(text, ' ')) AS tk
+        |             FROM documents),
+        |t AS (SELECT doc_id, lang,
+        |        CAST(CAST('0x' || substring(md5(tk), 1, 8) AS BIGINT) % 4096 AS BIGINT) AS b
+        |      FROM tok),
+        |raw AS (SELECT b, count(*) AS c_raw FROM t GROUP BY 1),
+        |tgt AS (SELECT b, count(*) AS c_tgt FROM t WHERE lang = 'en' GROUP BY 1),
+        |n AS (SELECT count(*) AS n_raw,
+        |             count(*) FILTER (WHERE lang = 'en') AS n_tgt FROM t),
+        |r AS (SELECT raw.b,
+        |        ln((coalesce(c_tgt, 0) + 1.0) / (n_tgt + 4096.0))
+        |        - ln((c_raw + 1.0) / (n_raw + 4096.0)) AS lr
+        |      FROM raw LEFT JOIN tgt USING (b) CROSS JOIN n)
+        |SELECT t.doc_id, CAST(count(*) AS BIGINT) AS n_tokens,
+        |       round(avg(lr), 6) AS dsir_logw
+        |FROM t JOIN r USING (b) GROUP BY 1
+        |ORDER BY dsir_logw DESC, doc_id LIMIT 100""".stripMargin,
     "q_temperature_sample" ->
       """WITH s AS (SELECT source,
         |  CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS n_tokens

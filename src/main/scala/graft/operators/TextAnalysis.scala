@@ -458,6 +458,42 @@ object TextAnalysis {
       .orderBy(col("n_docs").desc, col("category"))
       .limit(20)
 
+  /** Zipf's-law fit over the top-K vocabulary — the corpus-health
+    * check every pretraining data audit runs (natural text follows
+    * rank-frequency slope ≈ −1; a synthetic, templated, or spam-heavy
+    * corpus bends the log-log line). Least squares of log(freq) on
+    * log(rank) in closed form from five sums, so both engines
+    * evaluate the SAME grid points (ranks are integers, the tie order
+    * (freq desc, token asc) total).
+    *
+    * Scale shape: the vocabulary count is one combinable groupBy; the
+    * top-K truncation is a TakeOrdered (K = 1000, driver-safe), and
+    * the rank window runs over that K-row frame — never over the
+    * Heaps-law full vocabulary, which at 100 TB would put an unbounded
+    * single-partition sort on one executor.
+    */
+  def qZipf(spark: SparkSession, sfDir: String): DataFrame = {
+    val freq = Tables.documents(spark, sfDir)
+      .select(explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(count(lit(1)).as("c"))
+    val top = freq.orderBy(col("c").desc, col("tok")).limit(1000)
+    val pts = top
+      .withColumn("r",
+        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+      .select(log(col("r").cast("double")).as("x"),
+        log(col("c").cast("double")).as("y"))
+    pts
+      .agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(col("n").cast("long").as("n_vocab"),
+        round((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("zipf_slope"),
+        round((col("sy") - (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")) * col("sx")) / col("n"), 6)
+          .as("zipf_intercept"))
+  }
+
   /** Linear quality-classifier inference (the fasttext-style filter
     * of CCNet / GPT-3-class pipeline cleans): hash each token into a
     * 4096-bucket feature space, look up the bucket's weight, and

@@ -562,6 +562,54 @@ object TrainingPipeline {
     * 1e-6 grid before the bucket comparison so the threshold is
     * engine-independent.
     */
+  /** DSIR — Data Selection via Importance Resampling (Xie et al.
+    * 2023, arXiv:2302.03169), the hashed-n-gram importance weighting
+    * used to pick pretraining data that "looks like" a target domain:
+    * rank raw-corpus documents by the mean log ratio of their hashed
+    * token features' probability under the TARGET distribution vs the
+    * raw corpus's own. Target here = the `en` slice (stand-in for any
+    * curated seed corpus); features = unigrams hashed into the same
+    * 4096-bucket space as the quality classifier (md5-derived, so the
+    * oracle recomputes it bit-identically); both distributions
+    * Laplace-smoothed over the bucket space so a bucket unseen in the
+    * target stays finite. Output = the top-100 selected documents.
+    *
+    * Scale shape: the bucket space is FIXED at 4096, so both grouped
+    * counts collapse to 4096-row frames at ANY corpus size and the
+    * per-bucket log-ratio table is an always-broadcastable join side
+    * (an explicit `broadcast` is CORRECT here, unlike a Heaps-law
+    * vocabulary — the width never grows with the data). The only
+    * corpus-sized exchange is the token→doc grouping every per-doc
+    * text score pays, and the top-k is a TakeOrdered, never a global
+    * sort.
+    */
+  def qDsir(spark: SparkSession, sfDir: String): DataFrame = {
+    val toks = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang"),
+        explode(split(col("text"), " ")).as("tok"))
+      .select(col("doc_id"), col("lang"),
+        expr("pmod(cast(conv(substring(md5(tok), 1, 8), 16, 10) as bigint), 4096)")
+          .as("b"))
+    // ONE pass builds both distributions (raw count + target count
+    // per bucket); the totals then reduce the 4096-row frame, not
+    // the corpus — two document scans total (this one and the final
+    // score join), regardless of corpus size
+    val cnt = toks.groupBy(col("b"))
+      .agg(count(lit(1)).as("c_raw"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("c_tgt"))
+    val totals = cnt.agg(sum(col("c_raw")).as("n_raw"), sum(col("c_tgt")).as("n_tgt"))
+    val ratio = cnt.crossJoin(broadcast(totals))
+      .select(col("b"),
+        (log((col("c_tgt") + lit(1.0)) / (col("n_tgt") + lit(4096.0)))
+          - log((col("c_raw") + lit(1.0)) / (col("n_raw") + lit(4096.0)))).as("lr"))
+    toks.join(broadcast(ratio), "b")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).as("n_tokens"),
+        round(avg(col("lr")), 6).as("dsir_logw"))
+      .orderBy(col("dsir_logw").desc, col("doc_id"))
+      .limit(100)
+  }
+
   def qTemperatureSample(spark: SparkSession, sfDir: String): DataFrame = {
     val stats = sourceStats(spark, sfDir)
     val minT = stats.agg(min(col("n_tokens")).as("min_tokens"))
