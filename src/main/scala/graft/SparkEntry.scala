@@ -59,6 +59,7 @@ object SparkEntry {
     "q_fuzzy_match"   -> (FullText.qFuzzyMatch _),
     "q_tfidf"         -> (FullText.qTfidf _),
     "q_bm25"          -> (FullText.qBm25 _),
+    "q_explain_score" -> (FullText.qExplainScore _),
     "q_bm25_batch"    -> (FullText.qBm25Batch _),
     "q_hybrid_rrf"    -> (FullText.qHybridRrf _),
     "q_hybrid_weighted" -> (FullText.qHybridWeighted _),
@@ -110,6 +111,7 @@ object SparkEntry {
     "q_significant_text"   -> (FullText.qSignificantText _),
     "q_highlight"          -> (FullText.qHighlight _),
     "q_media_dedup"        -> ((s: SparkSession, d: String) => Multimodal.qMediaDedup(s, d)),
+    "q_media_near_dup"     -> ((s: SparkSession, d: String) => Multimodal.qMediaNearDup(s, d)),
     "q_media_knn"          -> (Multimodal.qMediaKnn _),
     "q_search_after"   -> (Collection.qSearchAfter _),
     "q_rollup"         -> (Relational.qRollup _),
@@ -715,6 +717,19 @@ object SparkEntry {
     "q_bm25" ->
       s"""SELECT doc_id, bm25 FROM ($oracleBm25)
          |ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+    "q_explain_score" ->
+      s"""WITH $oracleTextCtes,
+         |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS dl FROM documents)
+         |SELECT tf.doc_id, tf.token, tf.tf, df.df, CAST(dl.dl AS BIGINT) AS dl,
+         |  round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)), 6) AS idf,
+         |  round(CAST(tf.tf AS DOUBLE) * (1.2 + 1) /
+         |        (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl)), 6) AS tf_weight,
+         |  round(ln(1.0 + (CAST(st.n_docs AS DOUBLE) - df.df + 0.5) / (df.df + 0.5)) *
+         |        (CAST(tf.tf AS DOUBLE) * (1.2 + 1) /
+         |         (tf.tf + 1.2 * (1 - 0.75 + 0.75 * dl.dl / st.avgdl))), 6) AS contrib
+         |FROM tf JOIN df USING (token) JOIN dl ON tf.doc_id = dl.doc_id CROSS JOIN st
+         |WHERE tf.doc_id IN (5, 17, 42)
+         |ORDER BY tf.doc_id, token""".stripMargin,
     "q_bm25_batch" ->
       """WITH qt(tq_id, token) AS (VALUES
         |  (1, 'spark'), (1, 'join'), (2, 'vector'), (2, 'hash'), (2, 'scan')),
@@ -978,6 +993,22 @@ object SparkEntry {
         |  md5(CAST(doc_id AS VARCHAR) || '_' ||
         |      CAST(unnest(range(0, n_frames, 4)) AS VARCHAR)) AS frame_key
         |FROM g ORDER BY doc_id, frame_idx""".stripMargin,
+    "q_media_near_dup" ->
+      """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM c
+        |        WHERE ch BETWEEN 'a' AND 'z' GROUP BY 1, 2),
+        |alpha AS (SELECT chr(CAST(96 + i AS INTEGER)) AS ch, i FROM range(1, 27) t(i)),
+        |vec AS (SELECT d.doc_id, list(CAST(coalesce(cnt.c, 0) AS DOUBLE) ORDER BY a.i) AS v
+        |        FROM documents d CROSS JOIN alpha a
+        |        LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.ch = a.ch
+        |        GROUP BY d.doc_id),
+        |f AS (SELECT vec.doc_id, d.source, vec.v
+        |      FROM vec JOIN documents d USING (doc_id)),
+        |p AS (SELECT a.source, a.doc_id AS a, b.doc_id AS b,
+        |        round(list_cosine_similarity(a.v, b.v), 6) AS score
+        |      FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id)
+        |SELECT source, a, b, score FROM p
+        |ORDER BY score DESC, a, b LIMIT 20""".stripMargin,
     "q_media_knn" ->
       """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |cnt AS (SELECT doc_id, ch, count(*) AS c FROM c

@@ -91,6 +91,29 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
       .agg(round(sum(idf * w), 6).as("bm25"))
   }
 
+  /** ES `_explain` for BM25: the per-term score decomposition ES
+    * returns for a (query, document) probe — tf, df, dl, idf, the
+    * saturation weight, and each term's contribution (what [[bm25]]
+    * sums). The probed docs' tf scan prunes on the id predicate
+    * (pushed through the aggregate to the parquet scan); df/avgdl are
+    * the same corpus statistics the search path computes — so explain
+    * costs one bounded probe plus the statistics pass, never a
+    * rescore of the corpus.
+    */
+  def explainBm25(terms: Seq[String], docIds: Seq[Long],
+                  k1: Double = 1.2, b: Double = 0.75): DataFrame = {
+    val k1l = lit(k1); val bl = lit(b)
+    val tfAll = termFreq(terms)
+    val docTf = tfAll.filter(col(idCol).isin(docIds: _*))
+    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+    val w = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
+    docTf.join(broadcast(docFreq(tfAll)), "token")
+      .crossJoin(broadcast(corpusStats))
+      .select(col(idCol), col("token"), col("tf"), col("df"), col("dl"),
+        round(idf, 6).as("idf"), round(w, 6).as("tf_weight"),
+        round(idf * w, 6).as("contrib"))
+  }
+
   /** Reciprocal-rank fusion of this index's BM25 ranking with any
     * other scored ranking (`otherScores`: idCol + scoreCol), e.g. a
     * vector search result. Both candidate lists are `pool`-sized, so

@@ -46,6 +46,16 @@ object FullText {
     index(spark, sfDir).bm25(Terms)
       .orderBy(col("bm25").desc, col("doc_id")).limit(K)
 
+  /** ES `_explain`: per-(doc, term) BM25 score decomposition for a
+    * probe set of documents — the relevance-debugging verb
+    * ([[graft.api.TextIndex.explainBm25]]). Same constants, same
+    * grid as [[qBm25]]: summing `contrib` per doc reproduces the
+    * search score.
+    */
+  def qExplainScore(spark: SparkSession, sfDir: String): DataFrame =
+    index(spark, sfDir).explainBm25(Terms, Seq(5L, 17L, 42L))
+      .orderBy(col("doc_id"), col("token"))
+
   /** Session-scoped at-rest text index per corpus dir (built once —
     * the ingest-time artifact, like [[IndexCache]] for the encoded
     * vector corpora).

@@ -209,6 +209,32 @@ object Multimodal {
     * so its work grows as queries × corpus = quadratic in corpus
     * size BY CONSTRUCTION of the benchmark, not of the operator).
     */
+  /** Perceptual media near-dup — the feature-space twin of
+    * [[qMediaDedup]]'s byte-exact digest pass: the top-20
+    * most-similar same-source pairs by feature cosine. Re-encodes,
+    * crops, and transcodes of one asset have digest-DIFFERENT
+    * payloads but near-identical feature vectors — exactly what the
+    * digest pass cannot see. Pairs are blocked by source and
+    * canonically ordered (a < b); the top-k plans as a TakeOrdered,
+    * never a global sort. This exact blocked scorer is the ORACLE
+    * baseline (the q_dedup_embedding doctrine); the production path
+    * at corpus scale is [[Dedup.embeddingNearDupAuto]] over the SAME
+    * feature column — codec features are just embeddings to the
+    * adaptive-LSH dedup machinery.
+    */
+  def qMediaNearDup(spark: SparkSession, sfDir: String,
+                    codec: MediaCodec = StubMediaCodec): DataFrame = {
+    val feats = decoded(spark, sfDir, codec)
+      .select(col("doc_id"), col("source"), col("feature").as("v"))
+    val a = feats.select(col("source"), col("doc_id").as("a"), col("v").as("va"))
+    val b = feats.select(col("source"), col("doc_id").as("b"), col("v").as("vb"))
+    a.join(b, Seq("source")).filter(col("a") < col("b"))
+      .select(col("source"), col("a"), col("b"),
+        round(graft.functions.vec.cosine(col("va"), col("vb")), 6).as("score"))
+      .orderBy(col("score").desc, col("a"), col("b"))
+      .limit(20)
+  }
+
   def mediaKnn(spark: SparkSession, sfDir: String, queryPred: Column,
                codec: MediaCodec = StubMediaCodec): DataFrame = {
     // features come off the materialized decoded frame (the
