@@ -189,6 +189,7 @@ object SparkEntry {
     "q_geo_tile"        -> (Geo.qGeoTile _),
     "q_dedup_keep_best" -> (Dedup.qDedupKeepBest _),
     "q_dedup_soft"      -> (Dedup.qDedupSoft _),
+    "q_semdedup"        -> (Dedup.qSemDedup _),
     "q_termvectors"     -> (FullText.qTermvectors _),
     "q_quality_classifier" -> (TextAnalysis.qQualityClassifier _),
     "q_percentiles_bucket" -> (Relational.qPercentilesBucket _),

@@ -960,6 +960,50 @@ object Dedup {
       .orderBy(col("cluster_id"))
   }
 
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication for corpora with NO given blocking key — learned
+    * k-means clusters stand in for [[qDedupEmbedding]]'s labels, and
+    * within each cluster near-identical embeddings (cosine ≥ τ) are
+    * pruned to ONE representative: the member FARTHEST from its
+    * cluster centroid (the paper's choice — of a near-dup group, keep
+    * the example adding the most spread), ties to min id. Pure
+    * composition of standing machinery: the IVF trainer's spherical
+    * k-means (fixed-size driver sample — training cost independent of
+    * corpus size), the exact blocked scorer, and the CC resolver.
+    *
+    * Scale shape: blocking by learned cluster caps pair mass at
+    * Σ_c n_c² (n_c ≈ n/k, and k grows with the corpus in a real
+    * deployment); above the measured crossover the in-cluster scorer
+    * upgrades to the adaptive-LSH path exactly as
+    * [[embeddingNearDupAuto]] does for labeled collections — the
+    * cluster id IS a label to that machinery. Output = the removed
+    * members with their kept representative.
+    */
+  def qSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
+    val cents = Ann.trainCentroids(spark, sfDir)
+    val assigned = augmentedEmbeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"))
+      .withColumn("label", Ann.assignCluster(col("embedding"), cents).cast("long"))
+    val pairs = embeddingNearDupExact(assigned, threshold = 0.8)
+    val comp = connectedComponents(
+      pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
+    // distance to the ASSIGNED centroid, on the 1e-6 grid so the
+    // keep rank is stable across plans/partitionings
+    val members = comp.select(col("node").as("vec_id"), col("comp"))
+      .join(assigned, "vec_id")
+      .withColumn("cdist", round(element_at(
+        Ann.centroidDists(col("embedding"), cents),
+        col("label").cast("int") + 1), 6))
+    val byComp = Window.partitionBy(col("comp"))
+    val ranked = members.withColumn("rk",
+      row_number().over(byComp.orderBy(col("cdist").desc, col("vec_id"))))
+    ranked.filter(col("rk") > 1)
+      .join(ranked.filter(col("rk") === 1)
+        .select(col("comp"), col("vec_id").as("keeper_id")), "comp")
+      .select(col("vec_id"), col("keeper_id"), col("label").as("cluster_id"))
+      .orderBy(col("vec_id"))
+  }
+
   /** Soft deduplication — down-WEIGHTING duplicates instead of
     * dropping them (the SlimPajama-style soft-dedup recipe): every
     * document keeps a sampling weight 1/|cluster|, so a pretraining

@@ -529,16 +529,27 @@ object TextAnalysis {
     * mixture weighting) rank on the same score the filter thresholds.
     */
   private[graft] def classifierScored(docs: DataFrame): DataFrame =
+    classifierWithScore(docs.select(col("doc_id"), col("text")))
+      .select(col("doc_id"), col("n_tokens"), col("w_sum"), col("score"))
+
+  /** Column-PRESERVING variant of [[classifierScored]]: appends
+    * n_tokens / w_sum / score to whatever frame carries a `text`
+    * column — the form the streaming ingest gate
+    * ([[graft.streaming.QualityGateStream]]) needs, since a stateless
+    * stream stage cannot join scores back on. Same expressions, one
+    * definition, so batch and stream scoring provably agree.
+    */
+  private[graft] def classifierWithScore(docs: DataFrame): DataFrame =
     docs
-      .select(col("doc_id"), split(col("text"), " ").as("toks"))
-      .select(col("doc_id"),
-        size(col("toks")).cast("long").as("n_tokens"),
+      .withColumn("toks", split(col("text"), " "))
+      .withColumn("n_tokens", size(col("toks")).cast("long"))
+      .withColumn("w_sum",
         expr("""aggregate(toks, 0L, (acc, t) ->
             acc + (pmod(cast(conv(substring(md5(t), 1, 8), 16, 10) as bigint), 4096)
-                   * 2654435761L) % 1000003L - 500000L)""").as("w_sum"))
+                   * 2654435761L) % 1000003L - 500000L)"""))
       .withColumn("logit",
         lit(4.0) * col("w_sum") / (col("n_tokens") * lit(1000003.0)))
-      .select(col("doc_id"), col("n_tokens"), col("w_sum"),
-        round(lit(0.5) + lit(0.5) * col("logit") / (lit(1.0) + abs(col("logit"))), 6)
-          .as("score"))
+      .withColumn("score",
+        round(lit(0.5) + lit(0.5) * col("logit") / (lit(1.0) + abs(col("logit"))), 6))
+      .drop("toks", "logit")
 }

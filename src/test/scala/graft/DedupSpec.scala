@@ -164,6 +164,31 @@ class DedupSpec extends SparkSpec {
     assert(rows.exists(r => r.getAs[Double]("weight") < 1.0))
   }
 
+  test("q_semdedup prunes every constructed copy pair to one survivor, deterministically") {
+    val removed = Dedup.qSemDedup(spark, sfDir).collect()
+    val removedIds = removed.map(_.getAs[Long]("vec_id")).toSet
+    val keeperIds = removed.map(_.getAs[Long]("keeper_id")).toSet
+    // a keeper is never also removed
+    assert(removedIds.intersect(keeperIds).isEmpty)
+    // every constructed sim-1.0 copy pair loses at least one member
+    val copies = graft.Tables.embeddings(spark, sfDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") % 25 === 0)
+      .select("vec_id").collect().map(_.getLong(0))
+    assert(copies.nonEmpty)
+    copies.foreach { v =>
+      assert(removedIds.contains(v) || removedIds.contains(v + 1000000000L),
+        s"copy pair of $v fully survived")
+    }
+    // all removed members of one keeper share that keeper (single
+    // representative per group)
+    removed.groupBy(_.getAs[Long]("keeper_id")).foreach { case (_, ms) =>
+      assert(ms.map(_.getAs[Long]("vec_id")).distinct.length == ms.length)
+    }
+    // deterministic across runs (k-means seed, grid-rounded ranks)
+    val again = Dedup.qSemDedup(spark, sfDir).collect()
+    assert(removed.map(_.toSeq).toSeq == again.map(_.toSeq).toSeq)
+  }
+
   test("q_dedup_ngram top pairs are valid Jaccard scores in [0,1] descending") {
     val rows = Dedup.qDedupNgram(spark, sfDir).collect()
     assert(rows.length == 50)

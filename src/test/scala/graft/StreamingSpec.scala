@@ -64,6 +64,40 @@ class StreamingSpec extends SparkSpec {
     assert(streamed.select(md5(lower(trim(col("text"))))).distinct().count() == nDistinct)
   }
 
+  test("streaming quality gate admits exactly the batch classifier's keepers") {
+    import org.apache.spark.sql.functions._
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("text"), col("lang"))
+    val srcDir = Files.createTempDirectory("graft-qgate-src").toString
+    docs.write.mode("overwrite").parquet(srcDir)
+
+    val q = graft.streaming.QualityGateStream.gated(
+        spark.readStream.schema(docs.schema).parquet(srcDir))
+      .writeStream
+      .format("memory")
+      .queryName("qgate_stream_test")
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+    q.awaitTermination(120000)
+
+    val streamed = spark.table("qgate_stream_test")
+    // the batch twin: qQualityClassifier's keep decision
+    val batchKeep = graft.operators.TextAnalysis.qQualityClassifier(spark, sfDir)
+      .filter(col("keep"))
+      .select(col("doc_id"), col("score")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("score")).toMap
+    val got = streamed.select(col("doc_id"), col("score"), col("lang")).collect()
+    assert(got.length == batchKeep.size)
+    got.foreach { r =>
+      val d = r.getAs[Long]("doc_id")
+      assert(batchKeep.contains(d), s"doc $d not a batch keeper")
+      assert(r.getAs[Double]("score") == batchKeep(d), s"doc $d score")
+    }
+    // passthrough columns survive the gate
+    assert(got.forall(_.getAs[String]("lang") != null))
+  }
+
   test("streaming percolate alerts equal the batch percolation") {
     import org.apache.spark.sql.functions.col
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")

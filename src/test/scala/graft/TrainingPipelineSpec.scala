@@ -5,6 +5,26 @@ import graft.operators.{Dedup, Geo, TrainingPipeline}
 
 class TrainingPipelineSpec extends SparkSpec {
 
+  test("q_dsir ranks target-slice documents above the rest in expectation") {
+    import org.apache.spark.sql.functions._
+    val sel = graft.operators.TrainingPipeline.qDsir(spark, sfDir)
+    val rows = sel.collect()
+    assert(rows.length == 100)
+    // weights descend with the declared tie order
+    val ws = rows.map(r => (r.getAs[Double]("dsir_logw"), r.getAs[Long]("doc_id")))
+    assert(ws.sliding(2).forall { case Array((w1, d1), (w2, d2)) =>
+      w1 > w2 || (w1 == w2 && d1 < d2) })
+    // DSIR's point: the selected set should over-represent the target
+    // domain (en) relative to its share of the raw corpus
+    val docs = graft.Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("lang")).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("lang")).toMap
+    val corpusEn = docs.values.count(_ == "en").toDouble / docs.size
+    val selEn = rows.count(r => docs(r.getAs[Long]("doc_id")) == "en").toDouble / rows.length
+    assert(selEn > corpusEn,
+      s"selected en share $selEn should exceed corpus share $corpusEn")
+  }
+
   test("q_contamination flags every constructed copy of a benchmark doc") {
     val rows = TrainingPipeline.qContamination(spark, sfDir).collect()
     val flagged = rows.map(_.getAs[Long]("doc_id")).toSet
