@@ -973,10 +973,11 @@ object Dedup {
     *
     * Scale shape: blocking by learned cluster caps pair mass at
     * Σ_c n_c² (n_c ≈ n/k, and k grows with the corpus in a real
-    * deployment); above the measured crossover the in-cluster scorer
-    * upgrades to the adaptive-LSH path exactly as
-    * [[embeddingNearDupAuto]] does for labeled collections — the
-    * cluster id IS a label to that machinery. Output = the removed
+    * deployment); the in-cluster scorer IS [[embeddingNearDupAuto]] —
+    * the cluster id is a label to that machinery, so above the
+    * measured crossover the pair pool comes from the adaptive-LSH
+    * path, not the exact grid (the round-8 lesson: the registered
+    * path must BE the doctrine, not cite it). Output = the removed
     * members with their kept representative.
     */
   def qSemDedup(spark: SparkSession, sfDir: String): DataFrame = {
@@ -984,7 +985,7 @@ object Dedup {
     val assigned = augmentedEmbeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"))
       .withColumn("label", Ann.assignCluster(col("embedding"), cents).cast("long"))
-    val pairs = embeddingNearDupExact(assigned, threshold = 0.8)
+    val pairs = embeddingNearDupAuto(assigned, threshold = 0.8)
     val comp = connectedComponents(
       pairs.select(col("vec_a").as("a"), col("vec_b").as("b")))
     // distance to the ASSIGNED centroid, on the 1e-6 grid so the
