@@ -158,6 +158,7 @@ object SparkEntry {
     "q_update_by_query" -> (Collection.qUpdateByQuery _),
     "q_scroll_slice"    -> (Collection.qScrollSlice _),
     "q_geo_grid"        -> (Geo.qGeoGrid _),
+    "q_geohash_grid"    -> (Geo.qGeohashGrid _),
     "q_terms_by_metric" -> (Relational.qTermsByMetric _),
     "q_media_audio"     -> ((s: SparkSession, d: String) => Multimodal.qMediaAudio(s, d)),
     "q_rescore"         -> (FullText.qRescore _),
@@ -242,6 +243,15 @@ object SparkEntry {
       |df AS (SELECT token, count(DISTINCT doc_id) AS df FROM toks
       |       WHERE token IN ('spark','join','vector') GROUP BY 1),
       |st AS (SELECT count(*) AS n_docs, avg(len(string_split(text, ' '))) AS avgdl FROM documents)""".stripMargin
+
+  /** The geohash interleave (8 lon + 7 lat bits, lon first) as SQL —
+    * generated from the same loop shape as the Spark expression so
+    * the two encoders cannot drift.
+    */
+  private val geohashBitsSql: String = (
+    (0 until 8).map(j => s"((lon_i >> ${7 - j}) & 1) * ${1 << (14 - 2 * j)}") ++
+    (0 until 7).map(j => s"((lat_i >> ${6 - j}) & 1) * ${1 << (13 - 2 * j)}")
+  ).mkString(" + ")
 
   private val oracleBm25 =
     s"""WITH $oracleTextCtes,
@@ -1673,6 +1683,28 @@ object SparkEntry {
       """SELECT vec_id, label FROM embeddings
         |WHERE CAST('0x' || substring(md5(CAST(vec_id AS VARCHAR)), 1, 8) AS BIGINT) % 4 = 1
         |ORDER BY vec_id LIMIT 100""".stripMargin,
+    "q_geohash_grid" ->
+      s"""WITH u AS (SELECT DISTINCT user_id FROM events),
+         |g AS (SELECT
+         |  CAST(CAST('0x' || substring(md5(CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 18000 AS DOUBLE) / 100.0 - 90.0 AS lat,
+         |  CAST(CAST('0x' || substring(md5('x' || CAST(user_id AS VARCHAR)), 1, 8) AS BIGINT)
+         |       % 36000 AS DOUBLE) / 100.0 - 180.0 AS lon
+         |  FROM u),
+         |i AS (SELECT lat, lon,
+         |  CAST(least(floor((lon + 180.0) / 360.0 * 256.0), 255.0) AS BIGINT) AS lon_i,
+         |  CAST(least(floor((lat + 90.0) / 180.0 * 128.0), 127.0) AS BIGINT) AS lat_i
+         |  FROM g),
+         |b AS (SELECT lat, lon, $geohashBitsSql AS gh_i FROM i),
+         |h AS (SELECT lat, lon,
+         |  substring('${Geo.GeohashAlphabet}', CAST((gh_i >> 10) & 31 AS INT) + 1, 1) ||
+         |  substring('${Geo.GeohashAlphabet}', CAST((gh_i >> 5) & 31 AS INT) + 1, 1) ||
+         |  substring('${Geo.GeohashAlphabet}', CAST(gh_i & 31 AS INT) + 1, 1) AS geohash
+         |  FROM b)
+         |SELECT geohash, count(*) AS n_points,
+         |  round(avg(lat), 6) AS centroid_lat, round(avg(lon), 6) AS centroid_lon
+         |FROM h GROUP BY 1
+         |ORDER BY n_points DESC, geohash LIMIT 20""".stripMargin,
     "q_geo_grid" ->
       """WITH u AS (SELECT DISTINCT user_id FROM events),
         |g AS (SELECT user_id,

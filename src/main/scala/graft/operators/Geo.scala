@@ -83,6 +83,46 @@ object Geo {
       .orderBy(col("n_points").desc, col("cell_lat"), col("cell_lon"))
       .limit(20)
 
+  /** ES `geohash_grid` at precision 3 — TRUE base-32 geohash cells
+    * (bit-interleaved lon/lat, lon bit first, the geohash standard),
+    * not the plain degree grid [[qGeoGrid]] keeps for its simpler
+    * shape: per cell, point count and centroid. The encode is one
+    * closed-form integer expression — 8 lon + 7 lat bits interleaved
+    * into 15 bits, split into three 5-bit base-32 characters — so
+    * both engines land identical cells from identical IEEE
+    * arithmetic; the aggregate is map-side combinable with |cells|
+    * output rows at any corpus size, and the top-k is a TakeOrdered.
+    */
+  def qGeohashGrid(spark: SparkSession, sfDir: String): DataFrame = {
+    val lonI = least(floor((col("lon") + lit(180.0)) / lit(360.0) * lit(256.0)),
+      lit(255.0)).cast("int")
+    val latI = least(floor((col("lat") + lit(90.0)) / lit(180.0) * lit(128.0)),
+      lit(127.0)).cast("int")
+    val inter = (
+      (0 until 8).map(j =>
+        shiftright(col("lon_i"), 7 - j).bitwiseAND(lit(1)) * lit(1 << (14 - 2 * j))) ++
+      (0 until 7).map(j =>
+        shiftright(col("lat_i"), 6 - j).bitwiseAND(lit(1)) * lit(1 << (13 - 2 * j)))
+    ).reduce(_ + _)
+    userGeo(spark, sfDir)
+      .withColumn("lon_i", lonI)
+      .withColumn("lat_i", latI)
+      .withColumn("gh_i", inter)
+      .withColumn("geohash", expr(
+        s"""concat(substring('$GeohashAlphabet', cast(shiftright(gh_i, 10) & 31 as int) + 1, 1),
+           |       substring('$GeohashAlphabet', cast(shiftright(gh_i, 5) & 31 as int) + 1, 1),
+           |       substring('$GeohashAlphabet', cast(gh_i & 31 as int) + 1, 1))""".stripMargin))
+      .groupBy(col("geohash"))
+      .agg(count(lit(1)).as("n_points"),
+        round(avg(col("lat")), 6).as("centroid_lat"),
+        round(avg(col("lon")), 6).as("centroid_lon"))
+      .orderBy(col("n_points").desc, col("geohash"))
+      .limit(20)
+  }
+
+  /** The geohash base-32 alphabet (no a/i/l/o). */
+  val GeohashAlphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
   /** Bounding-box + centroid aggregation (ES `geo_bounds` +
     * `geo_centroid`): per event type, the box and centroid of the
     * acting users' locations. The user-profile join is a plain key
