@@ -102,6 +102,7 @@ object SparkEntry {
     "q_temperature_sample" -> (TrainingPipeline.qTemperatureSample _),
     "q_dsir"            -> (TrainingPipeline.qDsir _),
     "q_zipf"            -> (TextAnalysis.qZipf _),
+    "q_heaps"           -> (TextAnalysis.qHeaps _),
     "q_perplexity_buckets" -> (TextAnalysis.qPerplexityBuckets _),
     "q_dedup_prefix"   -> (Dedup.qDedupPrefix _),
     "q_dedup_substring" -> (Dedup.qDedupSubstring _),
@@ -1136,6 +1137,26 @@ object SparkEntry {
         |  round(w / total_w, 6) AS share,
         |  round(CAST(1000000 AS DOUBLE) * round(w / total_w, 6) / n_tokens, 6) AS epochs
         |FROM w CROSS JOIN t ORDER BY source""".stripMargin,
+    "q_heaps" ->
+      """WITH toks AS (SELECT doc_id, unnest(string_split(text, ' ')) AS tok FROM documents),
+        |fs AS (SELECT tok, min(doc_id) AS first_id FROM toks GROUP BY 1),
+        |dl AS (SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+        |m AS (SELECT max(doc_id) AS max_id FROM documents),
+        |cp AS (SELECT CAST(i AS INT) AS checkpoint,
+        |              CAST(floor(max_id * i / 10) AS BIGINT) AS cutoff
+        |       FROM range(1, 11) t(i) CROSS JOIN m),
+        |v AS (SELECT cp.checkpoint, count(*) AS vocab
+        |      FROM cp JOIN fs ON fs.first_id <= cp.cutoff GROUP BY 1),
+        |tt AS (SELECT cp.checkpoint, CAST(sum(dl.n) AS BIGINT) AS n_tokens
+        |       FROM cp JOIN dl ON dl.doc_id <= cp.cutoff GROUP BY 1),
+        |p AS (SELECT v.checkpoint, n_tokens, vocab,
+        |        ln(CAST(n_tokens AS DOUBLE)) AS x, ln(CAST(vocab AS DOUBLE)) AS y
+        |      FROM v JOIN tt USING (checkpoint)),
+        |a AS (SELECT CAST(count(*) AS DOUBLE) AS n, sum(x) AS sx, sum(y) AS sy,
+        |             sum(x*x) AS sxx, sum(x*y) AS sxy FROM p)
+        |SELECT checkpoint, n_tokens, vocab,
+        |  round((n*sxy - sx*sy) / (n*sxx - sx*sx), 6) AS heaps_beta
+        |FROM p CROSS JOIN a ORDER BY checkpoint""".stripMargin,
     "q_zipf" ->
       """WITH f AS (SELECT tk, count(*) AS c
         |  FROM (SELECT unnest(string_split(text, ' ')) AS tk FROM documents)

@@ -494,6 +494,57 @@ object TextAnalysis {
           .as("zipf_intercept"))
   }
 
+  /** Heaps'-law vocabulary-growth fit — [[qZipf]]'s companion corpus
+    * audit (V = K·n^β; natural text sits at β ≈ 0.4–0.6, and a
+    * templated or looped corpus flattens the curve): distinct-vocab
+    * size at ten cumulative corpus checkpoints, with the log-log
+    * least-squares exponent attached.
+    *
+    * The checkpoint vocabularies come from ONE trick that keeps the
+    * shape linear: per token, only its FIRST document id matters
+    * (vocab at cutoff c = tokens first seen ≤ c), so one
+    * groupBy(token).min pass — the same exchange q_zipf's frequency
+    * count pays — feeds all ten checkpoints, which then count a
+    * broadcast 10-row frame against it. No per-checkpoint rescans,
+    * no cumulative window over the corpus. The β fit is the closed
+    * five-sum form over ten points, broadcast back onto them.
+    *
+    * On the driver's synthetic corpus the audit fires exactly as
+    * designed: the fixed 31-word vocabulary saturates at the first
+    * checkpoint and β lands at 0 — the flat curve that tells a data
+    * engineer the corpus is templated, not natural text.
+    */
+  def qHeaps(spark: SparkSession, sfDir: String): DataFrame = {
+    val docs = Tables.documents(spark, sfDir)
+    val maxId = docs.agg(max(col("doc_id")).as("max_id"))
+    val firstSeen = docs
+      .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
+      .groupBy(col("tok")).agg(min(col("doc_id")).as("first_id"))
+    val docLens = docs.select(col("doc_id"),
+      size(split(col("text"), " ")).cast("long").as("n"))
+    val cp = spark.range(1, 11)
+      .select(col("id").cast("int").as("checkpoint"))
+      .crossJoin(broadcast(maxId))
+      .select(col("checkpoint"),
+        floor(col("max_id") * col("checkpoint") / lit(10)).cast("long").as("cutoff"))
+    val vocab = cp.join(firstSeen, firstSeen("first_id") <= cp("cutoff"))
+      .groupBy(col("checkpoint")).agg(count(lit(1)).as("vocab"))
+    val toks = cp.join(docLens, docLens("doc_id") <= cp("cutoff"))
+      .groupBy(col("checkpoint")).agg(sum(col("n")).as("n_tokens"))
+    val pts = vocab.join(toks, "checkpoint")
+      .select(col("checkpoint"), col("n_tokens"), col("vocab"),
+        log(col("n_tokens").cast("double")).as("x"),
+        log(col("vocab").cast("double")).as("y"))
+    val fit = pts.agg(count(lit(1)).cast("double").as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+        sum(col("x") * col("x")).as("sxx"), sum(col("x") * col("y")).as("sxy"))
+      .select(round((col("n") * col("sxy") - col("sx") * col("sy")) /
+        (col("n") * col("sxx") - col("sx") * col("sx")), 6).as("heaps_beta"))
+    pts.crossJoin(broadcast(fit))
+      .select(col("checkpoint"), col("n_tokens"), col("vocab"), col("heaps_beta"))
+      .orderBy(col("checkpoint"))
+  }
+
   /** Linear quality-classifier inference (the fasttext-style filter
     * of CCNet / GPT-3-class pipeline cleans): hash each token into a
     * 4096-bucket feature space, look up the bucket's weight, and
