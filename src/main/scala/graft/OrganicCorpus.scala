@@ -47,7 +47,7 @@ object OrganicCorpus {
     new java.util.Random(mix(seed ^ (table.toLong << 56) ^ id))
 
   // ---- measured distributions -----------------------------------
-  private val Vocab: Array[String] = Array(
+  private[graft] val Vocab: Array[String] = Array(
     "a", "agg", "batch", "big", "column", "customer", "data", "fast",
     "filter", "group", "hash", "join", "key", "line", "merge", "order",
     "part", "query", "row", "scan", "slow", "small", "sort", "spark",
@@ -63,6 +63,67 @@ object OrganicCorpus {
   private val PartTypes = Array("ECONOMY", "SMALL", "MEDIUM", "LARGE", "STANDARD", "PROMO")
   private val Regions = Array("AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST")
 
+  // ---- Heaps-law vocabulary mode ---------------------------------
+  /** Token sampler for `vocabMode = "heaps"`: a two-regime Zipf
+    * rank-frequency law over an UNBOUNDED vocabulary — the
+    * Ferrer-i-Cancho/Solé two-exponent shape real corpora follow
+    * (head exponent ≈ 1 over the frequent ranks, tail exponent ≈ 2),
+    * which yields Heaps-law type growth V(n) ∝ n^β with β = 1/2 from
+    * the tail while a rank-frequency fit over the head measures the
+    * familiar Zipf slope ≈ −1. The driver-faithful default mode
+    * (fixed 31-word vocabulary) is what the round-9 organic-decade
+    * artifact showed makes TRUE near-dup mass quadratic (83× output
+    * rows at 10× docs) and flattens every vocabulary audit (measured
+    * Heaps β = 0); this mode is the realism arm those measurements
+    * re-run on.
+    *
+    * Sampling is closed-form inverse-CDF per token (no tables, no
+    * driver state, deterministic per row-seeded PRNG):
+    *  - with prob [[HeapsHeadMass]]: head rank ~ log-uniform over
+    *    1..[[HeapsHeadRanks]] (`rank = floor(R^u)` — the continuous
+    *    density ∝ 1/rank, i.e. Zipf slope −1 across the head);
+    *  - else: tail rank ~ Pareto(α=1) shifted past the head
+    *    (`rank = floor(R / (1−u))` ≥ R — density ∝ rank^−2, whose
+    *    observed-type count after n draws is Θ(√n): Heaps β = 0.5).
+    * Ranks 1..31 map to the driver vocabulary (so fixed-needle
+    * queries like q_keyword_match stay non-empty on heaps corpora);
+    * deeper ranks render as base-26 words, length growing ~log26(rank)
+    * like natural orthography.
+    */
+  private val HeapsHeadRanks = 1000
+  private val HeapsHeadMass = 0.7
+
+  private[graft] def heapsWord(rank: Long): String = {
+    if (rank <= Vocab.length) Vocab((rank - 1).toInt)
+    else {
+      // base-26 little-endian render of the rank (injective given the
+      // leading length variation; the rare collision with a driver
+      // word merges two ranks into one type — statistically invisible)
+      val sb = new java.lang.StringBuilder(8)
+      var v = rank
+      while (v > 0) { sb.append(('a' + ((v - 1) % 26)).toChar); v = (v - 1) / 26 }
+      sb.toString
+    }
+  }
+
+  private[graft] def heapsToken(r: java.util.Random): String = {
+    val rank =
+      if (r.nextDouble() < HeapsHeadMass)
+        math.min(HeapsHeadRanks.toLong,
+          math.floor(math.exp(r.nextDouble() * math.log(HeapsHeadRanks.toDouble))).toLong)
+      else
+        math.min(1000000000000L,
+          math.floor(HeapsHeadRanks / (1.0 - r.nextDouble())).toLong)
+    heapsWord(math.max(1L, rank))
+  }
+
+  /** Valid values for `generate`'s `vocabMode`. */
+  val VocabModes: Set[String] = Set("driver", "heaps")
+
+  /** Table names `generate` can emit (the `tables` subset filter). */
+  val AllTables: Set[String] = Set("region", "nation", "customer", "supplier",
+    "part", "orders", "lineitem", "events", "documents", "embeddings")
+
   private val OrderEpochDay = 9131L  // 1995-01-01
   private val OrderDays = 2404      // .. 2001-08-01
   private val ShipDays = OrderDays + 95
@@ -74,16 +135,21 @@ object OrganicCorpus {
     */
   private def n(base: Long, sf: Double): Long = math.max(1L, (base * sf).toLong)
 
-  def generate(spark: SparkSession, sf: Double, outDir: String, seed: Long = 443L): Unit = {
+  def generate(spark: SparkSession, sf: Double, outDir: String, seed: Long = 443L,
+               vocabMode: String = "driver",
+               tables: Set[String] = AllTables): Unit = {
     import spark.implicits._
+    require(VocabModes.contains(vocabMode), s"unknown vocabMode '$vocabMode'")
+    require(tables.subsetOf(AllTables), s"unknown tables: ${tables.diff(AllTables)}")
     val nCust = n(150000, sf); val nSupp = n(10000, sf); val nPart = n(200000, sf)
     val nOrd = n(1500000, sf); val nDocs = n(50000, sf)
     val nEvents = n(1000000, sf); val nUsers = n(15000, sf)
     val parts = math.max(spark.sparkContext.defaultParallelism, 32)
+    val heaps = vocabMode == "heaps"
 
-    def write(df: DataFrame, table: String): Unit = {
+    def write(df: => DataFrame, table: String): Unit = {
       val marker = new java.io.File(s"$outDir/$table.parquet/_SUCCESS")
-      if (!marker.exists())
+      if (tables.contains(table) && !marker.exists())
         df.write.mode("overwrite").parquet(s"$outDir/$table.parquet")
     }
 
@@ -154,7 +220,9 @@ object OrganicCorpus {
       val r = rng(7, id, seed)
       val nWords = 10 + r.nextInt(90)
       val text = Seq.fill(nWords)(
-        if (r.nextDouble() < 0.001) RareWord else Vocab(r.nextInt(Vocab.length)))
+        if (r.nextDouble() < 0.001) RareWord
+        else if (heaps) heapsToken(r)
+        else Vocab(r.nextInt(Vocab.length)))
         .mkString(" ")
       val u = r.nextDouble()
       val lang = Langs(LangCum.indexWhere(u <= _))
@@ -169,20 +237,33 @@ object OrganicCorpus {
     }).toDF("vec_id", "embedding", "label"), "embeddings")
   }
 
-  /** `SPARK_GRAFT_SF` (default 1.0) → `target/organic/sf<sf>/`. */
+  /** `SPARK_GRAFT_SF` (default 1.0) → `target/organic/sf<sf>/`.
+    * `SPARK_GRAFT_VOCAB` ("driver"|"heaps", default driver) picks the
+    * vocabulary law; heaps output lands under `…/heaps-sf<sf>/` so
+    * the two laws never share a directory. `SPARK_GRAFT_TABLES`
+    * (comma list, default all) restricts generation to the tables a
+    * targeted slope run reads — at sf100 the dedup family needs
+    * documents+embeddings, not 600 M lineitem rows.
+    */
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF", "1.0").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    val vocabMode = sys.env.getOrElse("SPARK_GRAFT_VOCAB", "driver")
+    val tables = sys.env.get("SPARK_GRAFT_TABLES")
+      .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
+      .getOrElse(AllTables)
+    val sfName = if (sf == sf.toLong.toDouble) sf.toLong.toString else sf.toString
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT",
-      s"target/organic/sf${if (sf == sf.toLong.toDouble) sf.toLong.toString else sf.toString}")
+      if (vocabMode == "heaps") s"target/organic/heaps-sf$sfName"
+      else s"target/organic/sf$sfName")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, outDir)
-    println(s"""{"built":"$outDir","sf":$sf}""")
+    generate(spark, sf, outDir, vocabMode = vocabMode, tables = tables)
+    println(s"""{"built":"$outDir","sf":$sf,"vocab":"$vocabMode"}""")
     spark.stop()
   }
 }

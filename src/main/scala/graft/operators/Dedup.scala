@@ -349,9 +349,12 @@ object Dedup {
     * fixed threshold; what the chooser BUYS is freedom from the
     * fixed-band saturation cliff (a hand-tuned r is quadratic the
     * decade after it was tuned). Measured on the organic scaled
-    * corpus: 3.1× at a 10× corpus, 114× at a 100× corpus — under
-    * the n^1.22 theory curve (≈275×) at every decade, vs n² ≈
-    * 10000× for the exact scorer.
+    * corpus with the join-side-verify pipeline: 2.19× at a 10×
+    * corpus (`bench/slope_x10_embedding_r9.json`) and 6.8× at a
+    * 100× corpus at s = 0.9 (`bench/slope_x100_tier2_r9.json`;
+    * 24.3× at s = 0.35, the documented ρ ≈ 0.7 weak-LSH regime) —
+    * under the n^1.22 theory curve (≈275× at 100×) at every
+    * decade, vs n² ≈ 10000× for the exact scorer.
     */
   def chooseBanding(avgLabelCount: Double, threshold: Double,
                     targetOccupancy: Double = 64.0,

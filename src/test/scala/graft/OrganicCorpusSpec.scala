@@ -93,4 +93,82 @@ class OrganicCorpusSpec extends SparkSpec {
     for (q <- Seq("q1_agg", "q_token_count", "q_knn_cosine", "q_eql_sequence"))
       assert(SparkEntry.queries(q)(spark, dir).count() > 0, s"$q empty on organic corpus")
   }
+
+  // ---- Heaps-law vocabulary mode ---------------------------------
+
+  private lazy val heapsDir = {
+    val d = graft.operators.IndexCache.tempDir("graft-heaps") + "/sf"
+    OrganicCorpus.generate(spark, 0.01, d, vocabMode = "heaps", tables = Set("documents"))
+    d
+  }
+  private lazy val heapsBigDir = {
+    val d = graft.operators.IndexCache.tempDir("graft-heaps10") + "/sf"
+    OrganicCorpus.generate(spark, 0.1, d, vocabMode = "heaps", tables = Set("documents"))
+    d
+  }
+
+  private def tokenStats(d: String): (Long, Long) = {
+    val r = Tables.documents(spark, d)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .agg(count(lit(1)).as("n"), countDistinct(col("w")).as("v")).head
+    (r.getLong(0), r.getLong(1))
+  }
+
+  test("heaps mode: vocabulary grows as n^beta with beta in [0.4, 0.6]") {
+    val (n1, v1) = tokenStats(heapsDir)
+    val (n2, v2) = tokenStats(heapsBigDir)
+    assert(n2 > 8 * n1, s"corpus sizes too close to fit: $n1 vs $n2")
+    val beta = math.log(v2.toDouble / v1) / math.log(n2.toDouble / n1)
+    assert(beta >= 0.4 && beta <= 0.6,
+      s"measured Heaps beta $beta outside [0.4, 0.6] (V: $v1 -> $v2, n: $n1 -> $n2)")
+    // and the q_heaps audit itself — the operator that measured beta=0
+    // on the driver-faithful mode — now reads ~0.5 on its own output
+    val audited = graft.operators.TextAnalysis.qHeaps(spark, heapsBigDir)
+      .select(col("heaps_beta")).head.getDouble(0)
+    assert(audited >= 0.35 && audited <= 0.65,
+      s"q_heaps audit beta $audited outside [0.35, 0.65]")
+  }
+
+  test("heaps mode: rank-frequency follows Zipf slope ~ -1 over the head") {
+    val freqs = Tables.documents(spark, heapsBigDir)
+      .select(explode(split(col("text"), " ")).as("w"))
+      .groupBy(col("w")).count()
+      .orderBy(col("count").desc, col("w"))
+      .limit(300).collect().map(_.getLong(1))
+    // OLS of log(freq) on log(rank) over ranks 10..300 (below 10 the
+    // discrete log-uniform head is noisy; past the head the tail
+    // exponent takes over — the two-regime shape real corpora have)
+    val pts = freqs.zipWithIndex.drop(9)
+      .map { case (f, i) => (math.log(i + 1.0), math.log(f.toDouble)) }
+    val n = pts.length.toDouble
+    val (sx, sy) = (pts.map(_._1).sum, pts.map(_._2).sum)
+    val sxx = pts.map(p => p._1 * p._1).sum
+    val sxy = pts.map(p => p._1 * p._2).sum
+    val slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    assert(slope >= -1.25 && slope <= -0.75,
+      s"Zipf slope $slope outside [-1.25, -0.75]")
+  }
+
+  test("heaps mode: deterministic, schema-stable, driver needles present") {
+    // same schema as the driver documents table
+    val want = Tables.load(spark, sfDir, "documents").schema
+      .map(f => f.name -> f.dataType.simpleString)
+    val got = Tables.load(spark, heapsDir, "documents").schema
+      .map(f => f.name -> f.dataType.simpleString)
+    assert(got == want, s"heaps documents schema drift: $got vs $want")
+    // bit-determinism (the property every committed bench rests on)
+    val d2 = graft.operators.IndexCache.tempDir("graft-heaps2") + "/sf"
+    OrganicCorpus.generate(spark, 0.01, d2, vocabMode = "heaps", tables = Set("documents"))
+    def digest(d: String): String = {
+      val df = Tables.documents(spark, d)
+      df.select(xxhash64(df.columns.map(c => col(c).cast("string")): _*).as("h"))
+        .agg(sum(col("h").cast("decimal(38,0)"))).head.getDecimal(0).toString
+    }
+    assert(digest(heapsDir) == digest(d2), "heaps documents not deterministic")
+    // the driver vocabulary occupies the top ranks, so fixed-needle
+    // registered queries stay non-empty on heaps corpora
+    val docs = Tables.documents(spark, heapsDir)
+    assert(docs.filter(col("text").rlike("\\bjoin\\b")).count() > 0)
+    assert(SparkEntry.queries("q_token_count")(spark, heapsDir).count() > 0)
+  }
 }
