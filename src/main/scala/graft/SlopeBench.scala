@@ -24,6 +24,16 @@ import org.apache.spark.sql.functions._
   *     duplicate DENSITY stays organic instead of every doc gaining
   *     N-1 identical twins (which would inflate the dedup operators'
   *     group sizes quadratically and measure a workload nobody runs).
+  *
+  * PROTOCOL CONTRACT for ≥100× runs (see README "Slope-measurement
+  * protocol"): one fresh JVM per query group (split the list via
+  * `SPARK_GRAFT_SLOPE_QUERIES` across invocations) — dead shuffle
+  * files of finished queries outlive the default periodic-GC interval
+  * and exhaust local disk at 100×-corpus shuffle sizes; this harness
+  * additionally sets `periodicGC.interval=1min` and kicks
+  * `System.gc()` between timed queries, outside the timed window.
+  * Pre-built corpora (organic/heaps) go through
+  * `SPARK_GRAFT_SLOPE_SCALED_DIR`.
   */
 object SlopeBench {
 
@@ -45,6 +55,18 @@ object SlopeBench {
   val SlopeOnly: Map[String, (SparkSession, String) => DataFrame] = Map(
     "q_media_knn_fixedq" -> ((s, dir) => operators.Multimodal.mediaKnn(s, dir,
       col("doc_id") % 100 === 0 && col("doc_id") < 100000000L)),
+    // listed here (same fn as the registered entry) so a slope run
+    // selecting it replicates only the documents table, not the full
+    // star schema — it reads nothing else
+    "q_media_near_dup_auto" -> ((s, dir) =>
+      operators.Multimodal.qMediaNearDupAuto(s, dir)),
+    // SHADOWS the registered entry on purpose: q_dup_clusters serves
+    // consumers from a session-materialized frame (the production
+    // shape), which would make every slope pass after the first a
+    // cached read — min-of-two would then compare cache hits, not the
+    // resolution. The slope harness times the UNCACHED resolver.
+    "q_dup_clusters" -> ((s, dir) =>
+      operators.Dedup.resolveDupClusters(s, dir).orderBy(col("doc_id"))),
     // the PRODUCTION configuration of embedding near-dup (high
     // threshold, wide bands): the registered entry's (4-bit, 0.35)
     // setting is tuned to the synthetic corpus's low near band and

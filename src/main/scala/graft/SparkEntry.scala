@@ -113,6 +113,7 @@ object SparkEntry {
     "q_highlight"          -> (FullText.qHighlight _),
     "q_media_dedup"        -> ((s: SparkSession, d: String) => Multimodal.qMediaDedup(s, d)),
     "q_media_near_dup"     -> ((s: SparkSession, d: String) => Multimodal.qMediaNearDup(s, d)),
+    "q_media_near_dup_auto" -> ((s: SparkSession, d: String) => Multimodal.qMediaNearDupAuto(s, d)),
     "q_media_knn"          -> (Multimodal.qMediaKnn _),
     "q_search_after"   -> (Collection.qSearchAfter _),
     "q_rollup"         -> (Relational.qRollup _),
@@ -1021,6 +1022,27 @@ object SparkEntry {
         |      FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id)
         |SELECT source, a, b, score FROM p
         |ORDER BY score DESC, a, b LIMIT 20""".stripMargin,
+    "q_media_near_dup_auto" ->
+      """WITH aug AS (
+        |  SELECT doc_id, source, text FROM documents
+        |  UNION ALL
+        |  SELECT doc_id + 3000000000 AS doc_id, source,
+        |    array_to_string(list_reverse(string_split(text, ' ')), ' ') AS text
+        |  FROM documents WHERE doc_id % 9 = 0),
+        |c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM aug),
+        |cnt AS (SELECT doc_id, ch, count(*) AS c FROM c
+        |        WHERE ch BETWEEN 'a' AND 'z' GROUP BY 1, 2),
+        |alpha AS (SELECT chr(CAST(96 + i AS INTEGER)) AS ch, i FROM range(1, 27) t(i)),
+        |vec AS (SELECT d.doc_id, list(CAST(coalesce(cnt.c, 0) AS DOUBLE) ORDER BY a.i) AS v
+        |        FROM aug d CROSS JOIN alpha a
+        |        LEFT JOIN cnt ON cnt.doc_id = d.doc_id AND cnt.ch = a.ch
+        |        GROUP BY d.doc_id),
+        |f AS (SELECT vec.doc_id, d.source, vec.v FROM vec JOIN aug d USING (doc_id))
+        |SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.source,
+        |  round(list_cosine_similarity(a.v, b.v), 6) AS score
+        |FROM f a JOIN f b ON a.source = b.source AND a.doc_id < b.doc_id
+        |WHERE round(list_cosine_similarity(a.v, b.v), 6) >= 0.995
+        |ORDER BY doc_a, doc_b""".stripMargin,
     "q_media_knn" ->
       """WITH c AS (SELECT doc_id, unnest(string_split(text, '')) AS ch FROM documents),
         |cnt AS (SELECT doc_id, ch, count(*) AS c FROM c

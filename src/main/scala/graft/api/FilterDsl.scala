@@ -122,6 +122,17 @@ object FilterDsl {
     * A missing (null) field counts as ZERO values — the explicit
     * `when` guard (rather than bare `size`) pins that semantics
     * regardless of the engine's legacy `size(NULL)` setting.
+    *
+    * SEMANTIC PIN, stated explicitly: missing ≡ empty (count 0), the
+    * same convention [[IsEmpty]] uses — so an upper-bound-only filter
+    * like `{"values_count": {"lt": 5}}` MATCHES points that lack the
+    * field entirely. This is deliberate and internally consistent
+    * (`values_count lt 5` ∪ `values_count gte 5` partitions the
+    * collection), but engines differ here: backends that evaluate
+    * conditions only against PRESENT payload fields would exclude
+    * missing-field points from every values_count filter. Callers
+    * porting filters who need present-only semantics should conjoin
+    * `{"is_empty": false}`-style guards (here: a `gte: 1` bound).
     */
   final case class ValuesCount(key: String,
                                gte: Option[Long] = None, gt: Option[Long] = None,
@@ -298,6 +309,21 @@ object FilterDsl {
           case JString(k) => k
           case other => sys.error(s"filter condition needs a string key, got $other")
         }
+        // one condition = one family. Without this check a wire object
+        // mixing families (e.g. array_contains + match) would silently
+        // return the first family's condition and DROP the rest — the
+        // same-family mixes already fail loudly as "ambiguous ... shape",
+        // so cross-family mixes must too (fail-fast wire contract).
+        val families = Seq(
+          "geo" -> Seq("geo_bounding_box", "geo_radius", "geo_polygon", "geo_shape"),
+          "array" -> Seq("array_contains", "array_contains_all",
+            "array_contains_any", "values_count", "is_empty"),
+          "scalar" -> Seq("match", "range", "is_null"))
+        val present = families.collect {
+          case (fam, keys) if keys.exists(k => (o \ k) != JNothing) => fam
+        }
+        if (present.size > 1) sys.error(
+          s"condition for key '$key' mixes families ${present.mkString("/")}: $o")
         def dbl(v: JValue, what: String): Double = v match {
           case JDouble(d) => d; case JInt(n) => n.toDouble
           case JLong(n) => n.toDouble; case JDecimal(d) => d.toDouble

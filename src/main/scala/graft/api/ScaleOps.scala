@@ -133,7 +133,12 @@ object ScaleOps {
       maxDebtRows: Long = 100000L,
       maxDataFiles: Long = 512L,
       minRecall: Option[Double] = None,
-      keepGenerations: Int = 1)
+      keepGenerations: Int = 1,
+      // the ILM age rung: previously-live generations older than this
+      // are pruned even within the keepGenerations count (None = count
+      // bound only). Tenant-tier aging is the collection-side policy —
+      // see [[Tenants.applyLifecycle]].
+      maxGenerationAgeMs: Option[Long] = None)
 
   /** What [[maintain]] did and why — one row per decision, loggable
     * as-is into an operations table.
@@ -223,7 +228,7 @@ object ScaleOps {
     // inside the exclusive block above, so no other process's
     // in-flight generation write can race it.
     graft.sources.IndexAlias.pruneGenerations(spark, home,
-      keep = policy.keepGenerations)
+      keep = policy.keepGenerations, maxAgeMs = policy.maxGenerationAgeMs)
     report
   }
 }

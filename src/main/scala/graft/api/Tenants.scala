@@ -41,6 +41,15 @@ object Tenants {
 
   final case class TenantState(name: String, status: Status)
 
+  /** One manifest entry: status plus the WRITE-TIME timestamp the
+    * age-based lifecycle reads (the [[graft.sources.IndexStats]]
+    * manifest lesson: record the signal at write time, never derive
+    * it from a tenant-subtree listing at policy time — at thousands
+    * of tenants that listing is the cost the manifest exists to
+    * avoid). `lastWriteMs` = 0 for entries predating the field.
+    */
+  final case class Entry(status: Status, lastWriteMs: Long)
+
   private def fsOf(spark: SparkSession, p: String): FileSystem =
     new Path(p).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -49,18 +58,24 @@ object Tenants {
   private def tenantDir(home: String, tenant: String): Path =
     new Path(dataDir(home), s"tenant=$tenant")
 
-  private def render(m: Map[String, Status]): String =
+  private def render(m: Map[String, Entry]): String =
     m.toSeq.sortBy(_._1).map {
-      case (n, Offloaded(loc)) => s"$n\tOFFLOADED\t$loc"
-      case (n, s)              => s"$n\t${s.wire}"
+      case (n, Entry(Offloaded(loc), ts)) => s"$n\tOFFLOADED\t$loc\t$ts"
+      case (n, Entry(s, ts))              => s"$n\t${s.wire}\t$ts"
     }.mkString("\n")
 
-  private def parse(s: String): Map[String, Status] =
+  private def parse(s: String): Map[String, Entry] =
     s.split("\n").filter(_.nonEmpty).map { line =>
       line.split("\t") match {
-        case Array(n, "HOT")            => n -> (Hot: Status)
-        case Array(n, "COLD")           => n -> (Cold: Status)
-        case Array(n, "OFFLOADED", loc) => n -> (Offloaded(loc): Status)
+        case Array(n, "HOT", ts)            => n -> Entry(Hot, ts.toLong)
+        case Array(n, "COLD", ts)           => n -> Entry(Cold, ts.toLong)
+        case Array(n, "OFFLOADED", loc, ts) => n -> Entry(Offloaded(loc), ts.toLong)
+        // pre-timestamp manifest lines: age unknown, treated as 0
+        // (epoch) so an age policy demotes them on its first cycle —
+        // loud-by-default beats silently-immortal
+        case Array(n, "HOT")            => n -> Entry(Hot, 0L)
+        case Array(n, "COLD")           => n -> Entry(Cold, 0L)
+        case Array(n, "OFFLOADED", loc) => n -> Entry(Offloaded(loc), 0L)
         case other => throw new IllegalStateException(
           s"corrupt tenant manifest line: ${other.mkString("\t")}")
       }
@@ -70,7 +85,7 @@ object Tenants {
     * tenants both land; a lost race re-reads and re-applies.
     */
   private def editManifest(fs: FileSystem, home: String)
-                          (f: Map[String, Status] => Map[String, Status]): Unit = {
+                          (f: Map[String, Entry] => Map[String, Entry]): Unit = {
     val dir = manifestDir(home)
     var done = false
     var attempt = 0
@@ -78,13 +93,19 @@ object Tenants {
       attempt += 1
       require(attempt <= 64, s"tenant manifest at $home: lost ${attempt - 1} merge races")
       val cur = VersionedPointer.readVersioned(fs, dir)
-      val (v, m) = cur.map { case (ver, s) => (ver, parse(s)) }.getOrElse((-1L, Map.empty[String, Status]))
+      val (v, m) = cur.map { case (ver, s) => (ver, parse(s)) }.getOrElse((-1L, Map.empty[String, Entry]))
       done = VersionedPointer.writeIfAtVersion(fs, dir, render(f(m)), v)
     }
   }
 
   /** Current tenant → status map (one small manifest read). */
   def states(spark: SparkSession, home: String): Map[String, Status] =
+    entries(spark, home).map { case (n, e) => n -> e.status }
+
+  /** Current tenant → (status, lastWrite) map — what the age-based
+    * lifecycle reads.
+    */
+  def entries(spark: SparkSession, home: String): Map[String, Entry] =
     VersionedPointer.read(fsOf(spark, home), manifestDir(home))
       .map(parse).getOrElse(Map.empty)
 
@@ -93,14 +114,18 @@ object Tenants {
     * tenant present in the batch is enrolled HOT. Append-mode so
     * `create` and later tenant additions are the same verb.
     */
-  def write(spark: SparkSession, home: String, df: DataFrame): Unit =
+  def write(spark: SparkSession, home: String, df: DataFrame,
+            nowMs: Long = System.currentTimeMillis()): Unit =
     WriterLease.exclusive(spark, home) {
       require(df.columns.contains("tenant"),
         "Tenants.write expects a 'tenant' column to partition by")
       val names = df.select(col("tenant").cast("string")).distinct()
         .collect().map(_.getString(0)).toSeq // bounded: one row per tenant in the batch
       df.write.mode("append").partitionBy("tenant").parquet(dataDir(home))
-      editManifest(fsOf(spark, home), home)(m => m ++ names.filterNot(m.contains).map(_ -> (Hot: Status)))
+      // every tenant in the batch gets its write-time stamped (new
+      // tenants enroll HOT); untouched tenants keep aging
+      editManifest(fsOf(spark, home), home)(m => m ++ names.map(n =>
+        n -> Entry(m.get(n).map(_.status).getOrElse(Hot: Status), nowMs)))
     }
 
   /** Serve one tenant. Only HOT tenants serve — a COLD or OFFLOADED
@@ -151,8 +176,9 @@ object Tenants {
     WriterLease.exclusive(spark, home) {
       editManifest(fsOf(spark, home), home) { m =>
         m.get(tenant) match {
-          case Some(Hot) | Some(Cold) => m.updated(tenant, Cold)
-          case Some(o: Offloaded) => throw new IllegalStateException(
+          case Some(Entry(Hot, ts)) => m.updated(tenant, Entry(Cold, ts))
+          case Some(Entry(Cold, _)) => m
+          case Some(Entry(o: Offloaded, _)) => throw new IllegalStateException(
             s"tenant '$tenant' is OFFLOADED to ${o.location}; activate it first")
           case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
         }
@@ -165,10 +191,12 @@ object Tenants {
   def activate(spark: SparkSession, home: String, tenant: String): Unit =
     WriterLease.exclusive(spark, home) {
       val fs = fsOf(spark, home)
-      states(spark, home).get(tenant) match {
-        case Some(Hot) | Some(Cold) =>
-          editManifest(fs, home)(_.updated(tenant, Hot))
-        case Some(Offloaded(loc)) =>
+      entries(spark, home).get(tenant) match {
+        case Some(Entry(Hot, ts)) =>
+          editManifest(fs, home)(_.updated(tenant, Entry(Hot, ts)))
+        case Some(Entry(Cold, ts)) =>
+          editManifest(fs, home)(_.updated(tenant, Entry(Hot, ts)))
+        case Some(Entry(Offloaded(loc), _)) =>
           val src = new Path(loc)
           val dst = tenantDir(home, tenant)
           // crash repair: a previous activate that moved the subtree
@@ -182,7 +210,11 @@ object Tenants {
                   s"failed to restore tenant '$tenant' from $loc")
             }
           }
-          editManifest(fs, home)(_.updated(tenant, Hot))
+          // restoration is a write-tier event: the tenant is hot again,
+          // so its age clock restarts (otherwise the next lifecycle
+          // cycle would instantly re-demote it)
+          editManifest(fs, home)(m2 => m2.updated(tenant,
+            Entry(Hot, System.currentTimeMillis())))
         case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
       }
     }
@@ -198,24 +230,31 @@ object Tenants {
               offloadRoot: String): Unit =
     WriterLease.exclusive(spark, home) {
       val fs = fsOf(spark, home)
-      states(spark, home).get(tenant) match {
-        case Some(Hot) | Some(Cold) =>
-          val src = tenantDir(home, tenant)
-          val dst = new Path(offloadRoot, tenant)
-          fs.mkdirs(new Path(offloadRoot))
-          // crash repair: a previous offload that moved the subtree
-          // but died before the manifest flip — only the flip remains
-          if (!(!fs.exists(src) && fs.exists(dst)) && !fs.rename(src, dst))
-            throw new IllegalStateException(
-              s"failed to offload tenant '$tenant' to $dst")
-          editManifest(fs, home)(_.updated(tenant, Offloaded(dst.toString)))
-        case Some(Offloaded(loc)) =>
+      entries(spark, home).get(tenant) match {
+        case Some(Entry(Hot, ts)) =>
+          doOffload(fs, home, tenant, offloadRoot, ts)
+        case Some(Entry(Cold, ts)) =>
+          doOffload(fs, home, tenant, offloadRoot, ts)
+        case Some(Entry(Offloaded(loc), _)) =>
           if (loc != new Path(offloadRoot, tenant).toString)
             throw new IllegalStateException(
               s"tenant '$tenant' already offloaded to $loc")
         case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
       }
     }
+
+  private def doOffload(fs: FileSystem, home: String, tenant: String,
+                        offloadRoot: String, ts: Long): Unit = {
+    val src = tenantDir(home, tenant)
+    val dst = new Path(offloadRoot, tenant)
+    fs.mkdirs(new Path(offloadRoot))
+    // crash repair: a previous offload that moved the subtree
+    // but died before the manifest flip — only the flip remains
+    if (!(!fs.exists(src) && fs.exists(dst)) && !fs.rename(src, dst))
+      throw new IllegalStateException(
+        s"failed to offload tenant '$tenant' to $dst")
+    editManifest(fs, home)(_.updated(tenant, Entry(Offloaded(dst.toString), ts)))
+  }
 
   /** Drop a tenant entirely: data deleted, manifest entry removed
     * (the AliasGroup drop-hygiene contract — no tombstone rows
@@ -230,5 +269,58 @@ object Tenants {
         case None => throw new IllegalArgumentException(s"unknown tenant '$tenant'")
       }
       editManifest(fs, home)(_ - tenant)
+    }
+
+  /** Age thresholds for [[applyLifecycle]] — the ES ILM hot→warm→cold
+    * policy shape, on the verbs this lifecycle already has. A tenant's
+    * age is `now − lastWriteMs` from the manifest (stamped by
+    * [[write]] and reset by [[activate]]). `None` disables a rung.
+    */
+  final case class LifecyclePolicy(
+      coldAfterMs: Option[Long] = None,
+      offloadAfterMs: Option[Long] = None,
+      offloadRoot: Option[String] = None) {
+    require(offloadAfterMs.isEmpty || offloadRoot.nonEmpty,
+      "offloadAfterMs needs an offloadRoot to move tenants to")
+    require(!(coldAfterMs.isDefined && offloadAfterMs.isDefined) ||
+      coldAfterMs.get <= offloadAfterMs.get,
+      "coldAfterMs must not exceed offloadAfterMs (hot -> cold -> offloaded)")
+  }
+
+  /** What [[applyLifecycle]] did — one row per demotion, loggable
+    * as-is into an operations table (the [[ScaleOps.MaintenanceReport]]
+    * convention).
+    */
+  final case class LifecycleAction(tenant: String, action: String, reason: String)
+
+  /** The age-based lifecycle cycle — the policy layer ES operators
+    * run as ILM, expressed on the existing verbs: every tenant idle
+    * past `coldAfterMs` is [[deactivate]]d (files stay, serving
+    * stops), and past `offloadAfterMs` is [[offload]]ed to the cold
+    * tier. One manifest read decides everything (no tenant-subtree
+    * listing — the write-time timestamp IS the signal), and the whole
+    * cycle runs under one writer lease like [[ScaleOps.maintain]], so
+    * a racing lifecycle process fails loudly instead of interleaving
+    * moves. Pass `nowMs` explicitly for deterministic tests/replays.
+    */
+  def applyLifecycle(spark: SparkSession, home: String, policy: LifecyclePolicy,
+                     nowMs: Long = System.currentTimeMillis()): Seq[LifecycleAction] =
+    WriterLease.exclusive(spark, home) {
+      entries(spark, home).toSeq.sortBy(_._1).flatMap {
+        case (_, Entry(Offloaded(_), _)) => None // already on the coldest tier
+        case (name, Entry(status, ts)) =>
+          val age = nowMs - ts
+          (status, policy.offloadAfterMs, policy.coldAfterMs) match {
+            case (_, Some(off), _) if age >= off =>
+              offload(spark, home, name, policy.offloadRoot.get)
+              Some(LifecycleAction(name, "offloaded",
+                s"idle ${age}ms >= ${off}ms"))
+            case (Hot, _, Some(cold)) if age >= cold =>
+              deactivate(spark, home, name)
+              Some(LifecycleAction(name, "deactivated",
+                s"idle ${age}ms >= ${cold}ms"))
+            case _ => None
+          }
+      }
     }
 }

@@ -898,14 +898,39 @@ object Dedup {
     comp
   }
 
+  /** Count of CC resolutions actually executed (not served from the
+    * materialized frame) — the spec pin for the one-CC-per-corpus
+    * contract of [[dupClusters]].
+    */
+  private[graft] val ccResolutions = new java.util.concurrent.atomic.AtomicLong(0)
+
+  /** The duplicate-cluster frame, materialized ONCE per (session,
+    * corpus) — the standing table every cluster CONSUMER reads.
+    * [[qDupClusters]], [[qDedupKeepBest]], and [[qDedupSoft]] each
+    * need the same exact ∪ trigram-Jaccard ∪ CC resolution; before
+    * this frame they re-ran it per query (the three entries were the
+    * bench's top-3 costs, ~13 s of 96 s, resolving identical
+    * clusters three times). At 100 TB the production shape is a
+    * cluster-id table the ingest pipeline persists (or the MinHash
+    * index maintains incrementally); the session-pinned frame is the
+    * local stand-in, same treatment the decoded media features get
+    * ([[Multimodal.decoded]]).
+    */
+  def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    IndexCache.materialized(spark, s"dup-clusters#$sfDir") {
+      ccResolutions.incrementAndGet()
+      resolveDupClusters(spark, sfDir)
+    }
+
   /** Duplicate-cluster resolution (SQL-oracled via a recursive CTE):
     * edges = exact-dup groups (member→keeper) ∪ trigram-Jaccard ≥ 0.5
     * near-dup pairs over the augmented corpus; output = every doc in
     * a multi-doc component with its cluster id (the component's min
     * doc id). Deterministic — both edge sets are exact, no MinHash
-    * banding involved.
+    * banding involved. Consumers read the session-materialized
+    * [[dupClusters]] frame, not this resolver.
     */
-  def qDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
+  private[graft] def resolveDupClusters(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = augmentedDocs(spark, sfDir)
     val hashed = docs.select(col("doc_id"), md5(lower(trim(col("text")))).as("h"))
     val wH = Window.partitionBy(col("h"))
@@ -928,8 +953,13 @@ object Dedup {
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(exactEdges.unionByName(nearEdges))
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-      .orderBy(col("doc_id"))
   }
+
+  /** Row 56: the registered cluster listing — one ordered read of the
+    * materialized [[dupClusters]] frame.
+    */
+  def qDupClusters(spark: SparkSession, sfDir: String): DataFrame =
+    dupClusters(spark, sfDir).orderBy(col("doc_id"))
 
   /** Duplicate-representative selection by QUALITY (the FineWeb /
     * RefinedWeb recipe): instead of keeping the min-id member of each
@@ -949,7 +979,7 @@ object Dedup {
     * resolution that produced the input.
     */
   def qDedupKeepBest(spark: SparkSession, sfDir: String): DataFrame = {
-    val clusters = qDupClusters(spark, sfDir)
+    val clusters = dupClusters(spark, sfDir)
     val scored = TextAnalysis.classifierScored(augmentedDocs(spark, sfDir))
       .select(col("doc_id"), col("score"))
     val byCluster = Window.partitionBy(col("cluster_id"))
@@ -1022,7 +1052,7 @@ object Dedup {
     */
   def qDedupSoft(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = augmentedDocs(spark, sfDir).select(col("doc_id"))
-    val clusters = qDupClusters(spark, sfDir)
+    val clusters = dupClusters(spark, sfDir)
     val withC = docs.join(clusters, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"))

@@ -202,13 +202,6 @@ object Multimodal {
   def qMediaKnn(spark: SparkSession, sfDir: String): DataFrame =
     mediaKnn(spark, sfDir, col("doc_id") % 100 === 0)
 
-  /** [[qMediaKnn]] with an explicit query-set predicate — the slope
-    * harness uses a FIXED query set (base-replica ids only) to
-    * separate the operator's corpus slope from the benchmark
-    * query-set growth (the registered entry queries every 100th doc,
-    * so its work grows as queries × corpus = quadratic in corpus
-    * size BY CONSTRUCTION of the benchmark, not of the operator).
-    */
   /** Perceptual media near-dup — the feature-space twin of
     * [[qMediaDedup]]'s byte-exact digest pass: the top-20
     * most-similar same-source pairs by feature cosine. Re-encodes,
@@ -218,9 +211,7 @@ object Multimodal {
     * canonically ordered (a < b); the top-k plans as a TakeOrdered,
     * never a global sort. This exact blocked scorer is the ORACLE
     * baseline (the q_dedup_embedding doctrine); the production path
-    * at corpus scale is [[Dedup.embeddingNearDupAuto]] over the SAME
-    * feature column — codec features are just embeddings to the
-    * adaptive-LSH dedup machinery.
+    * is the registered [[qMediaNearDupAuto]].
     */
   def qMediaNearDup(spark: SparkSession, sfDir: String,
                     codec: MediaCodec = StubMediaCodec): DataFrame = {
@@ -235,6 +226,70 @@ object Multimodal {
       .limit(20)
   }
 
+  /** The media corpus augmented with RE-ENCODES — every 9th item
+    * re-serialized with its tokens reversed: payload bytes and digest
+    * DIFFER (invisible to [[qMediaDedup]]'s digest pass) while the
+    * letter-frequency feature is IDENTICAL (cosine exactly 1 with the
+    * original) — the crop/transcode construction the perceptual pass
+    * exists to catch. The 3e9 id offset keeps injected ids disjoint
+    * from every other id band in use (the
+    * [[Dedup.augmentedDocs]] discipline).
+    */
+  private[graft] def augmentedMedia(spark: SparkSession, sfDir: String): DataFrame = {
+    val d = Tables.documents(spark, sfDir)
+      .select(col("doc_id"), col("source"), col("text"))
+    val re = d.filter(col("doc_id") % 9 === 0)
+      .select((col("doc_id") + 3000000000L).as("doc_id"), col("source"),
+        concat_ws(" ", reverse(split(col("text"), " "))).as("text"))
+    d.unionByName(re)
+      .select(col("doc_id"), col("source"), encode(col("text"), "UTF-8").as("payload"))
+  }
+
+  /** The PRODUCTION perceptual near-dup entry — codec features routed
+    * through [[Dedup.embeddingNearDupAuto]] (source as the blocking
+    * label, threshold 0.995: the near-identical regime where
+    * re-encodes of one asset live; the corpus's organic same-source
+    * pairs sit at median cosine ≈ 0.945, p99 ≈ 0.984). Exactly the
+    * structure the embedding family got in rows 267–269: below the
+    * measured crossover the auto verb resolves to the exact blocked
+    * scorer — which keeps this entry DuckDB-oracle-able at driver
+    * scale — and above it the corpus-adaptive LSH path runs, covered
+    * by the MultimodalSpec subset-of-exact/recall spec and the
+    * committed x10 slope artifact. [[qMediaNearDup]] stays the exact
+    * all-pairs ORACLE baseline.
+    */
+  def qMediaNearDupAuto(spark: SparkSession, sfDir: String,
+                        codec: MediaCodec = StubMediaCodec): DataFrame =
+    mediaNearDupAuto(spark, sfDir, codec)
+
+  /** [[qMediaNearDupAuto]] with the crossover exposed for the spec
+    * (forcing the adaptive-LSH branch at test scale).
+    */
+  private[graft] def mediaNearDupAuto(spark: SparkSession, sfDir: String,
+      codec: MediaCodec = StubMediaCodec,
+      lshCrossover: Double = Dedup.LshCrossoverAvgBlock): DataFrame = {
+    // decode ONCE: the auto verb probes the collection's size and then
+    // self-joins it — without the materialization barrier each of those
+    // consumers (and each join SIDE) would re-run the codec over the
+    // whole corpus. Transient checkpoint: ids + label + 26 doubles per
+    // row, reclaimed by the request-boundary hygiene.
+    val feats = decodeWith(augmentedMedia(spark, sfDir), codec).toDF()
+      .select(col("doc_id").as("vec_id"), col("feature").as("embedding"),
+        col("source").as("label"))
+      .localCheckpoint()
+    Dedup.embeddingNearDupAuto(feats, threshold = 0.995, lshCrossover = lshCrossover)
+      .select(col("vec_a").as("doc_a"), col("vec_b").as("doc_b"),
+        col("label").as("source"), col("score"))
+      .orderBy(col("doc_a"), col("doc_b"))
+  }
+
+  /** [[qMediaKnn]] with an explicit query-set predicate — the slope
+    * harness uses a FIXED query set (base-replica ids only) to
+    * separate the operator's corpus slope from the benchmark
+    * query-set growth (the registered entry queries every 100th doc,
+    * so its work grows as queries × corpus = quadratic in corpus
+    * size BY CONSTRUCTION of the benchmark, not of the operator).
+    */
   def mediaKnn(spark: SparkSession, sfDir: String, queryPred: Column,
                codec: MediaCodec = StubMediaCodec): DataFrame = {
     // features come off the materialized decoded frame (the

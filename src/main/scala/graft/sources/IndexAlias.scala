@@ -382,7 +382,9 @@ object IndexAlias {
     * fills. Returns the pruned names.
     */
   def pruneGenerations(spark: SparkSession, home: String,
-                       keep: Int = 0): Seq[String] = {
+                       keep: Int = 0,
+                       maxAgeMs: Option[Long] = None,
+                       nowMs: Long = System.currentTimeMillis()): Seq[String] = {
     val fs = fsOf(spark, home)
     val live = new Path(resolve(spark, home)).getName
     val all = generations(spark, home).filterNot(_ == live)
@@ -391,7 +393,15 @@ object IndexAlias {
     val fallback =
       if (history.nonEmpty) Nil
       else all.sorted.reverse.take(math.max(0, keep - prevLive.size))
-    val retained = (prevLive ++ fallback).toSet
+    // the age rung of the ILM policy: a previously-live generation is
+    // retained only while younger than `maxAgeMs` (age = directory
+    // modification time — a retired generation receives no writes, so
+    // its mtime pins when it was last built). The LIVE generation is
+    // never age-pruned — age bounds the drain-grace window, it does
+    // not delete serving data.
+    val retained = (prevLive ++ fallback).filter(g => maxAgeMs.forall { maxAge =>
+      nowMs - fs.getFileStatus(new Path(home, g)).getModificationTime <= maxAge
+    }).toSet
     val stale = all.filterNot(retained.contains)
     stale.foreach(g => fs.delete(new Path(home, g), true))
     stale

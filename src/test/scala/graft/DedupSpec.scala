@@ -47,6 +47,37 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster consumers share ONE CC resolution per (session, corpus)") {
+    import spark.implicits._
+    // a private corpus dir so no other test's materialized frame can
+    // pre-satisfy (or double-count) the resolution this test pins
+    val d = graft.operators.IndexCache.tempDir("graft-cc-once")
+    Tables.documents(spark, sfDir).limit(200)
+      .write.mode("overwrite").parquet(s"$d/documents.parquet")
+    val before = Dedup.ccResolutions.get()
+    val clusters = Dedup.qDupClusters(spark, d).collect()
+    val best = Dedup.qDedupKeepBest(spark, d).collect()
+    val soft = Dedup.qDedupSoft(spark, d).collect()
+    assert(clusters.nonEmpty && best.nonEmpty && soft.nonEmpty)
+    assert(Dedup.ccResolutions.get() - before == 1,
+      s"expected exactly one CC resolution across the three consumers, " +
+        s"got ${Dedup.ccResolutions.get() - before}")
+    // and the consumers agree with the frame they share: every
+    // keep-best keeper is a member of its cluster, every multi-member
+    // soft weight matches the cluster size
+    val byCluster = clusters.groupBy(_.getAs[Long]("cluster_id"))
+      .map { case (c, rs) => c -> rs.map(_.getAs[Long]("doc_id")).toSet }
+    best.foreach { r =>
+      assert(byCluster(r.getAs[Long]("cluster_id")).contains(r.getAs[Long]("keeper_id")))
+      assert(r.getAs[Long]("n_members") == byCluster(r.getAs[Long]("cluster_id")).size)
+    }
+    val softW = soft.map(r => r.getAs[Long]("doc_id") -> r.getAs[Double]("weight")).toMap
+    byCluster.foreach { case (_, members) =>
+      members.foreach(m => assert(
+        math.abs(softW(m) - 1.0 / members.size) < 1e-5))
+    }
+  }
+
   test("incremental minhash index dedups new batches without recomputing the corpus") {
     val all = Dedup.augmentedDocs(spark, sfDir)
     // corpus split: standing index (originals), then two "crawls"

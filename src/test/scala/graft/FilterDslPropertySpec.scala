@@ -251,6 +251,12 @@ class FilterDslPropertySpec extends SparkSpec {
       """{ "must": [ {"key": "tags", "is_empty": "yes"} ] }""",
       // two array shapes on one condition
       """{ "must": [ {"key": "tags", "array_contains": "a", "is_empty": true} ] }""",
+      // CROSS-family mixes: previously the first family's condition
+      // was returned silently and the rest DROPPED — must fail loud
+      """{ "must": [ {"key": "tags", "array_contains": "a", "match": {"value": 1}} ] }""",
+      """{ "must": [ {"key": "tags", "values_count": {"lt": 5}, "range": {"gte": 1}} ] }""",
+      """{ "must": [ {"key": "loc", "geo_radius": {"center": {"lat": 0, "lon": 0}, "radius": 10}, "match": {"value": 1}} ] }""",
+      """{ "must": [ {"key": "loc", "geo_bounding_box": {"top_left": {"lat": 1, "lon": 0}, "bottom_right": {"lat": 0, "lon": 1}}, "is_empty": true} ] }""",
       // scalar where a condition belongs
       """{ "must": [ 42 ] }""",
       // unparseable JSON

@@ -125,6 +125,32 @@ class MaintainSpec extends SparkSpec {
       !got.exists(r => Seq(1L, 2L, 3L).contains(r.getAs[Long]("vec_id"))))
   }
 
+  test("age rung: generations older than maxGenerationAge are pruned within the keep count") {
+    val home = IndexCache.tempDir("graft-maintain-age") + "/vix"
+    val corpus = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    VectorIndex.buildRotating(spark, corpus, home)
+    // one compaction cycle leaves live + 1 previously-live generation
+    VectorIndex.delete(spark, home, Seq(1L))
+    assert(ScaleOps.maintain(spark, "vector", home,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 1L)).action == "compacted")
+    assert(graft.sources.IndexAlias.generations(spark, home).size == 2)
+    // within the age window the retired generation survives the next
+    // (no-op) cycle; past it, the same keep count prunes it
+    graft.sources.IndexAlias.pruneGenerations(spark, home, keep = 1,
+      maxAgeMs = Some(3600000L))
+    assert(graft.sources.IndexAlias.generations(spark, home).size == 2)
+    graft.sources.IndexAlias.pruneGenerations(spark, home, keep = 1,
+      maxAgeMs = Some(3600000L),
+      nowMs = System.currentTimeMillis() + 7200000L)
+    val gens = graft.sources.IndexAlias.generations(spark, home)
+    assert(gens.size == 1, s"aged-out generation not pruned: $gens")
+    // and the index still serves off the live generation
+    val q = Tables.embeddings(spark, sfDir).filter(col("vec_id") === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    assert(VectorIndex.searchIvf(spark, home, q).collect().nonEmpty)
+  }
+
   test("fragmentation counts DATA files only: debt tables (by schema, not name) are excluded") {
     import spark.implicits._
     val tHome = IndexCache.tempDir("graft-maintain-frag") + "/tix"

@@ -157,6 +157,30 @@ class MultimodalSpec extends SparkSpec {
       assert(r.getAs[Long]("wasted_bytes") % (r.getAs[Long]("n_copies") - 1) == 0)
     }
   }
+
+  test("q_media_near_dup_auto: LSH branch is a high-recall subset of the exact branch") {
+    def pairs(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+      df.collect().map(r =>
+        (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))).toSet
+    // exact branch = the registered entry at driver scale (crossover
+    // far above the corpus's avg source block)
+    val exact = pairs(Multimodal.mediaNearDupAuto(spark, sfDir))
+    // forced LSH branch: crossover 0 routes every block adaptive
+    val lsh = pairs(Multimodal.mediaNearDupAuto(spark, sfDir, lshCrossover = 0.0))
+    assert(lsh.subsetOf(exact), s"LSH pairs not a subset: ${lsh.diff(exact).take(5)}")
+    // every constructed re-encode (tokens reversed, identical letter
+    // histogram -> cosine exactly 1) must be recalled by BOTH branches:
+    // chooseBanding holds recall >= 0.9 at the operating threshold, and
+    // sim-1 pairs collide in every band table
+    val docIds = Tables.documents(spark, sfDir).select("doc_id")
+      .collect().map(_.getLong(0)).filter(_ % 9 == 0)
+    docIds.foreach { id =>
+      assert(exact.contains((id, id + 3000000000L)), s"exact missed re-encode of $id")
+      assert(lsh.contains((id, id + 3000000000L)), s"LSH missed re-encode of $id")
+    }
+    assert(exact.nonEmpty && lsh.size >= (exact.size * 0.9).toInt,
+      s"LSH recall ${lsh.size}/${exact.size} below 0.9")
+  }
 }
 
 /** Top-level so the closure serializes the singleton, and local-mode

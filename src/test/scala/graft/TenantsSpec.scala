@@ -74,6 +74,48 @@ class TenantsSpec extends SparkSpec {
     intercept[IllegalArgumentException](Tenants.read(spark, home, "corp"))
   }
 
+  test("age-based lifecycle policy tiers idle tenants down, recent writes reset the clock") {
+    val home = IndexCache.tempDir("graft-tenants-ilm") + "/coll"
+    val offloadRoot = IndexCache.tempDir("graft-tenants-ilm-off")
+    val t0 = 1000000L
+    // stale and ancient written at t0; fresh written much later
+    Tenants.write(spark, home, corpus(Seq("stale", "ancient"), 5), nowMs = t0)
+    Tenants.write(spark, home, corpus(Seq("fresh"), 5), nowMs = t0 + 900000L)
+
+    val policy = Tenants.LifecyclePolicy(
+      coldAfterMs = Some(600000L),          // 10 min idle -> COLD
+      offloadAfterMs = Some(3600000L),      // 1 h idle -> OFFLOADED
+      offloadRoot = Some(offloadRoot))
+
+    // cycle 1 at t0+15min: stale+ancient pass the cold rung, fresh is 6min old
+    val acts1 = Tenants.applyLifecycle(spark, home, policy, nowMs = t0 + 900000L)
+    assert(acts1.map(a => a.tenant -> a.action).toSet ===
+      Set("stale" -> "deactivated", "ancient" -> "deactivated"))
+    assert(Tenants.states(spark, home) ===
+      Map("stale" -> Tenants.Cold, "ancient" -> Tenants.Cold, "fresh" -> Tenants.Hot))
+
+    // cycle 2 at t0+70min: the COLD pair (idle 70min) passes the
+    // offload rung; fresh (last written t0+15min, idle 55min) only
+    // the cold rung
+    val acts2 = Tenants.applyLifecycle(spark, home, policy, nowMs = t0 + 4200000L)
+    assert(acts2.map(a => a.tenant -> a.action).toSet ===
+      Set("stale" -> "offloaded", "ancient" -> "offloaded", "fresh" -> "deactivated"))
+    val st2 = Tenants.states(spark, home)
+    assert(st2("fresh") === Tenants.Cold)
+    assert(st2("stale").isInstanceOf[Tenants.Offloaded])
+    // idempotent: re-running the same cycle does nothing
+    assert(Tenants.applyLifecycle(spark, home, policy, nowMs = t0 + 4200000L).isEmpty)
+
+    // reactivation restores serving AND restarts the age clock — the
+    // next cycle does not instantly re-demote
+    Tenants.activate(spark, home, "stale")
+    assert(Tenants.read(spark, home, "stale").count() === 5)
+    val acts3 = Tenants.applyLifecycle(spark, home, policy,
+      nowMs = System.currentTimeMillis() + 1000L)
+    assert(!acts3.exists(_.tenant == "stale"),
+      s"reactivated tenant instantly re-demoted: $acts3")
+  }
+
   test("later write batches enroll new tenants hot and leave existing statuses alone") {
     val home = IndexCache.tempDir("graft-tenants-add") + "/coll"
     Tenants.write(spark, home, corpus(Seq("a"), 5))
