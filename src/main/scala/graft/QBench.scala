@@ -15,7 +15,9 @@ object QBench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    Tables.region(spark, sfDir).count()
+    // warm-up on documents — present in every corpus dir, including
+    // tables-subset organic ones that omit the star schema
+    Tables.documents(spark, sfDir).count()
     val fn = SparkEntry.queries(name)
     (1 to reps).foreach { i =>
       val t0 = System.nanoTime()

@@ -258,7 +258,10 @@ case class SignBits(child: Expression) extends VectorMatrixExpression {
 /** Random-hyperplane LSH band buckets: with `planes` holding
   * `tables × bitsPerBand` hyperplanes row-major, output[t] =
   * Σ_{i<bitsPerBand} (plane[t·r+i] · v ≥ 0 ? 1 : 0) << i — one
-  * `array<int>` of band buckets per row.
+  * `array<long>` of band buckets per row (long: the corpus-adaptive
+  * chooser sizes r against the MEASURED random-pair collision
+  * probability, and concentrated collections need r beyond 31 bits —
+  * up to 62 fit a long exactly, no key hashing, no aliasing).
   *
   * This expression exists because banding is a CORPUS-ADAPTIVE knob
   * (`Dedup.chooseBanding`): r·b grows with corpus size and recall
@@ -275,16 +278,18 @@ case class SignBits(child: Expression) extends VectorMatrixExpression {
 case class LshBandBuckets(child: Expression, planes: Array[Array[Float]],
                           bitsPerBand: Int)
     extends VectorMatrixExpression {
-  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  require(bitsPerBand >= 1 && bitsPerBand <= 62,
+    s"bitsPerBand out of [1, 62]: $bitsPerBand")
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
 
   private def tables: Int = planes.length / bitsPerBand
 
   override def nullSafeEval(v: Any): Any = {
     val vv = extract(v.asInstanceOf[ArrayData])
-    val out = new Array[Int](tables)
+    val out = new Array[Long](tables)
     var t = 0
     while (t < out.length) {
-      var bucket = 0
+      var bucket = 0L
       var i = 0
       while (i < bitsPerBand) {
         val p = planes(t * bitsPerBand + i)
@@ -292,7 +297,7 @@ case class LshBandBuckets(child: Expression, planes: Array[Array[Float]],
         var dot = 0.0
         var j = 0
         while (j < m) { dot += p(j).toDouble * vv(j); j += 1 }
-        if (dot >= 0) bucket |= 1 << i
+        if (dot >= 0) bucket |= 1L << i
         i += 1
       }
       out(t) = bucket
@@ -311,15 +316,15 @@ case class LshBandBuckets(child: Expression, planes: Array[Array[Float]],
       val j = ctx.freshName("j")
       s"""
          |${extractCode(ctx, a, vv)}
-         |int[] $out = new int[$pl.length / $bitsPerBand];
+         |long[] $out = new long[$pl.length / $bitsPerBand];
          |for (int $t = 0; $t < $out.length; $t++) {
-         |  int bucket = 0;
+         |  long bucket = 0L;
          |  for (int $i = 0; $i < $bitsPerBand; $i++) {
          |    float[] p = $pl[$t * $bitsPerBand + $i];
          |    int m = java.lang.Math.min(p.length, ${vv}n);
          |    double dot = 0.0;
          |    for (int $j = 0; $j < m; $j++) { dot += (double)p[$j] * $vv[$j]; }
-         |    if (dot >= 0) bucket |= 1 << $i;
+         |    if (dot >= 0) bucket |= 1L << $i;
          |  }
          |  $out[$t] = bucket;
          |}

@@ -329,11 +329,15 @@ object Dedup {
     * form of the (r, b) discipline [[embeddingNearDupPairs]]
     * documents, so a pipeline never ships hand-tuned constants that
     * saturate at the next decade of growth:
-    *  - `r = clamp(ceil(log2(avgLabelCount / targetOccupancy)), 4, 20)`
-    *    — expected bucket occupancy stays ≈ `targetOccupancy`
-    *    whatever the corpus size, which bounds in-bucket pair work
-    *    (Σ occ² ≈ n · occ, LINEAR in corpus at fixed occupancy —
-    *    the property fixed-width bands lose the moment data grows);
+    *  - `r = clamp(ceil(ln(avgLabelCount / targetOccupancy) /
+    *    ln(1/pRand)), 4, 62)` — expected bucket occupancy stays
+    *    ≈ `targetOccupancy` whatever the corpus size, which bounds
+    *    in-bucket pair work (Σ occ² ≈ n · occ, LINEAR in corpus at
+    *    fixed occupancy — the property fixed-width bands lose the
+    *    moment data grows). `pRand` is the measured per-plane
+    *    collision probability of a RANDOM pair; at the uniform-
+    *    direction 0.5 default this reduces to the familiar
+    *    `log2(n/occ)`;
     *  - `b = clamp(ceil(ln(1−minRecall) / ln(1−p^r)), 4, 48)` with
     *    `p = 1 − acos(threshold)/π` — the fewest tables that hold
     *    the recall target at the chosen width.
@@ -358,10 +362,24 @@ object Dedup {
     */
   def chooseBanding(avgLabelCount: Double, threshold: Double,
                     targetOccupancy: Double = 64.0,
-                    minRecall: Double = 0.9): (Int, Int) = {
+                    minRecall: Double = 0.9,
+                    pRand: Double = 0.5): (Int, Int) = {
     require(threshold > 0.0 && threshold < 1.0, s"threshold out of (0,1): $threshold")
-    val r = math.max(4, math.min(20,
-      math.ceil(math.log(math.max(1.0, avgLabelCount / targetOccupancy)) / math.log(2.0)).toInt))
+    require(pRand > 0.0 && pRand < 1.0, s"pRand out of (0,1): $pRand")
+    // `pRand` is the per-plane collision probability of a RANDOM pair
+    // (1 − E[θ]/π). The uniform-direction closed form is pRand = 0.5
+    // (E[θ] = 90°), which reduces r to the familiar log2(n/occ); for
+    // CONCENTRATED collections (all directions in a narrow cone —
+    // measured: the stub media features' random pairs sit at
+    // E[θ] ≈ 19°, pRand ≈ 0.9) a log2-sized r leaves per-band random
+    // collision at pRand^r ≫ 2^-r, and the candidate set silently
+    // grows toward all-pairs (measured: one bucket held 80% of a
+    // 555k-row corpus, 45× wall at 10× data). Sizing r against the
+    // MEASURED pRand restores bounded expected occupancy:
+    // n_label · pRand^r ≈ targetOccupancy.
+    val r = math.max(4, math.min(62,
+      math.ceil(math.log(math.max(1.0, avgLabelCount / targetOccupancy)) /
+        math.log(1.0 / pRand)).toInt))
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pBand = math.pow(p, r)
     val b =
@@ -369,6 +387,51 @@ object Dedup {
       else math.max(4, math.min(48,
         math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt))
     (r, b)
+  }
+
+  /** Sample cap and pair budget for [[measuredPRand]] — driver-side
+    * work independent of corpus size (the `Ann.trainCentroids`
+    * discipline).
+    */
+  private val PRandSampleCap = 256
+
+  /** The measured per-plane random-pair collision probability of a
+    * collection: 1 − E[θ]/π over all pairs of a bounded deterministic
+    * sample. This is [[chooseBanding]]'s `pRand` input — 0.5 for
+    * direction-uniform collections (iid Gaussian embeddings), and
+    * large (≈0.9) for concentrated feature families where the log2
+    * occupancy model breaks.
+    */
+  private[graft] def measuredPRand(collection: DataFrame): Double = {
+    // deterministic bounded sample: order by a hash of the id, take
+    // the cap — stable across partitionings and runs
+    val sample = collection
+      .select(col("vec_id"), col("embedding"))
+      .orderBy(xxhash64(col("vec_id")), col("vec_id"))
+      .limit(PRandSampleCap)
+      .collect()
+      .map(_.getSeq[Any](1).map {
+        case f: Float => f.toDouble
+        case d: Double => d
+        case other => sys.error(s"non-numeric embedding element: $other")
+      }.toArray)
+    if (sample.length < 2) return 0.5
+    var sumTheta = 0.0; var nPairs = 0L
+    var i = 0
+    while (i < sample.length) {
+      var j = i + 1
+      while (j < sample.length) {
+        val (a, b) = (sample(i), sample(j))
+        var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
+        while (k < a.length) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
+        val c = math.max(-1.0, math.min(1.0, dot / math.max(1e-12, math.sqrt(na * nb))))
+        sumTheta += math.acos(c); nPairs += 1
+        j += 1
+      }
+      i += 1
+    }
+    val p = 1.0 - (sumTheta / nPairs) / math.Pi
+    math.max(0.05, math.min(0.95, p))
   }
 
   /** [[embeddingNearDupPairs]] with [[chooseBanding]] applied to the
@@ -380,7 +443,7 @@ object Dedup {
                                targetOccupancy: Double = 64.0,
                                minRecall: Double = 0.9): DataFrame = {
     val (r, b) = chooseBanding(avgLabelBlock(collection), threshold,
-      targetOccupancy, minRecall)
+      targetOccupancy, minRecall, pRand = measuredPRand(collection))
     embeddingNearDupPairs(collection, threshold, r, b)
   }
 
@@ -424,7 +487,10 @@ object Dedup {
     val avg = avgLabelBlock(collection)
     if (avg <= lshCrossover) embeddingNearDupExact(collection, threshold)
     else {
-      val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall)
+      // the pRand sample is paid only on the LSH branch — the exact
+      // branch needs no banding
+      val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall,
+        pRand = measuredPRand(collection))
       embeddingNearDupPairs(collection, threshold, r, b)
     }
   }
@@ -432,7 +498,7 @@ object Dedup {
   def embeddingNearDupPairs(collection: DataFrame, threshold: Double,
                             bitsPerBand: Int, tables: Int,
                             seed: Long = 7L): DataFrame = {
-    require(bitsPerBand >= 1 && bitsPerBand <= 30, s"bitsPerBand out of range: $bitsPerBand")
+    require(bitsPerBand >= 1 && bitsPerBand <= 62, s"bitsPerBand out of range: $bitsPerBand")
     require(tables >= 1, s"tables out of range: $tables")
     val dim = collection.select(size(col("embedding"))).head().getInt(0)
     val rnd = new scala.util.Random(seed)
@@ -922,6 +988,55 @@ object Dedup {
       resolveDupClusters(spark, sfDir)
     }
 
+  /** Head-share crossover for [[jaccardPairsAuto]]: when the top
+    * 0.1% highest-df shingles carry at least this share of Σdf²
+    * (the pair-aggregate's work), the corpus is boilerplate/Zipf-
+    * dominated and the PPJoin prefix filter wins — its whole gain is
+    * excluding exactly that head from the pair explosion. Measured
+    * arms: the driver corpus sits at 0.5–0.7% head share (near-
+    * uniform df, plain aggregate wins — verification would cost more
+    * than the straight count), the Heaps-vocabulary organic corpora
+    * at 59% (sf1) and 86% (sf10), where Σdf² grows ~n² (7.3M → 691M
+    * pair slots across the decade — the 23.6× q_dup_clusters wall in
+    * the first heaps-decade artifact) while prefix candidates stay
+    * near the true near-dup mass. The two regimes sit two orders of
+    * magnitude apart on this statistic; 0.2 splits them with margin.
+    */
+  private[graft] val PairHeadShareCrossover = 0.2
+
+  /** Threshold-Jaccard pairs with the strategy chosen FROM the
+    * corpus's measured shingle-df shape (the [[LshCrossoverAvgBlock]]
+    * doctrine: pick the plan from a measured statistic, not a hand
+    * pin): plain Σdf² aggregate below [[PairHeadShareCrossover]],
+    * PPJoin prefix filter above it. Both variants emit the identical
+    * exact relation (`jaccard ≥ t`), so the choice is invisible to
+    * results — only to the slope. The probe costs one df aggregate
+    * over the exploded shingles (longs) plus a TakeOrdered of the
+    * 0.1% head — cheap next to either variant's own df-shaped
+    * shuffle.
+    */
+  private[graft] def jaccardPairsAuto(tri: DataFrame, t: Double): DataFrame = {
+    def plain = jaccardPairs(tri, materializePairs = true)
+      .filter(col("jaccard") >= t)
+    val dfT = tri
+      .select(explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .localCheckpoint() // feeds the total AND the head top-k
+    val agg = dfT.agg(sum(col("df") * col("df")).as("s2"),
+      count(lit(1)).as("nsh")).head()
+    if (agg.isNullAt(0)) plain // no shingle shared by 2 docs: either path is trivial
+    else {
+      val s2 = agg.getAs[Long]("s2")
+      val k = math.max(1L, agg.getAs[Long]("nsh") / 1000).toInt
+      val headS2 = dfT.orderBy(col("df").desc).limit(k)
+        .agg(sum(col("df") * col("df"))).head().getLong(0)
+      if (headS2.toDouble / s2 >= PairHeadShareCrossover)
+        jaccardPairsThresholded(tri, t)
+      else plain
+    }
+  }
+
   /** Duplicate-cluster resolution (SQL-oracled via a recursive CTE):
     * edges = exact-dup groups (member→keeper) ∪ trigram-Jaccard ≥ 0.5
     * near-dup pairs over the augmented corpus; output = every doc in
@@ -938,18 +1053,14 @@ object Dedup {
       .withColumn("keeper", min(col("doc_id")).over(wH))
       .filter(col("doc_id") =!= col("keeper"))
       .select(col("keeper").as("a"), col("doc_id").as("b"))
-    // jaccardPairs materializes the hashed-shingle frame internally;
-    // materializePairs additionally splits the otherwise enormous
-    // single plan (postings → block pairs → sizes → components) into
-    // units Catalyst optimizes in milliseconds — the unsplit plan
-    // cost ~10s of pure driver planning. (The prefix-filtered
-    // [[jaccardPairsThresholded]] is NOT used here deliberately: this
-    // corpus's trigram df is near-uniform, so the prefix still has
-    // high-df shingles and the candidate verification costs more than
-    // the straight Σdf² count — see that method's doc for when each
-    // wins.)
-    val nearEdges = jaccardPairs(trigrams(docs), materializePairs = true)
-      .filter(col("jaccard") >= 0.5)
+    // the pair strategy is measured per corpus ([[jaccardPairsAuto]]):
+    // the driver corpus's near-uniform trigram df keeps the plain
+    // Σdf² aggregate (prefix verification would cost more than the
+    // straight count — and the oracle hash is bit-identical either
+    // way); a natural Zipf-df corpus routes through the PPJoin prefix
+    // filter, whose candidate mass stays near the true near-dup mass
+    // while plain Σdf² goes quadratic with the boilerplate head.
+    val nearEdges = jaccardPairsAuto(trigrams(docs), 0.5)
       .select(col("doc_a").as("a"), col("doc_b").as("b"))
     connectedComponents(exactEdges.unionByName(nearEdges))
       .select(col("node").as("doc_id"), col("comp").as("cluster_id"))

@@ -317,6 +317,46 @@ class DedupSpec extends SparkSpec {
     assert(Dedup.chooseBanding(220000, 0.35)._2 == 48)
   }
 
+  test("concentrated collections: measured pRand sizes r past the log2 model, recall intact") {
+    import spark.implicits._
+    // the uniform-direction special case reduces to log2 exactly
+    assert(Dedup.chooseBanding(220000, 0.9, pRand = 0.5) ==
+      Dedup.chooseBanding(220000, 0.9))
+    // a concentrated collection (random pairs at ~19 degrees, pRand ~ 0.9)
+    // needs far wider bands for the same occupancy: ln(n/occ)/ln(1/0.9)
+    val (rC, _) = Dedup.chooseBanding(27750, 0.995, pRand = 0.895)
+    assert(rC > 31 && rC <= 62, s"concentrated r = $rC should exceed the int-bucket range")
+    // measuredPRand separates the two regimes on real collections:
+    // iid Gaussian directions ~ 0.5, clustered positive-orthant ~ 0.9
+    val gauss = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val pG = Dedup.measuredPRand(gauss)
+    assert(math.abs(pG - 0.5) < 0.05, s"Gaussian pRand $pG not ~0.5")
+    val rnd = new scala.util.Random(5)
+    val conc = (0L until 500L).map { i =>
+      // concentrated cone: a fixed positive mean + small noise (the
+      // letter-histogram shape), plus an exact copy of every 10th
+      val base = Array.tabulate(26)(d => (10.0 + rnd.nextGaussian()).toFloat.max(0f))
+      (i, base, 0L)
+    }
+    val concDf = conc.toDF("vec_id", "embedding", "label")
+      .unionByName(conc.filter(_._1 % 10 == 0)
+        .map { case (i, v, l) => (i + 1000L, v, l) }.toDF("vec_id", "embedding", "label"))
+      .localCheckpoint()
+    val pC = Dedup.measuredPRand(concDf)
+    assert(pC > 0.8, s"concentrated pRand $pC not > 0.8")
+    // the adaptive path on the concentrated collection: subset of
+    // exact, every planted copy (cosine 1.0) recalled
+    def pairs(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = pairs(Dedup.embeddingNearDupExact(concDf, 0.9999))
+    val lsh = pairs(Dedup.embeddingNearDupAdaptive(concDf, 0.9999))
+    assert(lsh.subsetOf(exact))
+    conc.map(_._1).filter(_ % 10 == 0).foreach { i =>
+      assert(lsh.contains((i, i + 1000L)), s"planted copy $i missed")
+    }
+  }
+
   test("embeddingNearDupAdaptive: measured-size banding, still a subset with copies recalled") {
     import org.apache.spark.sql.DataFrame
     def pairSet(df: DataFrame) = df.collect()

@@ -115,7 +115,9 @@ class VectorPropertySpec extends SparkSpec {
     // the (10, 48) production size whose composed form breached
     // Janino — the native expression must agree with the COMPOSED
     // EXPRESSION PIPELINE (not just local math) on every bucket
-    for ((r, b) <- Seq((4, 4), (7, 16), (10, 48))) {
+    // bandings spanning the chooser's clamp range including r > 31
+    // (concentrated-collection sizing packs up to 62 bits in a long)
+    for ((r, b) <- Seq((4, 4), (7, 16), (10, 48), (55, 13))) {
       val dim = 32
       val planes: Seq[Seq[Float]] =
         Seq.fill(r * b)(Seq.fill(dim)((rnd.nextDouble() * 2 - 1).toFloat))
@@ -123,12 +125,12 @@ class VectorPropertySpec extends SparkSpec {
       val df = vecs.toDF("embedding").localCheckpoint()
       val native = df.select(
         graft.functions.matrixops.lshBandBuckets($"embedding", planes, r).as("bks"))
-        .collect().map(_.getSeq[Int](0))
+        .collect().map(_.getSeq[Long](0))
       val bits = planes.map(p =>
-        when(vec.dot(typedLit(p), $"embedding") >= 0, 1).otherwise(0))
+        when(vec.dot(typedLit(p), $"embedding") >= 0, 1L).otherwise(0L))
       val composed = df.select(array((0 until b).map { t =>
-        (0 until r).map(i => bits(t * r + i) * (1 << i)).reduce(_ + _)
-      }: _*).as("bks")).collect().map(_.getSeq[Int](0))
+        (0 until r).map(i => bits(t * r + i) * (1L << i)).reduce(_ + _)
+      }: _*).as("bks")).collect().map(_.getSeq[Long](0))
       native.zip(composed).foreach { case (n, c) =>
         assert(n == c, s"banding ($r,$b): native $n != composed $c")
       }
