@@ -512,7 +512,16 @@ object TextAnalysis {
     * On the driver's synthetic corpus the audit fires exactly as
     * designed: the fixed 31-word vocabulary saturates at the first
     * checkpoint and β lands at 0 — the flat curve that tells a data
-    * engineer the corpus is templated, not natural text.
+    * engineer the corpus is templated, not natural text. On the
+    * Heaps-mode organic corpus it reads β ≈ 0.5 (OrganicCorpusSpec
+    * pins [0.35, 0.65]), the natural-text band.
+    *
+    * Scale note: the checkpoint joins below fan the first-seen vocab
+    * and doc-length frames CHECKPOINT-COUNT× (a broadcast 10-row
+    * inequality join) before the combinable counts — the checkpoint
+    * count, a query constant, is the row multiplier, so widening the
+    * audit to k checkpoints costs k× one corpus-column scan, never a
+    * rescan of the corpus text.
     */
   def qHeaps(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = Tables.documents(spark, sfDir)
