@@ -220,7 +220,21 @@ object SlopeBench {
         s"target/slope/bench-tidx", "doc_id", "text"); () },
     "minhash_index_build" -> { dir: String =>
       operators.Dedup.writeMinhashIndex(Tables.documents(spark, dir),
-        s"target/slope/bench-midx"); () })
+        s"target/slope/bench-midx"); () },
+    "cluster_index_build" -> { dir: String =>
+      operators.Dedup.writeClusterIndex(Tables.documents(spark, dir),
+        s"target/slope/bench-cidx"); () },
+    // append a FIXED 1000-doc batch (id-shifted base docs) into the
+    // index the build step just left behind: its ratio across scales
+    // is the standing-corpus sensitivity of one crawl fold — the
+    // number that decides whether incremental clustering beats
+    // re-resolution at 100 TB
+    "cluster_index_append" -> { dir: String =>
+      operators.Dedup.appendToClusterIndex(
+        Tables.documents(spark, dir)
+          .orderBy(col("doc_id")).limit(1000)
+          .select((col("doc_id") + 900000000000L).as("doc_id"), col("text")),
+        s"target/slope/bench-cidx"); () })
 
   /** Replicates the ENTIRE star schema `factor`× into `outDir` — the
     * sf1-class corpus for the full-suite bench (the driver ships

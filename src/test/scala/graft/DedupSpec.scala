@@ -78,6 +78,66 @@ class DedupSpec extends SparkSpec {
     }
   }
 
+  test("cluster index: batch-incremental appends equal the full corpus resolution") {
+    val all = Dedup.augmentedDocs(spark, sfDir)
+    val home = graft.operators.IndexCache.tempDir("graft-cluster-idx") + "/cidx"
+    // corpus arrives as three crawls: originals, exact copies, near dups
+    val base = all.filter(col("doc_id") < 1000000000L)
+    val batch1 = all.filter(col("doc_id") >= 1000000000L && col("doc_id") < 2000000000L)
+    val batch2 = all.filter(col("doc_id") >= 2000000000L)
+    Dedup.writeClusterIndex(base, home)
+    Dedup.appendToClusterIndex(batch1, home)
+    Dedup.appendToClusterIndex(batch2, home)
+    def toMap(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val incremental = toMap(Dedup.readClusterIndex(spark, home))
+    val full = toMap(Dedup.clustersOf(all))
+    assert(incremental == full,
+      s"incremental drift: only-inc=${(incremental.toSet -- full.toSet).take(5)} " +
+        s"only-full=${(full.toSet -- incremental.toSet).take(5)}")
+  }
+
+  test("cluster index: a bridging batch doc merges standing clusters with flat redirects") {
+    import spark.implicits._
+    val home = graft.operators.IndexCache.tempDir("graft-cluster-bridge") + "/cidx"
+    // two near-dup clusters over overlapping-but-distinct windows of
+    // one token line: A = t1..t12, B = t7..t18 — trigram Jaccard
+    // A↔B = 4/16 = 0.25 (separate at 0.5), while the later bridge
+    // window t4..t15 hits 7/13 ≈ 0.54 with BOTH
+    val base = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k"), // 9/10 with doc 1
+      (10L, "g h i j k l m n o p q r"),
+      (11L, "g h i j k l m n o p q"), // 9/10 with doc 10
+      (50L, "totally unrelated content words here only once")
+    ).toDF("doc_id", "text")
+    Dedup.writeClusterIndex(base, home)
+    val before = Dedup.readClusterIndex(spark, home).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(before == Map(1L -> 1L, 2L -> 1L, 10L -> 10L, 11L -> 10L))
+    // batch 1: the bridging window merges the two standing clusters
+    Dedup.appendToClusterIndex(Seq(
+      (100L, "d e f g h i j k l m n o")).toDF("doc_id", "text"), home)
+    val after = Dedup.readClusterIndex(spark, home).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(after == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 100L -> 1L),
+      s"bridge failed: $after")
+    // batch 2: an exact copy of the untouched singleton joins it, and
+    // the earlier redirect still resolves in one hop (flat merges)
+    Dedup.appendToClusterIndex(Seq(
+      (200L, "totally unrelated content words here only once")).toDF("doc_id", "text"), home)
+    val last = Dedup.readClusterIndex(spark, home).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(last(200L) == 50L && last(50L) == 50L && last(10L) == 1L, s"got $last")
+    // agreement with the one-shot resolution of the union corpus
+    val union = base.unionByName(Seq(
+      (100L, "d e f g h i j k l m n o"),
+      (200L, "totally unrelated content words here only once")).toDF("doc_id", "text"))
+    val oneShot = Dedup.clustersOf(union).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(last == oneShot, s"inc $last != one-shot $oneShot")
+  }
+
   test("incremental minhash index dedups new batches without recomputing the corpus") {
     val all = Dedup.augmentedDocs(spark, sfDir)
     // corpus split: standing index (originals), then two "crawls"
