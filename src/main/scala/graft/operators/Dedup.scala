@@ -761,27 +761,46 @@ object Dedup {
   // [[dupClusters]] frame is this table's transient stand-in.
   //
   // Layout under the resolved home (explicit-schema parquet):
-  //   postings/ (gh, doc_id)      — hashed-trigram postings, append
+  //   postings/ (gh, doc_id) PARTITIONED BY gb — hashed-trigram
+  //             postings, append; gb = pmod(gh, ClusterPostingsBuckets)
+  //             so the batch-vs-standing shingle join partition-prunes
+  //             the standing side to the batch's buckets
   //   meta/     (doc_id, h, n_g)  — normalized-text md5 + string-
   //                                 distinct trigram count, append
-  //   clusters/ (doc_id, cluster_id) — multi-doc members only, append
+  //   clusters/ (doc_id, cluster_id, seq) — multi-doc members, append;
+  //             a doc's CURRENT row is its max-seq row (deletes
+  //             supersede rows by appending at a higher seq;
+  //             cluster_id = -1 marks "dissolved back to singleton")
   //   merges/   (old_id, new_id)  — FLAT label redirects, overwritten
   //                                 folded on every append
+  //   tombstones/ (doc_id)        — retracted docs, appended at
+  //                                 |batch| cost, applied by compact
   //
-  // Exactness contract: [[readClusterIndex]] after any append split
-  // equals [[clustersOf]] of the union corpus row-for-row (cluster
-  // ids are component minima in both — spec-pinned). Candidates come
-  // from the exact shared-shingle relation, never MinHash banding:
-  // 16×4 banding at J = 0.5 recalls only ~0.64 of true pairs, which
-  // would silently fracture clusters.
+  // Exactness contract: [[readClusterIndex]] after any append/delete
+  // split equals [[clustersOf]] of the LIVE union corpus row-for-row
+  // (cluster ids are component minima in both — spec-pinned; a
+  // delete that removes a component's min member, bridges, or all
+  // but one member relabels/splits/dissolves exactly as a rebuild
+  // without those docs would). Candidates come from the exact
+  // shared-shingle relation, never MinHash banding: 16×4 banding at
+  // J = 0.5 recalls only ~0.64 of true pairs, which would silently
+  // fracture clusters.
 
-  private val ClusterLayoutTables = Seq("postings", "meta", "clusters", "merges")
+  private val ClusterLayoutTables = Seq("postings", "meta", "clusters", "merges", "tombstones")
+
+  /** Bucket count of the postings layout's `gb` partition column. A
+    * power of two sized so a directory listing stays trivial while a
+    * targeted batch (re-crawl of one site, a takedown sweep) prunes
+    * the standing scan to the buckets it actually touches; a broad
+    * batch touches all of them and the filter is a no-op.
+    */
+  private[graft] val ClusterPostingsBuckets = 32
   private val clusterPostingsSchema =
-    org.apache.spark.sql.types.StructType.fromDDL("gh BIGINT, doc_id BIGINT")
+    org.apache.spark.sql.types.StructType.fromDDL("gh BIGINT, doc_id BIGINT, gb INT")
   private val clusterMetaSchema =
     org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, h STRING, n_g BIGINT")
   private val clusterRowsSchema =
-    org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster_id BIGINT")
+    org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT, cluster_id BIGINT, seq BIGINT")
   private val clusterMergesSchema =
     org.apache.spark.sql.types.StructType.fromDDL("old_id BIGINT, new_id BIGINT")
 
@@ -798,6 +817,7 @@ object Dedup {
       .join(tri.select(col("doc_id"), col("n_g")), Seq("doc_id"), "left")
       .select(col("doc_id"), col("h"), coalesce(col("n_g"), lit(0L)).as("n_g"))
     val postings = tri.select(explode(col("gh_arr")).as("gh"), col("doc_id"))
+      .withColumn("gb", pmod(col("gh"), lit(ClusterPostingsBuckets.toLong)).cast("int"))
     (meta, postings)
   }
 
@@ -810,25 +830,67 @@ object Dedup {
       val spark = docs.sparkSession
       val path = graft.sources.IndexAlias.resolve(spark, rawPath)
       val (meta, postings) = clusterEvidence(docs)
-      postings.write.mode("overwrite").parquet(s"$path/postings")
+      postings.write.mode("overwrite").partitionBy("gb").parquet(s"$path/postings")
       meta.write.mode("overwrite").parquet(s"$path/meta")
-      clustersOf(docs).write.mode("overwrite").parquet(s"$path/clusters")
+      clustersOf(docs).withColumn("seq", lit(0L))
+        .write.mode("overwrite").parquet(s"$path/clusters")
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         clusterMergesSchema).write.mode("overwrite").parquet(s"$path/merges")
       graft.sources.IndexStats.refreshManifest(spark, path, ClusterLayoutTables)
     }
 
-  /** Current (doc_id, cluster_id) view: stored rows with the flat
-    * merge redirects applied — one broadcast-sized join, no CC, no
-    * shingle access. This is the frame [[qDedupKeepBest]]-shaped
-    * consumers read in production.
+  /** Next seq value for a superseding write: one column-pruned max
+    * over the stored rows' seq column (parquet footer stats make this
+    * a metadata-weight scan). Rows written before the seq column
+    * existed read as null and count as 0.
+    */
+  private def nextClusterSeq(spark: SparkSession, path: String): Long =
+    spark.read.schema(clusterRowsSchema).parquet(s"$path/clusters")
+      .agg(max(coalesce(col("seq"), lit(0L)))).head() match {
+        case r if r.isNullAt(0) => 1L
+        case r => r.getLong(0) + 1L
+      }
+
+  /** The standing postings restricted to a batch's shingle buckets —
+    * the `gb` partition layout makes this filter a DIRECTORY prune
+    * (PlanSpec-pinned via input_file_name), so a targeted batch never
+    * lists, opens, or scans the buckets it cannot match.
+    */
+  private[graft] def standingPostings(spark: SparkSession, path: String,
+                                      buckets: Seq[Int]): DataFrame =
+    liveClusterTable(spark, path, "postings", clusterPostingsSchema)
+      .filter(col("gb").isin(buckets: _*))
+
+  /** Standing cluster-index tables with the pending tombstones
+    * anti-joined out — every reader and append probe goes through
+    * this, so a retracted doc stops being evidence the moment its
+    * tombstone lands.
+    */
+  private def liveClusterTable(spark: SparkSession, path: String, sub: String,
+                               schema: org.apache.spark.sql.types.StructType): DataFrame = {
+    val base = spark.read.schema(schema).parquet(s"$path/$sub")
+    indexTombstones(spark, path)
+      .fold(base)(t => base.join(broadcast(t), Seq("doc_id"), "left_anti"))
+  }
+
+  /** Current (doc_id, cluster_id) view: each doc's max-seq stored row
+    * (deletes supersede by seq), flat merge redirects applied,
+    * dissolved markers (cluster_id = -1) and tombstoned docs dropped.
+    * One window over the dup-mass-sized rows table plus a
+    * redirect-sized join — no CC, no shingle access. This is the
+    * frame [[qDedupKeepBest]]-shaped consumers read in production.
     */
   def readClusterIndex(spark: SparkSession, rawPath: String): DataFrame = {
     val path = graft.sources.IndexAlias.resolve(spark, rawPath)
-    val rows = spark.read.schema(clusterRowsSchema).parquet(s"$path/clusters")
+    val rows = liveClusterTable(spark, path, "clusters", clusterRowsSchema)
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(coalesce(col("seq"), lit(0L)).desc)
+    val latest = rows.withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") === 1 && col("cluster_id") >= 0)
+      .select(col("doc_id"), col("cluster_id"))
     val merges = spark.read.schema(clusterMergesSchema).parquet(s"$path/merges")
       .withColumnRenamed("old_id", "cluster_id")
-    rows.join(merges, Seq("cluster_id"), "left")
+    latest.join(merges, Seq("cluster_id"), "left")
       .select(col("doc_id"),
         coalesce(col("new_id"), col("cluster_id")).as("cluster_id"))
   }
@@ -836,10 +898,11 @@ object Dedup {
   /** Fold a new batch into the cluster index. Exchange volume is
     * batch-bounded; the one corpus-LINEAR term is a column-pruned
     * scan of the standing postings (two long columns), which the
-    * batch side's runtime bloom filter trims map-side before the
-    * exchange — so the shuffle carries ~matching shingles only. (A
-    * catalog deployment would lay postings out bucketed by gh for a
-    * shuffle-free standing side; the seam is the same.) The work:
+    * `gb` partition layout first prunes to the batch's shingle
+    * buckets (a targeted batch reads a fraction of the directories;
+    * a broad batch reads all of them) and the batch side's runtime
+    * bloom filter then trims map-side before the exchange — so the
+    * shuffle carries ~matching shingles only. The work:
     *  - cross candidates = the EXACT shared-shingle relation between
     *    the batch and the standing postings (shuffle keyed on gh;
     *    Σ over batch shingles of stored df — the head-share
@@ -865,8 +928,13 @@ object Dedup {
       val (bMetaRaw, bPostRaw) = clusterEvidence(batch)
       val bMeta = bMetaRaw.localCheckpoint()
       val bPost = bPostRaw.localCheckpoint()
-      val oldPost = spark.read.schema(clusterPostingsSchema).parquet(s"$path/postings")
-      val oldMeta = spark.read.schema(clusterMetaSchema).parquet(s"$path/meta")
+      // partition-prune the standing postings to the batch's shingle
+      // buckets: ≤ ClusterPostingsBuckets values, so the collect is
+      // constant-bounded regardless of batch size
+      val batchBuckets = bPost.select(col("gb")).distinct()
+        .collect().map(_.getInt(0)).toSeq
+      val oldPost = standingPostings(spark, path, batchBuckets)
+      val oldMeta = liveClusterTable(spark, path, "meta", clusterMetaSchema)
       val labels = readClusterIndex(spark, path)
 
       // exact cross edges: batch digest meets any stored doc with the
@@ -907,10 +975,14 @@ object Dedup {
         .localCheckpoint()
 
       // new membership rows: batch docs, plus previously-UNstored old
-      // nodes (old singletons first clustered by this batch); stored
-      // nodes are roots — they keep their rows and get redirects
+      // nodes (old singletons first clustered by this batch, or docs
+      // a delete dissolved back to singletons); stored nodes are
+      // roots — they keep their rows and get redirects. Stamped at
+      // the next seq so they supersede any dissolved (-1) marker.
+      val seq = nextClusterSeq(spark, path)
       val newRows = comp.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
         .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .withColumn("seq", lit(seq))
       newRows.write.mode("append").parquet(s"$path/clusters")
 
       // redirects for swallowed old roots, folded flat into merges
@@ -928,10 +1000,200 @@ object Dedup {
         .localCheckpoint() // sever the self-overwrite read-write cycle
       folded.write.mode("overwrite").parquet(s"$path/merges")
 
-      bPost.write.mode("append").parquet(s"$path/postings")
+      bPost.write.mode("append").partitionBy("gb").parquet(s"$path/postings")
       bMeta.write.mode("append").parquet(s"$path/meta")
       graft.sources.IndexStats.refreshManifest(spark, path, ClusterLayoutTables)
     }
+
+  /** Retract documents from the cluster index — the takedown path of
+    * the third standing dedup structure (the MinHash index's
+    * [[deleteFromMinhashIndex]] is the sibling). Semantics are pinned
+    * to REBUILD-WITHOUT: after the delete, [[readClusterIndex]]
+    * equals [[clustersOf]] of the corpus minus the deleted docs
+    * row-for-row — a deleted min-id member relabels its cluster to
+    * the new min, a deleted bridge doc splits the component, and a
+    * cluster reduced to one live member dissolves (stops vetoing
+    * keeper selection entirely).
+    *
+    * Cost shape: tombstones land at |batch|; the re-resolution runs
+    * over the TOUCHED clusters only — their members' stored postings
+    * and meta rows (semi-joined by member id out of the standing
+    * tables) feed the same exact shared-shingle ∪ digest edge
+    * derivation [[clustersOf]] uses, then CC over that subgraph.
+    * Nothing corpus-wide is recomputed; untouched clusters are never
+    * read. Superseding rows append at the next seq; merge redirects
+    * referencing any touched label are purged (every doc that could
+    * resolve through them just got a fresh row, and a shrunken
+    * component may legitimately re-use a label an old redirect would
+    * hijack).
+    */
+  def deleteFromClusterIndex(spark: SparkSession, ids: Seq[Long], path: String): Unit = {
+    import spark.implicits._
+    deleteFromClusterIndex(ids.toDF("doc_id"), path)
+  }
+
+  /** Frame-taking twin of [[deleteFromClusterIndex]] — the streaming
+    * takedown path ([[graft.streaming.RetractionStream]]). Idempotent
+    * under micro-batch replay: a redelivered batch finds its docs
+    * already tombstoned, touches no cluster, and appends only
+    * duplicate tombstone rows (which the anti-join semantics absorb).
+    */
+  def deleteFromClusterIndex(ids: DataFrame, rawPath: String): Unit =
+    graft.sources.WriterLease.exclusive(ids.sparkSession, rawPath) {
+      val spark = ids.sparkSession
+      val path = graft.sources.IndexAlias.resolve(spark, rawPath)
+      val del = ids.select(col("doc_id").cast("long").as("doc_id"))
+        .distinct().localCheckpoint()
+      // membership view BEFORE the new tombstones land — it tells us
+      // which clusters the deleted docs sat in
+      val labelsPre = readClusterIndex(spark, path).localCheckpoint()
+      del.coalesce(1).write.mode("append").parquet(s"$path/tombstones")
+      val touched = labelsPre.join(del, Seq("doc_id"))
+        .select(col("cluster_id")).distinct().localCheckpoint()
+      if (!touched.isEmpty) {
+        val members = labelsPre.join(touched, Seq("cluster_id"))
+        val live = members.join(del, Seq("doc_id"), "left_anti").localCheckpoint()
+        val liveIds = live.select(col("doc_id"))
+        // stored evidence of the live members only (tombstones are
+        // already applied table-side; the semi-join bounds the rest)
+        val metaL = liveClusterTable(spark, path, "meta", clusterMetaSchema)
+          .join(liveIds, Seq("doc_id")).localCheckpoint()
+        val postL = liveClusterTable(spark, path, "postings", clusterPostingsSchema)
+          .join(liveIds, Seq("doc_id"))
+        // same edge derivation as clustersOf, restricted to the
+        // touched live members: exact digest groups ∪ shared-shingle
+        // Jaccard ≥ 0.5 (skew-robust pair emission via postingPairs)
+        val wH = Window.partitionBy(col("h"))
+        val exactE = metaL
+          .withColumn("keeper", min(col("doc_id")).over(wH))
+          .filter(col("doc_id") =!= col("keeper"))
+          .select(col("keeper").as("a"), col("doc_id").as("b"))
+        val commonP = postingPairs(
+            postL.groupBy(col("gh")).agg(collect_list(col("doc_id")).as("ds"))
+              .filter(size(col("ds")) > 1))
+          .groupBy(col("doc_a"), col("doc_b")).agg(count(lit(1)).as("common"))
+        val jacE = commonP
+          .join(metaL.select(col("doc_id").as("doc_a"), col("n_g").as("n_a")), "doc_a")
+          .join(metaL.select(col("doc_id").as("doc_b"), col("n_g").as("n_b")), "doc_b")
+          .filter(round(col("common") / (col("n_a") + col("n_b") - col("common")), 6) >= 0.5)
+          .select(col("doc_a").as("a"), col("doc_b").as("b"))
+        val comp = connectedComponents(exactE.unionByName(jacE).distinct())
+          .localCheckpoint()
+        // fresh rows for EVERY live member: its new component min, or
+        // the dissolved marker if no edge survives
+        val seq = nextClusterSeq(spark, path)
+        val fresh = liveIds
+          .join(comp.select(col("node").as("doc_id"), col("comp")), Seq("doc_id"), "left")
+          .select(col("doc_id"), coalesce(col("comp"), lit(-1L)).as("cluster_id"),
+            lit(seq).as("seq"))
+          .localCheckpoint()
+        fresh.write.mode("append").parquet(s"$path/clusters")
+        // purge merge redirects referencing any touched label — raw
+        // stored labels of touched members, current touched labels,
+        // and the fresh labels just written. All docs resolving
+        // through such a row are touched and now carry fresh rows.
+        val memberIds = members.select(col("doc_id"))
+        val rawLabels = spark.read.schema(clusterRowsSchema).parquet(s"$path/clusters")
+          .join(memberIds.unionByName(del), Seq("doc_id"))
+          .select(col("cluster_id"))
+        val stale = rawLabels
+          .unionByName(touched)
+          .unionByName(fresh.filter(col("cluster_id") >= 0).select(col("cluster_id")))
+          .distinct().localCheckpoint()
+        val oldMerges = spark.read.schema(clusterMergesSchema).parquet(s"$path/merges")
+        val purged = oldMerges
+          .join(stale.select(col("cluster_id").as("old_id")), Seq("old_id"), "left_anti")
+          .join(stale.select(col("cluster_id").as("new_id")), Seq("new_id"), "left_anti")
+          .select(col("old_id"), col("new_id"))
+          .localCheckpoint() // sever the self-overwrite read-write cycle
+        purged.write.mode("overwrite").parquet(s"$path/merges")
+      }
+      graft.sources.IndexStats.refreshManifest(spark, path, ClusterLayoutTables)
+    }
+
+  /** Apply the cluster index's pending lifecycle debt physically:
+    * postings and meta drop tombstoned docs, the rows table collapses
+    * to the current view (seq history and dissolved markers fold
+    * away), merges and tombstones clear. A rotating home gets the
+    * zero-downtime generation handoff ([[graft.sources.IndexAlias]] —
+    * concurrent readers keep serving the old generation until the
+    * atomic repoint); a concrete path compacts in place via
+    * write-aside + rename, the same contract as
+    * [[compactMinhashIndex]] / [[VectorIndex.compact]].
+    */
+  def compactClusterIndex(spark: SparkSession, rawPath: String): Unit =
+   graft.sources.WriterLease.exclusive(spark, rawPath) {
+    import org.apache.hadoop.fs.Path
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
+    val fs = new Path(path).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val destRoot: Option[String] =
+      if (graft.sources.IndexAlias.installed(spark, rawPath))
+        Some(graft.sources.IndexAlias.nextGenerationPath(spark, rawPath))
+      else None
+    def dst(sub: String): Path =
+      destRoot.fold(new Path(s"$path/.compact-$sub"))(d => new Path(s"$d/$sub"))
+    def finish(sub: String): Unit = if (destRoot.isEmpty) {
+      fs.delete(new Path(s"$path/$sub"), true)
+      fs.rename(dst(sub), new Path(s"$path/$sub"))
+    }
+    Seq("postings", "meta", "clusters", "merges").foreach(s => fs.delete(dst(s), true))
+    liveClusterTable(spark, path, "postings", clusterPostingsSchema)
+      .write.partitionBy("gb").parquet(dst("postings").toString)
+    finish("postings")
+    // table boundary = lease renewal point (see VectorIndex.compact)
+    graft.sources.WriterLease.renewHeld(spark, rawPath)
+    liveClusterTable(spark, path, "meta", clusterMetaSchema)
+      .write.parquet(dst("meta").toString)
+    finish("meta")
+    graft.sources.WriterLease.renewHeld(spark, rawPath)
+    // the folded view is computed BEFORE the live tables move — it is
+    // checkpointed, so the in-place renames above cannot starve it
+    readClusterIndex(spark, path).withColumn("seq", lit(0L)).localCheckpoint()
+      .write.parquet(dst("clusters").toString)
+    finish("clusters")
+    spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+      clusterMergesSchema).write.parquet(dst("merges").toString)
+    finish("merges")
+    destRoot match {
+      case Some(d) =>
+        graft.sources.IndexStats.markCompacted(fs, d)
+        graft.sources.IndexStats.refreshManifest(spark, d, ClusterLayoutTables)
+        graft.sources.WriterLease.renewHeld(spark, rawPath)
+        graft.sources.IndexAlias.set(spark, rawPath, d)
+      case None =>
+        fs.delete(new Path(s"$path/tombstones"), true)
+        graft.sources.IndexStats.markCompacted(fs, path)
+        graft.sources.IndexStats.refreshManifest(spark, path, ClusterLayoutTables)
+    }
+  }
+
+  /** Zero-downtime rebuild of a ROTATING cluster index: one full
+    * re-resolution of `docs` into the next generation aside —
+    * concurrent readers keep serving the old generation — then the
+    * atomic repoint. Returns the new generation's path.
+    */
+  def rotateClusterIndex(docs: DataFrame, home: String): String = {
+    val spark = docs.sparkSession
+    graft.sources.WriterLease.exclusive(spark, home) {
+      val next = graft.sources.IndexAlias.nextGenerationPath(spark, home)
+      writeClusterIndex(docs, next)
+      graft.sources.IndexAlias.set(spark, home, next)
+      next
+    }
+  }
+
+  /** Cluster-index health — footprint per table, generation count,
+    * pending takedown (tombstone) debt plus the superseded-row debt a
+    * compaction would fold away.
+    */
+  def clusterIndexStats(spark: SparkSession, rawPath: String): DataFrame = {
+    val path = graft.sources.IndexAlias.resolve(spark, rawPath)
+    val rows = spark.read.schema(clusterRowsSchema).parquet(s"$path/clusters")
+    val debt = Map(
+      "tombstones" -> indexTombstones(spark, path).fold(0L)(_.count()),
+      "clusters" -> (rows.count() - readClusterIndex(spark, path).count()))
+    graft.sources.IndexStats.build(spark, "cluster", rawPath, ClusterLayoutTables, debt)
+  }
 
   private val indexTombstonesSchema =
     org.apache.spark.sql.types.StructType.fromDDL("doc_id BIGINT")

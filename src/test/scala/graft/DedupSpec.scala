@@ -138,6 +138,95 @@ class DedupSpec extends SparkSpec {
     assert(last == oneShot, s"inc $last != one-shot $oneShot")
   }
 
+  test("cluster index: delete equals rebuild-without (relabel, split, dissolve)") {
+    import spark.implicits._
+    val home = graft.operators.IndexCache.tempDir("graft-cluster-del") + "/cidx"
+    val bridge = Seq((100L, "d e f g h i j k l m n o"))
+    val base = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k"),
+      (10L, "g h i j k l m n o p q r"),
+      (11L, "g h i j k l m n o p q"),
+      (50L, "totally unrelated content words here only once"),
+      (51L, "totally unrelated content words here only once"),
+      (52L, "totally unrelated content words here only once")
+    )
+    Dedup.writeClusterIndex(base.toDF("doc_id", "text"), home)
+    // the bridge merges {1,2} and {10,11} into one cluster (and
+    // leaves a 10→1 merge redirect for the delete path to purge)
+    Dedup.appendToClusterIndex(bridge.toDF("doc_id", "text"), home)
+    var deleted = Set.empty[Long]
+    def view() = Dedup.readClusterIndex(spark, home).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    def assertRebuildWithout(extra: Seq[(Long, String)] = Nil): Unit = {
+      val live = (base ++ bridge ++ extra).filterNot(d => deleted.contains(d._1))
+      val full = Dedup.clustersOf(live.toDF("doc_id", "text")).collect()
+        .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+      assert(view() == full, s"after deleting $deleted: inc ${view()} != rebuild $full")
+    }
+    def delete(ids: Long*): Unit = {
+      Dedup.deleteFromClusterIndex(spark, ids, home); deleted ++= ids
+    }
+    // RELABEL: deleting the exact-triple's min member moves its
+    // cluster id to the new min (51) without touching membership
+    delete(50L)
+    assertRebuildWithout()
+    assert(view()(51L) == 51L && view()(52L) == 51L)
+    // SPLIT: deleting the bridge doc splits the merged cluster back
+    // into {1,2} and {10,11} — which also requires purging the stale
+    // 10→1 redirect (label 10 legitimately reappears)
+    delete(100L)
+    assertRebuildWithout()
+    assert(view()(10L) == 10L && view()(1L) == 1L)
+    // DISSOLVE: deleting doc 1 leaves doc 2 with no surviving edge —
+    // its cluster vanishes, exactly as a rebuild without 1 resolves
+    delete(1L)
+    assertRebuildWithout()
+    assert(!view().contains(2L))
+    // APPEND AFTER DELETE: an exact copy of the dissolved doc
+    // re-clusters it under a fresh label (superseding its dissolved
+    // marker), and deleted docs are never evidence for the batch
+    val late = Seq((300L, "a b c d e f g h i j k"))
+    Dedup.appendToClusterIndex(late.toDF("doc_id", "text"), home)
+    assertRebuildWithout(late)
+    assert(view()(2L) == 2L && view()(300L) == 2L)
+    // REPLAY / NO-OP: re-deleting an already-deleted doc and deleting
+    // a doc with no cluster change nothing
+    val before = view()
+    Dedup.deleteFromClusterIndex(spark, Seq(1L, 999999L), home)
+    assert(view() == before)
+
+    // COMPACT (in place): the folded view is unchanged, lifecycle
+    // debt clears, and retracted docs leave the evidence tables
+    Dedup.compactClusterIndex(spark, home)
+    assertRebuildWithout(late)
+    val stats = Dedup.clusterIndexStats(spark, home).collect()
+      .map(r => r.getAs[String]("table") -> r.getAs[Long]("debt_rows")).toMap
+    assert(stats("tombstones") == 0L && stats("clusters") == 0L, s"debt after compact: $stats")
+    val postDocs = spark.read.parquet(s"$home/postings")
+      .select("doc_id").distinct().collect().map(_.getLong(0)).toSet
+    assert(deleted.forall(d => !postDocs.contains(d)),
+      s"retracted docs still in postings: ${deleted.intersect(postDocs)}")
+    // the index stays appendable after compaction
+    val later = late :+ (301L -> "g h i j k l m n o p q r")
+    Dedup.appendToClusterIndex(Seq(later.last).toDF("doc_id", "text"), home)
+    assertRebuildWithout(later)
+  }
+
+  test("cluster index: standing postings scan prunes to the batch's shingle buckets") {
+    val home = graft.operators.IndexCache.tempDir("graft-cluster-prune") + "/cidx"
+    val docs = Dedup.augmentedDocs(spark, sfDir)
+    Dedup.writeClusterIndex(docs, home)
+    val allFiles = spark.read.parquet(s"$home/postings").inputFiles
+    val onePruned = Dedup.standingPostings(spark, home, Seq(3))
+      .select(input_file_name().as("f")).distinct()
+      .collect().map(_.getString(0))
+    assert(onePruned.nonEmpty && onePruned.forall(_.contains("gb=3")),
+      s"unpruned files read: ${onePruned.filterNot(_.contains("gb=3")).take(3)}")
+    assert(onePruned.length < allFiles.length,
+      "the one-bucket probe must read a strict subset of the postings files")
+  }
+
   test("incremental minhash index dedups new batches without recomputing the corpus") {
     val all = Dedup.augmentedDocs(spark, sfDir)
     // corpus split: standing index (originals), then two "crawls"

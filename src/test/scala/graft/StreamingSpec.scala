@@ -413,7 +413,7 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
-  test("streamed retractions leave the dedup and text indexes behaving like batch deletes") {
+  test("streamed retractions leave the dedup, text, and cluster indexes behaving like batch deletes") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
     val victims = docs.filter(col("doc_id") % 5 === 0)
@@ -421,8 +421,13 @@ class StreamingSpec extends SparkSpec {
     // standing indexes over the full corpus
     val mhIdx = Files.createTempDirectory("graft-retract-mh").toString + "/idx"
     val tIdx = Files.createTempDirectory("graft-retract-ti").toString
+    val cIdx = Files.createTempDirectory("graft-retract-ci").toString + "/idx"
     graft.operators.Dedup.writeMinhashIndex(docs, mhIdx)
     graft.api.TextIndex(docs).writeIndex(tIdx)
+    // the cluster index gets the augmented corpus — base docs alone
+    // hold no duplicate clusters, so retraction would be vacuous
+    val clusterCorpus = graft.operators.Dedup.augmentedDocs(spark, sfDir)
+    graft.operators.Dedup.writeClusterIndex(clusterCorpus, cIdx)
     // takedown requests arrive as two sequential micro-batches
     val srcDir = Files.createTempDirectory("graft-retract-src").toString
     victims.filter(col("doc_id") % 2 === 0).coalesce(1).write.mode("append").parquet(srcDir)
@@ -430,8 +435,21 @@ class StreamingSpec extends SparkSpec {
     val q = graft.streaming.RetractionStream.retractStream(
       spark.readStream.schema(victims.schema)
         .option("maxFilesPerTrigger", 1).parquet(srcDir),
-      Some(mhIdx), Some(tIdx))
+      Some(mhIdx), Some(tIdx), Some(cIdx))
     q.awaitTermination(180000)
+
+    // cluster index: membership equals a rebuild without the
+    // retracted docs — takedowns no longer leak cluster evidence
+    val streamed = graft.operators.Dedup.readClusterIndex(spark, cIdx).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val rebuilt = graft.operators.Dedup.clustersOf(
+        clusterCorpus.join(victims.select("doc_id"), Seq("doc_id"), "left_anti"))
+      .collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(streamed.nonEmpty, "retraction left no clusters to compare")
+    assert(streamed == rebuilt,
+      s"cluster drift: only-streamed=${(streamed.toSet -- rebuilt.toSet).take(5)} " +
+        s"only-rebuilt=${(rebuilt.toSet -- streamed.toSet).take(5)}")
 
     // text index: scores equal a rebuild without the retracted docs
     val terms = Seq("spark", "join", "vector")
