@@ -925,16 +925,26 @@ object Dedup {
     graft.sources.WriterLease.exclusive(batch.sparkSession, rawPath) {
       val spark = batch.sparkSession
       val path = graft.sources.IndexAlias.resolve(spark, rawPath)
+      val oldMeta = liveClusterTable(spark, path, "meta", clusterMetaSchema)
       val (bMetaRaw, bPostRaw) = clusterEvidence(batch)
-      val bMeta = bMetaRaw.localCheckpoint()
-      val bPost = bPostRaw.localCheckpoint()
+      // idempotence under replay: a crash-retried or at-least-once
+      // redelivered batch skips docs already indexed — duplicated
+      // evidence rows would inflate shared-shingle counts and could
+      // push false pairs over the Jaccard threshold. (A tombstoned id
+      // stays retracted until compaction; re-ingesting a retracted id
+      // is out of contract — ingest assigns fresh ids.)
+      val bMeta = bMetaRaw
+        .join(spark.read.schema(clusterMetaSchema).parquet(s"$path/meta")
+          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .localCheckpoint()
+      val bPost = bPostRaw.join(bMeta.select(col("doc_id")), Seq("doc_id"))
+        .localCheckpoint()
       // partition-prune the standing postings to the batch's shingle
       // buckets: ≤ ClusterPostingsBuckets values, so the collect is
       // constant-bounded regardless of batch size
       val batchBuckets = bPost.select(col("gb")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val oldPost = standingPostings(spark, path, batchBuckets)
-      val oldMeta = liveClusterTable(spark, path, "meta", clusterMetaSchema)
       val labels = readClusterIndex(spark, path)
 
       // exact cross edges: batch digest meets any stored doc with the
@@ -1414,22 +1424,51 @@ object Dedup {
     */
   private[graft] val ccResolutions = new java.util.concurrent.atomic.AtomicLong(0)
 
-  /** The duplicate-cluster frame, materialized ONCE per (session,
-    * corpus) — the standing table every cluster CONSUMER reads.
-    * [[qDupClusters]], [[qDedupKeepBest]], and [[qDedupSoft]] each
-    * need the same exact ∪ trigram-Jaccard ∪ CC resolution; before
-    * this frame they re-ran it per query (the three entries were the
-    * bench's top-3 costs, ~13 s of 96 s, resolving identical
-    * clusters three times). At 100 TB the production shape is a
-    * cluster-id table the ingest pipeline persists (or the MinHash
-    * index maintains incrementally); the session-pinned frame is the
-    * local stand-in, same treatment the decoded media features get
-    * ([[Multimodal.decoded]]).
+  /** Installed at-rest cluster indexes by corpus dir — when a corpus
+    * has one, the registered cluster consumers serve from it instead
+    * of resolving in-session (see [[dupClusters]]).
+    */
+  private val installedClusterIndexes =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Point the registered cluster consumers of `sfDir` at a standing
+    * cluster index (built by [[writeClusterIndex]] over the same
+    * corpus and maintained by [[appendToClusterIndex]] /
+    * [[deleteFromClusterIndex]]). Consumers then read the persisted
+    * membership ([[readClusterIndex]] — redirect join, no CC) instead
+    * of re-resolving; results are row-identical as long as the index
+    * is maintained over the corpus the consumers query.
+    */
+  def installClusterIndex(sfDir: String, indexPath: String): Unit = {
+    installedClusterIndexes.put(sfDir, indexPath); ()
+  }
+
+  /** Detach `sfDir`'s consumers from the at-rest index — they fall
+    * back to the session-materialized resolution.
+    */
+  def uninstallClusterIndex(sfDir: String): Unit = {
+    installedClusterIndexes.remove(sfDir); ()
+  }
+
+  /** The duplicate-cluster frame every cluster CONSUMER reads
+    * ([[qDupClusters]], [[qDedupKeepBest]], [[qDedupSoft]]). With an
+    * installed at-rest index ([[installClusterIndex]]) this is the
+    * PERSISTED membership — a redirect-join read, no CC, the
+    * production shape where the ingest pipeline maintains cluster
+    * ids incrementally next to the shingle evidence. Without one it
+    * falls back to the session-materialized resolution, computed
+    * ONCE per (session, corpus): the three consumers each need the
+    * same exact ∪ trigram-Jaccard ∪ CC resolution, and before this
+    * frame they re-ran it per query (~13 s of 96 s at sf0.1).
     */
   def dupClusters(spark: SparkSession, sfDir: String): DataFrame =
-    IndexCache.materialized(spark, s"dup-clusters#$sfDir") {
-      ccResolutions.incrementAndGet()
-      resolveDupClusters(spark, sfDir)
+    Option(installedClusterIndexes.get(sfDir)) match {
+      case Some(idx) => readClusterIndex(spark, idx)
+      case None =>
+        IndexCache.materialized(spark, s"dup-clusters#$sfDir") {
+          ccResolutions.incrementAndGet()
+          resolveDupClusters(spark, sfDir)
+        }
     }
 
   /** Head-share crossover for [[jaccardPairsAuto]]: when the top

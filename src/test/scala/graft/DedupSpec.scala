@@ -213,6 +213,50 @@ class DedupSpec extends SparkSpec {
     assertRebuildWithout(later)
   }
 
+  test("cluster index: replayed appends are no-ops (no evidence duplication)") {
+    import spark.implicits._
+    val home = graft.operators.IndexCache.tempDir("graft-cluster-replay") + "/cidx"
+    val base = Seq((1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k")).toDF("doc_id", "text")
+    val batch = Seq((10L, "g h i j k l m n o p q r"),
+      (11L, "g h i j k l m n o p q")).toDF("doc_id", "text")
+    Dedup.writeClusterIndex(base, home)
+    Dedup.appendToClusterIndex(batch, home)
+    val view1 = Dedup.readClusterIndex(spark, home).collect().toSet
+    val meta1 = spark.read.parquet(s"$home/meta").count()
+    val post1 = spark.read.parquet(s"$home/postings").count()
+    // at-least-once redelivery of the same micro-batch
+    Dedup.appendToClusterIndex(batch, home)
+    assert(Dedup.readClusterIndex(spark, home).collect().toSet == view1)
+    assert(spark.read.parquet(s"$home/meta").count() == meta1,
+      "replay duplicated meta rows")
+    assert(spark.read.parquet(s"$home/postings").count() == post1,
+      "replay duplicated postings — shared-shingle counts would inflate")
+  }
+
+  test("cluster consumers serve from an installed at-rest index with identical results") {
+    val names = Seq("q_dup_clusters", "q_dedup_keep_best", "q_dedup_soft")
+    def run() = Map(
+      "q_dup_clusters" -> Dedup.qDupClusters(spark, sfDir).collect().toSeq,
+      "q_dedup_keep_best" -> Dedup.qDedupKeepBest(spark, sfDir).collect().toSeq,
+      "q_dedup_soft" -> Dedup.qDedupSoft(spark, sfDir).collect().toSeq)
+    val sessionServed = run()
+    val home = graft.operators.IndexCache.tempDir("graft-cluster-serve") + "/cidx"
+    Dedup.writeClusterIndex(Dedup.augmentedDocs(spark, sfDir), home)
+    Dedup.installClusterIndex(sfDir, home)
+    try {
+      val before = Dedup.ccResolutions.get()
+      val indexServed = run()
+      assert(Dedup.ccResolutions.get() == before,
+        "index-served consumers must not re-resolve clusters in-session")
+      names.foreach { n =>
+        assert(indexServed(n) == sessionServed(n),
+          s"$n drifted between the session-materialized and at-rest paths")
+        assert(indexServed(n).nonEmpty)
+      }
+    } finally Dedup.uninstallClusterIndex(sfDir)
+  }
+
   test("cluster index: standing postings scan prunes to the batch's shingle buckets") {
     val home = graft.operators.IndexCache.tempDir("graft-cluster-prune") + "/cidx"
     val docs = Dedup.augmentedDocs(spark, sfDir)

@@ -413,6 +413,32 @@ class StreamingSpec extends SparkSpec {
       }
   }
 
+  test("streaming cluster maintenance reads like a one-shot resolution after every trigger") {
+    import org.apache.spark.sql.functions._
+    val corpus = graft.operators.Dedup.augmentedDocs(spark, sfDir)
+    val idx = Files.createTempDirectory("graft-ci-stream").toString + "/idx"
+    // standing index = the originals; stream the exact and near
+    // copies in two micro-batches
+    graft.operators.Dedup.writeClusterIndex(
+      corpus.filter(col("doc_id") < 1000000000L), idx)
+    val rest = corpus.filter(col("doc_id") >= 1000000000L)
+    val srcDir = Files.createTempDirectory("graft-ci-stream-src").toString
+    rest.filter(col("doc_id") < 2000000000L).coalesce(1).write.mode("append").parquet(srcDir)
+    rest.filter(col("doc_id") >= 2000000000L).coalesce(1).write.mode("append").parquet(srcDir)
+    val q = graft.streaming.ClusterIndexStream.ingestStream(
+      spark.readStream.schema(rest.schema)
+        .option("maxFilesPerTrigger", 1).parquet(srcDir), idx)
+    q.awaitTermination(180000)
+    val streamed = graft.operators.Dedup.readClusterIndex(spark, idx).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    val oneShot = graft.operators.Dedup.clustersOf(corpus).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
+    assert(streamed == oneShot && streamed.nonEmpty,
+      s"stream-maintained membership drifted: only-streamed=" +
+        s"${(streamed.toSet -- oneShot.toSet).take(5)} " +
+        s"only-one-shot=${(oneShot.toSet -- streamed.toSet).take(5)}")
+  }
+
   test("streamed retractions leave the dedup, text, and cluster indexes behaving like batch deletes") {
     import org.apache.spark.sql.functions._
     val docs = Tables.documents(spark, sfDir).select("doc_id", "text")
