@@ -1471,21 +1471,57 @@ object Dedup {
         }
     }
 
-  /** Head-share crossover for [[jaccardPairsAuto]]: when the top
-    * 0.1% highest-df shingles carry at least this share of Σdf²
-    * (the pair-aggregate's work), the corpus is boilerplate/Zipf-
-    * dominated and the PPJoin prefix filter wins — its whole gain is
-    * excluding exactly that head from the pair explosion. Measured
-    * arms: the driver corpus sits at 0.5–0.7% head share (near-
-    * uniform df, plain aggregate wins — verification would cost more
-    * than the straight count), the Heaps-vocabulary organic corpora
-    * at 59% (sf1) and 86% (sf10), where Σdf² grows ~n² (7.3M → 691M
-    * pair slots across the decade — the 23.6× q_dup_clusters wall in
-    * the first heaps-decade artifact) while prefix candidates stay
-    * near the true near-dup mass. The two regimes sit two orders of
-    * magnitude apart on this statistic; 0.2 splits them with margin.
+  /** Head-share crossover for [[jaccardPairsAuto]]: when the df head
+    * (shingles at or above the 99.9th df percentile — see
+    * [[measuredHeadShare]]) carries at least this share of Σdf² (the
+    * pair-aggregate's work), the corpus is boilerplate/Zipf-dominated
+    * and the PPJoin prefix filter wins — its whole gain is excluding
+    * exactly that head from the pair explosion. Measured arms: the
+    * driver corpus sits at ~2.5–2.8% head share (near-uniform df,
+    * plain aggregate wins — verification would cost more than the
+    * straight count; the percentile form reads a few× above the
+    * former top-k's 0.5–0.7% because ties at the cut are admitted),
+    * the Heaps-vocabulary organic corpora at 59% (sf1) and 86%
+    * (sf10), where Σdf² grows ~n² (7.3M → 691M pair slots across the
+    * decade — the 23.6× q_dup_clusters wall in the first heaps-decade
+    * artifact) while prefix candidates stay near the true near-dup
+    * mass. The two regimes sit an order of magnitude to either side
+    * of this statistic; 0.2 splits them with margin.
     */
   private[graft] val PairHeadShareCrossover = 0.2
+
+  /** Measured share of Σdf² carried by the df head — shingles whose
+    * df sits at or above the 99.9th percentile of the shared-shingle
+    * df distribution. This is the statistic [[jaccardPairsAuto]]
+    * picks its strategy from, and it is computed ENTIRELY from
+    * combinable single-pass aggregates (one sum+approx_percentile
+    * pass, one conditional sum) — no sort, no limit, no single-task
+    * funnel. The former top-0.1%-by-count probe
+    * (`orderBy(df.desc).limit(nsh/1000)`) funneled k rows through one
+    * TakeOrdered task, and k grows with the corpus's distinct shared
+    * shingles (~10⁷ rows at a 100 TB corpus); the percentile
+    * threshold admits every row TIED at the cut instead of exactly k
+    * rows, which only nudges the statistic — the two regimes it
+    * separates sit two orders of magnitude apart.
+    * None when no shingle is shared by two docs.
+    */
+  private[graft] def measuredHeadShare(tri: DataFrame): Option[Double] = {
+    val dfT = tri
+      .select(explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
+      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
+      .filter(col("df") > 1)
+      .localCheckpoint() // feeds the total AND the conditional head sum
+    val agg = dfT.agg(sum(col("df") * col("df")).as("s2"),
+      expr("approx_percentile(df, 0.999, 10000)").as("thr")).head()
+    if (agg.isNullAt(0)) None
+    else {
+      val s2 = agg.getAs[Long]("s2")
+      val thr = agg.getAs[Long]("thr")
+      val headS2 = dfT.filter(col("df") >= thr)
+        .agg(sum(col("df") * col("df"))).head().getLong(0)
+      Some(headS2.toDouble / s2)
+    }
+  }
 
   /** Threshold-Jaccard pairs with the strategy chosen FROM the
     * corpus's measured shingle-df shape (the [[LshCrossoverAvgBlock]]
@@ -1493,32 +1529,18 @@ object Dedup {
     * pin): plain Σdf² aggregate below [[PairHeadShareCrossover]],
     * PPJoin prefix filter above it. Both variants emit the identical
     * exact relation (`jaccard ≥ t`), so the choice is invisible to
-    * results — only to the slope. The probe costs one df aggregate
-    * over the exploded shingles (longs) plus a TakeOrdered of the
-    * 0.1% head — cheap next to either variant's own df-shaped
-    * shuffle.
+    * results — only to the slope. The probe ([[measuredHeadShare]])
+    * costs two combinable aggregates over the (long) df frame —
+    * cheap next to either variant's own df-shaped shuffle, and free
+    * of driver-growth terms.
     */
-  private[graft] def jaccardPairsAuto(tri: DataFrame, t: Double): DataFrame = {
-    def plain = jaccardPairs(tri, materializePairs = true)
-      .filter(col("jaccard") >= t)
-    val dfT = tri
-      .select(explode(expr("transform(gs, g -> xxhash64(g))")).as("gh"))
-      .groupBy(col("gh")).agg(count(lit(1)).as("df"))
-      .filter(col("df") > 1)
-      .localCheckpoint() // feeds the total AND the head top-k
-    val agg = dfT.agg(sum(col("df") * col("df")).as("s2"),
-      count(lit(1)).as("nsh")).head()
-    if (agg.isNullAt(0)) plain // no shingle shared by 2 docs: either path is trivial
-    else {
-      val s2 = agg.getAs[Long]("s2")
-      val k = math.max(1L, agg.getAs[Long]("nsh") / 1000).toInt
-      val headS2 = dfT.orderBy(col("df").desc).limit(k)
-        .agg(sum(col("df") * col("df"))).head().getLong(0)
-      if (headS2.toDouble / s2 >= PairHeadShareCrossover)
+  private[graft] def jaccardPairsAuto(tri: DataFrame, t: Double): DataFrame =
+    measuredHeadShare(tri) match {
+      case Some(share) if share >= PairHeadShareCrossover =>
         jaccardPairsThresholded(tri, t)
-      else plain
+      case _ => // below crossover, or no shingle shared by 2 docs
+        jaccardPairs(tri, materializePairs = true).filter(col("jaccard") >= t)
     }
-  }
 
   /** Duplicate-cluster resolution (SQL-oracled via a recursive CTE):
     * edges = exact-dup groups (member→keeper) ∪ trigram-Jaccard ≥ 0.5

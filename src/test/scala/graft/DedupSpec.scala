@@ -648,6 +648,33 @@ class DedupSpec extends SparkSpec {
     assert(n == cases.size, s"only $n of ${cases.size} hamming<=3 pairs bucketed together")
   }
 
+  test("head-share probe separates the df regimes with combinable aggregates only") {
+    import spark.implicits._
+    // driver-shaped corpus: near-uniform trigram df keeps the plain
+    // Σdf² aggregate (measured ~0.025 here — the percentile threshold
+    // admits ties, so this sits a few× above the former top-k's
+    // 0.5–0.7%, still an order of magnitude under the crossover)
+    val shareDriver =
+      Dedup.measuredHeadShare(Dedup.trigrams(Dedup.augmentedDocs(spark, sfDir))).get
+    assert(shareDriver < Dedup.PairHeadShareCrossover,
+      s"driver corpus head share $shareDriver must keep the plain aggregate")
+    // boilerplate-dominated corpus: a shared template sentence with
+    // unique tails concentrates Σdf² entirely in the df head
+    val zipf = (0 until 300).map { i =>
+      val tail = (0 until 30).map(j => s"w${i}x$j").mkString(" ")
+      (i.toLong, s"terms of service apply to all content on this site $tail")
+    }.toDF("doc_id", "text")
+    val shareZipf = Dedup.measuredHeadShare(Dedup.trigrams(zipf)).get
+    assert(shareZipf >= Dedup.PairHeadShareCrossover,
+      s"boilerplate corpus head share $shareZipf must route to the prefix filter")
+    // no shared shingle at all: the probe declines and auto falls
+    // back to the (trivial) plain path
+    val uniq = Seq((1L, "alpha beta gamma delta"), (2L, "one two three four"))
+      .toDF("doc_id", "text")
+    assert(Dedup.measuredHeadShare(Dedup.trigrams(uniq)).isEmpty)
+    assert(Dedup.jaccardPairsAuto(Dedup.trigrams(uniq), 0.5).isEmpty)
+  }
+
   test("prefix-filtered thresholded Jaccard pairs equal the full aggregate") {
     val tri = Dedup.trigrams(Dedup.augmentedDocs(spark, sfDir)).localCheckpoint()
     def canon(df: org.apache.spark.sql.DataFrame) = df.collect()
