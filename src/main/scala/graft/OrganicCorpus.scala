@@ -120,6 +120,72 @@ object OrganicCorpus {
   /** Valid values for `generate`'s `vocabMode`. */
   val VocabModes: Set[String] = Set("driver", "heaps")
 
+  // ---- anisotropic embedding mode ---------------------------------
+  /** Embedding generator for `embedMode = "aniso"`: a CONCENTRATED
+    * vector cloud — the geometry real embedding models produce (the
+    * "anisotropy problem", Ethayarajh 2019: random sentence pairs
+    * under BERT/GPT-2 embeddings average cosine ≫ 0) and the regime
+    * round 10 measured breaking uniform-geometry assumptions (the
+    * stub-media feature family sat at pRand ≈ 0.9 and one LSH bucket
+    * held 80% of the corpus under the log2 occupancy model). The
+    * driver-faithful default (`uniform`) draws unit-norm iid
+    * Gaussians — direction-uniform, pRand = 0.5 by construction,
+    * the KNOWN easy case for every bucketing/banding structure.
+    *
+    * Construction (per-row deterministic like everything else here):
+    * the corpus has K = max(10, n/[[AnisoConeDocs]]) content CONES —
+    * cone count GROWS with the corpus, the vector-side Heaps law
+    * (more documents = more distinct content regions; the first cut
+    * of this mode pinned K = 10 fixed cones and near-pair mass went
+    * quadratic — 67M pairs at cosine ≥ 0.9 over 50k vectors — a
+    * density no real embedding corpus has). Cone k's axis is
+    * `normalize(μ + 0.3·g_k)` around one global mean direction μ
+    * (all derived from `seed` alone, axis re-derived per row — no
+    * driver state); a row picks its cone by id hash, draws its 64
+    * iid Gaussians, scales dimension i by [[AnisoSpectrumDecay]]^i
+    * (a decaying covariance spectrum — the cloud's effective
+    * dimensionality is ~1/(1−ρ²) ≈ 10, not 64), and emits
+    * `normalize(axis_cone + AnisoSpread · Λg)`. `label` = cone mod
+    * 10, so same-cone rows always share a label and label-blocked
+    * operators keep their contract. Measured on the generated
+    * cloud: pRand ≈ 0.82 (spec-pinned > 0.8), vs 0.5 uniform —
+    * random pairs are cross-cone and sit in the global cone.
+    */
+  private[graft] val AnisoSpread = 0.15
+  private[graft] val AnisoSpectrumDecay = 0.9
+  private val AnisoLabels = 10
+  private[graft] val AnisoConeDocs = 500L
+
+  private def anisoUnit(r: java.util.Random): Array[Double] = {
+    val g = Array.fill(64)(r.nextGaussian())
+    val n = math.sqrt(g.map(x => x * x).sum)
+    g.map(_ / n)
+  }
+
+  private def anisoVector(r: java.util.Random, mu: Array[Double], seed: Long,
+                          cone: Long): Array[Float] = {
+    val g = anisoUnit(rng(9, cone, seed))
+    val v = new Array[Double](64)
+    var na = 0.0
+    var i = 0
+    while (i < 64) { v(i) = mu(i) + 0.3 * g(i); na += v(i) * v(i); i += 1 }
+    val invA = 1.0 / math.sqrt(na)
+    var lam = 1.0
+    var nn = 0.0
+    i = 0
+    while (i < 64) {
+      v(i) = v(i) * invA + AnisoSpread * lam * r.nextGaussian()
+      nn += v(i) * v(i)
+      lam *= AnisoSpectrumDecay
+      i += 1
+    }
+    val inv = 1.0 / math.sqrt(nn)
+    v.map(x => (x * inv).toFloat)
+  }
+
+  /** Valid values for `generate`'s `embedMode`. */
+  val EmbedModes: Set[String] = Set("uniform", "aniso")
+
   /** Table names `generate` can emit (the `tables` subset filter). */
   val AllTables: Set[String] = Set("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
@@ -137,9 +203,11 @@ object OrganicCorpus {
 
   def generate(spark: SparkSession, sf: Double, outDir: String, seed: Long = 443L,
                vocabMode: String = "driver",
-               tables: Set[String] = AllTables): Unit = {
+               tables: Set[String] = AllTables,
+               embedMode: String = "uniform"): Unit = {
     import spark.implicits._
     require(VocabModes.contains(vocabMode), s"unknown vocabMode '$vocabMode'")
+    require(EmbedModes.contains(embedMode), s"unknown embedMode '$embedMode'")
     require(tables.subsetOf(AllTables), s"unknown tables: ${tables.diff(AllTables)}")
     val nCust = n(150000, sf); val nSupp = n(10000, sf); val nPart = n(200000, sf)
     val nOrd = n(1500000, sf); val nDocs = n(50000, sf)
@@ -229,41 +297,58 @@ object OrganicCorpus {
       (id, text, lang, s"src${r.nextInt(20)}", text.length.toLong)
     }).toDF("doc_id", "text", "lang", "source", "n_chars"), "documents")
 
-    write(spark.range(0, nDocs, 1, parts).mapPartitions(_.map { id =>
-      val r = rng(8, id, seed)
-      val v = Array.fill(64)(r.nextGaussian())
-      val norm = math.sqrt(v.map(x => x * x).sum)
-      (id, v.map(x => (x / norm).toFloat), r.nextInt(10))
-    }).toDF("vec_id", "embedding", "label"), "embeddings")
+    val aniso = embedMode == "aniso"
+    val nCones = math.max(AnisoLabels.toLong, nDocs / AnisoConeDocs)
+    write(spark.range(0, nDocs, 1, parts).mapPartitions { it =>
+      // the global mean direction derives from the seed alone —
+      // computed once per partition
+      val mu = if (aniso) anisoUnit(rng(9, -1L, seed)) else null
+      it.map { id =>
+        val r = rng(8, id, seed)
+        if (aniso) {
+          val cone = math.floorMod(mix(seed ^ 0x09AAL ^ id), nCones)
+          (id, anisoVector(r, mu, seed, cone), (cone % AnisoLabels).toInt)
+        } else {
+          val v = Array.fill(64)(r.nextGaussian())
+          val norm = math.sqrt(v.map(x => x * x).sum)
+          (id, v.map(x => (x / norm).toFloat), r.nextInt(10))
+        }
+      }
+    }.toDF("vec_id", "embedding", "label"), "embeddings")
   }
 
   /** `SPARK_GRAFT_SF` (default 1.0) → `target/organic/sf<sf>/`.
     * `SPARK_GRAFT_VOCAB` ("driver"|"heaps", default driver) picks the
-    * vocabulary law; heaps output lands under `…/heaps-sf<sf>/` so
-    * the two laws never share a directory. `SPARK_GRAFT_TABLES`
-    * (comma list, default all) restricts generation to the tables a
-    * targeted slope run reads — at sf100 the dedup family needs
-    * documents+embeddings, not 600 M lineitem rows.
+    * vocabulary law and `SPARK_GRAFT_EMBED` ("uniform"|"aniso",
+    * default uniform) the embedding geometry; non-default modes
+    * prefix the directory (`heaps-`, `aniso-`) so no two laws share
+    * one. `SPARK_GRAFT_TABLES` (comma list, default all) restricts
+    * generation to the tables a targeted slope run reads — at sf100
+    * the dedup family needs documents+embeddings, not 600 M lineitem
+    * rows.
     */
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF", "1.0").toDouble
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
     val vocabMode = sys.env.getOrElse("SPARK_GRAFT_VOCAB", "driver")
+    val embedMode = sys.env.getOrElse("SPARK_GRAFT_EMBED", "uniform")
     val tables = sys.env.get("SPARK_GRAFT_TABLES")
       .map(_.split(',').map(_.trim).filter(_.nonEmpty).toSet)
       .getOrElse(AllTables)
     val sfName = if (sf == sf.toLong.toDouble) sf.toLong.toString else sf.toString
+    val prefix = (if (vocabMode == "heaps") "heaps-" else "") +
+      (if (embedMode == "aniso") "aniso-" else "")
     val outDir = sys.env.getOrElse("SPARK_GRAFT_OUT",
-      if (vocabMode == "heaps") s"target/organic/heaps-sf$sfName"
-      else s"target/organic/sf$sfName")
+      s"target/organic/${prefix}sf$sfName")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    generate(spark, sf, outDir, vocabMode = vocabMode, tables = tables)
-    println(s"""{"built":"$outDir","sf":$sf,"vocab":"$vocabMode"}""")
+    generate(spark, sf, outDir, vocabMode = vocabMode, tables = tables,
+      embedMode = embedMode)
+    println(s"""{"built":"$outDir","sf":$sf,"vocab":"$vocabMode","embed":"$embedMode"}""")
     spark.stop()
   }
 }

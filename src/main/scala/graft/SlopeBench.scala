@@ -98,6 +98,13 @@ object SlopeBench {
     // a user's maintenance loop actually experiences
     "q_dedup_embedding_auto" -> ((s, dir) =>
       operators.Dedup.embeddingNearDupAuto(augEmb(s, dir), threshold = 0.9)),
+    // the same verb at the threshold a CONCENTRATED (anisotropic)
+    // cloud calls near-duplicate: its noise floor sits near cosine
+    // 0.95 (random pairs average ~0.84), so 0.9 measures a dense
+    // noise relation there while 0.98 isolates true near-dup mass —
+    // the aniso slope artifact's arm
+    "q_dedup_embedding_auto_98" -> ((s, dir) =>
+      operators.Dedup.embeddingNearDupAuto(augEmb(s, dir), threshold = 0.98)),
     // fixed-query twins of the two remaining growing-query-set
     // entries (queries pinned to the base-replica id band, which
     // every scaled corpus contains) — same rationale as
@@ -382,6 +389,34 @@ object SlopeBench {
     val buildBase = bs.map { case (n, run) => n -> timeBuild(run, baseDir) }.toMap
     val buildBig = bs.map { case (n, run) => n -> timeBuild(run, scaledDir) }.toMap
 
+    // SPARK_GRAFT_SLOPE_IVF_RECALL=1: after the scaled
+    // vector_index_build, measure recall@10 at the default probe
+    // budget plus the cluster-occupancy skew (max/mean) on the SCALED
+    // corpus — the numbers that decide whether the geometry policy
+    // survives a non-uniform (e.g. anisotropic) embedding cloud, not
+    // just the wall clock. Queries are a fixed 1/1000 sample so the
+    // exact ground truth stays tractable at sf10.
+    val ivfQuality =
+      if (sys.env.get("SPARK_GRAFT_SLOPE_IVF_RECALL").contains("1") &&
+          bs.exists(_._1 == "vector_index_build")) {
+        val emb = Tables.embeddings(spark, scaledDir)
+        val queries = emb.filter(col("vec_id") % 1000 === 0)
+          .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+            col("label").as("q_label"))
+        val exact = api.VectorCollection(emb, idCol = "vec_id")
+          .search(queries, 10, api.Metric.Cosine)
+        val approx = operators.VectorIndex.searchIvf(spark,
+          "target/slope/bench-vidx", queries)
+        val rec = api.ScaleOps.recallAtK(exact, approx)
+          .agg(avg(col("recall"))).head.getDouble(0)
+        val sizes = spark.read.parquet("target/slope/bench-vidx/vectors")
+          .filter(col("assign_rank") === 0) // primary assignment only
+          .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+          .agg(max(col("n")).cast("double").as("mx"), avg(col("n")).as("mean")).head()
+        val skew = sizes.getDouble(0) / sizes.getDouble(1)
+        f""","ivf_recall_scaled":$rec%.4f,"ivf_max_over_mean":$skew%.2f"""
+      } else ""
+
     def jstr(s: String) = "\"" + s + "\""
     val lines = selected.map { n =>
       val ratio = big(n) / math.max(base(n), 1e-9)
@@ -393,7 +428,7 @@ object SlopeBench {
     }
     val json = s"""{"metric":"slope","factor":$factor,"base":"$baseDir",""" +
       s""""scaled":"$scaledDir","queries":{${lines.mkString(",")}},""" +
-      s""""builds":{${buildLines.mkString(",")}}}"""
+      s""""builds":{${buildLines.mkString(",")}}$ivfQuality}"""
     println(json)
     val out = new java.io.File(s"target/slope_x$factor.json")
     out.getParentFile.mkdirs()

@@ -382,12 +382,34 @@ object Dedup {
         math.log(1.0 / pRand)).toInt))
     val p = 1.0 - math.acos(threshold) / math.Pi
     val pBand = math.pow(p, r)
+    // the table cap bounds plan size (the plane matrix is one
+    // reference object, so 256 tables stay one expression) without
+    // giving up the recall contract on CONCENTRATED clouds: at
+    // pRand ≈ 0.82 and threshold 0.95, bounded occupancy needs
+    // r ≈ 34 and the recall floor then needs b ≈ 86 — the former
+    // 48-table cap silently shipped recall ≈ 0.72 there. Uniform
+    // geometry never comes near the cap (b ≤ ~16 at production
+    // thresholds), so the raise costs nothing where it isn't needed.
     val b =
       if (pBand >= minRecall) 4
-      else math.max(4, math.min(48,
+      else math.max(4, math.min(256,
         math.ceil(math.log(1.0 - minRecall) / math.log(1.0 - pBand)).toInt))
     (r, b)
   }
+
+  /** Whether random-hyperplane LSH can SEPARATE threshold pairs from
+    * random pairs on a collection: the per-plane collision
+    * probability at the threshold must exceed the measured
+    * random-pair collision probability. On a concentrated cloud a
+    * threshold below the cloud's own noise floor (e.g. cosine 0.35
+    * when random pairs average ≈ 0.84) fails this — every band
+    * filters threshold pairs FASTER than noise, so no (r, b) bounds
+    * occupancy without destroying recall, and the exact blocked
+    * scorer (whose cost then matches the relation's own output mass)
+    * is the only sound plan.
+    */
+  private[graft] def lshHasContrast(threshold: Double, pRand: Double): Boolean =
+    (1.0 - math.acos(threshold) / math.Pi) > pRand
 
   /** Sample cap and pair budget for [[measuredPRand]] — driver-side
     * work independent of corpus size (the `Ann.trainCentroids`
@@ -489,9 +511,19 @@ object Dedup {
     else {
       // the pRand sample is paid only on the LSH branch — the exact
       // branch needs no banding
-      val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall,
-        pRand = measuredPRand(collection))
-      embeddingNearDupPairs(collection, threshold, r, b)
+      val pRand = measuredPRand(collection)
+      // no-contrast regime ([[lshHasContrast]]): the threshold sits
+      // at or below the cloud's measured noise floor, so the output
+      // relation is itself a dense fraction of all pairs and banding
+      // has nothing sparse to find — the exact scorer is the honest
+      // plan (its cost matches the output mass)
+      if (!lshHasContrast(threshold, pRand))
+        embeddingNearDupExact(collection, threshold)
+      else {
+        val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall,
+          pRand = pRand)
+        embeddingNearDupPairs(collection, threshold, r, b)
+      }
     }
   }
 

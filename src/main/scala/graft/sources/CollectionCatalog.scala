@@ -19,6 +19,7 @@ import org.apache.spark.sql.functions._
   * same way.
   */
 final case class CollectionCatalog(spark: SparkSession, root: String) {
+  import CollectionCatalog.RolloverPolicy
 
   private def fs = new Path(root).getFileSystem(spark.sparkContext.hadoopConfiguration)
 
@@ -121,6 +122,78 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     */
   def resolveAlias(alias: String): Option[String] =
     AliasGroup.resolveValue(fs, aliasDir(alias))
+
+  // ---- rollover-by-size (ES ILM's hot-phase trigger) -------------
+
+  private def rolloverStateDir(base: String): Path = new Path(root, s".rollover/$base")
+  private def rolloverGenName(base: String, n: Long): String = f"$base-$n%06d"
+
+  /** Generations of a rollover collection, oldest first. */
+  def rolloverGenerations(base: String): Seq[String] =
+    list().filter(_.matches(java.util.regex.Pattern.quote(base) + "-\\d{6}"))
+
+  private def readRolloverState(base: String): Option[(Long, Long)] =
+    VersionedPointer.read(fs, rolloverStateDir(base)).map { s =>
+      val parts = s.split("\t"); (parts(0).toLong, parts(1).toLong)
+    }
+
+  private def writeRolloverState(base: String, gen: Long, docs: Long): Unit =
+    VersionedPointer.write(fs, rolloverStateDir(base), s"$gen\t$docs")
+
+  /** Append a batch through the rollover WRITE alias — the ES ILM
+    * hot-phase size/doc-count trigger ([[Tenants.applyLifecycle]]
+    * covers the age rungs): batches land in the ACTIVE generation
+    * collection `<base>-NNNNNN`; once the active generation's doc
+    * count or byte size crosses the policy, a fresh (empty, schema-
+    * stable) next generation is created and the `<base>.write` alias
+    * atomically repoints at it — subsequent batches land there, the
+    * filled generation is sealed (immutable: compactable, snapshotable
+    * and ageable like any collection), and readers of
+    * [[openRollover]] see every generation's union throughout.
+    *
+    * Cost shape: the doc count accumulates in a [[VersionedPointer]]
+    * manifest at write time (one small read+write per batch — never a
+    * count over the standing generation), and the byte probe, when a
+    * byte trigger is set, lists only the ACTIVE generation — whose
+    * size the policy itself bounds. Returns the generation the NEXT
+    * batch will land in.
+    */
+  def writeRollover(base: String, df: DataFrame, policy: RolloverPolicy): String =
+    WriterLease.exclusive(spark, lockHome(s"rollover-$base")) {
+      val (gen, docs) = readRolloverState(base).getOrElse((1L, 0L))
+      val active = rolloverGenName(base, gen)
+      val batch = df.localCheckpoint() // counted AND written
+      val n = batch.count()
+      if (!exists(active)) create(active, batch)
+      else batch.write.mode("append").parquet(dir(active).toString)
+      if (resolveAlias(s"$base.write").isEmpty) setAlias(s"$base.write", active)
+      val newDocs = docs + n
+      val overBytes = policy.maxBytes.exists(_ <= fs.getContentSummary(dir(active)).getLength)
+      if (policy.maxDocs.exists(newDocs >= _) || overBytes) {
+        val next = rolloverGenName(base, gen + 1)
+        // the fresh generation exists (schema-stable, empty) BEFORE
+        // the alias repoints — a reader resolving the write alias
+        // always finds a scannable collection
+        create(next, batch.where(lit(false)))
+        setAlias(s"$base.write", next)
+        writeRolloverState(base, gen + 1, 0L)
+        next
+      } else {
+        writeRolloverState(base, gen, newDocs)
+        active
+      }
+    }
+
+  /** Read the union of every generation of a rollover collection —
+    * the ES read alias spanning all rolled indices. Writers keep
+    * appending through [[writeRollover]] concurrently; each
+    * generation is a plain collection scan with full pushdown.
+    */
+  def openRollover(base: String): DataFrame = {
+    val gens = rolloverGenerations(base)
+    require(gens.nonEmpty, s"no rollover collection '$base' under $root")
+    gens.map(load).reduce(_.unionByName(_))
+  }
 
   /** Atomically apply a BATCH of alias repoints, optionally together
     * with standing-index generation swaps — the ES `update_aliases`
@@ -332,5 +405,19 @@ final case class CollectionCatalog(spark: SparkSession, root: String) {
     create(dest, transform(filtered), partitionBy)
     alias.foreach(a => updateAliases(Seq(a -> dest), indexSwaps))
     load(dest).count()
+  }
+}
+
+object CollectionCatalog {
+
+  /** Rollover trigger thresholds for [[CollectionCatalog.writeRollover]]
+    * — ES ILM's `max_docs` / `max_primary_shard_size` hot-phase
+    * conditions. A rung set to `None` is disabled; at least one must
+    * be armed.
+    */
+  final case class RolloverPolicy(maxDocs: Option[Long] = None,
+                                  maxBytes: Option[Long] = None) {
+    require(maxDocs.nonEmpty || maxBytes.nonEmpty,
+      "a rollover policy needs at least one armed trigger")
   }
 }

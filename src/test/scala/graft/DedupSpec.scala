@@ -504,10 +504,12 @@ class DedupSpec extends SparkSpec {
     decades.zip(Seq(1e3, 1e4, 1e5, 1e6, 1e7)).foreach { case ((ri, _), n) =>
       assert(n / (1 << ri) <= 64.0 || ri == 20, s"occupancy blown at n=$n (r=$ri)")
     }
-    // an over-low threshold at scale clamps b and is honest about it
-    // (recall cannot be held at 0.35 with bounded tables — the
-    // low-threshold regime belongs to narrow bands on small blocks)
-    assert(Dedup.chooseBanding(220000, 0.35)._2 == 48)
+    // an over-low threshold at scale clamps b at the (raised) cap and
+    // is honest about it (recall cannot be held at 0.35 with bounded
+    // tables — and on clouds whose noise floor sits above 0.35 the
+    // auto verb's lshHasContrast guard routes to the exact scorer
+    // before any banding is chosen)
+    assert(Dedup.chooseBanding(220000, 0.35)._2 == 256)
   }
 
   test("concentrated collections: measured pRand sizes r past the log2 model, recall intact") {
@@ -646,6 +648,28 @@ class DedupSpec extends SparkSpec {
         "exists(zip_with(ka, kb, (a, b) -> a = b), x -> x)"))
       .count()
     assert(n == cases.size, s"only $n of ${cases.size} hamming<=3 pairs bucketed together")
+  }
+
+  test("chooseBanding holds the recall floor past the former 48-table cap on concentrated clouds") {
+    // the aniso regime: pRand 0.82 crowds p(0.95) = 0.899, so bounded
+    // occupancy forces r ~ 34 and the recall floor needs ~85 tables —
+    // the former 48 cap silently shipped recall ~ 0.72 here
+    val (r, b) = Dedup.chooseBanding(50000, 0.95, pRand = 0.82)
+    val p = 1.0 - math.acos(0.95) / math.Pi
+    val pBand = math.pow(p, r)
+    assert(b > 48 && b <= 256, s"expected the cap raise to bind: (r,b)=($r,$b)")
+    assert(1.0 - math.pow(1.0 - pBand, b) >= 0.9,
+      f"predicted recall ${1.0 - math.pow(1.0 - pBand, b)}%.3f below the floor at (r,b)=($r,$b)")
+    assert(50000 * math.pow(0.82, r) <= 64 * 1.1,
+      s"occupancy model broken at r=$r")
+    // uniform geometry stays far from the cap
+    val (_, bU) = Dedup.chooseBanding(50000, 0.9, pRand = 0.5)
+    assert(bU <= 16, s"uniform-cloud table count regressed: $bU")
+    // contrast guard: a threshold at/below the cloud's noise floor
+    // has no sparse structure for banding to find
+    assert(!Dedup.lshHasContrast(0.35, 0.82))
+    assert(Dedup.lshHasContrast(0.98, 0.82))
+    assert(Dedup.lshHasContrast(0.35, 0.5))
   }
 
   test("head-share probe separates the df regimes with combinable aggregates only") {

@@ -175,4 +175,33 @@ class MaintainSpec extends SparkSpec {
       s"dataFiles=${r.dataFiles} must equal data-table files $dataOnly " +
         s"(not $withDebtTables with debt tables included)")
   }
+
+  test("rollover-by-size: writes past the threshold repoint the write alias; reads union generations") {
+    import graft.sources.{CollectionCatalog => CC}
+    import spark.implicits._
+    val cat = CC(spark, IndexCache.tempDir("graft-rollover"))
+    val policy = CC.RolloverPolicy(maxDocs = Some(25))
+    def batch(from: Int) = (from until from + 10).map(i => (i.toLong, s"doc $i")).toDF("id", "v")
+    // 10 + 10 docs stay in generation 1; the 30th doc trips max_docs
+    assert(cat.writeRollover("logs", batch(0), policy) == "logs-000001")
+    assert(cat.writeRollover("logs", batch(10), policy) == "logs-000001")
+    assert(cat.resolveAlias("logs.write").contains("logs-000001"))
+    assert(cat.writeRollover("logs", batch(20), policy) == "logs-000002")
+    // the write alias now points at the fresh, empty, schema-stable
+    // generation; the sealed one keeps its 30 docs
+    assert(cat.resolveAlias("logs.write").contains("logs-000002"))
+    assert(cat.rolloverGenerations("logs") == Seq("logs-000001", "logs-000002"))
+    assert(cat.load("logs-000001").count() == 30)
+    assert(cat.open("logs.write").count() == 0)
+    // subsequent writes land in generation 2; reads union everything
+    assert(cat.writeRollover("logs", batch(30), policy) == "logs-000002")
+    assert(cat.open("logs.write").count() == 10)
+    assert(cat.openRollover("logs").count() == 40)
+    assert(cat.openRollover("logs").select(sum(col("id"))).head.getLong(0) == (0 until 40).map(_.toLong).sum)
+    // byte trigger: a tiny maxBytes rolls on every write
+    val bPolicy = CC.RolloverPolicy(maxBytes = Some(1L))
+    assert(cat.writeRollover("audit", batch(0), bPolicy) == "audit-000002")
+    assert(cat.writeRollover("audit", batch(10), bPolicy) == "audit-000003")
+    assert(cat.openRollover("audit").count() == 20)
+  }
 }

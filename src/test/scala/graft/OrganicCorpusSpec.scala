@@ -171,4 +171,82 @@ class OrganicCorpusSpec extends SparkSpec {
     assert(docs.filter(col("text").rlike("\\bjoin\\b")).count() > 0)
     assert(SparkEntry.queries("q_token_count")(spark, heapsDir).count() > 0)
   }
+
+  private lazy val anisoDir = {
+    val d = graft.operators.IndexCache.tempDir("graft-organic-aniso") + "/sf"
+    OrganicCorpus.generate(spark, 0.04, d, embedMode = "aniso", tables = Set("embeddings"))
+    d
+  }
+
+  test("aniso mode: concentrated cloud (pRand > 0.8), unit norm, deterministic") {
+    val emb = Tables.embeddings(spark, anisoDir)
+    // the statistic the banding chooser measures: random pairs sit in
+    // a narrow cone, NOT at 90 degrees
+    val p = graft.operators.Dedup.measuredPRand(emb)
+    assert(p > 0.8, f"aniso cloud pRand $p%.3f must exceed 0.8")
+    val pU = graft.operators.Dedup.measuredPRand(Tables.embeddings(spark, dir))
+    assert(math.abs(pU - 0.5) < 0.05,
+      f"uniform mode must stay direction-uniform, measured $pU%.3f")
+    // schema-stable, unit-norm, all labels populated
+    assert(emb.schema.map(f => f.name -> f.dataType.simpleString) ==
+      Tables.embeddings(spark, dir).schema.map(f => f.name -> f.dataType.simpleString))
+    val badNorm = emb.select(sqrt(aggregate(col("embedding"), lit(0.0d),
+        (acc, x) => acc + x * x)).as("n"))
+      .filter(abs(col("n") - 1.0) > 1e-3).count()
+    assert(badNorm == 0, s"$badNorm non-unit-norm aniso vectors")
+    assert(emb.select(countDistinct(col("label"))).head.getLong(0) == 10)
+    // bit-determinism
+    val d2 = graft.operators.IndexCache.tempDir("graft-organic-aniso2") + "/sf"
+    OrganicCorpus.generate(spark, 0.04, d2, embedMode = "aniso", tables = Set("embeddings"))
+    def digest(d: String): String = {
+      val df = Tables.embeddings(spark, d)
+      df.select(xxhash64(col("vec_id").cast("string"),
+          col("embedding").cast("string"), col("label").cast("string")).as("h"))
+        .agg(sum(col("h").cast("decimal(38,0)"))).head.getDecimal(0).toString
+    }
+    assert(digest(anisoDir) == digest(d2), "aniso embeddings not deterministic")
+  }
+
+  test("aniso mode: IVF recall holds at the default budget on the concentrated cloud") {
+    import graft.operators.{Ann, VectorIndex}
+    import graft.api.{Metric, VectorCollection}
+    val emb = Tables.embeddings(spark, anisoDir)
+    val path = graft.operators.IndexCache.tempDir("graft-aniso-ivf") + "/idx"
+    VectorIndex.buildFrom(spark, emb, path)
+    val queries = emb.filter(col("vec_id") % 100 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
+        col("label").as("q_label"))
+    def topk(rows: Array[org.apache.spark.sql.Row]) =
+      rows.groupBy(_.getAs[Long]("q_id"))
+        .map { case (q, rs) => q -> rs.map(_.getAs[Long]("vec_id")).toSet }
+    val exact = topk(VectorCollection(emb, idCol = "vec_id")
+      .search(queries, 10, Metric.Cosine).collect())
+    val approx = topk(VectorIndex.searchIvf(spark, path, queries).collect())
+    val recall = exact.map { case (q, ex) =>
+      approx.get(q).map(_.intersect(ex).size.toDouble / ex.size).getOrElse(0.0)
+    }.sum / exact.size
+    info(f"aniso IVF recall@10 at nprobe ${Ann.NProbe} = $recall%.3f")
+    assert(recall >= 0.9,
+      f"IVF recall $recall%.3f below 0.9 at the default budget on the aniso cloud")
+  }
+
+  test("aniso mode: adaptive banding stays a verified subset with copies recalled") {
+    import graft.operators.Dedup
+    val emb = Tables.embeddings(spark, anisoDir)
+    // augment with exact copies — known positives at cosine 1.0
+    val copies = emb.filter(col("vec_id") % 25 === 0)
+      .select((col("vec_id") + 1000000L).as("vec_id"), col("embedding"), col("label"))
+    val aug = emb.unionByName(copies)
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = pairSet(Dedup.embeddingNearDupExact(aug, 0.95))
+    val adaptive = pairSet(Dedup.embeddingNearDupAdaptive(aug, 0.95))
+    assert(adaptive.subsetOf(exact), s"false pairs: ${(adaptive -- exact).take(3)}")
+    val copyPairs = exact.filter { case (a, b) => b - a == 1000000L }
+    assert(copyPairs.nonEmpty && copyPairs.forall(adaptive.contains),
+      "adaptive banding on the concentrated cloud lost exact-copy pairs")
+    assert(exact.nonEmpty &&
+      adaptive.size.toDouble / exact.size >= 0.9,
+      f"adaptive recall ${adaptive.size.toDouble / exact.size}%.3f below 0.9 on the aniso cloud")
+  }
 }
