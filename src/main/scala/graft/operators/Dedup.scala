@@ -1755,46 +1755,61 @@ object Dedup {
   private def simhashComboKeysExpr: String = simhashComboKeysForTest("simhash")
 
   /** Row 23 (rows-only): SimHash near-dup. 64-bit fingerprint from
-    * xxhash64 token hashes (majority vote per bit), 20 three-block
-    * bucket tables ([[SimhashCombos]] — complete for Hamming ≤ 3),
-    * Hamming ≤ 3 verify via bit_count(xor). Candidate generation is
-    * linear (bucket groupBy), like MinHash, and stays linear at
-    * corpus scale because the 33-bit key space does not saturate.
+    * xxhash64 hashes of the doc's DISTINCT word bigrams (majority
+    * vote per bit), 20 three-block bucket tables ([[SimhashCombos]] —
+    * complete for Hamming ≤ 3), Hamming ≤ 3 verify via
+    * bit_count(xor).
+    *
+    * Bigram features, not unigrams — the round-11 heaps-100× sweep
+    * measured why this matters: on natural (Zipf-head) text, every
+    * document's unigram multiset is dominated by the same head
+    * tokens, so unigram-fed fingerprints are CORRELATED across the
+    * whole corpus — per-bucket collision probability stops shrinking
+    * with corpus size and candidate mass goes ~n² (the sf100 arm
+    * exhausted 75 GB of shuffle before any timer expired). Distinct
+    * bigrams are the standard remedy (Manku/Jain/Sarma fingerprint
+    * shingled features for exactly this reason): the bigram
+    * distribution is orders of magnitude flatter, random documents
+    * share few features, and fingerprints decorrelate.
+    *
+    * Verification is the join-side shape ([[embeddingNearDupPairs]]'s
+    * round-9 lesson, even cheaper here because a fingerprint is 8
+    * bytes): fingerprints ride THROUGH the bucket self-join and the
+    * Hamming gate runs map-side inside the join stage — no candidate
+    * set is ever counted, checkpointed, or re-attached, so the only
+    * corpus-scaling exchanges are the two join inputs (n·20 rows of
+    * ~24 B) and survivors of the gate are the near-dup relation
+    * itself.
     */
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = augmentedDocs(spark, sfDir)
     val sig = docs
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
-        hashes.simhash64(expr("transform(split(text, ' '), t -> xxhash64(t))"))
+        hashes.simhash64(expr(
+          """transform(
+            |  array_distinct(CASE WHEN size(toks) >= 2
+            |    THEN transform(sequence(0, size(toks)-2),
+            |           i -> concat_ws(' ', toks[i], toks[i+1]))
+            |    ELSE toks END),
+            |  t -> xxhash64(t))""".stripMargin))
           .as("simhash"))
-      // feeds the band explode AND both verification attach scans —
-      // materialize the 16-byte fingerprints once instead of
-      // re-running split+hash+majority-vote per branch
+      // feeds both sides of the bucket self-join — materialize the
+      // 16-byte fingerprints once instead of re-running
+      // split+hash+majority-vote per side
       .localCheckpoint()
-    val chunks = sig.select(col("doc_id"),
+    val chunks = sig.select(col("doc_id"), col("simhash"),
       posexplode(expr(simhashComboKeysExpr)).as(Seq("chunk_id", "chunk")))
-    // same postings shape as MinHash: the signature pipeline runs
-    // once, candidates come block-balanced out of the bucket lists,
-    // and the fingerprints re-attach by broadcasting the id-only
-    // candidate set into the (id, simhash) scan on each side — the
-    // corpus is never shuffled and the broadcast never carries
-    // payload, only pair ids (the two attach results meet in a
-    // candidate-sized pair-key join)
-    val cand = postingPairs(
-        chunks.groupBy(col("chunk_id"), col("chunk"))
-          .agg(collect_list(col("doc_id")).as("ds"))
-          .filter(size(col("ds")) > 1))
-      .dropDuplicates("doc_a", "doc_b")
-      .localCheckpoint() // counted by the guard AND joined twice
-    val side = pairSide(cand)
-    val withA = sig.select(col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
-      .join(side(cand), "doc_a")
-    val withB = sig.select(col("doc_id").as("doc_b"), col("simhash").as("sh_b"))
-      .join(side(cand), "doc_b")
-    withA.join(withB, Seq("doc_a", "doc_b"))
+    chunks.select(col("chunk_id"), col("chunk"),
+        col("doc_id").as("doc_a"), col("simhash").as("sh_a"))
+      .join(chunks.select(col("chunk_id"), col("chunk"),
+        col("doc_id").as("doc_b"), col("simhash").as("sh_b")),
+        Seq("chunk_id", "chunk"))
+      .filter(col("doc_a") < col("doc_b"))
       .withColumn("hamming", bit_count(col("sh_a").bitwiseXOR(col("sh_b"))).cast("long"))
       .filter(col("hamming") <= 3)
       .select(col("doc_a"), col("doc_b"), col("hamming"))
+      .dropDuplicates("doc_a", "doc_b")
       .orderBy(col("doc_a"), col("doc_b"))
   }
 
