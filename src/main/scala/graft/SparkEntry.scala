@@ -220,12 +220,17 @@ object SparkEntry {
     "q_bm25_indexed"    -> (FullText.qBm25Indexed _),
     "q_hybrid_at_rest"  -> (FullText.qHybridAtRest _),
     // rows-only (filesystem-dependent footprint numbers): lifecycle
-    // movement of every column is pinned in IndexStatsSpec
+    // movement of every column is pinned in IndexStatsSpec. Covers
+    // the vector index AND the cluster index, so takedown (tombstone)
+    // and superseded-row debt of the newest standing structure is
+    // operator-visible
     "q_index_stats" -> ((s: SparkSession, dir: String) =>
       operators.VectorIndex.stats(s, operators.VectorIndex.sessionIndexPath(s, dir))
+        .unionByName(operators.Dedup.clusterIndexStats(s,
+          operators.Dedup.sessionClusterIndexPath(s, dir)))
         .select(col("kind"), col("table"), col("files"), col("bytes"),
           col("debt_rows"), col("n_generations"))
-        .orderBy(col("table"))),
+        .orderBy(col("kind"), col("table"))),
     "q_hybrid_filtered" -> (FullText.qHybridFiltered _),
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),

@@ -858,18 +858,47 @@ object Dedup {
     * ever runs), plus the shingle/digest evidence later appends probe.
     */
   def writeClusterIndex(docs: DataFrame, rawPath: String): Unit =
+    writeClusterIndexFrom(docs, clustersOf(docs), rawPath)
+
+  /** [[writeClusterIndex]] with an EXTERNALLY supplied resolution —
+    * for callers that already hold `clustersOf(docs)` (the
+    * session-materialized [[dupClusters]] frame), so initializing an
+    * index never re-resolves a corpus the session resolved once.
+    * The caller owns the contract that `clusters` IS the resolution
+    * of `docs`.
+    */
+  private[graft] def writeClusterIndexFrom(docs: DataFrame, clusters: DataFrame,
+                                           rawPath: String): Unit =
     graft.sources.WriterLease.exclusive(docs.sparkSession, rawPath) {
       val spark = docs.sparkSession
       val path = graft.sources.IndexAlias.resolve(spark, rawPath)
       val (meta, postings) = clusterEvidence(docs)
       postings.write.mode("overwrite").partitionBy("gb").parquet(s"$path/postings")
       meta.write.mode("overwrite").parquet(s"$path/meta")
-      clustersOf(docs).withColumn("seq", lit(0L))
+      clusters.withColumn("seq", lit(0L))
         .write.mode("overwrite").parquet(s"$path/clusters")
       spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         clusterMergesSchema).write.mode("overwrite").parquet(s"$path/merges")
       graft.sources.IndexStats.refreshManifest(spark, path, ClusterLayoutTables)
     }
+
+  private val sessionClusterIdx =
+    new java.util.concurrent.ConcurrentHashMap[String, String]()
+
+  /** Session at-rest cluster index for a corpus dir, built ONCE per
+    * (session, corpus) from the materialized [[dupClusters]] frame —
+    * the standing structure the registered `q_index_stats` entry
+    * reports lifecycle debt on (the [[VectorIndex.sessionIndexPath]]
+    * convention). Costs only the evidence writes; the resolution is
+    * the one the session already computed.
+    */
+  def sessionClusterIndexPath(spark: SparkSession, sfDir: String): String =
+    sessionClusterIdx.computeIfAbsent(IndexCache.sessionKey(spark) + "#" + sfDir, { _ =>
+      val home = IndexCache.tempDir("graft-session-cidx") + "/cidx"
+      writeClusterIndexFrom(augmentedDocs(spark, sfDir),
+        dupClusters(spark, sfDir), home)
+      home
+    })
 
   /** Next seq value for a superseding write: one column-pruned max
     * over the stored rows' seq column (parquet footer stats make this

@@ -223,4 +223,31 @@ class IndexStatsSpec extends SparkSpec {
     fs.delete(rogue, false)
     check("dedup/after-rogue", dHome, dT, Dedup.indexStats(spark, dHome))
   }
+
+  test("cluster index stats: takedown + superseded debt visible, compact clears, q_index_stats carries it") {
+    import spark.implicits._
+    val home = graft.operators.IndexCache.tempDir("graft-cidx-stats") + "/cidx"
+    val docs = Seq(
+      (1L, "a b c d e f g h i j k l"),
+      (2L, "a b c d e f g h i j k"),
+      (3L, "a b c d e f g h i j"),
+      (9L, "totally unrelated content words here only once")
+    ).toDF("doc_id", "text")
+    Dedup.writeClusterIndex(docs, home)
+    def debt(): Map[String, Long] = Dedup.clusterIndexStats(spark, home).collect()
+      .map(r => r.getAs[String]("table") -> r.getAs[Long]("debt_rows")).toMap
+    assert(debt()("tombstones") == 0L && debt()("clusters") == 0L)
+    // a delete leaves visible debt: the tombstone row AND the
+    // superseding membership rows a compaction would fold away
+    Dedup.deleteFromClusterIndex(spark, Seq(1L), home)
+    assert(debt()("tombstones") == 1L, s"tombstone debt: ${debt()}")
+    assert(debt()("clusters") > 0L, s"superseded-row debt: ${debt()}")
+    Dedup.compactClusterIndex(spark, home)
+    assert(debt()("tombstones") == 0L && debt()("clusters") == 0L,
+      s"debt after compact: ${debt()}")
+    // the registered entry surfaces the cluster kind alongside vector
+    val kinds = SparkEntry.queries("q_index_stats")(spark, sfDir).collect()
+      .map(r => r.getAs[String]("kind")).toSet
+    assert(kinds == Set("vector", "cluster"), s"kinds: $kinds")
+  }
 }
