@@ -986,17 +986,22 @@ object Dedup {
     graft.sources.WriterLease.exclusive(batch.sparkSession, rawPath) {
       val spark = batch.sparkSession
       val path = graft.sources.IndexAlias.resolve(spark, rawPath)
-      val oldMeta = liveClusterTable(spark, path, "meta", clusterMetaSchema)
+      // one raw standing-meta relation feeds both the idempotence
+      // anti-join (below) and, tombstone-filtered, the edge
+      // derivation; both consumers prune to the columns they touch
+      val rawMeta = spark.read.schema(clusterMetaSchema).parquet(s"$path/meta")
+      val oldMeta = indexTombstones(spark, path)
+        .fold(rawMeta)(t => rawMeta.join(broadcast(t), Seq("doc_id"), "left_anti"))
       val (bMetaRaw, bPostRaw) = clusterEvidence(batch)
       // idempotence under replay: a crash-retried or at-least-once
       // redelivered batch skips docs already indexed — duplicated
       // evidence rows would inflate shared-shingle counts and could
-      // push false pairs over the Jaccard threshold. (A tombstoned id
-      // stays retracted until compaction; re-ingesting a retracted id
-      // is out of contract — ingest assigns fresh ids.)
+      // push false pairs over the Jaccard threshold. The anti-join is
+      // against the RAW meta: a tombstoned id stays retracted until
+      // compaction; re-ingesting a retracted id is out of contract —
+      // ingest assigns fresh ids.
       val bMeta = bMetaRaw
-        .join(spark.read.schema(clusterMetaSchema).parquet(s"$path/meta")
-          .select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(rawMeta.select(col("doc_id")), Seq("doc_id"), "left_anti")
         .localCheckpoint()
       val bPost = bPostRaw.join(bMeta.select(col("doc_id")), Seq("doc_id"))
         .localCheckpoint()
