@@ -230,6 +230,26 @@ class OrganicCorpusSpec extends SparkSpec {
       f"IVF recall $recall%.3f below 0.9 at the default budget on the aniso cloud")
   }
 
+  test("aniso mode: a below-noise-floor threshold routes auto to the exact scorer") {
+    import graft.operators.Dedup
+    import org.apache.spark.sql.functions.lit
+    // one label block above the (lowered) LSH crossover, so without
+    // the contrast guard auto would band; at threshold 0.35 (below
+    // the cloud's ~0.84 random-pair mean) banding has no sparse
+    // structure to find and would lose essentially all pairs
+    val flat = Tables.embeddings(spark, anisoDir)
+      .filter(org.apache.spark.sql.functions.col("vec_id") < 300)
+      .withColumn("label", lit(0))
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val auto = pairSet(Dedup.embeddingNearDupAuto(flat, threshold = 0.35,
+      lshCrossover = 100))
+    val exact = pairSet(Dedup.embeddingNearDupExact(flat, threshold = 0.35))
+    assert(auto == exact && auto.nonEmpty,
+      s"auto must route the no-contrast regime to the exact scorer " +
+        s"(got ${auto.size} pairs vs exact ${exact.size})")
+  }
+
   test("aniso mode: adaptive banding stays a verified subset with copies recalled") {
     import graft.operators.Dedup
     val emb = Tables.embeddings(spark, anisoDir)
