@@ -956,6 +956,31 @@ object Dedup {
         coalesce(col("new_id"), col("cluster_id")).as("cluster_id"))
   }
 
+  /** [[readClusterIndex]] restricted to a given (doc_id) set: the
+    * per-doc max-seq window is partitioned by doc_id, so semi-joining
+    * the stored rows to the ids FIRST yields the identical view for
+    * those docs while the window (and its shuffle) runs over an
+    * ids-bounded row set instead of the whole dup mass. The append
+    * fold reads labels this way — its touched-node set is
+    * batch-bounded, and folding a crawl must not pay a
+    * corpus-dup-mass window per batch.
+    */
+  private def readClusterIndexFor(spark: SparkSession, path: String,
+                                  ids: DataFrame): DataFrame = {
+    val rows = liveClusterTable(spark, path, "clusters", clusterRowsSchema)
+      .join(ids.select(col("doc_id")), Seq("doc_id"))
+    val wDoc = Window.partitionBy(col("doc_id"))
+      .orderBy(coalesce(col("seq"), lit(0L)).desc)
+    val latest = rows.withColumn("__rn", row_number().over(wDoc))
+      .filter(col("__rn") === 1 && col("cluster_id") >= 0)
+      .select(col("doc_id"), col("cluster_id"))
+    val merges = spark.read.schema(clusterMergesSchema).parquet(s"$path/merges")
+      .withColumnRenamed("old_id", "cluster_id")
+    latest.join(merges, Seq("cluster_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("new_id"), col("cluster_id")).as("cluster_id"))
+  }
+
   /** Fold a new batch into the cluster index. Exchange volume is
     * batch-bounded; the one corpus-LINEAR term is a column-pruned
     * scan of the standing postings (two long columns), which the
@@ -981,6 +1006,14 @@ object Dedup {
     *  - old clusters swallowed by a merge get a FLAT redirect row;
     *    the standing merges table is re-folded through the new
     *    redirects on every append, so reads never chase chains.
+    *
+    * Every standing-table access is batch-pruned: the idempotence
+    * probe filters meta to the batch's id RANGE (parquet footer
+    * stats skip non-overlapping files), the digest aggregate is
+    * semi-joined to the batch's digests before grouping, the Jaccard
+    * size attach broadcasts the candidate side, and current labels
+    * are read via [[readClusterIndexFor]] over the touched ids only
+    * — no per-append window over the corpus dup mass.
     */
   def appendToClusterIndex(batch: DataFrame, rawPath: String): Unit =
     graft.sources.WriterLease.exclusive(batch.sparkSession, rawPath) {
@@ -999,9 +1032,18 @@ object Dedup {
       // push false pairs over the Jaccard threshold. The anti-join is
       // against the RAW meta: a tombstoned id stays retracted until
       // compaction; re-ingesting a retracted id is out of contract —
-      // ingest assigns fresh ids.
+      // ingest assigns fresh ids. The standing side is pre-filtered
+      // to the batch's id RANGE: ingest assigns ids in contiguous
+      // bands, so each standing meta file's parquet min/max footer
+      // stats skip it unless it overlaps the batch — the probe reads
+      // ~the files a replay would actually hit, not the whole corpus.
+      val bBounds = bMetaRaw.agg(min(col("doc_id")), max(col("doc_id"))).head()
+      val standingProbe =
+        if (bBounds.isNullAt(0)) rawMeta.select(col("doc_id"))
+        else rawMeta.select(col("doc_id"))
+          .filter(col("doc_id").between(bBounds.getLong(0), bBounds.getLong(1)))
       val bMeta = bMetaRaw
-        .join(rawMeta.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(standingProbe, Seq("doc_id"), "left_anti")
         .localCheckpoint()
       val bPost = bPostRaw.join(bMeta.select(col("doc_id")), Seq("doc_id"))
         .localCheckpoint()
@@ -1011,13 +1053,25 @@ object Dedup {
       val batchBuckets = bPost.select(col("gb")).distinct()
         .collect().map(_.getInt(0)).toSeq
       val oldPost = standingPostings(spark, path, batchBuckets)
-      val labels = readClusterIndex(spark, path)
+
+      // batch-bounded broadcast guard (the pairSide rationale): the
+      // batch's digest/candidate frames ride map-side into the
+      // standing-meta scans when small, fall back to shuffle when not.
+      // Callers pass localCheckpointed frames — the count is a cached
+      // read, never a recompute.
+      def bounded(f: DataFrame): DataFrame =
+        if (f.count() <= VerifyBroadcastLimit) broadcast(f) else f
 
       // exact cross edges: batch digest meets any stored doc with the
       // same digest (min representative — the stored group, if multi,
-      // is already one cluster)
+      // is already one cluster). The standing meta is semi-pruned to
+      // the BATCH's digests before the min aggregate — the shuffle
+      // carries matching digests only, never the corpus-wide digest
+      // groupBy the unpruned form paid per append.
+      val bDig = bMeta.select(col("h")).distinct().localCheckpoint()
       val exactCross = bMeta.select(col("doc_id").as("b"), col("h"))
-        .join(oldMeta.groupBy(col("h")).agg(min(col("doc_id")).as("o")), "h")
+        .join(oldMeta.join(bounded(bDig), Seq("h"))
+          .groupBy(col("h")).agg(min(col("doc_id")).as("o")), "h")
         .select(col("b"), col("o"))
       // Jaccard cross edges: common = shared-shingle count, sizes from
       // the meta tables — the same exact relation clustersOf uses,
@@ -1025,11 +1079,23 @@ object Dedup {
       val common = bPost.select(col("gh"), col("doc_id").as("b"))
         .join(oldPost.select(col("gh"), col("doc_id").as("o")), "gh")
         .groupBy(col("b"), col("o")).agg(count(lit(1)).as("common"))
-      val jacCross = common
-        .join(bMeta.select(col("doc_id").as("b"), col("n_g").as("n_b")), "b")
+        .localCheckpoint()
+      val jacCross = bounded(common
+          .join(bMeta.select(col("doc_id").as("b"), col("n_g").as("n_b")), "b")
+          .localCheckpoint())
         .join(oldMeta.select(col("doc_id").as("o"), col("n_g").as("n_o")), "o")
         .filter(round(col("common") / (col("n_b") + col("n_o") - col("common")), 6) >= 0.5)
         .select(col("b"), col("o"))
+
+      // current labels are read for the TOUCHED old docs only — the
+      // cross-candidate endpoints bound every node the fold can move,
+      // so the max-seq window runs over a batch-bounded row set
+      // instead of the whole dup mass per append
+      val oCand = exactCross.select(col("o").as("doc_id"))
+        .unionByName(common.select(col("o").as("doc_id")))
+        .distinct().localCheckpoint()
+      val labels = readClusterIndexFor(spark, path, bounded(oCand))
+        .localCheckpoint()
       // intra-batch edges (same construction as clustersOf)
       val wH = Window.partitionBy(col("h"))
       val exactIntra = bMeta
@@ -1055,9 +1121,16 @@ object Dedup {
       // a delete dissolved back to singletons); stored nodes are
       // roots — they keep their rows and get redirects. Stamped at
       // the next seq so they supersede any dissolved (-1) marker.
+      // The stored nodes in `comp` are EXACTLY the touched roots:
+      // every stored non-root endpoint was collapsed to its root by
+      // `oldLab`, batch ids were idempotence-filtered against meta,
+      // and unstored/dissolved endpoints carry no current label — so
+      // anti-joining the restricted labels' root set is row-equal to
+      // anti-joining the full membership table.
+      val touchedRoots = labels.select(col("cluster_id").as("doc_id")).distinct()
       val seq = nextClusterSeq(spark, path)
       val newRows = comp.select(col("node").as("doc_id"), col("comp").as("cluster_id"))
-        .join(labels.select(col("doc_id")), Seq("doc_id"), "left_anti")
+        .join(touchedRoots, Seq("doc_id"), "left_anti")
         .withColumn("seq", lit(seq))
       newRows.write.mode("append").parquet(s"$path/clusters")
 

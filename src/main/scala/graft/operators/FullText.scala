@@ -118,7 +118,7 @@ object FullText {
   }
 
   def qHybridAtRest(spark: SparkSession, sfDir: String): DataFrame =
-    hybridAtRest(spark, sfDir, Ann.NProbe)
+    hybridAtRest(spark, sfDir, -1)
 
   /** The single most common production search — payload filter +
     * lexical + vector, FUSED in one query (Qdrant's hybrid query API
@@ -140,7 +140,7 @@ object FullText {
     * is exact, hence SQL-oracled rather than rows-only.
     */
   def hybridFiltered(spark: SparkSession, sfDir: String, filterJson: String,
-                     nprobe: Int = Ann.NProbe,
+                     nprobe: Int = -1,
                      bruteForceLimit: Long = 100000L,
                      cached: Boolean = true): DataFrame = {
     val pool = 50; val rrfK = 60

@@ -76,9 +76,12 @@ object VectorIndex {
     * geometry from the frame (fixed-size sample) and writes the full
     * layout.
     */
-  def buildFrom(spark: SparkSession, corpus: DataFrame, path: String): Meta = {
-    val meta = Meta(Ann.trainCentroidsFrom(corpus),
-      Quantization.trainPqCodebooksFrom(corpus))
+  def buildFrom(spark: SparkSession, corpus: DataFrame, path: String,
+                nlist: Int = -1): Meta = {
+    val cents =
+      if (nlist > 0) Ann.trainCentroidsFrom(corpus, nlist)
+      else Ann.trainCentroidsFrom(corpus)
+    val meta = Meta(cents, Quantization.trainPqCodebooksFrom(corpus))
     writeCorpus(spark, corpus, path, meta)
     meta
   }
@@ -418,7 +421,7 @@ object VectorIndex {
     * aggregate, top-k.
     */
   def searchIvf(spark: SparkSession, rawPath: String, queries: DataFrame,
-                nprobe: Int = Ann.NProbe, k: Int = Ann.K,
+                nprobe: Int = -1, k: Int = Ann.K,
                 cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
     val probes = Ann.probeFrame(queries, readMeta(spark, path).centroids, nprobe)
@@ -460,7 +463,7 @@ object VectorIndex {
     * partitions.
     */
   def searchIvfPq(spark: SparkSession, rawPath: String, queries: DataFrame,
-                  nprobe: Int = Ann.NProbe, k: Int = Quantization.K,
+                  nprobe: Int = -1, k: Int = Quantization.K,
                   pool: Int = Quantization.PqRerankPool,
                   cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
@@ -497,7 +500,7 @@ object VectorIndex {
     */
   def searchIvfFiltered(spark: SparkSession, rawPath: String, queries: DataFrame,
                         filter: Column, bruteForceLimit: Long,
-                        nprobe: Int = Ann.NProbe, k: Int = Ann.K,
+                        nprobe: Int = -1, k: Int = Ann.K,
                         cached: Boolean = true): (String, DataFrame) = {
     val path = IndexAlias.resolve(spark, rawPath)
     val base = served(spark, path, "filt", cached) {

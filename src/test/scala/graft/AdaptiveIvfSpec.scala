@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import graft.operators.{Ann, VectorIndex}
+
+/** The corpus-adaptive IVF geometry (Ann.nlistFor / nprobeFor /
+  * two-level training): closed forms of the policy, determinism and
+  * shape of hierarchical training, and recall of a large-nlist
+  * geometry served through the unchanged search path.
+  */
+class AdaptiveIvfSpec extends SparkSpec {
+
+  test("nlist policy: floor, target-size growth, sample-bounded cap") {
+    // the floor keeps every driver-scale corpus on the measured
+    // 16-list geometry bit-for-bit
+    assert(Ann.nlistFor(0) == Ann.NList)
+    assert(Ann.nlistFor(2000) == Ann.NList)
+    assert(Ann.nlistFor(Ann.NList * Ann.ListTarget) == Ann.NList)
+    // above it, nlist tracks n / ListTarget (constant-ish list size)
+    assert(Ann.nlistFor(555000) == (555000 / Ann.ListTarget).toInt)
+    assert(Ann.nlistFor(5550000) == (5550000 / Ann.ListTarget).toInt)
+    // monotone, and capped where the bounded train sample runs out
+    // of estimation power
+    val pts = Seq(1L, 1000L, 100000L, 1000000L, 10000000L, 10000000000L)
+    val ns = pts.map(Ann.nlistFor)
+    assert(ns == ns.sorted)
+    assert(Ann.nlistFor(10000000000L) == Ann.MaxNList)
+  }
+
+  test("nprobe policy: measured floor at the 16-list geometry, sqrt growth") {
+    // the 16-list budget IS the measured NProbe — default-budget
+    // callers on small corpora are unchanged by the policy
+    assert(Ann.nprobeFor(Ann.NList) == Ann.NProbe)
+    assert(Ann.nprobeFor(1) == Ann.NProbe)
+    // probed rows per query = nprobe * (n/nlist) ~ sqrt(nlist) * ListTarget
+    assert(Ann.nprobeFor(135) == 12)
+    assert(Ann.nprobeFor(1355) == 37)
+    assert(Ann.nprobeFor(Ann.MaxNList) == 46)
+  }
+
+  /** A deterministic 24k-vector, 64-dim clustered cloud: 96 cone
+    * centers, points jittered around them — enough structure that a
+    * trained geometry concentrates each cone into few lists.
+    */
+  private lazy val cloud = {
+    import spark.implicits._
+    val dim = 64
+    (0L until 24000L).map { id =>
+      val r = new java.util.Random(id * 2654435761L + 13)
+      val cone = (id % 96L).toInt
+      val rc = new java.util.Random(cone * 40503L + 7)
+      val center = Array.fill(dim)(rc.nextGaussian())
+      val v = center.map(c => (c + 0.15 * r.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (id, v.map(_ / n).toSeq, cone % 10)
+    }.toDF("vec_id", "embedding", "label")
+  }
+
+  test("two-level training is deterministic and mass-balanced") {
+    val a = Ann.trainCentroidsFrom(cloud, 128)
+    val b = Ann.trainCentroidsFrom(cloud, 128)
+    assert(a == b, "hierarchical training must be bit-deterministic")
+    // proportional rounding lands within a coarse-cell of the target
+    assert(math.abs(a.size - 128) <= 12, s"centroid count ${a.size} far from 128")
+    // no empty-geometry degenerate cells: every centroid is finite
+    assert(a.forall(_.forall(f => !f.isNaN && !f.isInfinite)))
+  }
+
+  test("large-nlist geometry through the unchanged search path: recall and full-probe exactness") {
+    val path = graft.operators.IndexCache.tempDir("graft-adaptive-ivf") + "/vidx"
+    val meta = VectorIndex.buildFrom(spark, cloud, path, nlist = 128)
+    assert(meta.centroids.size > Ann.HierarchicalNList,
+      "spec must exercise the hierarchical branch")
+    val queries = cloud.filter(col("vec_id") % 400 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = api.VectorCollection(cloud, idCol = "vec_id")
+      .search(queries, 10, api.Metric.Cosine)
+    // default budget resolves to the policy (nprobeFor(nlist)), not
+    // the 16-list constant
+    val approx = VectorIndex.searchIvf(spark, path, queries)
+    val rec = api.ScaleOps.recallAtK(exact, approx)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    info(f"adaptive-geometry recall@10 = $rec%.3f at nprobe ${Ann.nprobeFor(meta.centroids.size)}/${meta.centroids.size}")
+    assert(rec >= 0.9, f"recall $rec%.3f below the 0.9 budget on the adaptive geometry")
+    // probing every list is exact — same contract the 16-list
+    // geometry pins in IvfRecallSweepSpec
+    val full = VectorIndex.searchIvf(spark, path, queries,
+      nprobe = meta.centroids.size)
+    val recFull = api.ScaleOps.recallAtK(exact, full)
+      .agg(avg(col("recall"))).head.getDouble(0)
+    assert(recFull == 1.0, s"full probe not exact: $recFull")
+  }
+}
