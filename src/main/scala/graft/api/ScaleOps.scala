@@ -138,7 +138,13 @@ object ScaleOps {
       // are pruned even within the keepGenerations count (None = count
       // bound only). Tenant-tier aging is the collection-side policy —
       // see [[Tenants.applyLifecycle]].
-      maxGenerationAgeMs: Option[Long] = None)
+      maxGenerationAgeMs: Option[Long] = None,
+      // list-size drift rung (vector kind): appends encode against
+      // the frozen geometry, so a corpus that outgrows its nlist
+      // drifts toward linear per-query scans even with perfect
+      // centroids. A rotating retrain fires when the policy geometry
+      // for the LIVE count reaches this factor of the persisted one.
+      geometryDriftFactor: Double = 2.0)
 
   /** What [[maintain]] did and why — one row per decision, loggable
     * as-is into an operations table.
@@ -191,12 +197,30 @@ object ScaleOps {
     val recall: Option[Double] = (kind, policy.minRecall, recallQueries) match {
       case ("vector", Some(_), Some(q)) =>
         // PQ is the drift-sensitive family; exact = the index's own
-        // full-cluster scan (nprobe = every cluster is exact scoring)
-        val exact = VectorIndex.searchIvf(spark, home, q, nprobe = Ann.NList)
+        // full-cluster scan. nprobe must cover the PERSISTED
+        // geometry's list count — under the adaptive policy that is
+        // not the 16-list constant.
+        val nlist = VectorIndex.readMeta(spark, home).centroids.size
+        val exact = VectorIndex.searchIvf(spark, home, q, nprobe = nlist)
         val approx = VectorIndex.searchPq(spark, home, q)
         Some(recallAtK(exact, approx).agg(avg(col("recall"))).collect()(0).getDouble(0))
       case _ => None
     }
+
+    // list-size drift (vector, rotating homes): compare the persisted
+    // geometry against what [[graft.operators.Ann.nlistFor]] wants
+    // for the LIVE primary count — appends freeze geometry, so a
+    // corpus that grew past the policy's list-size target needs the
+    // rotating retrain no amount of compaction provides.
+    val geometryDrift: Option[String] =
+      if (kind == "vector" && graft.sources.IndexAlias.installed(spark, home)) {
+        val nlist = VectorIndex.readMeta(spark, home).centroids.size
+        val live = VectorIndex.liveCount(spark, home)
+        val want = Ann.nlistFor(live)
+        if (want >= policy.geometryDriftFactor * nlist)
+          Some(s"geometry drift: $nlist lists, policy wants $want for $live live vectors")
+        else None
+      } else None
 
     def compactFor(): Unit = kind match {
       case "vector" => VectorIndex.compact(spark, home)
@@ -209,6 +233,9 @@ object ScaleOps {
       case (Some(r), Some(min)) if r < min =>
         VectorIndex.retrain(spark, home)
         MaintenanceReport("retrained", f"sampled recall $r%.3f < $min%.3f", debtRows, dataFiles, recall)
+      case _ if geometryDrift.isDefined =>
+        VectorIndex.retrain(spark, home)
+        MaintenanceReport("retrained", geometryDrift.get, debtRows, dataFiles, recall)
       case _ if debtRows >= policy.maxDebtRows =>
         compactFor()
         MaintenanceReport("compacted", s"debt $debtRows >= ${policy.maxDebtRows}", debtRows, dataFiles, recall)

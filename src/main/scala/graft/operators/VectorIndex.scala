@@ -113,12 +113,21 @@ object VectorIndex {
     * [[graft.sources.IndexAlias]] home. Clients address `home`
     * forever; [[retrain]] swaps generations underneath them.
     */
-  def buildRotating(spark: SparkSession, corpus: DataFrame, home: String): Meta = {
+  def buildRotating(spark: SparkSession, corpus: DataFrame, home: String,
+                    nlist: Int = -1): Meta = {
     val gen = IndexAlias.nextGenerationPath(spark, home)
-    val meta = buildFrom(spark, corpus, gen)
+    val meta = buildFrom(spark, corpus, gen, nlist)
     IndexAlias.set(spark, home, gen)
     meta
   }
+
+  /** Live primary-copy row count — the corpus size the geometry
+    * policy ([[Ann.nlistFor]]) judges a standing index against. The
+    * assign_rank partition filter prunes to primary files; tombstones
+    * are folded out, so the count is the SERVED corpus.
+    */
+  def liveCount(spark: SparkSession, rawPath: String): Long =
+    vectors(spark, IndexAlias.resolve(spark, rawPath), primaryOnly = true).count()
 
   /** Zero-downtime retrain — the remedy for geometry drift.
     * [[append]] encodes new batches against the PERSISTED geometry

@@ -77,6 +77,33 @@ class MaintainSpec extends SparkSpec {
       s"fresh geometry should clear the floor: $r3")
   }
 
+  test("list-size drift: a corpus that outgrew its nlist triggers a rotating retrain to policy geometry") {
+    val home = IndexCache.tempDir("graft-maintain-geom") + "/vix"
+    // a 4-list geometry over a corpus the policy wants at the 16-list
+    // floor — the same shape as a grown corpus on a frozen geometry,
+    // without writing 131k rows in a unit test
+    val corpus = clustered(seed = 57, nClusters = 16, perCluster = 64,
+      lo = -1.0, hi = 1.0, idBase = 0L)
+    VectorIndex.buildRotating(spark, corpus, home, nlist = 4)
+    assert(VectorIndex.readMeta(spark, home).centroids.size == 4)
+
+    // within the drift factor → no action
+    val r0 = ScaleOps.maintain(spark, "vector", home,
+      ScaleOps.MaintenancePolicy(geometryDriftFactor = 8.0))
+    assert(r0.action == "none", r0.toString)
+
+    // policy wants NList (16) ≥ 2 × 4 → retrain fires, lands a new
+    // generation trained to the policy geometry
+    val gen0 = IndexAlias.resolve(spark, home)
+    val r1 = ScaleOps.maintain(spark, "vector", home)
+    assert(r1.action == "retrained" && r1.reason.contains("geometry drift"), r1.toString)
+    assert(IndexAlias.resolve(spark, home) != gen0, "drift retrain must land a new generation")
+    assert(VectorIndex.readMeta(spark, home).centroids.size == graft.operators.Ann.NList)
+    // retrained-to-policy geometry is within the factor again
+    val r2 = ScaleOps.maintain(spark, "vector", home)
+    assert(r2.action == "none", r2.toString)
+  }
+
   test("text and dedup: debt past threshold compacts; within policy is a no-op") {
     import spark.implicits._
     val tHome = IndexCache.tempDir("graft-maintain-text") + "/tix"
