@@ -223,10 +223,11 @@ object ScaleOps {
       } else None
 
     def compactFor(): Unit = kind match {
-      case "vector" => VectorIndex.compact(spark, home)
-      case "text"   => TextIndex.compact(spark, home)
-      case "dedup"  => Dedup.compactMinhashIndex(spark, home)
-      case other    => sys.error(s"unknown index kind '$other'")
+      case "vector"  => VectorIndex.compact(spark, home)
+      case "text"    => TextIndex.compact(spark, home)
+      case "dedup"   => Dedup.compactMinhashIndex(spark, home)
+      case "cluster" => Dedup.compactClusterIndex(spark, home)
+      case other     => sys.error(s"unknown index kind '$other'")
     }
 
     val report = (recall, policy.minRecall) match {

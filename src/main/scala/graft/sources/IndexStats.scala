@@ -171,9 +171,10 @@ object IndexStats {
   def rollup(spark: SparkSession, specs: Seq[(String, String)]): DataFrame = {
     require(specs.nonEmpty, "rollup of zero indexes")
     specs.map {
-      case ("vector", p) => graft.operators.VectorIndex.stats(spark, p)
-      case ("text", p)   => graft.api.TextIndex.stats(spark, p)
-      case ("dedup", p)  => graft.operators.Dedup.indexStats(spark, p)
+      case ("vector", p)  => graft.operators.VectorIndex.stats(spark, p)
+      case ("text", p)    => graft.api.TextIndex.stats(spark, p)
+      case ("dedup", p)   => graft.operators.Dedup.indexStats(spark, p)
+      case ("cluster", p) => graft.operators.Dedup.clusterIndexStats(spark, p)
       case (k, p) => sys.error(s"unknown index kind '$k' for $p")
     }.reduce(_ unionByName _)
   }

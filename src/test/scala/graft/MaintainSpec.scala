@@ -128,6 +128,30 @@ class MaintainSpec extends SparkSpec {
       ScaleOps.MaintenancePolicy(maxDebtRows = 5L)).action == "none")
   }
 
+  test("cluster kind: the fourth standing index rides the same maintenance loop") {
+    import spark.implicits._
+    // three exact-duplicate pairs plus singletons — enough cluster
+    // mass that deletes leave visible tombstone + superseded-row debt
+    val docs = ((0L to 39L).map(i => (i, s"unique document body number $i with words")) ++
+      Seq(100L -> "duplicated cluster text one", 101L -> "duplicated cluster text one",
+          102L -> "duplicated cluster text two", 103L -> "duplicated cluster text two"))
+      .toDF("doc_id", "text").localCheckpoint()
+    val cHome = IndexCache.tempDir("graft-maintain-cluster") + "/cix"
+    Dedup.rotateClusterIndex(docs, cHome)
+    assert(ScaleOps.maintain(spark, "cluster", cHome).action == "none")
+    Dedup.deleteFromClusterIndex(spark, Seq(100L, 102L), cHome)
+    val rc = ScaleOps.maintain(spark, "cluster", cHome,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 1L))
+    assert(rc.action == "compacted" && rc.debtRows >= 2L, rc.toString)
+    assert(ScaleOps.maintain(spark, "cluster", cHome,
+      ScaleOps.MaintenancePolicy(maxDebtRows = 1L)).action == "none")
+    // compacted view: retracted docs gone, survivors dissolved back
+    // to singletons (their pair partner was deleted)
+    val view = Dedup.readClusterIndex(spark, cHome)
+    assert(view.filter(col("doc_id").isin(100L, 102L)).count() == 0)
+    assert(view.count() == 0, "one-member clusters must dissolve")
+  }
+
   test("maintain bounds the generation footprint across compaction cycles") {
     import spark.implicits._
     val home = IndexCache.tempDir("graft-maintain-gens") + "/vix"
