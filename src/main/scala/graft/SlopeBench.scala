@@ -399,8 +399,14 @@ object SlopeBench {
     val ivfQuality =
       if (sys.env.get("SPARK_GRAFT_SLOPE_IVF_RECALL").contains("1") &&
           bs.exists(_._1 == "vector_index_build")) {
+        // query sample density: 1/mod of the corpus. The default
+        // keeps the EXACT ground-truth scan tractable at sf10; a
+        // 100× run passes a larger mod so queries×corpus stays
+        // constant-ish (the recall estimate needs hundreds of
+        // queries, not a fixed fraction).
+        val qMod = sys.env.getOrElse("SPARK_GRAFT_SLOPE_RECALL_MOD", "1000").toLong
         val emb = Tables.embeddings(spark, scaledDir)
-        val queries = emb.filter(col("vec_id") % 1000 === 0)
+        val queries = emb.filter(col("vec_id") % qMod === 0)
           .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"),
             col("label").as("q_label"))
         val exact = api.VectorCollection(emb, idCol = "vec_id")

@@ -199,7 +199,16 @@ object VectorIndex {
       .select(col("vec_id"), col("embedding"), col("label"), col("pq_codes"),
         col("sq8"), col("sq8_min"), col("sq8_scale"), col("bq_word"),
         col("cluster_id"), col("assign_rank"))
-    enc.write.mode(mode).partitionBy("cluster_id", "assign_rank").parquet(s"$path/vectors")
+    // cluster rows to their partition dir BEFORE the dynamic-
+    // partition write: without it every task holds writers (or sorts)
+    // for all nlist×spill dirs — at the adaptive geometry's hundreds
+    // of lists that is thousands of near-empty files and a per-task
+    // wide-row sort, which measured as a super-linear build slope.
+    // One hash exchange on the partition keys gives ~one file per
+    // (cluster, rank) dir; occupancy is mass-balanced by training,
+    // so the exchange has no skewed reducer.
+    enc.repartition(col("cluster_id"), col("assign_rank"))
+      .write.mode(mode).partitionBy("cluster_id", "assign_rank").parquet(s"$path/vectors")
     df.select(col("vec_id"), explode(Ann.bandKeys(col("embedding"))).as("bk"))
       .select(col("bk.bucket").as("bucket"), col("vec_id"), col("bk.band_id").as("band_id"))
       .write.mode(mode).partitionBy("band_id").parquet(s"$path/lsh")
