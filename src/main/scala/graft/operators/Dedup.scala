@@ -527,9 +527,47 @@ object Dedup {
     }
   }
 
+  /** Table count at or above which [[embeddingNearDupPairs]] verifies
+    * through the QUANTIZED exchange. The join-side verify's only
+    * corpus-scaling shuffles are its two inputs, n·b rows each — at
+    * the float shape's ~300 B/row a concentrated cloud that needs
+    * b ≈ 39 tables (pRand 0.81, threshold 0.98, 5M rows) exchanges
+    * >120 GB and exhausts local disk; the SQ8 shape carries ~110 B.
+    * Below the cut the float shape's single-stage verify (no survivor
+    * re-attach joins) stays the cheaper plan.
+    */
+  val QuantizedVerifyTables = 24
+
   def embeddingNearDupPairs(collection: DataFrame, threshold: Double,
                             bitsPerBand: Int, tables: Int,
-                            seed: Long = 7L): DataFrame = {
+                            seed: Long = 7L): DataFrame =
+    embeddingNearDupPairsShaped(collection, threshold, bitsPerBand, tables,
+      quantizedVerify = tables >= QuantizedVerifyTables, seed = seed)
+
+  /** The two verify exchanges behind [[embeddingNearDupPairs]],
+    * result-identical by construction (spec-pinned):
+    *
+    *  - FLOAT shape (the MLlib approxSimilarityJoin shape): the full
+    *    embedding rides the bucket self-join and candidates verify by
+    *    exact cosine inside the join stage, map-side. The only
+    *    corpus-scaling shuffles are the two join inputs (n·b rows of
+    *    ~300 B); the previous ids-only → two verify joins pipeline
+    *    shuffled the candidate PAIR set twice with vectors attached —
+    *    ~75 GB of dead exchange at a 100× corpus.
+    *  - QUANTIZED shape (high table counts): each row ships its SQ8
+    *    codes plus ONE angular error bound δ = ∠(emb, dequant(emb))
+    *    instead of the floats (~110 B vs ~300 B). Candidates gate on
+    *    the spherical triangle inequality —
+    *    ∠(a,b) ≤ ∠(â,b̂) + δa + δb, so keeping every pair with
+    *    ∠(â,b̂) ≤ acos(threshold) + δa + δb is COMPLETE (no true pair
+    *    lost, provably — not a tuned margin), and the exact cosine
+    *    re-verifies the output-mass-sized survivor set from two
+    *    id-keyed float attaches. Identical relation, ~3× less
+    *    exchange exactly where b (and so the exchange) is largest.
+    */
+  private[graft] def embeddingNearDupPairsShaped(collection: DataFrame,
+      threshold: Double, bitsPerBand: Int, tables: Int,
+      quantizedVerify: Boolean, seed: Long = 7L): DataFrame = {
     require(bitsPerBand >= 1 && bitsPerBand <= 62, s"bitsPerBand out of range: $bitsPerBand")
     require(tables >= 1, s"tables out of range: $tables")
     val dim = collection.select(size(col("embedding"))).head().getInt(0)
@@ -545,38 +583,66 @@ object Dedup {
     // Bit-identical to the composed vec_dot ≥ 0 form.
     val bandKeys = graft.functions.matrixops.lshBandBuckets(
       col("embedding"), planes, bitsPerBand)
-    // signatures materialize ONCE (r·b dot products per row is the
-    // kind of expression a self-join would otherwise evaluate on
-    // both sides); the checkpointed frame is n rows of ids + keys +
-    // embedding — transient, reclaimed by the request-boundary
-    // hygiene. CARRYING THE EMBEDDING through the bucket join is the
-    // load-bearing shape decision (the MLlib approxSimilarityJoin
-    // shape): candidates are verified by cosine INSIDE the join
-    // stage, map-side, so the only corpus-scaling shuffles are the
-    // two join INPUTS (n·b rows of ~300 B). The previous
-    // ids-only → dedup → two verify joins pipeline shuffled the full
-    // CANDIDATE PAIR set twice with an embedding column attached —
-    // at a 100× corpus that was ~10⁸ pairs × 260 B ≈ 75 GB of dead
-    // exchange per pass, which exhausted local disk before any
-    // timer expired. Survivors of the threshold filter are the near-
-    // dup relation itself (tiny), so the cross-table pair dedup
-    // happens after scoring at negligible cost; scores of duplicate
-    // candidates are identical by determinism of the expression, so
-    // the result relation is unchanged.
-    val signatures = collection.select(col("vec_id"), col("label"),
-      col("embedding"), bandKeys.as("bks")).localCheckpoint()
-    val keyed = signatures.select(col("vec_id"), col("label"), col("embedding"),
-      posexplode(col("bks")).as(Seq("band_id", "bucket")))
-    val a = keyed.select(col("label"), col("band_id"), col("bucket"),
-      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
-    val b = keyed.select(col("label"), col("band_id"), col("bucket"),
-      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
-    a.join(b, Seq("label", "band_id", "bucket"))
-      .filter(col("vec_a") < col("vec_b"))
-      .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
-      .filter(col("score") >= threshold)
-      .select(col("vec_a"), col("vec_b"), col("label"), col("score"))
-      .dropDuplicates("vec_a", "vec_b")
+    if (!quantizedVerify) {
+      // signatures materialize ONCE (r·b dot products per row is the
+      // kind of expression a self-join would otherwise evaluate on
+      // both sides); the checkpointed frame is n rows of ids + keys +
+      // embedding — transient, reclaimed by the request-boundary
+      // hygiene. Survivors of the threshold filter are the near-dup
+      // relation itself (tiny), so the cross-table pair dedup happens
+      // after scoring at negligible cost; scores of duplicate
+      // candidates are identical by determinism of the expression, so
+      // the result relation is unchanged.
+      val signatures = collection.select(col("vec_id"), col("label"),
+        col("embedding"), bandKeys.as("bks")).localCheckpoint()
+      val keyed = signatures.select(col("vec_id"), col("label"), col("embedding"),
+        posexplode(col("bks")).as(Seq("band_id", "bucket")))
+      val a = keyed.select(col("label"), col("band_id"), col("bucket"),
+        col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+      val b = keyed.select(col("label"), col("band_id"), col("bucket"),
+        col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+      a.join(b, Seq("label", "band_id", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
+        .filter(col("score") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("score"))
+        .dropDuplicates("vec_a", "vec_b")
+    } else {
+      val q = Quantization.quantize(
+        collection.select(col("vec_id"), col("label"), col("embedding")),
+        dropEmb = false)
+      val clampedCos = (c: org.apache.spark.sql.Column) =>
+        least(lit(1.0), greatest(lit(-1.0), c))
+      val sigs = q.select(col("vec_id"), col("label"), col("sq8"),
+          col("sq8_min"), col("sq8_scale"), bandKeys.as("bks"),
+          acos(clampedCos(vec.cosine(col("embedding"),
+            Quantization.dequantized()))).as("delta"))
+        .localCheckpoint()
+      val keyed = sigs.select(col("vec_id"), col("label"), col("sq8"),
+        col("sq8_min"), col("sq8_scale"), col("delta"),
+        posexplode(col("bks")).as(Seq("band_id", "bucket")))
+      def side(s: String) = keyed.select(col("label"), col("band_id"), col("bucket"),
+        col("vec_id").as(s"vec_$s"), col("sq8").as(s"sq8_$s"),
+        col("sq8_min").as(s"mn_$s"), col("sq8_scale").as(s"sc_$s"),
+        col("delta").as(s"d_$s"))
+      def rec(s: String) = expr(
+        s"transform(sq8_$s, x -> mn_$s + (cast(x as double) + 128.0) * sc_$s)")
+      val survivors = side("a").join(side("b"), Seq("label", "band_id", "bucket"))
+        .filter(col("vec_a") < col("vec_b"))
+        .withColumn("qtheta", acos(clampedCos(vec.cosine(rec("a"), rec("b")))))
+        .filter(col("qtheta") <= lit(math.acos(threshold)) + col("d_a") + col("d_b"))
+        .select(col("vec_a"), col("vec_b"))
+        .dropDuplicates("vec_a", "vec_b")
+      val e = collection.select(col("vec_id"), col("label"), col("embedding"))
+      survivors
+        .join(e.select(col("vec_id").as("vec_a"), col("label"),
+          col("embedding").as("emb_a")), Seq("vec_a"))
+        .join(e.select(col("vec_id").as("vec_b"),
+          col("embedding").as("emb_b")), Seq("vec_b"))
+        .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
+        .filter(col("score") >= threshold)
+        .select(col("vec_a"), col("vec_b"), col("label"), col("score"))
+    }
   }
 
   /** MinHash parameters: 64 permutations in 16 bands of 4 rows.

@@ -486,6 +486,34 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.9, s"high-threshold recall $recall (exact=${exact.size}, lsh=${lsh.size})")
   }
 
+  test("quantized verify exchange is row-identical to the float shape at the same banding") {
+    // the SQ8 gate's completeness is the spherical triangle
+    // inequality (∠(a,b) ≤ ∠(â,b̂) + δa + δb) — not a tuned margin —
+    // so the two shapes must produce the SAME relation, scores
+    // included; pinned at a banding wide enough to exercise real
+    // candidate pruning on the augmented corpus
+    val e = Tables.embeddings(spark, sfDir)
+    val aug = e.select(col("vec_id"), col("embedding"), col("label"))
+      .unionByName(e.filter(col("vec_id") % 25 === 0)
+        .select((col("vec_id") + 1000000000L).as("vec_id"), col("embedding"), col("label")))
+      .localCheckpoint()
+    def rows(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"),
+        r.getAs[Int]("label"), r.getAs[Double]("score"))).toSet
+    for (t <- Seq(0.9, 0.35)) {
+      val fl = rows(Dedup.embeddingNearDupPairsShaped(aug, t,
+        bitsPerBand = 8, tables = 16, quantizedVerify = false))
+      val qz = rows(Dedup.embeddingNearDupPairsShaped(aug, t,
+        bitsPerBand = 8, tables = 16, quantizedVerify = true))
+      assert(qz == fl, s"shape mismatch at t=$t: " +
+        s"only-float=${(fl -- qz).take(3)} only-quantized=${(qz -- fl).take(3)}")
+    }
+    // the public verb routes by table count: the wide-band regime
+    // (the one whose exchange the SQ8 shape exists to slim) goes
+    // quantized
+    assert(Dedup.QuantizedVerifyTables <= 256)
+  }
+
   test("chooseBanding bounds occupancy per decade and holds the recall target") {
     // a small corpus floors at (4, 4)
     assert(Dedup.chooseBanding(200, 0.9) == (4, 4))
