@@ -417,14 +417,14 @@ object Dedup {
     */
   private val PRandSampleCap = 256
 
-  /** The measured per-plane random-pair collision probability of a
-    * collection: 1 − E[θ]/π over all pairs of a bounded deterministic
-    * sample. This is [[chooseBanding]]'s `pRand` input — 0.5 for
-    * direction-uniform collections (iid Gaussian embeddings), and
-    * large (≈0.9) for concentrated feature families where the log2
-    * occupancy model breaks.
+  /** Per-plane collision probabilities p = 1 − θ/π over all pairs of
+    * a bounded deterministic sample — the EMPIRICAL distribution
+    * behind both [[measuredPRand]] (its mean) and the Jensen-correct
+    * candidate-mass estimate of [[embeddingNearDupAuto]]'s router
+    * (its r-th moment: buckets see E[p^r], which on skewed clouds
+    * exceeds (E[p])^r by orders of magnitude).
     */
-  private[graft] def measuredPRand(collection: DataFrame): Double = {
+  private[graft] def samplePlaneProbs(collection: DataFrame): Array[Double] = {
     // deterministic bounded sample: order by a hash of the id, take
     // the cap — stable across partitionings and runs
     val sample = collection
@@ -437,8 +437,8 @@ object Dedup {
         case d: Double => d
         case other => sys.error(s"non-numeric embedding element: $other")
       }.toArray)
-    if (sample.length < 2) return 0.5
-    var sumTheta = 0.0; var nPairs = 0L
+    if (sample.length < 2) return Array.empty
+    val out = Array.newBuilder[Double]
     var i = 0
     while (i < sample.length) {
       var j = i + 1
@@ -447,14 +447,40 @@ object Dedup {
         var dot = 0.0; var na = 0.0; var nb = 0.0; var k = 0
         while (k < a.length) { dot += a(k) * b(k); na += a(k) * a(k); nb += b(k) * b(k); k += 1 }
         val c = math.max(-1.0, math.min(1.0, dot / math.max(1e-12, math.sqrt(na * nb))))
-        sumTheta += math.acos(c); nPairs += 1
+        out += 1.0 - math.acos(c) / math.Pi
         j += 1
       }
       i += 1
     }
-    val p = 1.0 - (sumTheta / nPairs) / math.Pi
-    math.max(0.05, math.min(0.95, p))
+    out.result()
   }
+
+  /** The measured per-plane random-pair collision probability of a
+    * collection: mean of [[samplePlaneProbs]]. This is
+    * [[chooseBanding]]'s `pRand` input — 0.5 for direction-uniform
+    * collections (iid Gaussian embeddings), and large (≈0.9) for
+    * concentrated feature families where the log2 occupancy model
+    * breaks.
+    */
+  private[graft] def measuredPRand(collection: DataFrame): Double =
+    measuredPRandOf(samplePlaneProbs(collection))
+
+  private[graft] def measuredPRandOf(probs: Array[Double]): Double =
+    if (probs.isEmpty) 0.5
+    else math.max(0.05, math.min(0.95, probs.sum / probs.length))
+
+  /** Expected bucket CANDIDATES per row per table at band width `r`,
+    * from the empirical plane-prob sample: avgBlock · E[p^r]. The
+    * closed-form chooser bounds avgBlock · (E[p])^r — by Jensen a
+    * LOWER bound, and on direction-skewed clouds (cones, global mean)
+    * the gap is orders of magnitude: the sf100 aniso measurement saw
+    * per-row candidate mass ~500× the occupancy target at the
+    * mean-derived r, grinding a 5 s query into tens of minutes.
+    */
+  private[graft] def empiricalOccupancy(probs: Array[Double], r: Int,
+                                        avgBlock: Double): Double =
+    if (probs.isEmpty) 0.0
+    else avgBlock * probs.map(math.pow(_, r)).sum / probs.length
 
   /** [[embeddingNearDupPairs]] with [[chooseBanding]] applied to the
     * collection's own measured size — always the LSH path; the
@@ -502,29 +528,106 @@ object Dedup {
     * loop calls as corpora grow through decades, with the crossover
     * AND the banding both chosen from the corpus itself.
     */
-  def embeddingNearDupAuto(collection: DataFrame, threshold: Double,
-                           targetOccupancy: Double = 64.0,
-                           minRecall: Double = 0.9,
-                           lshCrossover: Double = LshCrossoverAvgBlock): DataFrame = {
+  /** Per-row candidate budget of the CLUSTER-BLOCKED scorer: each
+    * row sits in `SpillAssign` learned blocks of ~`SpillAssign ×
+    * ListTarget` rows (primary + spilled copies), so its pair work is
+    * a CONSTANT ~`SpillAssign² · ListTarget` regardless of corpus
+    * size (the adaptive geometry holds list size flat). The router
+    * sends a collection to LSH only while LSH's own projected
+    * per-row candidates (`b · empiricalOccupancy`), weighted by
+    * [[LshCandidateCostFactor]], stay under this — past it, banding
+    * is doing more pair work than blocking would.
+    */
+  private[graft] val ClusterRouteCandidateBudget: Double =
+    Ann.SpillAssign.toDouble * Ann.SpillAssign * Ann.ListTarget
+
+  /** Measured per-candidate cost of an LSH bucket pair relative to a
+    * cluster-block pair. An LSH candidate pays the quantized-shape
+    * dequant (two array materializations + acos gate) and, decisively,
+    * rides a BUCKET-KEYED join whose fat tails serialize onto few
+    * tasks (training balances cluster blocks; nothing balances a
+    * skewed cloud's hash buckets) — the sf100 aniso run measured the
+    * two effects grinding a ~4800-candidate/row banding into tens of
+    * minutes while the ~16k-candidate/row balanced block scan runs in
+    * minutes. The factor folds that measured constant-and-skew gap
+    * into the router's work comparison.
+    */
+  private[graft] val LshCandidateCostFactor = 4.0
+
+  /** The route [[embeddingNearDupAuto]] takes for a collection —
+    * split out so specs (and operators) can interrogate the decision
+    * without running the plan. "exact" below the measured crossover
+    * or in the no-contrast regime; otherwise "lsh" while the
+    * EMPIRICAL candidate mass at the chosen banding stays under the
+    * cluster route's constant budget; "cluster" past it (the
+    * SemDeDup-shaped learned-cluster blocking — the only plan whose
+    * per-row pair work does not grow with block width).
+    */
+  private[graft] def chooseEmbeddingRoute(collection: DataFrame, threshold: Double,
+      targetOccupancy: Double = 64.0, minRecall: Double = 0.9,
+      lshCrossover: Double = LshCrossoverAvgBlock): (String, Int, Int) = {
     val avg = avgLabelBlock(collection)
-    if (avg <= lshCrossover) embeddingNearDupExact(collection, threshold)
+    if (avg <= lshCrossover) ("exact", 0, 0)
     else {
-      // the pRand sample is paid only on the LSH branch — the exact
-      // branch needs no banding
-      val pRand = measuredPRand(collection)
-      // no-contrast regime ([[lshHasContrast]]): the threshold sits
-      // at or below the cloud's measured noise floor, so the output
-      // relation is itself a dense fraction of all pairs and banding
-      // has nothing sparse to find — the exact scorer is the honest
-      // plan (its cost matches the output mass)
-      if (!lshHasContrast(threshold, pRand))
-        embeddingNearDupExact(collection, threshold)
+      val probs = samplePlaneProbs(collection)
+      val pRand = measuredPRandOf(probs)
+      if (!lshHasContrast(threshold, pRand)) ("exact", 0, 0)
       else {
         val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall,
           pRand = pRand)
-        embeddingNearDupPairs(collection, threshold, r, b)
+        val perRow = LshCandidateCostFactor * b * empiricalOccupancy(probs, r, avg)
+        if (perRow <= ClusterRouteCandidateBudget) ("lsh", r, b)
+        else ("cluster", r, b)
       }
     }
+  }
+
+  def embeddingNearDupAuto(collection: DataFrame, threshold: Double,
+                           targetOccupancy: Double = 64.0,
+                           minRecall: Double = 0.9,
+                           lshCrossover: Double = LshCrossoverAvgBlock): DataFrame =
+    chooseEmbeddingRoute(collection, threshold, targetOccupancy, minRecall,
+        lshCrossover) match {
+      // exact: below the measured crossover the LSH fixed tax never
+      // amortizes; in the no-contrast regime (threshold at/below the
+      // cloud's noise floor) the output relation is itself dense and
+      // the exact scorer's cost matches the output mass
+      case ("exact", _, _) => embeddingNearDupExact(collection, threshold)
+      case ("lsh", r, b)   => embeddingNearDupPairs(collection, threshold, r, b)
+      case (_, _, _)       => embeddingNearDupClusterBlocked(collection, threshold)
+    }
+
+  /** Near-dup candidates from LEARNED-CLUSTER blocking (the SemDeDup
+    * recipe as a candidate generator): spherical k-means at the
+    * corpus-adaptive list count ([[Ann.nlistFor]] — list size stays
+    * ~constant at any corpus size), spilled assignment
+    * ([[Ann.spillClusters]]) so boundary pairs meet in a shared
+    * block, pairs generated within (label, block) and exact-verified.
+    * Subset-of-exact by construction; exact copies share identical
+    * assignments, so they are ALWAYS recalled. Per-row pair work is
+    * the constant [[ClusterRouteCandidateBudget]] — the plan the
+    * router falls back to when a direction-skewed cloud makes
+    * banding's bucket tails explode (E[p^r] ≫ (E[p])^r: the sf100
+    * aniso measurement, where the mean-derived banding ground a 5 s
+    * query into tens of minutes of candidate scoring).
+    */
+  private[graft] def embeddingNearDupClusterBlocked(collection: DataFrame,
+                                                    threshold: Double): DataFrame = {
+    val cents = Ann.trainCentroidsFrom(
+      collection.select(col("vec_id"), col("embedding")))
+    val assigned = collection.select(col("vec_id"), col("label"), col("embedding"),
+        explode(Ann.spillClusters(col("embedding"), cents, Ann.SpillAssign)).as("cl"))
+      .localCheckpoint()
+    val a = assigned.select(col("label"), col("cl"),
+      col("vec_id").as("vec_a"), col("embedding").as("emb_a"))
+    val b = assigned.select(col("label"), col("cl"),
+      col("vec_id").as("vec_b"), col("embedding").as("emb_b"))
+    a.join(b, Seq("label", "cl"))
+      .filter(col("vec_a") < col("vec_b"))
+      .withColumn("score", round(vec.cosine(col("emb_a"), col("emb_b")), 6))
+      .filter(col("score") >= threshold)
+      .select(col("vec_a"), col("vec_b"), col("label"), col("score"))
+      .dropDuplicates("vec_a", "vec_b")
   }
 
   /** Table count at or above which [[embeddingNearDupPairs]] verifies

@@ -614,6 +614,79 @@ class DedupSpec extends SparkSpec {
     assert(forced.subsetOf(exact) && copies.subsetOf(forced))
   }
 
+  test("cluster-blocked scorer: subset of exact, copies always recalled, recall holds on a concentrated cloud") {
+    import spark.implicits._
+    // a cone-structured cloud (the aniso shape): 40 tight cones of 60
+    // vectors plus exact copies of every 20th vector — one label, so
+    // every pair is in-relation and blocking does all the work
+    val dim = 64
+    val base = (0L until 2400L).map { id =>
+      val cone = (id % 40L).toInt
+      val rc = new java.util.Random(cone * 7919L + 3)
+      val center = Array.fill(dim)(rc.nextGaussian())
+      val r = new java.util.Random(id * 104729L + 11)
+      val v = center.map(c => (c + 0.05 * r.nextGaussian()).toFloat)
+      val n = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+      (id, v.map(_ / n).toSeq, 0)
+    }
+    val rows = base ++ base.filter(_._1 % 20 == 0)
+      .map { case (id, v, l) => (id + 1000000000L, v, l) }
+    val c = rows.toDF("vec_id", "embedding", "label").localCheckpoint()
+    def pairSet(df: org.apache.spark.sql.DataFrame) = df.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"))).toSet
+    val exact = pairSet(Dedup.embeddingNearDupExact(c, 0.98))
+    val blocked = pairSet(Dedup.embeddingNearDupClusterBlocked(c, 0.98))
+    assert(blocked.subsetOf(exact), s"false pairs: ${(blocked -- exact).take(5)}")
+    val copies = exact.filter { case (x, y) => y == x + 1000000000L }
+    assert(copies.nonEmpty && copies.subsetOf(blocked),
+      s"missed copies: ${(copies -- blocked).take(5)}")
+    val recall = blocked.size.toDouble / exact.size
+    assert(recall >= 0.9, s"cluster-blocked recall $recall " +
+      s"(exact=${exact.size}, blocked=${blocked.size})")
+  }
+
+  test("route choice: empirical candidate mass sends skewed clouds to cluster blocking, uniform stays lsh") {
+    // Jensen gap, unit-level: a prob sample with a heavy tail has an
+    // r-th moment far above the mean-derived closed form
+    val skewed = Array.fill(90)(0.5) ++ Array.fill(10)(0.97)
+    val r = 20
+    val meanForm = math.pow(Dedup.measuredPRandOf(skewed), r) * 100000
+    val emp = Dedup.empiricalOccupancy(skewed, r, 100000)
+    assert(emp > 50 * meanForm, s"empirical $emp vs mean-form $meanForm")
+    // route: a one-label cone corpus above the crossover, with a
+    // threshold above its noise floor (contrast holds) but bucket
+    // tails that blow the budget -> "cluster"; an iid-uniform cloud
+    // of the same size stays "lsh"
+    import spark.implicits._
+    val dim = 64
+    def cloud(n: Long)(mk: Long => Array[Float]) =
+      (0L until n).map { id =>
+        val v = mk(id)
+        val nm = math.sqrt(v.map(x => x * x.toDouble).sum).toFloat
+        (id, v.map(_ / nm).toSeq, 0)
+      }.toDF("vec_id", "embedding", "label").localCheckpoint()
+    // the aniso shape at a block width where the Jensen gap bites:
+    // a strong shared mean (pRand ≈ 0.83) + tight cones (the prob
+    // tail) over one 25k-row label block
+    val rm = new java.util.Random(99)
+    val mean = Array.fill(dim)(rm.nextGaussian() * 2.5)
+    val coneDf = cloud(25000L) { id =>
+      val cone = (id % 10L).toInt
+      val rc = new java.util.Random(cone * 7919L + 3)
+      val center = Array.tabulate(dim)(i => mean(i) + rc.nextGaussian())
+      val r2 = new java.util.Random(id * 104729L + 11)
+      center.map(c => (c + 0.25 * r2.nextGaussian()).toFloat)
+    }
+    val uniDf = cloud(3000L) { id =>
+      val r2 = new java.util.Random(id * 104729L + 11)
+      Array.fill(dim)(r2.nextGaussian().toFloat)
+    }
+    val (routeCone, _, _) = Dedup.chooseEmbeddingRoute(coneDf, 0.98)
+    val (routeUni, _, _) = Dedup.chooseEmbeddingRoute(uniDf, 0.9)
+    assert(routeCone == "cluster", s"cone cloud routed $routeCone")
+    assert(routeUni == "lsh", s"uniform cloud routed $routeUni")
+  }
+
   test("q_dedup_embedding_auto matches the exact registered relation at test scale") {
     val auto = Dedup.qDedupEmbeddingAuto(spark, sfDir).collect().toSeq
     val exact = Dedup.qDedupEmbedding(spark, sfDir).collect().toSeq
