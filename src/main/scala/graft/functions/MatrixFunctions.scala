@@ -126,6 +126,102 @@ case class CentroidDistances(child: Expression, centroids: Array[Array[Float]])
   override def prettyName: String = "centroid_dists"
 }
 
+/** The `k` nearest centroid ids for an input vector, ascending by
+  * (distance, id) — the single-pass replacement for sorting the full
+  * [[CentroidDistances]] table per row. Distances compute ONCE
+  * (O(nlist·dim)) and a bounded insertion-selection picks k; the
+  * composed `transform(sequence(...), c -> struct(dists[c], c))` +
+  * `array_sort` form embedded the distance EXPRESSION inside the
+  * lambda, so Catalyst re-evaluated the whole matrix per lambda
+  * element — O(nlist²·dim) per row, interpreted. Invisible at 16
+  * lists; ~10⁸ multiplies per row at the adaptive geometry's
+  * thousands (measured: all 32 executors pinned in
+  * ArrayTransform.eval during an sf100 index build). Tie order
+  * matches the struct sort exactly: ascending distance, then
+  * ascending centroid id.
+  */
+case class NearestClusters(child: Expression, centroids: Array[Array[Float]], k: Int)
+    extends VectorMatrixExpression {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+
+  @transient private lazy val normSq: Array[Double] =
+    centroids.map(c => c.map(x => x.toDouble * x.toDouble).sum)
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = extract(v.asInstanceOf[ArrayData])
+    var nrm = 0.0
+    var i = 0
+    while (i < vv.length) { nrm += vv(i) * vv(i); i += 1 }
+    nrm = math.sqrt(nrm)
+    val kk = math.min(k, centroids.length)
+    val bestD = Array.fill(kk)(Double.MaxValue)
+    val bestC = new Array[Int](kk)
+    var c = 0
+    while (c < centroids.length) {
+      val cc = centroids(c)
+      val m = math.min(cc.length, vv.length)
+      var dot = 0.0
+      var j = 0
+      while (j < m) { dot += cc(j).toDouble * vv(j); j += 1 }
+      val d = normSq(c) - 2.0 * dot / nrm
+      // ascending-c iteration + strict < keeps equal-distance ties in
+      // centroid-id order, matching array_sort on struct(d, cid)
+      if (d < bestD(kk - 1)) {
+        var p = kk - 1
+        while (p > 0 && d < bestD(p - 1)) {
+          bestD(p) = bestD(p - 1); bestC(p) = bestC(p - 1); p -= 1
+        }
+        bestD(p) = d; bestC(p) = c
+      }
+      c += 1
+    }
+    new GenericArrayData(bestC)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val cents = ctx.addReferenceObj("centroids", centroids, "float[][]")
+      val norms = ctx.addReferenceObj("centroidNormSq", normSq, "double[]")
+      val vv = ctx.freshName("vv")
+      val nrm = ctx.freshName("nrm")
+      val bd = ctx.freshName("bestD")
+      val bc = ctx.freshName("bestC")
+      val kk = ctx.freshName("kk")
+      val c = ctx.freshName("c")
+      val j = ctx.freshName("j")
+      val p = ctx.freshName("p")
+      s"""
+         |${extractCode(ctx, a, vv)}
+         |double $nrm = 0.0;
+         |for (int $j = 0; $j < ${vv}n; $j++) { $nrm += $vv[$j] * $vv[$j]; }
+         |$nrm = java.lang.Math.sqrt($nrm);
+         |int $kk = java.lang.Math.min($k, $cents.length);
+         |double[] $bd = new double[$kk];
+         |int[] $bc = new int[$kk];
+         |java.util.Arrays.fill($bd, Double.MAX_VALUE);
+         |for (int $c = 0; $c < $cents.length; $c++) {
+         |  float[] cc = $cents[$c];
+         |  int m = java.lang.Math.min(cc.length, ${vv}n);
+         |  double dot = 0.0;
+         |  for (int $j = 0; $j < m; $j++) { dot += (double)cc[$j] * $vv[$j]; }
+         |  double d = $norms[$c] - 2.0 * dot / $nrm;
+         |  if (d < $bd[$kk - 1]) {
+         |    int $p = $kk - 1;
+         |    while ($p > 0 && d < $bd[$p - 1]) {
+         |      $bd[$p] = $bd[$p - 1]; $bc[$p] = $bc[$p - 1]; $p--;
+         |    }
+         |    $bd[$p] = d; $bc[$p] = $c;
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bc);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "nearest_clusters"
+}
+
 /** PQ asymmetric-distance table: for subspace j and codebook entry c,
   * ||c||² − 2·(c·s_j) [+ ||s_j||² when absolute], where s_j is the
   * j-th subDim-wide slice of the input vector. Output:
@@ -355,4 +451,8 @@ object matrixops {
   def lshBandBuckets(emb: Column, planes: Seq[Seq[Float]], bitsPerBand: Int): Column =
     ColumnBridge.column(
       LshBandBuckets(ColumnBridge.expression(emb), planes.map(_.toArray).toArray, bitsPerBand))
+
+  def nearestClusters(emb: Column, centroids: Seq[Seq[Float]], k: Int): Column =
+    ColumnBridge.column(
+      NearestClusters(ColumnBridge.expression(emb), centroids.map(_.toArray).toArray, k))
 }
