@@ -83,7 +83,7 @@ object Quantization {
       .filter(col("vec_id") % 3 === 0).orderBy(col("vec_id"))
       .limit(Ann.TrainSampleCap)
       .select(col("embedding")).collect()
-      .map(_.getSeq[Float](0).toArray.map(_.toDouble))
+      .map(r => Ann.numericArray(r.getSeq[Any](0)))
     (0 until M).map { j =>
       val sub = sample.map(v => v.slice(j * SubDim, (j + 1) * SubDim))
       val n = sub.length

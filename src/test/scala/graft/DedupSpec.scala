@@ -643,6 +643,18 @@ class DedupSpec extends SparkSpec {
     val recall = blocked.size.toDouble / exact.size
     assert(recall >= 0.9, s"cluster-blocked recall $recall " +
       s"(exact=${exact.size}, blocked=${blocked.size})")
+
+    // dtype-agnosticism: media FEATURE vectors reach this route as
+    // array<double> (the aniso-sf100 media sweep was the first input
+    // to route cluster-blocked with doubles and hit a float-pinned
+    // ClassCastException in centroid training) — the double-typed
+    // frame must produce the identical pair set
+    val cd = c.withColumn("embedding",
+      org.apache.spark.sql.functions.expr(
+        "transform(embedding, x -> cast(x as double))"))
+    val blockedD = pairSet(Dedup.embeddingNearDupClusterBlocked(cd, 0.98))
+    assert(blockedD == blocked,
+      s"double-typed route diverged: ${(blockedD diff blocked).take(3)} / ${(blocked diff blockedD).take(3)}")
   }
 
   test("route choice: empirical candidate mass sends skewed clouds to cluster blocking, uniform stays lsh") {
