@@ -45,8 +45,13 @@ object VectorIndex {
 
   /** Driver-side index geometry: kilobytes, trained once at build
     * from a fixed-size sample ([[Ann.TrainSampleCap]]).
+    * `defaultNProbe` is the build-time CALIBRATED probe budget
+    * ([[calibrateNProbe]]) — None on small (≤ [[Ann.NList]]-list)
+    * geometries and on layouts written before calibration existed,
+    * where the closed-form [[Ann.nprobeFor]] stays the default.
     */
-  final case class Meta(centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]])
+  final case class Meta(centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
+                        defaultNProbe: Option[Int] = None)
 
   private val vectorsSchema = StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, pq_codes ARRAY<TINYINT>, " +
@@ -58,6 +63,8 @@ object VectorIndex {
     "cluster_id INT, centroid ARRAY<FLOAT>")
   private val codebooksSchema = StructType.fromDDL(
     "subspace INT, code INT, centroid ARRAY<FLOAT>")
+  private val paramsSchema = StructType.fromDDL(
+    "param STRING, value BIGINT")
 
   /** Build the index for a corpus dir: train geometry (fixed-size
     * sample), encode every representation in one corpus pass, write
@@ -67,7 +74,6 @@ object VectorIndex {
     val meta = Meta(Ann.trainCentroids(spark, sfDir),
       Quantization.trainPqCodebooks(spark, sfDir))
     writeCorpus(spark, Tables.embeddings(spark, sfDir), path, meta)
-    meta
   }
 
   /** Build the index from ANY normalized (vec_id BIGINT, embedding
@@ -83,14 +89,13 @@ object VectorIndex {
       else Ann.trainCentroidsFrom(corpus)
     val meta = Meta(cents, Quantization.trainPqCodebooksFrom(corpus))
     writeCorpus(spark, corpus, path, meta)
-    meta
   }
 
   /** Write a corpus under an explicitly supplied geometry — the
     * offline-rebuild path (periodic retrain, compaction, re-shard)
     * and the harness behind the spec's append ≡ rebuild proof.
     */
-  def writeCorpus(spark: SparkSession, corpus: DataFrame, path: String, meta: Meta): Unit = {
+  def writeCorpus(spark: SparkSession, corpus: DataFrame, path: String, meta: Meta): Meta = {
     import spark.implicits._
     val p = IndexAlias.resolve(spark, path)
     meta.centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -101,13 +106,100 @@ object VectorIndex {
       .toDF("subspace", "code", "centroid")
       .write.mode("overwrite").parquet(s"$p/meta/codebooks")
     encodeAndWrite(corpus, meta, p, "overwrite")
+    // adaptive geometries calibrate their default probe budget
+    // against the corpus just written; small corpora keep the
+    // measured 16-list geometry (and its measured NProbe) bit-for-bit
+    val servedMeta =
+      if (meta.centroids.length > Ann.NList) {
+        val np = calibrateNProbe(spark, p, meta.centroids)
+        Seq(("default_nprobe", np.toLong)).toDF("param", "value")
+          .write.mode("overwrite").parquet(s"$p/meta/params")
+        meta.copy(defaultNProbe = Some(np))
+      } else meta
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
     // seed this session's entry with the geometry just written
     metaCache.keySet.removeIf(_.endsWith("#" + p))
-    metaCache.put(IndexCache.sessionKey(spark) + "#" + p, meta)
+    metaCache.put(IndexCache.sessionKey(spark) + "#" + p, servedMeta)
     mutated(spark, p)
+    servedMeta
   }
+
+  /** Build-time probe calibration: the minimal default nprobe whose
+    * probed lists cover [[CalibrationTarget]] of the corpus's OWN
+    * measured true neighbors, never below the closed-form floor
+    * ([[Ann.nprobeFor]]).
+    *
+    * The closed form is geometry-blind: √nlist probes hold ≥0.9
+    * recall on direction-uniform clouds (measured 0.9978 at the
+    * aniso sf10 decade), but on a CONCENTRATED cloud at the next
+    * decade the true neighbors of a query spread across more lists
+    * than √nlist covers — measured recall@10 fell to 0.811 at the
+    * aniso sf100 corpus (1220 lists, 35 probed). Calibration measures
+    * instead of assumes: [[CalibrationQueries]] held-out corpus
+    * members get exact top-K over the FULL corpus (one bounded
+    * 256×n distributed scan — the build already makes corpus-sized
+    * passes), each true neighbor's minimal probe depth is the rank of
+    * its best assigned list in the query's centroid ordering (the
+    * SAME [[graft.functions.NearestClusters]] ordering the probe path
+    * uses, so calibration and serving can never disagree), and the
+    * calibrated budget is the [[CalibrationTarget]]-quantile of those
+    * depths. Spilled copies count: a neighbor is found through ANY of
+    * its assigned lists.
+    */
+  private[graft] def calibrateNProbe(spark: SparkSession, p: String,
+                                     cents: Seq[Seq[Float]]): Int = {
+    val nlist = cents.length
+    val floorNp = Ann.nprobeFor(nlist)
+    val prim = vectors(spark, p, primaryOnly = true)
+      .select(col("vec_id"), col("embedding"))
+    val queries = prim
+      .orderBy(pmod(hash(col("vec_id")), lit(1000000007)), col("vec_id"))
+      .limit(CalibrationQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val truth = prim.crossJoin(broadcast(queries))
+      .filter(col("vec_id") =!= col("q_id"))
+      .withColumn("score", vec.cosine(col("q_emb"), col("embedding")))
+      .withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= Ann.K)
+      .select(col("q_id"), col("vec_id"))
+    // all assignment ranks: the scan is corpus-sized but map-side
+    // (truth is queries×K rows, broadcast)
+    val nbrLists = vectors(spark, p).select(col("vec_id"), col("cluster_id"))
+      .join(broadcast(truth), "vec_id")
+    val qRanks = queries.select(col("q_id"),
+        posexplode(graft.functions.matrixops.nearestClusters(
+          col("q_emb"), cents, nlist)))
+      .select(col("q_id"), (col("pos") + 1).as("q_rank"),
+        col("col").as("cluster_id"))
+    val depths = nbrLists.join(broadcast(qRanks), Seq("q_id", "cluster_id"))
+      .groupBy(col("q_id"), col("vec_id")).agg(min(col("q_rank")).as("mr"))
+      .select(col("mr")).collect().map(_.getInt(0)).sorted
+    if (depths.isEmpty) floorNp
+    else {
+      val at = math.max(0, math.min(depths.length - 1,
+        math.ceil(CalibrationTarget * depths.length).toInt - 1))
+      math.min(nlist, math.max(floorNp, depths(at)))
+    }
+  }
+
+  /** Held-out corpus queries per build-time probe calibration, and
+    * the in-calibration recall the calibrated budget must reach.
+    * The target carries headroom over the 0.9 serving floor: the
+    * calibrated depth quantile is measured on one 256-query sample
+    * and served to another.
+    */
+  private[graft] val CalibrationQueries = 256
+  private[graft] val CalibrationTarget = 0.92
+
+  /** Explicit caller budget wins; otherwise the calibrated persisted
+    * default; otherwise ≤0 lets [[Ann.probeFrame]] resolve the
+    * closed-form policy.
+    */
+  private def resolveNProbe(meta: Meta, nprobe: Int): Int =
+    if (nprobe > 0) nprobe else meta.defaultNProbe.getOrElse(-1)
 
   /** Build a ROTATING index: the first generation of an
     * [[graft.sources.IndexAlias]] home. Clients address `home`
@@ -149,6 +241,11 @@ object VectorIndex {
     * once drained. Gate the swap with
     * [[graft.api.ScaleOps.recallAtK]] in production. Returns the
     * new generation's path.
+    *
+    * The calibrated probe budget ([[calibrateNProbe]]) rides the same
+    * lifecycle: appends serve under the budget calibrated at the last
+    * build (like the geometry itself), and retrain re-measures it
+    * against the corpus the fresh generation actually holds.
     */
   def retrain(spark: SparkSession, home: String): String =
     graft.sources.WriterLease.exclusive(spark, home) {
@@ -288,7 +385,16 @@ object VectorIndex {
         .map { case (_, rows) =>
           rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
         }
-      Meta(cents, cbs)
+      // params is optional: absent on small geometries and layouts
+      // written before build-time probe calibration
+      val paramsPath = new org.apache.hadoop.fs.Path(s"$path/meta/params")
+      val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+      val np =
+        if (!fs.exists(paramsPath)) None
+        else spark.read.schema(paramsSchema).parquet(paramsPath.toString)
+          .filter(col("param") === "default_nprobe")
+          .collect().headOption.map(_.getLong(1).toInt)
+      Meta(cents, cbs, np)
     })
   }
 
@@ -442,7 +548,9 @@ object VectorIndex {
                 nprobe: Int = -1, k: Int = Ann.K,
                 cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
-    val probes = Ann.probeFrame(queries, readMeta(spark, path).centroids, nprobe)
+    val meta = readMeta(spark, path)
+    val probes = Ann.probeFrame(queries, meta.centroids,
+      resolveNProbe(meta, nprobe))
     Ann.dedupSpilledTopK(
       served(spark, path, "ivf", cached) {
         vectors(spark, path).select(col("vec_id"), col("embedding"), col("cluster_id"))
@@ -486,7 +594,8 @@ object VectorIndex {
                   cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
-    val probes = Ann.probeFrame(queries, meta.centroids, nprobe)
+    val probes = Ann.probeFrame(queries, meta.centroids,
+        resolveNProbe(meta, nprobe))
       .withColumn("adc",
         Quantization.adcTable(col("q_emb"), meta.codebooks, absolute = true))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
@@ -531,7 +640,9 @@ object VectorIndex {
       ("brute_force", Ann.presentTopK(
         matching.crossJoin(broadcast(queries)), k))
     else {
-      val probes = Ann.probeFrame(queries, readMeta(spark, path).centroids, nprobe)
+      val fMeta = readMeta(spark, path)
+      val probes = Ann.probeFrame(queries, fMeta.centroids,
+        resolveNProbe(fMeta, nprobe))
       ("ivf_probe", Ann.dedupSpilledTopK(
         base
           .filter(filter)
