@@ -386,8 +386,42 @@ object SlopeBench {
     def timeBuild(run: String => Unit, dir: String): Double = {
       val t0 = System.nanoTime(); run(dir); (System.nanoTime() - t0) / 1e9
     }
+    // SPARK_GRAFT_SLOPE_IVF_SEARCH=1: time the at-rest IVF search
+    // (fixed ~500-query batch, min-of-two, uncached so every pass
+    // pays the real probed-partition scan) against the index the
+    // build step just wrote, at BOTH scales. This is the wall-clock
+    // twin of the adaptive-geometry claim: probed rows grow ~√n·const
+    // under nlistFor/nprobeFor, so the search ratio across a 100×
+    // corpus should sit near √100 = 10, not 100 (a fixed geometry
+    // scans a constant FRACTION and rides the corpus slope).
+    val timeIvfSearch = sys.env.get("SPARK_GRAFT_SLOPE_IVF_SEARCH").contains("1") &&
+      bs.exists(_._1 == "vector_index_build")
+    def ivfSearchTime(dir: String): Double = {
+      val emb = Tables.embeddings(spark, dir)
+      val mod = math.max(1L, emb.count() / 500)
+      val queries = emb.filter(col("vec_id") % mod === 0)
+        .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+        .localCheckpoint()
+      def once(): Double = {
+        val t0 = System.nanoTime()
+        operators.VectorIndex.searchIvf(spark, "target/slope/bench-vidx",
+          queries, cached = false).count()
+        (System.nanoTime() - t0) / 1e9
+      }
+      once() // warm-up (classload/codegen)
+      val t = math.min(once(), once())
+      System.gc()
+      t
+    }
     val buildBase = bs.map { case (n, run) => n -> timeBuild(run, baseDir) }.toMap
+    val searchBase = if (timeIvfSearch) Some(ivfSearchTime(baseDir)) else None
     val buildBig = bs.map { case (n, run) => n -> timeBuild(run, scaledDir) }.toMap
+    val searchBig = if (timeIvfSearch) Some(ivfSearchTime(scaledDir)) else None
+    val ivfSearch = (searchBase, searchBig) match {
+      case (Some(b), Some(s)) =>
+        f""","ivf_search":{"base_s":$b%.3f,"scaled_s":$s%.3f,"ratio":${s / math.max(b, 1e-9)}%.2f}"""
+      case _ => ""
+    }
 
     // SPARK_GRAFT_SLOPE_IVF_RECALL=1: after the scaled
     // vector_index_build, measure recall@10 at the default probe
@@ -434,7 +468,7 @@ object SlopeBench {
     }
     val json = s"""{"metric":"slope","factor":$factor,"base":"$baseDir",""" +
       s""""scaled":"$scaledDir","queries":{${lines.mkString(",")}},""" +
-      s""""builds":{${buildLines.mkString(",")}}$ivfQuality}"""
+      s""""builds":{${buildLines.mkString(",")}}$ivfSearch$ivfQuality}"""
     println(json)
     val out = new java.io.File(s"target/slope_x$factor.json")
     out.getParentFile.mkdirs()
