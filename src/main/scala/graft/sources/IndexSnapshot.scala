@@ -24,8 +24,8 @@ import org.apache.spark.sql.SparkSession
   *    swaps the layout's tables in, and explicitly invalidates the
   *    vector index's session caches for that path.
   *
-  * Works for all three standing layouts (vector, text,
-  * MinHash-dedup) because each is a self-contained directory of
+  * Works for all four standing layouts (vector, text, MinHash-dedup,
+  * duplicate-cluster) because each is a self-contained directory of
   * parquet subtables — the snapshot does not interpret them.
   */
 object IndexSnapshot {

@@ -109,4 +109,34 @@ class IndexSnapshotSpec extends SparkSpec {
     assert(Dedup.dedupAgainstIndex(spark, probe,
       p).filter(col("doc_a") === 5L || col("doc_b") === 5L).count() >= 1)
   }
+
+  test("cluster index: restore rewinds a takedown + compaction to the snapshot membership") {
+    import spark.implicits._
+    // docs 0/1 exact copies, 2/3 exact copies, rest unique — two
+    // 2-member clusters
+    val docs = (0L until 12L).map { i =>
+      val text = if (i == 1L) "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+        else if (i == 0L) "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+        else if (i == 3L || i == 2L) "kilo lima mike november oscar papa quebec romeo sierra tango"
+        else s"uniform unique$i words$i here$i that$i never$i collide$i with$i others$i token$i"
+      (i, text)
+    }.toDF("doc_id", "text")
+    val p = IndexCache.tempDir("graft-snap-cluster") + "/cix"
+    Dedup.writeClusterIndex(docs, p)
+    def members(): Set[(Long, Long)] = Dedup.readClusterIndex(spark, p)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val before = members()
+    assert(before.map(_._1) == Set(0L, 1L, 2L, 3L))
+    val id = IndexSnapshot.create(spark, p)
+    // takedown doc 0 (a min-id member: relabels its cluster), then
+    // fold the tombstones physically — the snapshot is kind-agnostic
+    // and must capture the cluster layout like its three siblings
+    Dedup.deleteFromClusterIndex(spark, Seq(0L), p)
+    Dedup.compactClusterIndex(spark, p)
+    val after = members()
+    assert(!after.exists(_._1 == 0L) && after != before)
+    IndexSnapshot.restore(spark, p, id)
+    assert(members() == before,
+      s"restored membership diverged: got ${members()}, want $before")
+  }
 }
