@@ -76,14 +76,51 @@ object Quantization {
     * at any corpus scale).
     */
   private def trainPqCodebooksUncached(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] =
-    trainPqCodebooksFrom(Tables.embeddings(spark, sfDir))
+    trainPqCodebooksFrom(Tables.embeddings(spark, sfDir),
+      Ann.trainCentroids(spark, sfDir))
 
-  private[operators] def trainPqCodebooksFrom(corpus: DataFrame): Seq[Seq[Seq[Float]]] = {
-    val sample = corpus
+  /** RESIDUAL codebooks (the FAISS IVF_PQ training shape): each
+    * sample vector is assigned to its nearest IVF centroid — the same
+    * ranking [[graft.functions.NearestClusters]] serves, normalized
+    * query side — and the subspace k-means trains on the RESIDUAL
+    * v − c. Raw-vector codebooks spend the 4-bit-per-subspace budget
+    * encoding where in the cloud a vector sits — which the cluster id
+    * already says — and on a concentrated cloud the distinctions that
+    * decide top-k live entirely below that scale: measured recall@10
+    * on the aniso-sf100 corpus was 0.427 (IVFPQ) / 0.400 (flat PQ)
+    * with raw codes. Residuals re-center every list at the origin, so
+    * the codebooks resolve the within-list scale where neighbors
+    * actually differ.
+    */
+  private[operators] def trainPqCodebooksFrom(corpus: DataFrame,
+      cents: Seq[Seq[Float]]): Seq[Seq[Seq[Float]]] = {
+    val raw = corpus
       .filter(col("vec_id") % 3 === 0).orderBy(col("vec_id"))
       .limit(Ann.TrainSampleCap)
       .select(col("embedding")).collect()
       .map(r => Ann.numericArray(r.getSeq[Any](0)))
+    val cc = cents.map(_.toArray.map(_.toDouble)).toArray
+    val ccNormSq = cc.map(c => c.map(x => x * x).sum)
+    val sample = raw.map { v =>
+      var nrm = 0.0; var i = 0
+      while (i < v.length) { nrm += v(i) * v(i); i += 1 }
+      nrm = math.sqrt(nrm)
+      var best = 0; var bestD = Double.MaxValue; var c = 0
+      while (c < cc.length) {
+        var dot = 0.0; var j = 0
+        val m = math.min(cc(c).length, v.length)
+        while (j < m) { dot += cc(c)(j) * v(j); j += 1 }
+        val d = ccNormSq(c) - 2.0 * dot / math.max(1e-12, nrm)
+        if (d < bestD) { bestD = d; best = c }
+        c += 1
+      }
+      val r = new Array[Double](v.length)
+      var k = 0
+      while (k < v.length) {
+        r(k) = v(k) - (if (k < cc(best).length) cc(best)(k) else 0.0); k += 1
+      }
+      r
+    }
     (0 until M).map { j =>
       val sub = sample.map(v => v.slice(j * SubDim, (j + 1) * SubDim))
       val n = sub.length
@@ -123,10 +160,32 @@ object Quantization {
     * table (first-min index, matching the trained assignment).
     */
   def pqEncode(df: DataFrame, codebooks: Seq[Seq[Seq[Float]]],
-               embCol: String = "embedding"): DataFrame = {
-    val codes = transform(adcTable(col(embCol), codebooks, absolute = false),
+               embCol: String = "embedding"): DataFrame =
+    pqEncodeCol(df, codebooks, col(embCol))
+
+  /** [[pqEncode]] over an arbitrary vector expression — the residual
+    * encode path ([[VectorIndex]] passes v − c of the row's assigned
+    * cluster).
+    */
+  private[operators] def pqEncodeCol(df: DataFrame,
+      codebooks: Seq[Seq[Seq[Float]]],
+      embCol: org.apache.spark.sql.Column): DataFrame = {
+    val codes = transform(adcTable(embCol, codebooks, absolute = false),
       d => (array_position(d, array_min(d)) - 1).cast("tinyint"))
     df.withColumn("pq_codes", codes)
+  }
+
+  /** Decode M codes back to the quantized vector (concatenated
+    * codebook entries) — the flat-PQ serving path for RESIDUAL
+    * layouts reconstructs v̂ = decode(codes) + c once inside the
+    * served view. HOF + element_at over a single nested literal:
+    * M lookups per row, materialized once per session.
+    */
+  private[operators] def pqReconstruct(codesCol: org.apache.spark.sql.Column,
+      codebooks: Seq[Seq[Seq[Float]]]): org.apache.spark.sql.Column = {
+    val cb = typedLit(codebooks)
+    flatten(transform(sequence(lit(0), lit(M - 1)),
+      j => element_at(element_at(cb, j + 1), codesCol(j).cast("int") + 1)))
   }
 
   /** ADC distance: Σ_j adc[j][code_j], expanded to a static M-term

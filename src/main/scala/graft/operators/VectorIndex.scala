@@ -49,9 +49,15 @@ object VectorIndex {
     * ([[calibrateNProbe]]) — None on small (≤ [[Ann.NList]]-list)
     * geometries and on layouts written before calibration existed,
     * where the closed-form [[Ann.nprobeFor]] stays the default.
+    * `pqResidual` marks layouts whose pq_codes encode PER-LIST
+    * residuals v − c (the FAISS IVF_PQ shape,
+    * [[Quantization.trainPqCodebooksFrom]]) — false on layouts
+    * written before residual encoding, which keep the raw-code
+    * serving path.
     */
   final case class Meta(centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
-                        defaultNProbe: Option[Int] = None)
+                        defaultNProbe: Option[Int] = None,
+                        pqResidual: Boolean = false)
 
   private val vectorsSchema = StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, pq_codes ARRAY<TINYINT>, " +
@@ -72,7 +78,7 @@ object VectorIndex {
     */
   def write(spark: SparkSession, sfDir: String, path: String): Meta = {
     val meta = Meta(Ann.trainCentroids(spark, sfDir),
-      Quantization.trainPqCodebooks(spark, sfDir))
+      Quantization.trainPqCodebooks(spark, sfDir), pqResidual = true)
     writeCorpus(spark, Tables.embeddings(spark, sfDir), path, meta)
   }
 
@@ -87,7 +93,8 @@ object VectorIndex {
     val cents =
       if (nlist > 0) Ann.trainCentroidsFrom(corpus, nlist)
       else Ann.trainCentroidsFrom(corpus)
-    val meta = Meta(cents, Quantization.trainPqCodebooksFrom(corpus))
+    val meta = Meta(cents, Quantization.trainPqCodebooksFrom(corpus, cents),
+      pqResidual = true)
     writeCorpus(spark, corpus, path, meta)
   }
 
@@ -110,12 +117,15 @@ object VectorIndex {
     // against the corpus just written; small corpora keep the
     // measured 16-list geometry (and its measured NProbe) bit-for-bit
     val servedMeta =
-      if (meta.centroids.length > Ann.NList) {
-        val np = calibrateNProbe(spark, p, meta.centroids)
-        Seq(("default_nprobe", np.toLong)).toDF("param", "value")
-          .write.mode("overwrite").parquet(s"$p/meta/params")
-        meta.copy(defaultNProbe = Some(np))
-      } else meta
+      if (meta.centroids.length > Ann.NList)
+        meta.copy(defaultNProbe = Some(calibrateNProbe(spark, p, meta.centroids)))
+      else meta
+    val params =
+      servedMeta.defaultNProbe.map(np => ("default_nprobe", np.toLong)).toSeq ++
+        (if (servedMeta.pqResidual) Seq(("pq_residual", 1L)) else Nil)
+    if (params.nonEmpty)
+      params.toDF("param", "value")
+        .write.mode("overwrite").parquet(s"$p/meta/params")
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
     // seed this session's entry with the geometry just written
@@ -290,8 +300,18 @@ object VectorIndex {
     val assigned = df.select(col("*"), posexplode(
       Ann.spillClusters(col("embedding"), meta.centroids, Ann.SpillAssign))
       .as(Seq("assign_rank", "cluster_id")))
+    // residual layouts encode v − c of the row's OWN (exploded)
+    // cluster — each spill copy carries the residual of the list it
+    // lives in, so per-(query, probed-list) ADC is exact for every
+    // copy it meets
+    val pqInput =
+      if (meta.pqResidual)
+        zip_with(col("embedding"),
+          element_at(typedLit(meta.centroids), col("cluster_id") + 1),
+          (v, c) => v - c)
+      else col("embedding")
     val enc = Quantization.quantize(
-        Quantization.pqEncode(assigned, meta.codebooks), dropEmb = false)
+        Quantization.pqEncodeCol(assigned, meta.codebooks, pqInput), dropEmb = false)
       .withColumn("bq_word", Quantization.bqWord(col("embedding")))
       .select(col("vec_id"), col("embedding"), col("label"), col("pq_codes"),
         col("sq8"), col("sq8_min"), col("sq8_scale"), col("bq_word"),
@@ -385,16 +405,17 @@ object VectorIndex {
         .map { case (_, rows) =>
           rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
         }
-      // params is optional: absent on small geometries and layouts
-      // written before build-time probe calibration
+      // params is optional: absent on layouts written before
+      // build-time probe calibration / residual PQ existed
       val paramsPath = new org.apache.hadoop.fs.Path(s"$path/meta/params")
       val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val np =
-        if (!fs.exists(paramsPath)) None
+      val params: Map[String, Long] =
+        if (!fs.exists(paramsPath)) Map.empty
         else spark.read.schema(paramsSchema).parquet(paramsPath.toString)
-          .filter(col("param") === "default_nprobe")
-          .collect().headOption.map(_.getLong(1).toInt)
-      Meta(cents, cbs, np)
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      Meta(cents, cbs,
+        params.get("default_nprobe").map(_.toInt),
+        params.get("pq_residual").contains(1L))
     })
   }
 
@@ -569,15 +590,39 @@ object VectorIndex {
                cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
-    val q = queries.withColumn("adc",
-      Quantization.adcTable(col("q_emb"), meta.codebooks, absolute = true))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val cand = served(spark, path, "pq", cached) {
-      vectors(spark, path, primaryOnly = true)
-        .select(col("vec_id"), col("pq_codes"))
-    }
-      .crossJoin(broadcast(q.select(col("q_id"), col("adc"))))
-      .select(col("q_id"), col("vec_id"), Quantization.adcDist.as("adc_dist"))
+    // residual layouts: a flat scan meets every list, so a per-query
+    // ADC table cannot exist (each list's codes live in a different
+    // residual frame). Reconstruct v̂ = decode(codes) + c ONCE inside
+    // the served view — the scan still reads codes + cluster_id (the
+    // narrow representation), never the floats — and rank by exact
+    // L2 against v̂ (= what ADC decomposes); the raw-code path keeps
+    // the classic per-query table.
+    val scored =
+      if (meta.pqResidual)
+        served(spark, path, "pqrecon", cached) {
+          vectors(spark, path, primaryOnly = true)
+            .select(col("vec_id"), col("cluster_id"), col("pq_codes"))
+            .withColumn("recon", zip_with(
+              Quantization.pqReconstruct(col("pq_codes"), meta.codebooks),
+              element_at(typedLit(meta.centroids), col("cluster_id") + 1),
+              (r, c) => r + c))
+            .select(col("vec_id"), col("recon"))
+        }
+          .crossJoin(broadcast(queries.select(col("q_id"), col("q_emb"))))
+          .select(col("q_id"), col("vec_id"),
+            vec.l2(col("q_emb"), col("recon")).as("adc_dist"))
+      else {
+        val q = queries.withColumn("adc",
+          Quantization.adcTable(col("q_emb"), meta.codebooks, absolute = true))
+        served(spark, path, "pq", cached) {
+          vectors(spark, path, primaryOnly = true)
+            .select(col("vec_id"), col("pq_codes"))
+        }
+          .crossJoin(broadcast(q.select(col("q_id"), col("adc"))))
+          .select(col("q_id"), col("vec_id"), Quantization.adcDist.as("adc_dist"))
+      }
+    val cand = scored
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= pool)
       .select(col("q_id"), col("vec_id"))
@@ -594,10 +639,22 @@ object VectorIndex {
                   cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
+    // residual layouts build the ADC table per (query, probed list)
+    // on q − c — the table then scores ||（q−c) − r̂||² = ||q − v̂||²
+    // against that list's residual codes (the FAISS IVF_PQ serve
+    // shape); the probe frame already carries one row per
+    // (query, cluster), so the table lands exactly where its list's
+    // candidates join
+    val qSide =
+      if (meta.pqResidual)
+        zip_with(col("q_emb"),
+          element_at(typedLit(meta.centroids), col("cluster_id") + 1),
+          (q, c) => q - c)
+      else col("q_emb")
     val probes = Ann.probeFrame(queries, meta.centroids,
         resolveNProbe(meta, nprobe))
       .withColumn("adc",
-        Quantization.adcTable(col("q_emb"), meta.codebooks, absolute = true))
+        Quantization.adcTable(qSide, meta.codebooks, absolute = true))
     val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
     val cand = served(spark, path, "ivfpq", cached) {
       vectors(spark, path).select(col("vec_id"), col("pq_codes"), col("cluster_id"))
@@ -605,10 +662,11 @@ object VectorIndex {
       .filter(probedClusterFilter(probes))
       .join(broadcast(probes.select(col("q_id"), col("adc"), col("cluster_id"))), "cluster_id")
       .select(col("q_id"), col("vec_id"), Quantization.adcDist.as("adc_dist"))
-      // collapse spill copies (identical codes → identical ADC) in a
-      // combinable aggregate BEFORE ranking, so copies never occupy
-      // pool slots
-      .groupBy(col("q_id"), col("vec_id")).agg(first(col("adc_dist")).as("adc_dist"))
+      // collapse spill copies in a combinable aggregate BEFORE
+      // ranking, so copies never occupy pool slots: min, because a
+      // residual layout's copies carry per-list codes (raw layouts'
+      // copies are identical and min ≡ first)
+      .groupBy(col("q_id"), col("vec_id")).agg(min(col("adc_dist")).as("adc_dist"))
       .withColumn("arn", row_number().over(wAdc))
       .filter(col("arn") <= pool)
       .select(col("q_id"), col("vec_id"))

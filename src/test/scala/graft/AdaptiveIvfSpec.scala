@@ -163,6 +163,41 @@ class AdaptiveIvfSpec extends SparkSpec {
       cloud.filter(col("vec_id") < 3000), smallPath)
     assert(smallMeta.centroids.size == Ann.NList)
     assert(smallMeta.defaultNProbe.isEmpty)
-    assert(!new java.io.File(s"$smallPath/meta/params").exists())
+    // params exists (it carries the pq_residual marker for every new
+    // build) but holds NO probe override on the floor geometry
+    assert(spark.read.parquet(s"$smallPath/meta/params")
+      .filter(col("param") === "default_nprobe").count() == 0)
+  }
+
+  test("residual PQ recovers the code families on the concentrated cloud; raw layouts keep the legacy serve path") {
+    val path = graft.operators.IndexCache.tempDir("graft-respq") + "/vidx"
+    val meta = VectorIndex.buildFrom(spark, hardCloud, path, nlist = 128)
+    assert(meta.pqResidual, "new builds must mark residual codes")
+    val queries = hardCloud.filter(col("vec_id") % 397 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = api.VectorCollection(hardCloud, idCol = "vec_id")
+      .search(queries, 10, api.Metric.Cosine)
+    def recOf(df: org.apache.spark.sql.DataFrame): Double =
+      api.ScaleOps.recallAtK(exact, df).agg(avg(col("recall"))).head.getDouble(0)
+    val rIvfPq = recOf(VectorIndex.searchIvfPq(spark, path, queries))
+    val rPq = recOf(VectorIndex.searchPq(spark, path, queries))
+    // the raw-code shape on the SAME corpus and geometry (what a
+    // pre-residual layout serves): codes of v instead of v − c
+    val rawPath = graft.operators.IndexCache.tempDir("graft-rawpq") + "/vidx"
+    VectorIndex.writeCorpus(spark, hardCloud, rawPath,
+      VectorIndex.Meta(meta.centroids, meta.codebooks))
+    val rawIvfPq = recOf(VectorIndex.searchIvfPq(spark, rawPath, queries))
+    val rawPqR = recOf(VectorIndex.searchPq(spark, rawPath, queries))
+    info(f"ivfpq residual $rIvfPq%.3f vs raw $rawIvfPq%.3f; pq residual $rPq%.3f vs raw $rawPqR%.3f")
+    // this cloud is deliberately EXTREME (angular spread ~0.12 rad —
+    // harder than the measured aniso corpora): the 32-bit code budget
+    // caps what any encoding resolves, so the pins are a floor plus a
+    // decisive gap over raw codes (measured 0.635/0.600 residual vs
+    // 0.065/0.039 raw); the production-scale numbers live in the
+    // aniso slope artifacts
+    assert(rIvfPq >= 0.5, f"residual IVFPQ recall $rIvfPq%.3f")
+    assert(rPq >= 0.5, f"residual flat-PQ recall $rPq%.3f")
+    assert(rIvfPq >= rawIvfPq + 0.3 && rPq >= rawPqR + 0.3,
+      "residual codes must decisively beat raw codes on the concentrated cloud")
   }
 }
