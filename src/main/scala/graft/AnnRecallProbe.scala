@@ -41,12 +41,17 @@ object AnnRecallProbe {
       println(f"[probe] $name recall@10 = $r%.4f (${(System.nanoTime()-t0)/1e9}%.1f s)")
     }
     import operators.VectorIndex._
+    val meta = readMeta(spark, idx)
+    println(s"[probe] nlist=${meta.centroids.size} nprobe=${meta.defaultNProbe} " +
+      s"pool=${meta.defaultPool} opq=${meta.rotation.isDefined} bound=${meta.budgetBound}")
     rec("ivf", searchIvf(spark, idx, queries, cached = false))
-    rec("ivfpq", searchIvfPq(spark, idx, queries, cached = false))
+    rec("ivfpq_served_default", searchIvfPq(spark, idx, queries, cached = false))
+    rec("ivfpq_pool100", searchIvfPq(spark, idx, queries, pool = 100, cached = false))
     rec("ivfpq_pool1000", searchIvfPq(spark, idx, queries, pool = 1000, cached = false))
-    rec("ivfpq_pool4000", searchIvfPq(spark, idx, queries, pool = 4000, cached = false))
-    rec("pq", searchPq(spark, idx, queries, cached = false))
+    rec("pq_served_default", searchPq(spark, idx, queries, cached = false))
     rec("sq8", searchSq8(spark, idx, queries, cached = false))
+    rec("bq", searchBq(spark, idx, queries, cached = false))
+    rec("lsh", searchLsh(spark, idx, queries, cached = false))
     spark.stop()
   }
 }

@@ -1,7 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.functions.{col, round}
+import org.apache.spark.sql.functions.{col, concat, lit, round}
 import graft.operators._
 
 /** Driver contract — see /root/repo/SURVEY.md §2 (the coverage
@@ -224,13 +224,37 @@ object SparkEntry {
     // the vector index AND the cluster index, so takedown (tombstone)
     // and superseded-row debt of the newest standing structure is
     // operator-visible
-    "q_index_stats" -> ((s: SparkSession, dir: String) =>
-      operators.VectorIndex.stats(s, operators.VectorIndex.sessionIndexPath(s, dir))
+    "q_index_stats" -> ((s: SparkSession, dir: String) => {
+      val layout = operators.VectorIndex
+        .stats(s, operators.VectorIndex.sessionIndexPath(s, dir))
         .unionByName(operators.Dedup.clusterIndexStats(s,
           operators.Dedup.sessionClusterIndexPath(s, dir)))
         .select(col("kind"), col("table"), col("files"), col("bytes"),
-          col("debt_rows"), col("n_generations"))
-        .orderBy(col("kind"), col("table"))),
+          col("debt_rows"), col("n_generations"),
+          lit(null).cast("string").as("value"))
+      // serving params ride the same report as debt: the calibrated
+      // nprobe/pool defaults, the encoding flags — decisively
+      // pq_budget_bound (a recall miss there is a code-budget limit;
+      // retraining would re-encode the corpus for nothing) — and the
+      // embedding-dedup ROUTE with the measured inputs that chose it
+      val vparams = operators.VectorIndex
+        .servingParams(s, operators.VectorIndex.sessionIndexPath(s, dir))
+        .select(lit("vector").as("kind"),
+          concat(lit("param:"), col("param")).as("table"),
+          lit(null).cast("long").as("files"), lit(null).cast("long").as("bytes"),
+          lit(null).cast("long").as("debt_rows"), lit(null).cast("int").as("n_generations"),
+          col("value").cast("string").as("value"))
+      val route = operators.Dedup
+        .routeParams(s, Tables.embeddings(s, dir)
+          .select(col("vec_id"), col("embedding"), col("label")), threshold = 0.35)
+        .select(lit("dedup_route").as("kind"),
+          concat(lit("param:"), col("param")).as("table"),
+          lit(null).cast("long").as("files"), lit(null).cast("long").as("bytes"),
+          lit(null).cast("long").as("debt_rows"), lit(null).cast("int").as("n_generations"),
+          col("value"))
+      layout.unionByName(vparams).unionByName(route)
+        .orderBy(col("kind"), col("table"))
+    }),
     "q_hybrid_filtered" -> (FullText.qHybridFiltered _),
     "q_eql_sequence"    -> (Relational.qEqlSequence _),
     "q_filter_dsl"      -> (Collection.qFilterDsl _),

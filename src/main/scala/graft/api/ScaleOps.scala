@@ -231,6 +231,22 @@ object ScaleOps {
     }
 
     val report = (recall, policy.minRecall) match {
+      // a recall miss on a BUDGET-BOUND layout (build-time pool
+      // calibration hit the cost cap: the 8-byte PQ code budget, not
+      // geometry drift, limits recall) must NOT fire retrain — the
+      // fresh generation re-trains residual codebooks against the
+      // same budget, recall stays under the floor, and the next cycle
+      // re-encodes the full corpus again, forever: the most expensive
+      // verb in the engine looping as hygiene. Report the condition
+      // (it is also in q_index_stats via servingParams) so the
+      // operator reaches for the remedies that CAN move the ceiling:
+      // wider codes, a higher explicit pool, or the SQ8/IVF families.
+      case (Some(r), Some(min)) if r < min &&
+          VectorIndex.readMeta(spark, home).budgetBound =>
+        MaintenanceReport("budget_bound",
+          f"sampled recall $r%.3f < $min%.3f but layout is pq_budget_bound: " +
+            "retrain cannot raise a code-budget-limited recall",
+          debtRows, dataFiles, recall)
       case (Some(r), Some(min)) if r < min =>
         VectorIndex.retrain(spark, home)
         MaintenanceReport("retrained", f"sampled recall $r%.3f < $min%.3f", debtRows, dataFiles, recall)

@@ -433,6 +433,62 @@ case class LshBandBuckets(child: Expression, planes: Array[Array[Float]],
   override def prettyName: String = "lsh_band_buckets"
 }
 
+/** Dense trained-matrix × vector product: out[i] = Σ_j M[i][j]·v[j].
+  * The OPQ serving primitive (FAISS OPQMatrix apply): the learned
+  * orthogonal rotation is a REFERENCE OBJECT, so rotating a 64-dim
+  * vector is one fused 64×64 loop per row inside whole-stage codegen —
+  * the composed transform/aggregate HOF form evaluates interpreted
+  * and re-walks the literal matrix per output element. Components
+  * beyond the matrix's column count contribute 0 (matching the
+  * dot-product truncation of the other expressions here); output
+  * length is the matrix's row count.
+  */
+case class MatVec(child: Expression, matrix: Array[Array[Float]])
+    extends VectorMatrixExpression {
+  override def dataType: DataType = ArrayType(DoubleType, containsNull = false)
+
+  override def nullSafeEval(v: Any): Any = {
+    val vv = extract(v.asInstanceOf[ArrayData])
+    val out = new Array[Double](matrix.length)
+    var i = 0
+    while (i < matrix.length) {
+      val row = matrix(i)
+      val m = math.min(row.length, vv.length)
+      var acc = 0.0
+      var j = 0
+      while (j < m) { acc += row(j).toDouble * vv(j); j += 1 }
+      out(i) = acc
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val mat = ctx.addReferenceObj("matrix", matrix, "float[][]")
+      val vv = ctx.freshName("vv")
+      val out = ctx.freshName("out")
+      val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |${extractCode(ctx, a, vv)}
+         |double[] $out = new double[$mat.length];
+         |for (int $i = 0; $i < $mat.length; $i++) {
+         |  float[] row = $mat[$i];
+         |  int m = java.lang.Math.min(row.length, ${vv}n);
+         |  double acc = 0.0;
+         |  for (int $j = 0; $j < m; $j++) { acc += (double)row[$j] * $vv[$j]; }
+         |  $out[$i] = acc;
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Expression =
+    copy(child = newChild)
+  override def prettyName: String = "mat_vec"
+}
+
 /** Column API over the matrix expressions. */
 object matrixops {
   def centroidDists(emb: Column, centroids: Seq[Seq[Float]]): Column =
@@ -455,4 +511,8 @@ object matrixops {
   def nearestClusters(emb: Column, centroids: Seq[Seq[Float]], k: Int): Column =
     ColumnBridge.column(
       NearestClusters(ColumnBridge.expression(emb), centroids.map(_.toArray).toArray, k))
+
+  def matVec(emb: Column, matrix: Seq[Seq[Float]]): Column =
+    ColumnBridge.column(
+      MatVec(ColumnBridge.expression(emb), matrix.map(_.toArray).toArray))
 }

@@ -566,20 +566,71 @@ object Dedup {
   private[graft] def chooseEmbeddingRoute(collection: DataFrame, threshold: Double,
       targetOccupancy: Double = 64.0, minRecall: Double = 0.9,
       lshCrossover: Double = LshCrossoverAvgBlock): (String, Int, Int) = {
+    val d = embeddingRouteDecision(collection, threshold, targetOccupancy,
+      minRecall, lshCrossover)
+    (d.route, d.r, d.b)
+  }
+
+  /** The router's full decision record — the route AND the measured
+    * inputs that produced it (average label block, measured random-
+    * pair collision probability, the banding's empirical per-row
+    * candidate mass, the cluster route's constant budget). `reason`
+    * names the branch taken. This is what `q_index_stats` surfaces:
+    * a production operator watching a corpus's dedup cost can see
+    * WHICH plan it is on and which measured statistic put it there,
+    * the same way index debt is reported, instead of re-deriving the
+    * decision from a probe harness.
+    */
+  private[graft] final case class RouteDecision(route: String, r: Int, b: Int,
+      avgBlock: Double, pRand: Double, perRowCandidates: Double,
+      budget: Double, reason: String)
+
+  private[graft] def embeddingRouteDecision(collection: DataFrame, threshold: Double,
+      targetOccupancy: Double = 64.0, minRecall: Double = 0.9,
+      lshCrossover: Double = LshCrossoverAvgBlock): RouteDecision = {
     val avg = avgLabelBlock(collection)
-    if (avg <= lshCrossover) ("exact", 0, 0)
+    if (avg <= lshCrossover)
+      RouteDecision("exact", 0, 0, avg, 0.0, 0.0, ClusterRouteCandidateBudget,
+        f"avg label block $avg%.1f <= crossover $lshCrossover%.1f: LSH tax never amortizes")
     else {
       val probs = samplePlaneProbs(collection)
       val pRand = measuredPRandOf(probs)
-      if (!lshHasContrast(threshold, pRand)) ("exact", 0, 0)
+      if (!lshHasContrast(threshold, pRand))
+        RouteDecision("exact", 0, 0, avg, pRand, 0.0, ClusterRouteCandidateBudget,
+          f"no LSH contrast at threshold $threshold%.2f (pRand $pRand%.3f): " +
+            "output relation is dense, exact cost matches output mass")
       else {
         val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall,
           pRand = pRand)
         val perRow = LshCandidateCostFactor * b * empiricalOccupancy(probs, r, avg)
-        if (perRow <= ClusterRouteCandidateBudget) ("lsh", r, b)
-        else ("cluster", r, b)
+        if (perRow <= ClusterRouteCandidateBudget)
+          RouteDecision("lsh", r, b, avg, pRand, perRow, ClusterRouteCandidateBudget,
+            f"empirical candidate mass $perRow%.0f/row under cluster budget")
+        else
+          RouteDecision("cluster", r, b, avg, pRand, perRow, ClusterRouteCandidateBudget,
+            f"banding candidate mass $perRow%.0f/row over budget " +
+              f"(Jensen-gap bucket tails): learned-cluster blocking")
       }
     }
+  }
+
+  /** [[embeddingRouteDecision]] as an operator-consumable (param,
+    * value) frame for the stats surface.
+    */
+  private[graft] def routeParams(spark: SparkSession, collection: DataFrame,
+                                 threshold: Double): DataFrame = {
+    import spark.implicits._
+    val d = embeddingRouteDecision(collection, threshold)
+    Seq(
+      "route" -> d.route,
+      "route_reason" -> d.reason,
+      "route_r" -> d.r.toString,
+      "route_b" -> d.b.toString,
+      "route_avg_block" -> f"${d.avgBlock}%.2f",
+      "route_p_rand" -> f"${d.pRand}%.4f",
+      "route_per_row_candidates" -> f"${d.perRowCandidates}%.1f",
+      "route_budget" -> f"${d.budget}%.1f")
+      .toDF("param", "value")
   }
 
   def embeddingNearDupAuto(collection: DataFrame, threshold: Double,

@@ -56,8 +56,29 @@ object Quantization {
 
   val M = 8        // subvectors
   val SubDim = 8   // dims per subvector (M * SubDim = 64)
-  val KStar = 16  // centroids per subspace
+  /** Centroids per subspace — 256 so each stored code byte carries
+    * its full 8 bits (the FAISS `ks = 256` default). The layout has
+    * ALWAYS stored M tinyints = 8 bytes per vector; at the original
+    * k* = 16 each byte carried only 4 bits, so half the committed
+    * storage budget quantized nothing. Measured on the aniso-sf1
+    * residuals (near-isotropic 8-dim subspaces): per-subspace
+    * distortion ~2^(−2R/d) halves going 4→8 bits, and recall at small
+    * rerank pools moves with it — the within-budget lift the round-11
+    * budget-bound finding asked for. Codes > 127 wrap in the signed
+    * tinyint; every decode side re-reads them unsigned
+    * ([[codeIndex]]), so the storage format is unchanged and old
+    * 16-entry layouts (codes 0..15, never wrapped) read identically.
+    */
+  val KStar = 256
   val PqRerankPool = 100
+  /** Cost cap on the build-time pool calibration ([[VectorIndex]]
+    * rung 2): the largest exact-rerank pool the calibrated default
+    * may reach. A corpus whose measured quantile rank exceeds it is
+    * BUDGET BOUND — the 8-byte code budget, not the pool, limits
+    * recall — and serving persists the cap plus the
+    * `pq_budget_bound` flag instead of an unbounded pool.
+    */
+  val PqPoolCap = 4096
 
   /** Trained codebooks per corpus dir — deterministic, so cached:
     * like IVF centroids, PQ codebooks are built once at ingest and
@@ -68,6 +89,16 @@ object Quantization {
 
   def trainPqCodebooks(spark: SparkSession, sfDir: String): Seq[Seq[Seq[Float]]] =
     codebookCache.computeIfAbsent(sfDir, _ => trainPqCodebooksUncached(spark, sfDir))
+
+  private val opqCache =
+    new java.util.concurrent.ConcurrentHashMap[String, (Seq[Seq[Float]], Seq[Seq[Seq[Float]]])]()
+
+  /** Cached (rotation, codebooks) per corpus dir — the OPQ+residual
+    * training the session index builds from ([[trainPqOpqFrom]]).
+    */
+  def trainPqOpq(spark: SparkSession, sfDir: String): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) =
+    opqCache.computeIfAbsent(sfDir, _ =>
+      trainPqOpqFrom(Tables.embeddings(spark, sfDir), Ann.trainCentroids(spark, sfDir)))
 
   /** Driver-side per-subspace Lloyd k-means on the deterministic
     * fixed-SIZE sample (every 3rd vector by id, capped at
@@ -92,16 +123,40 @@ object Quantization {
     * the codebooks resolve the within-list scale where neighbors
     * actually differ.
     */
-  private[operators] def trainPqCodebooksFrom(corpus: DataFrame,
-      cents: Seq[Seq[Float]]): Seq[Seq[Seq[Float]]] = {
-    val raw = corpus
+  private[graft] def trainPqCodebooksFrom(corpus: DataFrame,
+      cents: Seq[Seq[Float]]): Seq[Seq[Seq[Float]]] =
+    kMeansPerSubspace(residualSample(corpus, cents))
+
+  /** The capped residual training sample: every 3rd vector by id up
+    * to [[Ann.TrainSampleCap]], each assigned to its nearest centroid
+    * (same ranking [[graft.functions.NearestClusters]] serves) and
+    * replaced by v − c.
+    */
+  /** The raw capped training sample (every 3rd vector by id up to
+    * [[Ann.TrainSampleCap]]).
+    */
+  private def collectSample(corpus: DataFrame): Array[Array[Double]] =
+    corpus
       .filter(col("vec_id") % 3 === 0).orderBy(col("vec_id"))
       .limit(Ann.TrainSampleCap)
       .select(col("embedding")).collect()
       .map(r => Ann.numericArray(r.getSeq[Any](0)))
+
+  /** RAW-vector codebooks — the pre-residual layouts' training shape,
+    * kept so the legacy-baseline comparisons (AdaptiveIvfSpec) encode
+    * raw vectors with RAW-trained codebooks: a raw layout served with
+    * residual-trained codebooks would overstate the residual
+    * technique's gap through a train/encode mismatch.
+    */
+  private[graft] def trainPqCodebooksRawFrom(corpus: DataFrame): Seq[Seq[Seq[Float]]] =
+    kMeansPerSubspace(collectSample(corpus))
+
+  private def residualSample(corpus: DataFrame,
+      cents: Seq[Seq[Float]]): Array[Array[Double]] = {
+    val raw = collectSample(corpus)
     val cc = cents.map(_.toArray.map(_.toDouble)).toArray
     val ccNormSq = cc.map(c => c.map(x => x * x).sum)
-    val sample = raw.map { v =>
+    raw.map { v =>
       var nrm = 0.0; var i = 0
       while (i < v.length) { nrm += v(i) * v(i); i += 1 }
       nrm = math.sqrt(nrm)
@@ -121,28 +176,240 @@ object Quantization {
       }
       r
     }
+  }
+
+  /** Per-subspace deterministic Lloyd k-means over a driver-side
+    * sample — the shared trainer of the raw, residual, and
+    * OPQ-rotated codebook paths. The assign step runs on a FIXED
+    * 32-way chunking of the sample with per-chunk partial sums merged
+    * in chunk order, so the 256-centroid training (sample · k* · dim
+    * · iters ≈ 2×10¹⁰ flops at the cap) uses the driver's cores while
+    * staying bit-deterministic (double addition is order-sensitive;
+    * the chunk count and merge order never vary with thread timing).
+    */
+  private def kMeansPerSubspace(sample: Array[Array[Double]]): Seq[Seq[Seq[Float]]] =
     (0 until M).map { j =>
       val sub = sample.map(v => v.slice(j * SubDim, (j + 1) * SubDim))
       val n = sub.length
+      val chunks = 32
       var cents = Array.tabulate(KStar)(i => sub((i.toLong * n / KStar).toInt).clone())
       for (_ <- 0 until 10) {
+        val cSnap = cents
+        val partials = java.util.stream.IntStream.range(0, chunks).parallel()
+          .mapToObj[(Array[Array[Double]], Array[Long])] { ch =>
+            val sums = Array.fill(KStar)(new Array[Double](SubDim))
+            val counts = new Array[Long](KStar)
+            val lo = (ch.toLong * n / chunks).toInt
+            val hi = ((ch + 1).toLong * n / chunks).toInt
+            var r = lo
+            while (r < hi) {
+              val v = sub(r)
+              var best = 0; var bestD = Double.MaxValue
+              var c = 0
+              while (c < KStar) {
+                var d = 0.0
+                var i = 0
+                while (i < SubDim) { val t = v(i) - cSnap(c)(i); d += t * t; i += 1 }
+                if (d < bestD) { bestD = d; best = c }
+                c += 1
+              }
+              counts(best) += 1
+              var i = 0
+              while (i < SubDim) { sums(best)(i) += v(i); i += 1 }
+              r += 1
+            }
+            (sums, counts)
+          }
+          .toArray(new java.util.function.IntFunction[Array[(Array[Array[Double]], Array[Long])]] {
+            override def apply(sz: Int) = new Array[(Array[Array[Double]], Array[Long])](sz)
+          })
         val sums = Array.fill(KStar)(new Array[Double](SubDim))
         val counts = new Array[Long](KStar)
-        sub.foreach { v =>
-          var best = 0; var bestD = Double.MaxValue
-          for (c <- 0 until KStar) {
-            var d = 0.0
-            for (i <- 0 until SubDim) { val t = v(i) - cents(c)(i); d += t * t }
-            if (d < bestD) { bestD = d; best = c }
+        partials.foreach { case (ps, pc) =>
+          var c = 0
+          while (c < KStar) {
+            counts(c) += pc(c)
+            var i = 0
+            while (i < SubDim) { sums(c)(i) += ps(c)(i); i += 1 }
+            c += 1
           }
-          counts(best) += 1
-          for (i <- 0 until SubDim) sums(best)(i) += v(i)
         }
         cents = Array.tabulate(KStar)(c =>
           if (counts(c) == 0) cents(c) else sums(c).map(_ / counts(c)))
       }
       cents.map(_.map(_.toFloat).toSeq).toSeq
     }
+
+  /** OPQ: train an orthogonal pre-rotation AND residual codebooks
+    * (the FAISS `OPQMatrix` + IVF_PQ composition; Ge et al.'s
+    * parametric solution). Residual encoding (the round-11 fix)
+    * re-centers each list at the origin, but on a DECAYED-SPECTRUM
+    * cloud the residual variance still concentrates in ~10 effective
+    * dimensions — and those land in the FIRST one or two subspaces,
+    * so 6 of the 8 code bytes quantize noise while the informative
+    * subspaces are hopelessly coarse (measured recall@10 0.433 at the
+    * aniso-sf100 corpus vs IVF's 0.934 at the default pool). The
+    * parametric OPQ remedy: eigendecompose the residual covariance
+    * and ALLOCATE eigenvectors to subspaces balancing the per-subspace
+    * variance PRODUCT (greedy largest-eigenvalue-to-emptiest-bucket,
+    * the standard solution of the balanced-allocation step), making
+    * the rotated subspaces equally informative; each then earns its
+    * 4 bits. The rotation is orthogonal (rows are eigenvectors), so
+    * ||R·u − ŷ|| = ||u − Rᵀ·ŷ||: ADC distances in rotated space ARE
+    * the true residual distances, and serving only needs R applied
+    * query-side ([[graft.functions.MatVec]], one fused 64×64 loop).
+    *
+    * Returns (rotation rows, codebooks trained on rotated residuals).
+    */
+  private[operators] def trainPqOpqFrom(corpus: DataFrame,
+      cents: Seq[Seq[Float]]): (Seq[Seq[Float]], Seq[Seq[Seq[Float]]]) = {
+    val sample = residualSample(corpus, cents)
+    val rot = opqRotation(sample)
+    val rotated = sample.map(applyRotation(rot, _))
+    (rot.map(_.map(_.toFloat).toSeq).toSeq, kMeansPerSubspace(rotated))
+  }
+
+  private def applyRotation(rot: Array[Array[Double]], v: Array[Double]): Array[Double] = {
+    val out = new Array[Double](rot.length)
+    var i = 0
+    while (i < rot.length) {
+      val row = rot(i)
+      val m = math.min(row.length, v.length)
+      var acc = 0.0; var j = 0
+      while (j < m) { acc += row(j) * v(j); j += 1 }
+      out(i) = acc; i += 1
+    }
+    out
+  }
+
+  /** Eigendecompose the sample covariance (cyclic Jacobi — the matrix
+    * is dim×dim, driver-trivial) and order eigenvectors so subspace
+    * variance products balance: eigenvalues descending, each assigned
+    * to the subspace with the smallest running log-variance sum among
+    * those with free slots. Rows of the returned matrix are the
+    * reordered eigenvectors — an orthogonal matrix by construction.
+    */
+  private def opqRotation(sample: Array[Array[Double]]): Array[Array[Double]] = {
+    val dim = M * SubDim
+    val n = sample.length
+    val mean = new Array[Double](dim)
+    sample.foreach { v =>
+      var i = 0; while (i < dim) { mean(i) += (if (i < v.length) v(i) else 0.0); i += 1 }
+    }
+    var i = 0; while (i < dim) { mean(i) /= math.max(1, n); i += 1 }
+    val cov = Array.ofDim[Double](dim, dim)
+    sample.foreach { v =>
+      var a = 0
+      while (a < dim) {
+        val va = (if (a < v.length) v(a) else 0.0) - mean(a)
+        var b = a
+        while (b < dim) {
+          cov(a)(b) += va * ((if (b < v.length) v(b) else 0.0) - mean(b)); b += 1
+        }
+        a += 1
+      }
+    }
+    var a = 0
+    while (a < dim) {
+      var b = a
+      while (b < dim) { cov(a)(b) /= math.max(1, n - 1); cov(b)(a) = cov(a)(b); b += 1 }
+      a += 1
+    }
+    val (eigVals, eigVecs) = jacobiEigen(cov)
+    // eigenvalues descending; greedy balanced allocation of M·SubDim
+    // eigen-dims into M buckets of SubDim (log-sum balances products).
+    // Logs are SHIFTED to be non-negative (subtract the smallest):
+    // the balance objective is scale-invariant, but the greedy is
+    // not — covariance eigenvalues sit far below 1, so raw logs are
+    // negative and every big eigenvector LOWERS its bucket's sum,
+    // making the greedy stuff them all into one bucket (measured:
+    // rotated subspace variance 0.0027/0.00003/0/… on an axis-decayed
+    // cloud — the exact imbalance the rotation exists to remove).
+    val order = eigVals.indices.sortBy(i => -eigVals(i))
+    val logs = eigVals.map(v => math.log(math.max(v, 1e-12)))
+    val logShift = logs.min
+    val bucketLog = new Array[Double](M)
+    val bucketFill = new Array[Int](M)
+    val slots = Array.ofDim[Int](M, SubDim)
+    order.foreach { e =>
+      var best = -1; var bestLog = Double.MaxValue
+      var b = 0
+      while (b < M) {
+        if (bucketFill(b) < SubDim && bucketLog(b) < bestLog) {
+          bestLog = bucketLog(b); best = b
+        }
+        b += 1
+      }
+      slots(best)(bucketFill(best)) = e
+      bucketFill(best) += 1
+      bucketLog(best) += logs(e) - logShift
+    }
+    val rows = slots.flatten
+    rows.map(e => Array.tabulate(dim)(d => eigVecs(d)(e)))
+  }
+
+  /** Cyclic Jacobi eigendecomposition of a symmetric matrix: returns
+    * (eigenvalues, eigenvector columns). Deterministic sweep order;
+    * converges to machine precision in a handful of sweeps at
+    * dim ≤ 64.
+    */
+  private def jacobiEigen(a0: Array[Array[Double]]): (Array[Double], Array[Array[Double]]) = {
+    val dim = a0.length
+    val a = a0.map(_.clone())
+    val v = Array.tabulate(dim, dim)((i, j) => if (i == j) 1.0 else 0.0)
+    var sweep = 0
+    var off = offDiagNorm(a)
+    while (sweep < 50 && off > 1e-12) {
+      var p = 0
+      while (p < dim - 1) {
+        var q = p + 1
+        while (q < dim) {
+          if (math.abs(a(p)(q)) > 1e-15) {
+            val theta = (a(q)(q) - a(p)(p)) / (2.0 * a(p)(q))
+            // θ = 0 (equal diagonal) still needs the full π/4 rotation:
+            // t = 1/(θ + √(θ²+1)) with θ's sign factored out, never 0
+            val t =
+              if (theta >= 0) 1.0 / (theta + math.sqrt(theta * theta + 1.0))
+              else -1.0 / (-theta + math.sqrt(theta * theta + 1.0))
+            val c = 1.0 / math.sqrt(t * t + 1.0)
+            val s = t * c
+            var k = 0
+            while (k < dim) {
+              val akp = a(k)(p); val akq = a(k)(q)
+              a(k)(p) = c * akp - s * akq
+              a(k)(q) = s * akp + c * akq
+              k += 1
+            }
+            k = 0
+            while (k < dim) {
+              val apk = a(p)(k); val aqk = a(q)(k)
+              a(p)(k) = c * apk - s * aqk
+              a(q)(k) = s * apk + c * aqk
+              val vkp = v(k)(p); val vkq = v(k)(q)
+              v(k)(p) = c * vkp - s * vkq
+              v(k)(q) = s * vkp + c * vkq
+              k += 1
+            }
+          }
+          q += 1
+        }
+        p += 1
+      }
+      off = offDiagNorm(a)
+      sweep += 1
+    }
+    (Array.tabulate(dim)(i => a(i)(i)), v)
+  }
+
+  private def offDiagNorm(a: Array[Array[Double]]): Double = {
+    var s = 0.0
+    var i = 0
+    while (i < a.length) {
+      var j = i + 1
+      while (j < a.length) { s += a(i)(j) * a(i)(j); j += 1 }
+      i += 1
+    }
+    math.sqrt(s)
   }
 
   /** Per-query ADC table — all M × KStar squared distances
@@ -170,10 +437,21 @@ object Quantization {
   private[operators] def pqEncodeCol(df: DataFrame,
       codebooks: Seq[Seq[Seq[Float]]],
       embCol: org.apache.spark.sql.Column): DataFrame = {
+    // codes 128..255 wrap explicitly into the signed byte (ANSI cast
+    // would throw); every decode side reads them back unsigned
+    // ([[codeIndex]])
     val codes = transform(adcTable(embCol, codebooks, absolute = false),
-      d => (array_position(d, array_min(d)) - 1).cast("tinyint"))
+      d => (pmod(array_position(d, array_min(d)) - 1 + 128, lit(256)) - 128).cast("tinyint"))
     df.withColumn("pq_codes", codes)
   }
+
+  /** A stored code byte read back UNSIGNED: codes 128..255 wrap to
+    * negative in the tinyint column; pmod(+256) recovers them. Codes
+    * from 16-entry legacy books (0..15) pass through unchanged.
+    */
+  private def codeIndex(codesCol: org.apache.spark.sql.Column,
+                        j: Int): org.apache.spark.sql.Column =
+    pmod(codesCol(j).cast("int"), lit(256))
 
   /** Decode M codes back to the quantized vector (concatenated
     * codebook entries) — the flat-PQ serving path for RESIDUAL
@@ -185,16 +463,18 @@ object Quantization {
       codebooks: Seq[Seq[Seq[Float]]]): org.apache.spark.sql.Column = {
     val cb = typedLit(codebooks)
     flatten(transform(sequence(lit(0), lit(M - 1)),
-      j => element_at(element_at(cb, j + 1), codesCol(j).cast("int") + 1)))
+      j => element_at(element_at(cb, j + 1),
+        pmod(codesCol(j).cast("int"), lit(256)) + 1)))
   }
 
   /** ADC distance: Σ_j adc[j][code_j], expanded to a static M-term
     * sum of GetArrayItem lookups so the whole expression stays inside
     * whole-stage codegen — the `aggregate()` higher-order form is
-    * evaluated interpreted and was the hot path's bottleneck.
+    * evaluated interpreted and was the hot path's bottleneck. Codes
+    * read back unsigned ([[codeIndex]]).
     */
   private[operators] def adcDist: org.apache.spark.sql.Column =
-    (0 until M).map(j => col("adc")(j)(col("pq_codes")(j).cast("int"))).reduce(_ + _)
+    (0 until M).map(j => col("adc")(j)(codeIndex(col("pq_codes"), j))).reduce(_ + _)
 
   // ----------------------------------------------------------------
   // Binary quantization (Qdrant BQ / FAISS binary index): one sign

@@ -46,18 +46,24 @@ object VectorIndex {
   /** Driver-side index geometry: kilobytes, trained once at build
     * from a fixed-size sample ([[Ann.TrainSampleCap]]).
     * `defaultNProbe` is the build-time CALIBRATED probe budget
-    * ([[calibrateNProbe]]) — None on small (≤ [[Ann.NList]]-list)
+    * ([[calibrate]]) — None on small (≤ [[Ann.NList]]-list)
     * geometries and on layouts written before calibration existed,
     * where the closed-form [[Ann.nprobeFor]] stays the default.
     * `pqResidual` marks layouts whose pq_codes encode PER-LIST
     * residuals v − c (the FAISS IVF_PQ shape,
     * [[Quantization.trainPqCodebooksFrom]]) — false on layouts
     * written before residual encoding, which keep the raw-code
-    * serving path.
+    * serving path. `rotation` is the learned OPQ pre-rotation
+    * ([[Quantization.trainPqOpqFrom]]): codes encode R·(v − c), the
+    * query side rotates symmetrically, and reconstruction applies
+    * Rᵀ — None on pre-OPQ layouts, which serve unrotated.
     */
   final case class Meta(centroids: Seq[Seq[Float]], codebooks: Seq[Seq[Seq[Float]]],
                         defaultNProbe: Option[Int] = None,
-                        pqResidual: Boolean = false)
+                        pqResidual: Boolean = false,
+                        rotation: Option[Seq[Seq[Float]]] = None,
+                        defaultPool: Option[Int] = None,
+                        budgetBound: Boolean = false)
 
   private val vectorsSchema = StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, pq_codes ARRAY<TINYINT>, " +
@@ -71,15 +77,18 @@ object VectorIndex {
     "subspace INT, code INT, centroid ARRAY<FLOAT>")
   private val paramsSchema = StructType.fromDDL(
     "param STRING, value BIGINT")
+  private val rotationSchema = StructType.fromDDL(
+    "row INT, vals ARRAY<FLOAT>")
 
   /** Build the index for a corpus dir: train geometry (fixed-size
     * sample), encode every representation in one corpus pass, write
     * the partitioned layout.
     */
   def write(spark: SparkSession, sfDir: String, path: String): Meta = {
-    val meta = Meta(Ann.trainCentroids(spark, sfDir),
-      Quantization.trainPqCodebooks(spark, sfDir), pqResidual = true)
-    writeCorpus(spark, Tables.embeddings(spark, sfDir), path, meta)
+    val cents = Ann.trainCentroids(spark, sfDir)
+    val (rot, cbs) = Quantization.trainPqOpq(spark, sfDir)
+    writeCorpus(spark, Tables.embeddings(spark, sfDir), path,
+      Meta(cents, cbs, pqResidual = true, rotation = Some(rot)))
   }
 
   /** Build the index from ANY normalized (vec_id BIGINT, embedding
@@ -89,20 +98,32 @@ object VectorIndex {
     * layout.
     */
   def buildFrom(spark: SparkSession, corpus: DataFrame, path: String,
-                nlist: Int = -1): Meta = {
+                nlist: Int = -1, calibrate: Boolean = true): Meta = {
+    val t0 = System.nanoTime()
     val cents =
       if (nlist > 0) Ann.trainCentroidsFrom(corpus, nlist)
       else Ann.trainCentroidsFrom(corpus)
-    val meta = Meta(cents, Quantization.trainPqCodebooksFrom(corpus, cents),
-      pqResidual = true)
-    writeCorpus(spark, corpus, path, meta)
+    val (rot, cbs) = Quantization.trainPqOpqFrom(corpus, cents)
+    logStage("train", t0)
+    writeCorpus(spark, corpus, path,
+      Meta(cents, cbs, pqResidual = true, rotation = Some(rot)),
+      doCalibrate = calibrate)
   }
+
+  /** Build-stage wall clock on stdout — the decomposition the
+    * 100×-build watch item asked for (train / encode+write /
+    * calibration truth / nprobe / pool show up as separate lines in
+    * any build log or slope artifact).
+    */
+  private def logStage(stage: String, t0: Long): Unit =
+    println(f"[vecindex-build] $stage ${(System.nanoTime() - t0) / 1e9}%.1f s")
 
   /** Write a corpus under an explicitly supplied geometry — the
     * offline-rebuild path (periodic retrain, compaction, re-shard)
     * and the harness behind the spec's append ≡ rebuild proof.
     */
-  def writeCorpus(spark: SparkSession, corpus: DataFrame, path: String, meta: Meta): Meta = {
+  def writeCorpus(spark: SparkSession, corpus: DataFrame, path: String, meta: Meta,
+                  doCalibrate: Boolean = true): Meta = {
     import spark.implicits._
     val p = IndexAlias.resolve(spark, path)
     meta.centroids.zipWithIndex.map { case (c, i) => (i, c) }
@@ -112,20 +133,45 @@ object VectorIndex {
       yield (j, k, c))
       .toDF("subspace", "code", "centroid")
       .write.mode("overwrite").parquet(s"$p/meta/codebooks")
+    // the rotation table tracks the codes just written exactly like
+    // params below: written when the layout is OPQ, DELETED when it
+    // is not — an in-place rebuild to a legacy meta must not leave a
+    // stale rotation (or params) file flagging raw codes as rotated
+    val rotPath = new org.apache.hadoop.fs.Path(s"$p/meta/rotation")
+    val fs = rotPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    meta.rotation match {
+      case Some(r) =>
+        r.zipWithIndex.map { case (row, i) => (i, row) }.toDF("row", "vals")
+          .write.mode("overwrite").parquet(rotPath.toString)
+      case None => fs.delete(rotPath, true)
+    }
+    val tEnc = System.nanoTime()
     encodeAndWrite(corpus, meta, p, "overwrite")
-    // adaptive geometries calibrate their default probe budget
-    // against the corpus just written; small corpora keep the
-    // measured 16-list geometry (and its measured NProbe) bit-for-bit
+    logStage("encode+write", tEnc)
+    // adaptive geometries calibrate their default probe AND rerank-
+    // pool budgets against the corpus just written; small corpora
+    // keep the measured 16-list geometry (and its measured NProbe)
+    // bit-for-bit. `doCalibrate = false` is the large-build opt-out:
+    // the closed-form floor (and the constant pool) serve instead.
     val servedMeta =
-      if (meta.centroids.length > Ann.NList)
-        meta.copy(defaultNProbe = Some(calibrateNProbe(spark, p, meta.centroids)))
+      if (doCalibrate && meta.centroids.length > Ann.NList)
+        calibrate(spark, p, meta)
       else meta
     val params =
       servedMeta.defaultNProbe.map(np => ("default_nprobe", np.toLong)).toSeq ++
-        (if (servedMeta.pqResidual) Seq(("pq_residual", 1L)) else Nil)
+        servedMeta.defaultPool.map(pl => ("default_pool", pl.toLong)).toSeq ++
+        (if (servedMeta.pqResidual) Seq(("pq_residual", 1L)) else Nil) ++
+        (if (servedMeta.rotation.isDefined) Seq(("pq_opq", 1L)) else Nil) ++
+        (if (servedMeta.budgetBound) Seq(("pq_budget_bound", 1L)) else Nil)
     if (params.nonEmpty)
       params.toDF("param", "value")
         .write.mode("overwrite").parquet(s"$p/meta/params")
+    else
+      // on-disk flags must match the codes just written: a rebuild
+      // from a previously-calibrated/residual meta to a legacy one
+      // would otherwise leave every OTHER session (metaCache evicted
+      // below) re-reading stale flags and mis-serving raw codes
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/meta/params"), true)
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
     // seed this session's entry with the geometry just written
@@ -135,10 +181,18 @@ object VectorIndex {
     servedMeta
   }
 
-  /** Build-time probe calibration: the minimal default nprobe whose
-    * probed lists cover [[CalibrationTarget]] of the corpus's OWN
-    * measured true neighbors, never below the closed-form floor
-    * ([[Ann.nprobeFor]]).
+  /** Build-time serving calibration, two rungs off ONE shared truth
+    * set: (1) the minimal default nprobe whose probed lists cover
+    * [[CalibrationTarget]] of the corpus's OWN measured true
+    * neighbors, never below the closed-form floor ([[Ann.nprobeFor]]);
+    * (2) the minimal exact-rerank pool whose ADC prefix covers the
+    * same quantile of those neighbors through the probe budget just
+    * calibrated, never below [[Quantization.PqRerankPool]] and capped
+    * at [[Quantization.PqPoolCap]] — when even the cap cannot reach
+    * the target the layout is flagged BUDGET BOUND (`pq_budget_bound`
+    * in `meta/params`): the 8-byte code budget, not any serving knob,
+    * limits recall, and maintenance must not try to retrain its way
+    * out ([[graft.api.ScaleOps.maintain]]).
     *
     * The closed form is geometry-blind: √nlist probes hold ≥0.9
     * recall on direction-uniform clouds (measured 0.9978 at the
@@ -157,8 +211,9 @@ object VectorIndex {
     * depths. Spilled copies count: a neighbor is found through ANY of
     * its assigned lists.
     */
-  private[graft] def calibrateNProbe(spark: SparkSession, p: String,
-                                     cents: Seq[Seq[Float]]): Int = {
+  private[graft] def calibrate(spark: SparkSession, p: String, meta: Meta,
+                               poolCap: Int = Quantization.PqPoolCap): Meta = {
+    val cents = meta.centroids
     val nlist = cents.length
     val floorNp = Ann.nprobeFor(nlist)
     val prim = vectors(spark, p, primaryOnly = true)
@@ -168,15 +223,28 @@ object VectorIndex {
       .limit(CalibrationQueries)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint()
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    // exact truth via the MAP-SIDE bounded top-K aggregate
+    // ([[graft.functions.TopKByScore]]): per (task, query) state is
+    // one k-slot buffer, partial-aggregated before the exchange — the
+    // scan never sorts (the row_number window form sorted each task's
+    // full slice of the queries × corpus product: the measured OOM at
+    // default partitioning). Checkpointed: both calibration rungs
+    // read it, and it must not re-run the corpus scan.
+    val tTruth = System.nanoTime()
     val truth = prim.crossJoin(broadcast(queries))
       .filter(col("vec_id") =!= col("q_id"))
-      .withColumn("score", vec.cosine(col("q_emb"), col("embedding")))
-      .withColumn("rn", row_number().over(w))
-      .filter(col("rn") <= Ann.K)
-      .select(col("q_id"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.aggops.topKByScore(
+        vec.cosine(col("q_emb"), col("embedding")).cast("double"),
+        col("vec_id"), Ann.K).as("top"))
+      .select(col("q_id"), explode(col("top.vec_id")).as("vec_id"))
+      .localCheckpoint()
+    val truthTotal = truth.count()
+    logStage("calibrate-truth", tTruth)
+    // ---- rung 1: probe budget ----
     // all assignment ranks: the scan is corpus-sized but map-side
     // (truth is queries×K rows, broadcast)
+    val tNp = System.nanoTime()
     val nbrLists = vectors(spark, p).select(col("vec_id"), col("cluster_id"))
       .join(broadcast(truth), "vec_id")
     val qRanks = queries.select(col("q_id"),
@@ -187,12 +255,49 @@ object VectorIndex {
     val depths = nbrLists.join(broadcast(qRanks), Seq("q_id", "cluster_id"))
       .groupBy(col("q_id"), col("vec_id")).agg(min(col("q_rank")).as("mr"))
       .select(col("mr")).collect().map(_.getInt(0)).sorted
-    if (depths.isEmpty) floorNp
-    else {
-      val at = math.max(0, math.min(depths.length - 1,
-        math.ceil(CalibrationTarget * depths.length).toInt - 1))
-      math.min(nlist, math.max(floorNp, depths(at)))
-    }
+    val np =
+      if (depths.isEmpty) floorNp
+      else {
+        val at = math.max(0, math.min(depths.length - 1,
+          math.ceil(CalibrationTarget * depths.length).toInt - 1))
+        math.min(nlist, math.max(floorNp, depths(at)))
+      }
+    logStage("calibrate-nprobe", tNp)
+    // ---- rung 2: rerank pool ----
+    // Each true neighbor's rank in its query's ADC ordering through
+    // the probe path just calibrated — the pool is the OTHER serving
+    // knob (the committed aniso-sf100 curve: 0.433 at pool 100 vs
+    // 0.687/0.816 at 1000/4000), so it gets the same measured-not-
+    // assumed treatment as nprobe. rank(t) = 1 + |{candidates with a
+    // smaller (adc_dist, vec_id)}| — computed per truth pair by a
+    // broadcast join + one combinable count, so the corpus-sized
+    // scored frame is never shuffled or sorted. Truth pairs outside
+    // every probed list rank +∞ (the probe budget's residual miss
+    // mass counts against the pool quantile exactly as it would
+    // against serving recall).
+    val tPool = System.nanoTime()
+    val scored = ivfPqScored(spark, p, meta, queries, np, cached = false)
+    val truthD = scored.join(truth, Seq("q_id", "vec_id"))
+      .select(col("q_id"), col("vec_id").as("t_vec"), col("adc_dist").as("t_dist"))
+      .localCheckpoint()
+    val nFound = truthD.count()
+    val ranks = scored.join(broadcast(truthD), Seq("q_id"))
+      .filter(col("adc_dist") < col("t_dist") ||
+        (col("adc_dist") === col("t_dist") && col("vec_id") < col("t_vec")))
+      .groupBy(col("q_id"), col("t_vec")).agg(count(lit(1)).as("n_better"))
+      .select(col("n_better")).collect().map(_.getLong(0) + 1L)
+    // pairs with zero better candidates (rank 1) have no count row
+    val found = (ranks ++ Array.fill((nFound - ranks.length).toInt)(1L)).sorted
+    val at = math.ceil(CalibrationTarget * truthTotal).toLong - 1
+    val rawPool: Long =
+      if (truthTotal == 0) Quantization.PqRerankPool.toLong
+      else if (at >= found.length) Long.MaxValue // quantile lands in the unreachable tail
+      else found(at.toInt)
+    val bound = rawPool > poolCap
+    val pool = math.min(poolCap.toLong,
+      math.max(math.min(poolCap, Quantization.PqRerankPool).toLong, rawPool)).toInt
+    logStage("calibrate-pool", tPool)
+    meta.copy(defaultNProbe = Some(np), defaultPool = Some(pool), budgetBound = bound)
   }
 
   /** Held-out corpus queries per build-time probe calibration, and
@@ -210,6 +315,14 @@ object VectorIndex {
     */
   private def resolveNProbe(meta: Meta, nprobe: Int): Int =
     if (nprobe > 0) nprobe else meta.defaultNProbe.getOrElse(-1)
+
+  /** Explicit caller pool wins; otherwise the calibrated persisted
+    * default ([[calibrate]] rung 2); otherwise the constant
+    * [[Quantization.PqRerankPool]] (small geometries, legacy
+    * layouts).
+    */
+  private def resolvePool(meta: Meta, pool: Int): Int =
+    if (pool > 0) pool else meta.defaultPool.getOrElse(Quantization.PqRerankPool)
 
   /** Build a ROTATING index: the first generation of an
     * [[graft.sources.IndexAlias]] home. Clients address `home`
@@ -252,7 +365,7 @@ object VectorIndex {
     * [[graft.api.ScaleOps.recallAtK]] in production. Returns the
     * new generation's path.
     *
-    * The calibrated probe budget ([[calibrateNProbe]]) rides the same
+    * The calibrated probe and pool budgets ([[calibrate]]) rides the same
     * lifecycle: appends serve under the budget calibrated at the last
     * build (like the geometry itself), and retrain re-measures it
     * against the corpus the fresh generation actually holds.
@@ -303,13 +416,16 @@ object VectorIndex {
     // residual layouts encode v − c of the row's OWN (exploded)
     // cluster — each spill copy carries the residual of the list it
     // lives in, so per-(query, probed-list) ADC is exact for every
-    // copy it meets
-    val pqInput =
+    // copy it meets; OPQ layouts additionally rotate the residual
+    // (codes live in the rotated frame end to end)
+    val resid =
       if (meta.pqResidual)
         zip_with(col("embedding"),
           element_at(typedLit(meta.centroids), col("cluster_id") + 1),
           (v, c) => v - c)
       else col("embedding")
+    val pqInput =
+      meta.rotation.fold(resid)(r => graft.functions.matrixops.matVec(resid, r))
     val enc = Quantization.quantize(
         Quantization.pqEncodeCol(assigned, meta.codebooks, pqInput), dropEmb = false)
       .withColumn("bq_word", Quantization.bqWord(col("embedding")))
@@ -413,10 +529,39 @@ object VectorIndex {
         if (!fs.exists(paramsPath)) Map.empty
         else spark.read.schema(paramsSchema).parquet(paramsPath.toString)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      val rotation: Option[Seq[Seq[Float]]] =
+        if (!params.get("pq_opq").contains(1L)) None
+        else Some(spark.read.schema(rotationSchema)
+          .parquet(s"$path/meta/rotation")
+          .orderBy(col("row")).collect().map(_.getSeq[Float](1)).toSeq)
       Meta(cents, cbs,
         params.get("default_nprobe").map(_.toInt),
-        params.get("pq_residual").contains(1L))
+        params.get("pq_residual").contains(1L),
+        rotation,
+        params.get("default_pool").map(_.toInt),
+        params.get("pq_budget_bound").contains(1L))
     })
+  }
+
+  /** Operator-visible serving parameters of a standing layout — what
+    * `q_index_stats` reports beside the debt/fragmentation numbers:
+    * the calibrated budgets actually serving defaults, the encoding
+    * flags, the geometry size, and — decisively — `pq_budget_bound`
+    * (a recall miss on such a layout is a CODE-BUDGET limit; paging
+    * an operator to retrain it would burn a corpus re-encode for
+    * nothing, see [[graft.api.ScaleOps.maintain]]).
+    */
+  def servingParams(spark: SparkSession, rawPath: String): DataFrame = {
+    import spark.implicits._
+    val meta = readMeta(spark, rawPath)
+    (Seq(
+      "nlist" -> meta.centroids.length.toLong,
+      "pq_residual" -> (if (meta.pqResidual) 1L else 0L),
+      "pq_opq" -> (if (meta.rotation.isDefined) 1L else 0L),
+      "pq_budget_bound" -> (if (meta.budgetBound) 1L else 0L)) ++
+      meta.defaultNProbe.map(np => "default_nprobe" -> np.toLong) ++
+      meta.defaultPool.map(pl => "default_pool" -> pl.toLong))
+      .toDF("param", "value")
   }
 
   private val tombstonesSchema = StructType.fromDDL("vec_id BIGINT")
@@ -586,7 +731,7 @@ object VectorIndex {
     */
   def searchPq(spark: SparkSession, rawPath: String, queries: DataFrame,
                k: Int = Quantization.K,
-               pool: Int = Quantization.PqRerankPool,
+               pool: Int = -1,
                cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
@@ -601,10 +746,15 @@ object VectorIndex {
     val scored =
       if (meta.pqResidual)
         served(spark, path, "pqrecon", cached) {
+          // OPQ codes decode in the rotated frame; Rᵀ (orthogonal
+          // inverse) carries ŷ back before the centroid re-centers it
+          val decoded = Quantization.pqReconstruct(col("pq_codes"), meta.codebooks)
+          val residHat = meta.rotation.fold(decoded)(r =>
+            graft.functions.matrixops.matVec(decoded, r.transpose))
           vectors(spark, path, primaryOnly = true)
             .select(col("vec_id"), col("cluster_id"), col("pq_codes"))
             .withColumn("recon", zip_with(
-              Quantization.pqReconstruct(col("pq_codes"), meta.codebooks),
+              residHat,
               element_at(typedLit(meta.centroids), col("cluster_id") + 1),
               (r, c) => r + c))
             .select(col("vec_id"), col("recon"))
@@ -624,7 +774,7 @@ object VectorIndex {
       }
     val cand = scored
       .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= pool)
+      .filter(col("arn") <= resolvePool(meta, pool))
       .select(col("q_id"), col("vec_id"))
     rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k, cached)
   }
@@ -633,42 +783,55 @@ object VectorIndex {
     * compose: the scan reads codes only, and only for probed
     * partitions.
     */
-  def searchIvfPq(spark: SparkSession, rawPath: String, queries: DataFrame,
-                  nprobe: Int = -1, k: Int = Quantization.K,
-                  pool: Int = Quantization.PqRerankPool,
-                  cached: Boolean = true): DataFrame = {
-    val path = IndexAlias.resolve(spark, rawPath)
-    val meta = readMeta(spark, path)
+  /** The IVF_PQ candidate scoring shared by serving and pool
+    * calibration: partition-pruned code scan of probed lists,
+    * per-(query, probed-list) ADC, spill copies collapsed in a
+    * combinable min BEFORE any ranking (copies must never occupy
+    * pool slots; min, because a residual layout's copies carry
+    * per-list codes). Returns (q_id, vec_id, adc_dist).
+    */
+  private def ivfPqScored(spark: SparkSession, path: String, meta: Meta,
+                          queries: DataFrame, nprobe: Int,
+                          cached: Boolean): DataFrame = {
     // residual layouts build the ADC table per (query, probed list)
     // on q − c — the table then scores ||（q−c) − r̂||² = ||q − v̂||²
     // against that list's residual codes (the FAISS IVF_PQ serve
     // shape); the probe frame already carries one row per
     // (query, cluster), so the table lands exactly where its list's
     // candidates join
-    val qSide =
+    val qResid =
       if (meta.pqResidual)
         zip_with(col("q_emb"),
           element_at(typedLit(meta.centroids), col("cluster_id") + 1),
           (q, c) => q - c)
       else col("q_emb")
-    val probes = Ann.probeFrame(queries, meta.centroids,
-        resolveNProbe(meta, nprobe))
+    // OPQ: rotate the query residual into the codes' frame — R is
+    // orthogonal, so rotated ADC distances ARE true residual distances
+    val qSide =
+      meta.rotation.fold(qResid)(r => graft.functions.matrixops.matVec(qResid, r))
+    val probes = Ann.probeFrame(queries, meta.centroids, nprobe)
       .withColumn("adc",
         Quantization.adcTable(qSide, meta.codebooks, absolute = true))
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
-    val cand = served(spark, path, "ivfpq", cached) {
+    served(spark, path, "ivfpq", cached) {
       vectors(spark, path).select(col("vec_id"), col("pq_codes"), col("cluster_id"))
     }
       .filter(probedClusterFilter(probes))
       .join(broadcast(probes.select(col("q_id"), col("adc"), col("cluster_id"))), "cluster_id")
       .select(col("q_id"), col("vec_id"), Quantization.adcDist.as("adc_dist"))
-      // collapse spill copies in a combinable aggregate BEFORE
-      // ranking, so copies never occupy pool slots: min, because a
-      // residual layout's copies carry per-list codes (raw layouts'
-      // copies are identical and min ≡ first)
       .groupBy(col("q_id"), col("vec_id")).agg(min(col("adc_dist")).as("adc_dist"))
+  }
+
+  def searchIvfPq(spark: SparkSession, rawPath: String, queries: DataFrame,
+                  nprobe: Int = -1, k: Int = Quantization.K,
+                  pool: Int = -1,
+                  cached: Boolean = true): DataFrame = {
+    val path = IndexAlias.resolve(spark, rawPath)
+    val meta = readMeta(spark, path)
+    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
+    val cand = ivfPqScored(spark, path, meta, queries,
+        resolveNProbe(meta, nprobe), cached)
       .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= pool)
+      .filter(col("arn") <= resolvePool(meta, pool))
       .select(col("q_id"), col("vec_id"))
     rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k, cached)
   }

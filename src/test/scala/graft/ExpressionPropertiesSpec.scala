@@ -70,4 +70,71 @@ class ExpressionPropertiesSpec extends SparkSpec {
       assert(r.getAs[Long]("s") == expect)
     }
   }
+
+  test("mat_vec matches reference math and inverts through the transpose on orthogonal matrices") {
+    import spark.implicits._
+    import graft.functions.matrixops
+    // a genuinely orthogonal 16x16 matrix via Gram-Schmidt on a fixed
+    // random basis (the OPQ rotation shape)
+    val dim = 16
+    val rr = new scala.util.Random(7)
+    val basis = Array.fill(dim)(Array.fill(dim)(rr.nextGaussian()))
+    for (i <- 0 until dim) {
+      for (j <- 0 until i) {
+        val d = (0 until dim).map(k => basis(i)(k) * basis(j)(k)).sum
+        for (k <- 0 until dim) basis(i)(k) -= d * basis(j)(k)
+      }
+      val n = math.sqrt(basis(i).map(x => x * x).sum)
+      for (k <- 0 until dim) basis(i)(k) /= n
+    }
+    val rot: Seq[Seq[Float]] = basis.map(_.map(_.toFloat).toSeq).toSeq
+    val rotT: Seq[Seq[Float]] = rot.transpose
+    val vecs = Seq.fill(100)(vecOf(dim)) ++ Seq(
+      Array.empty[Float],        // empty input: zero dot per output row
+      vecOf(7),                  // short input: truncated dot
+      Array.fill(dim)(0.0f))
+    val rows = vecs.toDF("v")
+      .select($"v", matrixops.matVec($"v", rot).as("rv"),
+        matrixops.matVec(matrixops.matVec($"v", rot), rotT).as("rt"))
+      .collect()
+    rows.foreach { r =>
+      val v = r.getSeq[Float](0).map(_.toDouble)
+      val rv = r.getSeq[Double](1)
+      val rt = r.getSeq[Double](2)
+      assert(rv.length == dim && rt.length == dim)
+      for (i <- 0 until dim) {
+        val expect = (0 until math.min(dim, v.length)).map(j => rot(i)(j).toDouble * v(j)).sum
+        assert(math.abs(rv(i) - expect) <= 1e-9,
+          s"mat_vec row $i: ${rv(i)} vs $expect")
+      }
+      // Rᵀ·(R·v) ≈ v (float-matrix round-off only): the property the
+      // OPQ reconstruct path relies on
+      if (v.length == dim)
+        for (i <- 0 until dim)
+          assert(math.abs(rt(i) - v(i)) <= 1e-4, s"orthogonal round-trip row $i: ${rt(i)} vs ${v(i)}")
+    }
+  }
+
+  test("top_k_by_score agrees with the row_number window form, including ties") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rr = new scala.util.Random(41)
+    // scores drawn from a SMALL discrete set so cross-id ties are
+    // dense — the tie-break (score desc, id asc) is the contract
+    val rows = (0 until 5000).map { i =>
+      (i % 37, i.toLong, (rr.nextInt(40).toDouble / 8.0))
+    }.toDF("q_id", "vec_id", "score").localCheckpoint()
+    val k = 10
+    val viaAgg = rows.groupBy($"q_id")
+      .agg(graft.functions.aggops.topKByScore($"score", $"vec_id", k).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).as("rn"), $"col.vec_id", $"col.score")
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    val viaWindow = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"q_id", $"rn", $"vec_id", $"score")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "aggregate and window top-k must agree exactly")
+  }
 }

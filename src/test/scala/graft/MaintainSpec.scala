@@ -77,6 +77,58 @@ class MaintainSpec extends SparkSpec {
       s"fresh geometry should clear the floor: $r3")
   }
 
+  test("budget-bound layout: a recall miss REPORTS instead of retraining — no futile re-encode loop") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-maintain-bound") + "/vix"
+    val corpusA = clustered(seed = 31, nClusters = 16, perCluster = 32,
+      lo = -1.0, hi = 1.0, idBase = 0L)
+    VectorIndex.buildRotating(spark, corpusA, home)
+    // the same drift shape the retrain test uses: appended far-off
+    // region erodes PQ recall below the floor
+    val corpusB = clustered(seed = 43, nClusters = 16, perCluster = 32,
+      lo = 3.0, hi = 3.4, idBase = 100000L)
+    VectorIndex.append(spark, corpusB, home)
+    val rnd = new scala.util.Random(7)
+    val queries = corpusB.filter(col("vec_id") % 32 === 31).collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray.map(v => v + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      (r.getLong(0) + 900000L, emb)
+    }.toSeq.toDF("q_id", "q_emb").localCheckpoint()
+    // stamp the layout budget-bound — what build-time pool
+    // calibration persists when no pool under the cost cap reaches
+    // the target (fabricated here: the genuine calibration-produced
+    // flag is pinned in AdaptiveIvfSpec's poolCap=10 case)
+    val live = IndexAlias.resolve(spark, home)
+    val existing = spark.read.parquet(s"$live/meta/params")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    (existing :+ ("pq_budget_bound", 1L)).toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$live/meta/params.new")
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$live/meta/params"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$live/meta/params.new"),
+      new org.apache.hadoop.fs.Path(s"$live/meta/params"))
+    VectorIndex.invalidate(spark, home)
+    assert(VectorIndex.readMeta(spark, home).budgetBound)
+
+    // the recall miss is real — but retrain CANNOT fix a code-budget
+    // limit, so maintain must report, not rebuild; and it must hold
+    // that line on the NEXT cycle too (the r11 thrash: every cycle
+    // re-encoded the corpus forever)
+    val gen0 = IndexAlias.resolve(spark, home)
+    val policy = ScaleOps.MaintenancePolicy(minRecall = Some(0.85))
+    val r1 = ScaleOps.maintain(spark, "vector", home, policy, Some(queries))
+    assert(r1.action == "budget_bound", r1.toString)
+    assert(r1.recall.exists(_ < 0.85), s"probe should miss the floor: $r1")
+    assert(IndexAlias.resolve(spark, home) == gen0, "budget-bound must not retrain")
+    val r2 = ScaleOps.maintain(spark, "vector", home, policy, Some(queries))
+    assert(r2.action == "budget_bound" && IndexAlias.resolve(spark, home) == gen0,
+      s"second cycle must still not retrain: $r2")
+    // the condition is operator-visible in the stats params surface
+    val bound = VectorIndex.servingParams(spark, home)
+      .filter(col("param") === "pq_budget_bound").head.getLong(1)
+    assert(bound == 1L)
+  }
+
   test("list-size drift: a corpus that outgrew its nlist triggers a rotating retrain to policy geometry") {
     val home = IndexCache.tempDir("graft-maintain-geom") + "/vix"
     // a 4-list geometry over a corpus the policy wants at the 16-list
