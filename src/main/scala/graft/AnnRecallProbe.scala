@@ -51,6 +51,7 @@ object AnnRecallProbe {
     rec("pq_served_default", searchPq(spark, idx, queries, cached = false))
     rec("sq8", searchSq8(spark, idx, queries, cached = false))
     rec("bq", searchBq(spark, idx, queries, cached = false))
+    rec("bq_pool1000", searchBq(spark, idx, queries, pool = 1000, cached = false))
     rec("lsh", searchLsh(spark, idx, queries, cached = false))
     spark.stop()
   }

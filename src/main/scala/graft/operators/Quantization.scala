@@ -269,6 +269,28 @@ object Quantization {
     (rot.map(_.map(_.toFloat).toSeq).toSeq, kMeansPerSubspace(rotated))
   }
 
+  /** Per-dimension mean of the bounded training sample — the BQ
+    * centering vector. Sign bits of a MEAN-DOMINATED cloud correlate
+    * corpus-wide (every vector shares the mean's sign pattern, so
+    * Hamming distances between stored words carry no neighbor
+    * signal — measured recall@10 0.53 on the aniso corpus vs ~0.99
+    * for the code families); bits of v − μ split the corpus ~50/50
+    * per dimension, restoring the prefilter's selectivity. The same μ
+    * must center the query side ([[VectorIndex.searchBq]]).
+    */
+  private[operators] def trainBqMean(corpus: DataFrame): Seq[Float] = {
+    val sample = collectSample(corpus)
+    if (sample.isEmpty) Seq.empty
+    else {
+      val dim = sample.map(_.length).max
+      val mean = new Array[Double](dim)
+      sample.foreach { v =>
+        var i = 0; while (i < v.length) { mean(i) += v(i); i += 1 }
+      }
+      mean.map(m => (m / sample.length).toFloat).toSeq
+    }
+  }
+
   private def applyRotation(rot: Array[Array[Double]], v: Array[Double]): Array[Double] = {
     val out = new Array[Double](rot.length)
     var i = 0

@@ -63,7 +63,9 @@ object VectorIndex {
                         pqResidual: Boolean = false,
                         rotation: Option[Seq[Seq[Float]]] = None,
                         defaultPool: Option[Int] = None,
-                        budgetBound: Boolean = false)
+                        budgetBound: Boolean = false,
+                        bqMean: Option[Seq[Float]] = None,
+                        lshBits: Option[Int] = None)
 
   private val vectorsSchema = StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, pq_codes ARRAY<TINYINT>, " +
@@ -87,8 +89,11 @@ object VectorIndex {
   def write(spark: SparkSession, sfDir: String, path: String): Meta = {
     val cents = Ann.trainCentroids(spark, sfDir)
     val (rot, cbs) = Quantization.trainPqOpq(spark, sfDir)
-    writeCorpus(spark, Tables.embeddings(spark, sfDir), path,
-      Meta(cents, cbs, pqResidual = true, rotation = Some(rot)))
+    val emb = Tables.embeddings(spark, sfDir)
+    writeCorpus(spark, emb, path,
+      Meta(cents, cbs, pqResidual = true, rotation = Some(rot),
+        bqMean = Some(Quantization.trainBqMean(emb)),
+        lshBits = Some(Ann.lshBitsFor(emb.count()))))
   }
 
   /** Build the index from ANY normalized (vec_id BIGINT, embedding
@@ -106,7 +111,9 @@ object VectorIndex {
     val (rot, cbs) = Quantization.trainPqOpqFrom(corpus, cents)
     logStage("train", t0)
     writeCorpus(spark, corpus, path,
-      Meta(cents, cbs, pqResidual = true, rotation = Some(rot)),
+      Meta(cents, cbs, pqResidual = true, rotation = Some(rot),
+        bqMean = Some(Quantization.trainBqMean(corpus)),
+        lshBits = Some(Ann.lshBitsFor(corpus.count()))),
       doCalibrate = calibrate)
   }
 
@@ -145,9 +152,39 @@ object VectorIndex {
           .write.mode("overwrite").parquet(rotPath.toString)
       case None => fs.delete(rotPath, true)
     }
+    val bqMeanPath = new org.apache.hadoop.fs.Path(s"$p/meta/bqmean")
+    meta.bqMean match {
+      case Some(mu) =>
+        Seq((0, mu)).toDF("row", "vals")
+          .write.mode("overwrite").parquet(bqMeanPath.toString)
+      case None => fs.delete(bqMeanPath, true)
+    }
     val tEnc = System.nanoTime()
     encodeAndWrite(corpus, meta, p, "overwrite")
     logStage("encode+write", tEnc)
+    def paramsOf(m: Meta): Seq[(String, Long)] =
+      m.defaultNProbe.map(np => ("default_nprobe", np.toLong)).toSeq ++
+        m.defaultPool.map(pl => ("default_pool", pl.toLong)).toSeq ++
+        (if (m.pqResidual) Seq(("pq_residual", 1L)) else Nil) ++
+        (if (m.rotation.isDefined) Seq(("pq_opq", 1L)) else Nil) ++
+        (if (m.budgetBound) Seq(("pq_budget_bound", 1L)) else Nil) ++
+        (if (m.bqMean.isDefined) Seq(("bq_centered", 1L)) else Nil) ++
+        m.lshBits.map(b => ("lsh_bits", b.toLong)).toSeq
+    def writeParams(params: Seq[(String, Long)]): Unit =
+      if (params.nonEmpty)
+        params.toDF("param", "value")
+          .write.mode("overwrite").parquet(s"$p/meta/params")
+      else
+        // on-disk flags must match the codes just written: a rebuild
+        // from a previously-calibrated/residual meta to a legacy one
+        // would otherwise leave every OTHER session (metaCache evicted
+        // below) re-reading stale flags and mis-serving raw codes
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/meta/params"), true)
+    // the ENCODE flags (pq_residual / pq_opq) persist the moment the
+    // codes they describe exist — a crash during the minutes-long
+    // calibration below must never leave residual-encoded codes that
+    // a later session reads as raw (silent wrong reconstructions)
+    writeParams(paramsOf(meta))
     // adaptive geometries calibrate their default probe AND rerank-
     // pool budgets against the corpus just written; small corpora
     // keep the measured 16-list geometry (and its measured NProbe)
@@ -157,21 +194,7 @@ object VectorIndex {
       if (doCalibrate && meta.centroids.length > Ann.NList)
         calibrate(spark, p, meta)
       else meta
-    val params =
-      servedMeta.defaultNProbe.map(np => ("default_nprobe", np.toLong)).toSeq ++
-        servedMeta.defaultPool.map(pl => ("default_pool", pl.toLong)).toSeq ++
-        (if (servedMeta.pqResidual) Seq(("pq_residual", 1L)) else Nil) ++
-        (if (servedMeta.rotation.isDefined) Seq(("pq_opq", 1L)) else Nil) ++
-        (if (servedMeta.budgetBound) Seq(("pq_budget_bound", 1L)) else Nil)
-    if (params.nonEmpty)
-      params.toDF("param", "value")
-        .write.mode("overwrite").parquet(s"$p/meta/params")
-    else
-      // on-disk flags must match the codes just written: a rebuild
-      // from a previously-calibrated/residual meta to a legacy one
-      // would otherwise leave every OTHER session (metaCache evicted
-      // below) re-reading stale flags and mis-serving raw codes
-      fs.delete(new org.apache.hadoop.fs.Path(s"$p/meta/params"), true)
+    if (servedMeta != meta) writeParams(paramsOf(servedMeta))
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
     // seed this session's entry with the geometry just written
@@ -228,18 +251,32 @@ object VectorIndex {
     // one k-slot buffer, partial-aggregated before the exchange — the
     // scan never sorts (the row_number window form sorted each task's
     // full slice of the queries × corpus product: the measured OOM at
-    // default partitioning). Checkpointed: both calibration rungs
-    // read it, and it must not re-run the corpus scan.
+    // default partitioning). ObjectHashAggregate's sort fallback is
+    // raised past the query count for the duration: its default (128
+    // distinct keys) is BELOW [[CalibrationQueries]], so the partial
+    // aggregate silently degraded to sorting the queries × corpus
+    // product — measured filling the local disk with spill at the
+    // 5M-row corpus. 256 ten-slot buffers are kilobytes; the hash
+    // path is the entire point of the aggregate. Checkpointed: both
+    // calibration rungs read it, and it must not re-run the scan.
     val tTruth = System.nanoTime()
-    val truth = prim.crossJoin(broadcast(queries))
-      .filter(col("vec_id") =!= col("q_id"))
-      .groupBy(col("q_id"))
-      .agg(graft.functions.aggops.topKByScore(
-        vec.cosine(col("q_emb"), col("embedding")).cast("double"),
-        col("vec_id"), Ann.K).as("top"))
-      .select(col("q_id"), explode(col("top.vec_id")).as("vec_id"))
-      .localCheckpoint()
-    val truthTotal = truth.count()
+    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevFallback = spark.conf.getOption(FallbackKey)
+    spark.conf.set(FallbackKey, (CalibrationQueries * 4).toString)
+    val (truth, truthTotal) =
+      try {
+        val t = prim.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.aggops.topKByScore(
+            vec.cosine(col("q_emb"), col("embedding")).cast("double"),
+            col("vec_id"), Ann.K).as("top"))
+          .select(col("q_id"), explode(col("top.vec_id")).as("vec_id"))
+          .localCheckpoint()
+        (t, t.count())
+      } finally {
+        prevFallback.fold(spark.conf.unset(FallbackKey))(v => spark.conf.set(FallbackKey, v))
+      }
     logStage("calibrate-truth", tTruth)
     // ---- rung 1: probe budget ----
     // all assignment ranks: the scan is corpus-sized but map-side
@@ -426,9 +463,13 @@ object VectorIndex {
       else col("embedding")
     val pqInput =
       meta.rotation.fold(resid)(r => graft.functions.matrixops.matVec(resid, r))
+    // centered layouts store sign(v − μ): a mean-dominated cloud's
+    // raw sign bits correlate corpus-wide (measured recall 0.53)
+    val bqInput = meta.bqMean.fold(col("embedding"))(mu =>
+      zip_with(col("embedding"), typedLit(mu), (v, m) => v - m))
     val enc = Quantization.quantize(
         Quantization.pqEncodeCol(assigned, meta.codebooks, pqInput), dropEmb = false)
-      .withColumn("bq_word", Quantization.bqWord(col("embedding")))
+      .withColumn("bq_word", Quantization.bqWord(bqInput))
       .select(col("vec_id"), col("embedding"), col("label"), col("pq_codes"),
         col("sq8"), col("sq8_min"), col("sq8_scale"), col("bq_word"),
         col("cluster_id"), col("assign_rank"))
@@ -442,10 +483,35 @@ object VectorIndex {
     // so the exchange has no skewed reducer.
     enc.repartition(col("cluster_id"), col("assign_rank"))
       .write.mode(mode).partitionBy("cluster_id", "assign_rank").parquet(s"$path/vectors")
-    df.select(col("vec_id"), explode(Ann.bandKeys(col("embedding"))).as("bk"))
+    df.select(col("vec_id"), lshKeys(meta).as("bk"))
       .select(col("bk.bucket").as("bucket"), col("vec_id"), col("bk.band_id").as("band_id"))
       .write.mode(mode).partitionBy("band_id").parquet(s"$path/lsh")
   }
+
+  /** Exploded (band_id, bucket) signature keys for `embedding` /
+    * `q_emb` under a layout's banding config. Adaptive layouts
+    * (`lsh_bits`) hash MEAN-CENTERED projections over the
+    * corpus-width band keys ([[Ann.lshBitsFor]]): centering breaks
+    * the corpus-wide bucket collapse of a mean-dominated cloud (every
+    * vector shares the mean's sign pattern — the measured disk-
+    * filling candidate explosion at the 5M-row aniso corpus), and the
+    * log₂(n)-width keys keep expected bucket occupancy constant.
+    * Legacy layouts keep the fixed 16×4 [[Ann.bandKeys]] bit-for-bit.
+    */
+  private def lshKeysOf(meta: Meta, embCol: Column): Column =
+    meta.lshBits match {
+      case Some(bits) =>
+        val centered = meta.bqMean.fold(embCol)(mu =>
+          zip_with(embCol, typedLit(mu), (v, m) => v - m))
+        explode(zip_with(
+          graft.functions.matrixops.lshBandBuckets(centered, Ann.lshPlanesFor(bits), bits),
+          sequence(lit(0), lit(15)),
+          (bucket, band) => struct(band.cast("int").as("band_id"),
+            bucket.cast("int").as("bucket"))))
+      case None => explode(Ann.bandKeys(embCol))
+    }
+
+  private def lshKeys(meta: Meta): Column = lshKeysOf(meta, col("embedding"))
 
   /** Session-cached geometry read (two kilobyte-scale files). */
   private val metaCache =
@@ -534,12 +600,19 @@ object VectorIndex {
         else Some(spark.read.schema(rotationSchema)
           .parquet(s"$path/meta/rotation")
           .orderBy(col("row")).collect().map(_.getSeq[Float](1)).toSeq)
+      val bqMean: Option[Seq[Float]] =
+        if (!params.get("bq_centered").contains(1L)) None
+        else Some(spark.read.schema(rotationSchema)
+          .parquet(s"$path/meta/bqmean")
+          .collect().head.getSeq[Float](1))
       Meta(cents, cbs,
         params.get("default_nprobe").map(_.toInt),
         params.get("pq_residual").contains(1L),
         rotation,
         params.get("default_pool").map(_.toInt),
-        params.get("pq_budget_bound").contains(1L))
+        params.get("pq_budget_bound").contains(1L),
+        bqMean,
+        params.get("lsh_bits").map(_.toInt))
     })
   }
 
@@ -558,7 +631,8 @@ object VectorIndex {
       "nlist" -> meta.centroids.length.toLong,
       "pq_residual" -> (if (meta.pqResidual) 1L else 0L),
       "pq_opq" -> (if (meta.rotation.isDefined) 1L else 0L),
-      "pq_budget_bound" -> (if (meta.budgetBound) 1L else 0L)) ++
+      "pq_budget_bound" -> (if (meta.budgetBound) 1L else 0L),
+      "bq_centered" -> (if (meta.bqMean.isDefined) 1L else 0L)) ++
       meta.defaultNProbe.map(np => "default_nprobe" -> np.toLong) ++
       meta.defaultPool.map(pl => "default_pool" -> pl.toLong))
       .toDF("param", "value")
@@ -728,6 +802,14 @@ object VectorIndex {
   /** Flat PQ from rest: ADC over the stored M-byte codes (the scan
     * reads vec_id + codes — 32× narrower than floats), exact rerank
     * of the top pool from the stored floats.
+    *
+    * Residual-layout caveat: the served view below MATERIALIZES the
+    * reconstructed full-width floats in session memory and scores
+    * exact L2 per (query, vector) — the STORAGE scan stays narrow
+    * (codes + cluster_id), but the in-memory footprint and per-pair
+    * compute are float-width, not code-width. For corpora too large
+    * to pin, prefer [[searchIvfPq]] (per-list ADC keeps both narrow)
+    * or pass `cached = false` to trade recompute for memory.
     */
   def searchPq(spark: SparkSession, rawPath: String, queries: DataFrame,
                k: Int = Quantization.K,
@@ -900,12 +982,17 @@ object VectorIndex {
 
   /** BQ from rest: Hamming prefilter on the stored sign words (8
     * bytes per vector read), exact rerank from the stored floats.
+    * Centered layouts (`bq_centered`) hash sign(q − μ) on the query
+    * side with the SAME persisted μ the stored words used.
     */
   def searchBq(spark: SparkSession, rawPath: String, queries: DataFrame,
                k: Int = Quantization.K, pool: Int = Quantization.BqPool,
                cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
-    val q = queries.select(col("q_id"), Quantization.bqWord(col("q_emb")).as("qw"))
+    val meta = readMeta(spark, path)
+    val qIn = meta.bqMean.fold(col("q_emb"))(mu =>
+      zip_with(col("q_emb"), typedLit(mu), (v, m) => v - m))
+    val q = queries.select(col("q_id"), Quantization.bqWord(qIn).as("qw"))
     val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
     val cand = served(spark, path, "bq", cached) {
       vectors(spark, path, primaryOnly = true)
@@ -929,8 +1016,9 @@ object VectorIndex {
   def searchLsh(spark: SparkSession, rawPath: String, queries: DataFrame,
                 k: Int = Ann.K, cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
+    val meta = readMeta(spark, path)
     val queryB = queries
-      .select(col("q_id"), explode(Ann.bandKeys(col("q_emb"))).as("bk"))
+      .select(col("q_id"), lshKeysOf(meta, col("q_emb")).as("bk"))
       .select(col("q_id"), col("bk.band_id").as("band_id"), col("bk.bucket").as("bucket"))
     val cand = served(spark, path, "lsh", cached) {
       spark.read.schema(lshSchema).parquet(s"$path/lsh")

@@ -190,7 +190,8 @@ class AdaptiveIvfSpec extends SparkSpec {
     val rawPath = graft.operators.IndexCache.tempDir("graft-rawpq") + "/vidx"
     VectorIndex.writeCorpus(spark, hardCloud, rawPath,
       VectorIndex.Meta(meta.centroids,
-        graft.operators.Quantization.trainPqCodebooksRawFrom(hardCloud)))
+        graft.operators.Quantization.trainPqCodebooksRawFrom(hardCloud)),
+      doCalibrate = false)
     // encoding-quality comparison at a FIXED small pool: the
     // calibrated pool (rung 2) deliberately rescues recall by
     // widening the pool, so default-served numbers no longer separate
@@ -293,5 +294,34 @@ class AdaptiveIvfSpec extends SparkSpec {
     val capped = VectorIndex.calibrate(spark, path, meta, poolCap = 10)
     assert(capped.budgetBound, "a 10-candidate cap must be budget-bound here")
     assert(capped.defaultPool.contains(10))
+  }
+
+  test("centered BQ sign bits restore the Hamming prefilter on a mean-dominated cloud") {
+    val path = graft.operators.IndexCache.tempDir("graft-bqmu") + "/vidx"
+    val meta = VectorIndex.buildFrom(spark, hardCloud, path, nlist = 128)
+    assert(meta.bqMean.isDefined, "new builds must carry the BQ centering vector")
+    val queries = hardCloud.filter(col("vec_id") % 397 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = api.VectorCollection(hardCloud, idCol = "vec_id")
+      .search(queries, 10, api.Metric.Cosine)
+    def recOf(df: org.apache.spark.sql.DataFrame): Double =
+      api.ScaleOps.recallAtK(exact, df).agg(avg(col("recall"))).head.getDouble(0)
+    val centered = recOf(VectorIndex.searchBq(spark, path, queries))
+    // the RAW-bit layout on the same corpus and geometry (what a
+    // pre-centering layout serves): every vector shares the dominant
+    // mean's sign pattern, so stored words barely differ and the
+    // Hamming prefilter carries no neighbor signal
+    val rawPath = graft.operators.IndexCache.tempDir("graft-bqraw") + "/vidx"
+    VectorIndex.writeCorpus(spark, hardCloud, rawPath,
+      meta.copy(defaultNProbe = None, defaultPool = None, bqMean = None),
+      doCalibrate = false)
+    val raw = recOf(VectorIndex.searchBq(spark, rawPath, queries))
+    info(f"bq centered $centered%.3f vs raw $raw%.3f")
+    assert(centered >= raw + 0.2,
+      f"centering must decisively lift mean-dominated BQ: $centered%.3f vs $raw%.3f")
+    // round-trips through the layout, surfaced to operators
+    val onDisk = spark.read.parquet(s"$path/meta/params")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(onDisk.get("bq_centered").contains(1L))
   }
 }

@@ -245,9 +245,18 @@ class IndexStatsSpec extends SparkSpec {
     Dedup.compactClusterIndex(spark, home)
     assert(debt()("tombstones") == 0L && debt()("clusters") == 0L,
       s"debt after compact: ${debt()}")
-    // the registered entry surfaces the cluster kind alongside vector
-    val kinds = SparkEntry.queries("q_index_stats")(spark, sfDir).collect()
-      .map(r => r.getAs[String]("kind")).toSet
-    assert(kinds == Set("vector", "cluster"), s"kinds: $kinds")
+    // the registered entry surfaces the cluster kind alongside
+    // vector, plus the round-12 observability rows: serving params
+    // (calibrated budgets, encoding flags, budget-bound) and the
+    // embedding-dedup route decision with its measured inputs
+    val rows = SparkEntry.queries("q_index_stats")(spark, sfDir).collect()
+    val kinds = rows.map(_.getAs[String]("kind")).toSet
+    assert(kinds == Set("vector", "cluster", "dedup_route"), s"kinds: $kinds")
+    val paramRows = rows.filter(_.getAs[String]("table").startsWith("param:"))
+      .map(r => r.getAs[String]("table") -> r.getAs[String]("value")).toMap
+    assert(paramRows.contains("param:pq_budget_bound"), s"params: ${paramRows.keys}")
+    assert(paramRows.contains("param:bq_centered"))
+    assert(paramRows.get("param:route").exists(Set("exact", "lsh", "cluster")),
+      s"route row: ${paramRows.get("param:route")}")
   }
 }
