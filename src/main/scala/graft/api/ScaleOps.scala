@@ -230,37 +230,64 @@ object ScaleOps {
       case other     => sys.error(s"unknown index kind '$other'")
     }
 
+    // the hygiene rungs — geometry drift, tombstone debt, file
+    // fragmentation — are evaluated INDEPENDENTLY of the recall rung:
+    // a suppressed recall remedy (the budget-bound case below) must
+    // suppress only itself, never shadow the compaction a
+    // debt-saturated index is owed this cycle.
+    def hygiene(note: String = ""): MaintenanceReport =
+      if (geometryDrift.isDefined) {
+        VectorIndex.retrain(spark, home)
+        MaintenanceReport("retrained", geometryDrift.get + note, debtRows, dataFiles, recall)
+      } else if (debtRows >= policy.maxDebtRows) {
+        compactFor()
+        MaintenanceReport("compacted", s"debt $debtRows >= ${policy.maxDebtRows}$note",
+          debtRows, dataFiles, recall)
+      } else if (dataFiles >= policy.maxDataFiles) {
+        compactFor()
+        MaintenanceReport("compacted", s"files $dataFiles >= ${policy.maxDataFiles}$note",
+          debtRows, dataFiles, recall)
+      } else if (note.nonEmpty)
+        MaintenanceReport("budget_bound", note.stripPrefix("; "), debtRows, dataFiles, recall)
+      else
+        MaintenanceReport("none", "within policy", debtRows, dataFiles, recall)
+
     val report = (recall, policy.minRecall) match {
       // a recall miss on a BUDGET-BOUND layout (build-time pool
       // calibration hit the cost cap: the 8-byte PQ code budget, not
-      // geometry drift, limits recall) must NOT fire retrain — the
-      // fresh generation re-trains residual codebooks against the
-      // same budget, recall stays under the floor, and the next cycle
-      // re-encodes the full corpus again, forever: the most expensive
-      // verb in the engine looping as hygiene. Report the condition
-      // (it is also in q_index_stats via servingParams) so the
-      // operator reaches for the remedies that CAN move the ceiling:
-      // wider codes, a higher explicit pool, or the SQ8/IVF families.
+      // any serving knob, limited recall AT BUILD TIME) must not fire
+      // the blind retrain — the fresh generation re-trains residual
+      // codebooks against the same budget, recall stays under the
+      // floor, and the next cycle re-encodes the full corpus again,
+      // forever: the most expensive verb in the engine looping as
+      // hygiene. But the flag is a measurement of the BUILD corpus,
+      // not a permanent property: after appends the miss may be
+      // drift-caused, so first re-run the bounded calibration against
+      // today's corpus (no re-encode). If the refreshed (nprobe, pool)
+      // clears the cap, serving is fixed for the price of one truth
+      // scan; only when today's calibration is STILL capped does the
+      // suppression hold — reported as the cycle's action only when
+      // no hygiene rung (drift retrain, debt/file compaction, each of
+      // which lands a fresh generation that re-calibrates the flag)
+      // fires this cycle.
       case (Some(r), Some(min)) if r < min &&
           VectorIndex.readMeta(spark, home).budgetBound =>
-        MaintenanceReport("budget_bound",
-          f"sampled recall $r%.3f < $min%.3f but layout is pq_budget_bound: " +
-            "retrain cannot raise a code-budget-limited recall",
-          debtRows, dataFiles, recall)
+        val refreshed = VectorIndex.recalibrate(spark, home)
+        if (!refreshed.budgetBound)
+          MaintenanceReport("recalibrated",
+            f"sampled recall $r%.3f < $min%.3f on a pq_budget_bound layout; " +
+              f"calibration refreshed against the current corpus clears the cap " +
+              f"(nprobe ${refreshed.defaultNProbe.getOrElse(-1)}, " +
+              f"pool ${refreshed.defaultPool.getOrElse(-1)})",
+            debtRows, dataFiles, recall)
+        else
+          hygiene(note = f"; sampled recall $r%.3f < $min%.3f suppressed: layout " +
+            "re-measures pq_budget_bound on the current corpus — retrain cannot " +
+            "raise a code-budget-limited recall")
       case (Some(r), Some(min)) if r < min =>
         VectorIndex.retrain(spark, home)
         MaintenanceReport("retrained", f"sampled recall $r%.3f < $min%.3f", debtRows, dataFiles, recall)
-      case _ if geometryDrift.isDefined =>
-        VectorIndex.retrain(spark, home)
-        MaintenanceReport("retrained", geometryDrift.get, debtRows, dataFiles, recall)
-      case _ if debtRows >= policy.maxDebtRows =>
-        compactFor()
-        MaintenanceReport("compacted", s"debt $debtRows >= ${policy.maxDebtRows}", debtRows, dataFiles, recall)
-      case _ if dataFiles >= policy.maxDataFiles =>
-        compactFor()
-        MaintenanceReport("compacted", s"files $dataFiles >= ${policy.maxDataFiles}", debtRows, dataFiles, recall)
-      case _ =>
-        MaintenanceReport("none", "within policy", debtRows, dataFiles, recall)
+      case _ => hygiene()
     }
     // bound the generation footprint: compact (zero-downtime handoff)
     // and retrain each land a fresh generation, so a periodic loop

@@ -470,15 +470,22 @@ case class MatVec(child: Expression, matrix: Array[Array[Float]])
       val out = ctx.freshName("out")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      // every local goes through freshName: a fixed identifier that
+      // collides with one in the enclosing codegen scope is a Janino
+      // compile error, and the whole stage silently falls back to
+      // interpreted eval — defeating the expression's purpose
+      val row = ctx.freshName("row")
+      val m = ctx.freshName("m")
+      val acc = ctx.freshName("acc")
       s"""
          |${extractCode(ctx, a, vv)}
          |double[] $out = new double[$mat.length];
          |for (int $i = 0; $i < $mat.length; $i++) {
-         |  float[] row = $mat[$i];
-         |  int m = java.lang.Math.min(row.length, ${vv}n);
-         |  double acc = 0.0;
-         |  for (int $j = 0; $j < m; $j++) { acc += (double)row[$j] * $vv[$j]; }
-         |  $out[$i] = acc;
+         |  float[] $row = $mat[$i];
+         |  int $m = java.lang.Math.min($row.length, ${vv}n);
+         |  double $acc = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) { $acc += (double)$row[$j] * $vv[$j]; }
+         |  $out[$i] = $acc;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

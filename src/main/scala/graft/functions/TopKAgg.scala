@@ -22,8 +22,16 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  @inline private def beats(s: Double, i: Long, p: Int): Boolean =
-    s > scores(p) || (s == scores(p) && i < ids(p))
+  // java.lang.Double.compare, not >/==: primitive comparisons make
+  // NaN lose to everything, while the documented-equivalent
+  // row_number window form uses Spark's total order, which sorts NaN
+  // as the LARGEST double (score desc puts NaN first) — the two
+  // forms would diverge the moment a cosine score is NaN (e.g. a
+  // zero vector in the calibration truth scan)
+  @inline private def beats(s: Double, i: Long, p: Int): Boolean = {
+    val c = java.lang.Double.compare(s, scores(p))
+    c > 0 || (c == 0 && i < ids(p))
+  }
 
   def insert(s: Double, i: Long): Unit = {
     if (size < k || beats(s, i, size - 1)) {

@@ -282,7 +282,13 @@ object Dedup {
     * test corpus the chooser lands on (4, 16) — the widths agree
     * BELOW the decade where they diverge, so the oracle behavior is
     * unchanged while the decade after is now linear-at-fixed-
-    * occupancy by construction.
+    * occupancy by construction. Since round 13 the verb also carries
+    * the no-contrast guard: on a concentrated cloud whose noise floor
+    * sits at/above the threshold (the heaps-aniso regime, where the
+    * banding ground 781–1067 s per pass) it routes to the exact
+    * blocked scorer instead of banding toward all-pairs — on the
+    * driver's direction-uniform corpus (pRand ≈ 0.5 < 0.61 at
+    * threshold 0.35) the guard passes and the LSH plan is unchanged.
     */
   def qDedupEmbeddingLsh(spark: SparkSession, sfDir: String): DataFrame =
     embeddingNearDupAdaptive(augmentedEmbeddings(spark, sfDir), threshold = 0.35)
@@ -483,16 +489,41 @@ object Dedup {
     else avgBlock * probs.map(math.pow(_, r)).sum / probs.length
 
   /** [[embeddingNearDupPairs]] with [[chooseBanding]] applied to the
-    * collection's own measured size — always the LSH path; the
-    * building block [[embeddingNearDupAuto]] routes to above the
-    * exact/LSH crossover.
+    * collection's own measured size — the LSH path WHEN LSH can work
+    * on this collection. The same plane-prob sample that sizes the
+    * banding also answers [[lshHasContrast]]: if the threshold sits
+    * at or below the cloud's own noise floor (pRand ≥ the per-plane
+    * collision probability at the threshold), no (r, b) bounds
+    * occupancy without destroying recall — every band filters
+    * threshold pairs FASTER than noise, so the candidate exchange
+    * grows toward n·b full-row pairs (measured: 781–1067 s per pass,
+    * ~85% of the whole 201-query suite wall, on the 55.5k-row
+    * mean-dominated heaps-aniso corpus at threshold 0.35; at 100 TB
+    * the exchange is disk-fatal). In that regime this verb routes to
+    * [[embeddingNearDupExact]] — the reference relation itself, whose
+    * cost matches the output mass that the threshold's own density
+    * already implies — and prints the measured decision. `force =
+    * true` keeps the banding anyway (a caller that has pre-filtered
+    * the collection and accepts the candidate mass), same escape-
+    * hatch discipline as the quantized-verify byte guard.
     */
   def embeddingNearDupAdaptive(collection: DataFrame, threshold: Double,
                                targetOccupancy: Double = 64.0,
-                               minRecall: Double = 0.9): DataFrame = {
-    val (r, b) = chooseBanding(avgLabelBlock(collection), threshold,
-      targetOccupancy, minRecall, pRand = measuredPRand(collection))
-    embeddingNearDupPairs(collection, threshold, r, b)
+                               minRecall: Double = 0.9,
+                               force: Boolean = false): DataFrame = {
+    val probs = samplePlaneProbs(collection)
+    val pRand = measuredPRandOf(probs)
+    if (!force && !lshHasContrast(threshold, pRand)) {
+      println(f"embeddingNearDupAdaptive: no LSH contrast at threshold " +
+        f"$threshold%.2f (measured pRand $pRand%.3f >= per-plane collision " +
+        f"at threshold ${1.0 - math.acos(threshold) / math.Pi}%.3f) — " +
+        "routing to the exact blocked scorer (force=true overrides)")
+      embeddingNearDupExact(collection, threshold)
+    } else {
+      val (r, b) = chooseBanding(avgLabelBlock(collection), threshold,
+        targetOccupancy, minRecall, pRand = pRand)
+      embeddingNearDupPairs(collection, threshold, r, b)
+    }
   }
 
   private def avgLabelBlock(collection: DataFrame): Double = {
@@ -566,8 +597,8 @@ object Dedup {
   private[graft] def chooseEmbeddingRoute(collection: DataFrame, threshold: Double,
       targetOccupancy: Double = 64.0, minRecall: Double = 0.9,
       lshCrossover: Double = LshCrossoverAvgBlock): (String, Int, Int) = {
-    val d = embeddingRouteDecision(collection, threshold, targetOccupancy,
-      minRecall, lshCrossover)
+    val d = embeddingRouteDecisionCached(collection.sparkSession, collection,
+      threshold, targetOccupancy, minRecall, lshCrossover)
     (d.route, d.r, d.b)
   }
 
@@ -584,6 +615,42 @@ object Dedup {
   private[graft] final case class RouteDecision(route: String, r: Int, b: Int,
       avgBlock: Double, pRand: Double, perRowCandidates: Double,
       budget: Double, reason: String)
+
+  /** Session-scoped memo of [[embeddingRouteDecision]], keyed by
+    * (session, collection plan, router knobs). The decision costs
+    * measurement jobs — a corpus count/countDistinct plus the 256-row
+    * plane-prob sample — which is the right price when a dedup verb
+    * is about to run, and the wrong one inside `q_index_stats`, an
+    * observability query operators poll continuously (the write-time
+    * stats-manifest lesson one layer up: report standing state, don't
+    * re-measure it per poll). [[embeddingNearDupAuto]] populates the
+    * same memo when it actually routes, so the stats surface reports
+    * the decision the last real invocation used, measured once per
+    * (session, corpus, knobs). A session that mutates the corpus
+    * under an unchanged plan re-measures after
+    * [[invalidateRouteDecisions]] (the epoch lever the standing
+    * indexes get from their pointer swaps).
+    */
+  private val routeDecisionCache =
+    new java.util.concurrent.ConcurrentHashMap[String, RouteDecision]()
+
+  private[graft] def invalidateRouteDecisions(): Unit = routeDecisionCache.clear()
+
+  private[graft] def embeddingRouteDecisionCached(spark: SparkSession,
+      collection: DataFrame, threshold: Double,
+      targetOccupancy: Double = 64.0, minRecall: Double = 0.9,
+      lshCrossover: Double = LshCrossoverAvgBlock): RouteDecision = {
+    val key = IndexCache.sessionKey(spark) + "#" +
+      collection.queryExecution.analyzed.semanticHash() + "#" +
+      s"$threshold/$targetOccupancy/$minRecall/$lshCrossover"
+    // bounded: decisions are a few hundred bytes and keys are per
+    // (corpus plan, knobs) — a pathological generator of distinct
+    // plans just resets the memo
+    if (routeDecisionCache.size > 1024) routeDecisionCache.clear()
+    routeDecisionCache.computeIfAbsent(key,
+      _ => embeddingRouteDecision(collection, threshold, targetOccupancy,
+        minRecall, lshCrossover))
+  }
 
   private[graft] def embeddingRouteDecision(collection: DataFrame, threshold: Double,
       targetOccupancy: Double = 64.0, minRecall: Double = 0.9,
@@ -620,7 +687,7 @@ object Dedup {
   private[graft] def routeParams(spark: SparkSession, collection: DataFrame,
                                  threshold: Double): DataFrame = {
     import spark.implicits._
-    val d = embeddingRouteDecision(collection, threshold)
+    val d = embeddingRouteDecisionCached(spark, collection, threshold)
     Seq(
       "route" -> d.route,
       "route_reason" -> d.reason,

@@ -162,29 +162,11 @@ object VectorIndex {
     val tEnc = System.nanoTime()
     encodeAndWrite(corpus, meta, p, "overwrite")
     logStage("encode+write", tEnc)
-    def paramsOf(m: Meta): Seq[(String, Long)] =
-      m.defaultNProbe.map(np => ("default_nprobe", np.toLong)).toSeq ++
-        m.defaultPool.map(pl => ("default_pool", pl.toLong)).toSeq ++
-        (if (m.pqResidual) Seq(("pq_residual", 1L)) else Nil) ++
-        (if (m.rotation.isDefined) Seq(("pq_opq", 1L)) else Nil) ++
-        (if (m.budgetBound) Seq(("pq_budget_bound", 1L)) else Nil) ++
-        (if (m.bqMean.isDefined) Seq(("bq_centered", 1L)) else Nil) ++
-        m.lshBits.map(b => ("lsh_bits", b.toLong)).toSeq
-    def writeParams(params: Seq[(String, Long)]): Unit =
-      if (params.nonEmpty)
-        params.toDF("param", "value")
-          .write.mode("overwrite").parquet(s"$p/meta/params")
-      else
-        // on-disk flags must match the codes just written: a rebuild
-        // from a previously-calibrated/residual meta to a legacy one
-        // would otherwise leave every OTHER session (metaCache evicted
-        // below) re-reading stale flags and mis-serving raw codes
-        fs.delete(new org.apache.hadoop.fs.Path(s"$p/meta/params"), true)
     // the ENCODE flags (pq_residual / pq_opq) persist the moment the
     // codes they describe exist — a crash during the minutes-long
     // calibration below must never leave residual-encoded codes that
     // a later session reads as raw (silent wrong reconstructions)
-    writeParams(paramsOf(meta))
+    writeParamsAt(spark, p, paramsOf(meta))
     // adaptive geometries calibrate their default probe AND rerank-
     // pool budgets against the corpus just written; small corpora
     // keep the measured 16-list geometry (and its measured NProbe)
@@ -194,7 +176,7 @@ object VectorIndex {
       if (doCalibrate && meta.centroids.length > Ann.NList)
         calibrate(spark, p, meta)
       else meta
-    if (servedMeta != meta) writeParams(paramsOf(servedMeta))
+    if (servedMeta != meta) writeParamsAt(spark, p, paramsOf(servedMeta))
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
     // seed this session's entry with the geometry just written
@@ -202,6 +184,68 @@ object VectorIndex {
     metaCache.put(IndexCache.sessionKey(spark) + "#" + p, servedMeta)
     mutated(spark, p)
     servedMeta
+  }
+
+  /** The `meta/params` rows a [[Meta]] persists — encode flags and
+    * calibrated serving knobs. Shared by [[writeCorpus]] (build) and
+    * [[recalibrate]] (maintenance), so the two writers can never
+    * disagree on the on-disk flag vocabulary.
+    */
+  private[graft] def paramsOf(m: Meta): Seq[(String, Long)] =
+    m.defaultNProbe.map(np => ("default_nprobe", np.toLong)).toSeq ++
+      m.defaultPool.map(pl => ("default_pool", pl.toLong)).toSeq ++
+      (if (m.pqResidual) Seq(("pq_residual", 1L)) else Nil) ++
+      (if (m.rotation.isDefined) Seq(("pq_opq", 1L)) else Nil) ++
+      (if (m.budgetBound) Seq(("pq_budget_bound", 1L)) else Nil) ++
+      (if (m.bqMean.isDefined) Seq(("bq_centered", 1L)) else Nil) ++
+      m.lshBits.map(b => ("lsh_bits", b.toLong)).toSeq
+
+  private def writeParamsAt(spark: SparkSession, p: String,
+                            params: Seq[(String, Long)]): Unit = {
+    import spark.implicits._
+    if (params.nonEmpty)
+      params.toDF("param", "value")
+        .write.mode("overwrite").parquet(s"$p/meta/params")
+    else {
+      // on-disk flags must match the codes on disk: a rebuild from a
+      // previously-calibrated/residual meta to a legacy one would
+      // otherwise leave every OTHER session (metaCache evicted by the
+      // caller) re-reading stale flags and mis-serving raw codes
+      val path = new org.apache.hadoop.fs.Path(s"$p/meta/params")
+      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+    }
+  }
+
+  /** Re-run serving calibration against the CURRENT corpus without
+    * re-encoding anything — the maintenance remedy for a recall miss
+    * on a budget-bound layout. `pq_budget_bound` is measured at build
+    * time against the build corpus; after appends a miss may be
+    * DRIFT-caused (the appended region shifted where true neighbors
+    * rank in the ADC ordering), in which case a refreshed
+    * (nprobe, pool) measured on today's corpus can clear the cap and
+    * restore the floor for the cost of one bounded calibration pass
+    * (the 256-query truth scan — 33 s at 5M vectors), not a corpus
+    * re-encode. Persists the refreshed knobs and re-seeds the meta
+    * cache; returns the refreshed meta (still `budgetBound` when even
+    * today's calibration hits the pool cap — the genuinely
+    * code-budget-limited case, which the caller reports instead of
+    * retraining). Small fixed geometries (≤ [[Ann.NList]] lists)
+    * never calibrate at build and are returned unchanged here.
+    */
+  private[graft] def recalibrate(spark: SparkSession, home: String): Meta = {
+    val p = IndexAlias.resolve(spark, home)
+    val meta = readMeta(spark, home)
+    if (meta.centroids.length <= Ann.NList) meta
+    else {
+      val refreshed = calibrate(spark, p, meta)
+      if (refreshed != meta) {
+        writeParamsAt(spark, p, paramsOf(refreshed))
+        metaCache.keySet.removeIf(_.endsWith("#" + p))
+        metaCache.put(IndexCache.sessionKey(spark) + "#" + p, refreshed)
+        mutated(spark, p)
+      }
+      refreshed
+    }
   }
 
   /** Build-time serving calibration, two rungs off ONE shared truth

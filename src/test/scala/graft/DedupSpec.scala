@@ -856,4 +856,62 @@ class DedupSpec extends SparkSpec {
       case (id, _) => assert(byId.contains(id + 2000000000L))
     }
   }
+
+  test("forced-LSH verb guards the no-contrast regime: routes exact, never bands toward all-pairs") {
+    import spark.implicits._
+    // a mean-dominated cone whose NOISE FLOOR sits above the
+    // threshold: random-pair cosine ~0.99 (pRand ~0.95) against
+    // threshold 0.35 (per-plane collision 0.61) — the heaps-aniso
+    // regime where the unguarded verb ground 781–1067 s per pass by
+    // banding toward all-pairs (every band filters threshold pairs
+    // FASTER than noise, so no (r, b) bounds occupancy)
+    val rnd = new scala.util.Random(17)
+    val cone = (0L until 120L).map { i =>
+      (i, Array.tabulate(26)(_ => (10.0 + rnd.nextGaussian()).toFloat.max(0f)), i % 3)
+    }
+    val df = cone.toDF("vec_id", "embedding", "label")
+      .unionByName(cone.filter(_._1 % 10 == 0)
+        .map { case (i, v, l) => (i + 1000L, v, l) }.toDF("vec_id", "embedding", "label"))
+      .localCheckpoint()
+    val pRand = Dedup.measuredPRand(df)
+    assert(!Dedup.lshHasContrast(0.35, pRand),
+      s"fixture must sit in the no-contrast regime (pRand $pRand)")
+    def pairs(d: org.apache.spark.sql.DataFrame) = d.collect()
+      .map(r => (r.getAs[Long]("vec_a"), r.getAs[Long]("vec_b"), r.getAs[Double]("score"))).toSet
+    val exact = pairs(Dedup.embeddingNearDupExact(df, 0.35))
+    // the guard routes to the exact scorer: the IDENTICAL relation
+    // (scores included), not a banded subset — the exact plan's cost
+    // matches the output mass the threshold's own density implies
+    val guarded = pairs(Dedup.embeddingNearDupAdaptive(df, 0.35))
+    assert(guarded == exact, "no-contrast adaptive must BE the exact relation")
+    // the documented escape hatch still bands (a caller that accepts
+    // the candidate mass): subset-of-exact because verify is exact
+    val forced = pairs(Dedup.embeddingNearDupAdaptive(df, 0.35, force = true))
+    assert(forced.subsetOf(exact))
+  }
+
+  test("embedding route decision is measured once per (session, corpus, knobs): a re-read runs no jobs") {
+    val e = Tables.embeddings(spark, sfDir)
+      .select(col("vec_id"), col("embedding"), col("label"))
+    val d1 = Dedup.embeddingRouteDecisionCached(spark, e, threshold = 0.35)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val d2 = Dedup.embeddingRouteDecisionCached(spark, e, threshold = 0.35)
+      assert(d2 == d1, "memoized decision must be the measured one")
+      // listener events post asynchronously; give a would-be job time
+      // to surface before asserting none started
+      Thread.sleep(800)
+      assert(jobs == 0,
+        s"cached route decision must run no corpus-sized job (saw $jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
+    // the driver corpus sits below the crossover: the memoized
+    // decision is the exact route the auto verb actually takes
+    assert(d1.route == "exact", d1.toString)
+    Dedup.invalidateRouteDecisions()
+  }
 }

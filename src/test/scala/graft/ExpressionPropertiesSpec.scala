@@ -137,4 +137,30 @@ class ExpressionPropertiesSpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
       "aggregate and window top-k must agree exactly")
   }
+
+  test("top_k_by_score orders NaN as the largest double, matching the window form") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val rr = new scala.util.Random(43)
+    // NaN scores happen in the calibration truth scan (cosine of a
+    // zero vector); Spark's total order sorts NaN ABOVE every double,
+    // so score-desc puts NaN first — the buffer must agree or the two
+    // documented-equivalent forms diverge exactly when it matters
+    val rows = (0 until 2000).map { i =>
+      val s = if (i % 17 == 0) Double.NaN else rr.nextInt(30).toDouble / 6.0
+      (i % 23, i.toLong, s)
+    }.toDF("q_id", "vec_id", "score").localCheckpoint()
+    val k = 5
+    val viaAgg = rows.groupBy($"q_id")
+      .agg(graft.functions.aggops.topKByScore($"score", $"vec_id", k).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).as("rn"), $"col.vec_id", $"col.score")
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    val viaWindow = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"q_id", $"rn", $"vec_id", $"score")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "NaN scores must rank identically through the aggregate and the window")
+  }
 }

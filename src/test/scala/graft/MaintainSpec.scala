@@ -129,6 +129,89 @@ class MaintainSpec extends SparkSpec {
     assert(bound == 1L)
   }
 
+  /** Stamp `pq_budget_bound` into the live generation's params — the
+    * fixture shared by the suppression tests (the genuine
+    * calibration-produced flag is pinned in AdaptiveIvfSpec's
+    * poolCap=10 case).
+    */
+  private def stampBudgetBound(home: String): Unit = {
+    import spark.implicits._
+    val live = IndexAlias.resolve(spark, home)
+    val existing = spark.read.parquet(s"$live/meta/params")
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      .filterNot(_._1 == "pq_budget_bound")
+    (existing :+ ("pq_budget_bound", 1L)).toDF("param", "value")
+      .coalesce(1).write.mode("overwrite").parquet(s"$live/meta/params.new")
+    val fs = new org.apache.hadoop.fs.Path(live)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(s"$live/meta/params"), true)
+    fs.rename(new org.apache.hadoop.fs.Path(s"$live/meta/params.new"),
+      new org.apache.hadoop.fs.Path(s"$live/meta/params"))
+    VectorIndex.invalidate(spark, home)
+    assert(VectorIndex.readMeta(spark, home).budgetBound)
+  }
+
+  test("budget-bound recall miss suppresses only the retrain: debt compaction still fires the same cycle") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-maintain-bound-debt") + "/vix"
+    val corpusA = clustered(seed = 31, nClusters = 16, perCluster = 32,
+      lo = -1.0, hi = 1.0, idBase = 0L)
+    VectorIndex.buildRotating(spark, corpusA, home)
+    val corpusB = clustered(seed = 43, nClusters = 16, perCluster = 32,
+      lo = 3.0, hi = 3.4, idBase = 100000L)
+    VectorIndex.append(spark, corpusB, home)
+    val rnd = new scala.util.Random(7)
+    val queries = corpusB.filter(col("vec_id") % 32 === 31).collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray.map(v => v + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      (r.getLong(0) + 900000L, emb)
+    }.toSeq.toDF("q_id", "q_emb").localCheckpoint()
+    stampBudgetBound(home)
+    // tombstone debt past the policy: the r12 shadowing defect let the
+    // budget_bound report swallow this compaction every cycle, so debt
+    // grew unboundedly on exactly the layouts that can't retrain
+    VectorIndex.delete(spark, home, (0L until 64L))
+    val gen0 = IndexAlias.resolve(spark, home)
+    val policy = ScaleOps.MaintenancePolicy(minRecall = Some(0.85), maxDebtRows = 1L)
+    val r = ScaleOps.maintain(spark, "vector", home, policy, Some(queries))
+    assert(r.action == "compacted", r.toString)
+    assert(r.reason.contains("suppressed"), s"reason should record the suppressed recall remedy: $r")
+    assert(r.recall.exists(_ < 0.85), s"the miss itself should still be on the report: $r")
+    assert(IndexAlias.resolve(spark, home) != gen0, "compaction lands a fresh generation")
+  }
+
+  test("budget-bound is a measurement, not a property: refreshed calibration clears the flag without retrain") {
+    import spark.implicits._
+    // an ADAPTIVE geometry (32 lists > the 16-list floor) so the
+    // maintenance recalibration genuinely re-measures (nprobe, pool)
+    // against the current corpus instead of no-opping
+    val home = IndexCache.tempDir("graft-maintain-recal") + "/vix"
+    val corpusA = clustered(seed = 61, nClusters = 32, perCluster = 48,
+      lo = -1.0, hi = 1.0, idBase = 0L)
+    val meta0 = VectorIndex.buildRotating(spark, corpusA, home, nlist = 32)
+    assert(!meta0.budgetBound, "fixture layout must calibrate unbound at build")
+    val corpusB = clustered(seed = 43, nClusters = 16, perCluster = 32,
+      lo = 3.0, hi = 3.4, idBase = 100000L)
+    VectorIndex.append(spark, corpusB, home)
+    val rnd = new scala.util.Random(7)
+    val queries = corpusB.filter(col("vec_id") % 32 === 31).collect().map { r =>
+      val emb = r.getSeq[Float](1).toArray.map(v => v + (rnd.nextDouble() * 0.02 - 0.01).toFloat)
+      (r.getLong(0) + 900000L, emb)
+    }.toSeq.toDF("q_id", "q_emb").localCheckpoint()
+    // the flag was measured against the BUILD corpus; after the append
+    // a recall miss may be drift-caused — maintain must re-measure
+    // (one bounded calibration pass, no re-encode) before suppressing
+    stampBudgetBound(home)
+    val gen0 = IndexAlias.resolve(spark, home)
+    val policy = ScaleOps.MaintenancePolicy(minRecall = Some(0.85))
+    val r = ScaleOps.maintain(spark, "vector", home, policy, Some(queries))
+    assert(r.action == "recalibrated", r.toString)
+    assert(r.recall.exists(_ < 0.85), s"probe should miss the floor: $r")
+    assert(IndexAlias.resolve(spark, home) == gen0,
+      "recalibration must not land a generation (no re-encode)")
+    assert(!VectorIndex.readMeta(spark, home).budgetBound,
+      "today's calibration clears the cap, so the flag must clear with it")
+  }
+
   test("list-size drift: a corpus that outgrew its nlist triggers a rotating retrain to policy geometry") {
     val home = IndexCache.tempDir("graft-maintain-geom") + "/vix"
     // a 4-list geometry over a corpus the policy wants at the 16-list
