@@ -43,14 +43,17 @@ object AnnRecallProbe {
     import operators.VectorIndex._
     val meta = readMeta(spark, idx)
     println(s"[probe] nlist=${meta.centroids.size} nprobe=${meta.defaultNProbe} " +
-      s"pool=${meta.defaultPool} opq=${meta.rotation.isDefined} bound=${meta.budgetBound}")
+      s"pool=${meta.defaultPool} opq=${meta.rotation.isDefined} bound=${meta.budgetBound} " +
+      s"bqPool=${meta.defaultBqPool} bqBound=${meta.bqBudgetBound} " +
+      s"lshBits=${meta.lshBits} lshBands=${meta.lshBands} lshBound=${meta.lshBudgetBound}")
     rec("ivf", searchIvf(spark, idx, queries, cached = false))
     rec("ivfpq_served_default", searchIvfPq(spark, idx, queries, cached = false))
     rec("ivfpq_pool100", searchIvfPq(spark, idx, queries, pool = 100, cached = false))
     rec("ivfpq_pool1000", searchIvfPq(spark, idx, queries, pool = 1000, cached = false))
     rec("pq_served_default", searchPq(spark, idx, queries, cached = false))
     rec("sq8", searchSq8(spark, idx, queries, cached = false))
-    rec("bq", searchBq(spark, idx, queries, cached = false))
+    rec("bq_served_default", searchBq(spark, idx, queries, cached = false))
+    rec("bq_pool100", searchBq(spark, idx, queries, pool = 100, cached = false))
     rec("bq_pool1000", searchBq(spark, idx, queries, pool = 1000, cached = false))
     rec("lsh", searchLsh(spark, idx, queries, cached = false))
     spark.stop()

@@ -144,7 +144,15 @@ object ScaleOps {
       // drifts toward linear per-query scans even with perfect
       // centroids. A rotating retrain fires when the policy geometry
       // for the LIVE count reaches this factor of the persisted one.
-      geometryDriftFactor: Double = 2.0)
+      geometryDriftFactor: Double = 2.0,
+      // banding drift rung (vector kind, report-only): the cycle
+      // REPORTS when the measured centered pRand of today's corpus
+      // wants at least this many more signature bits than the
+      // persisted lsh_bits — under-width banding grows bucket
+      // occupancy (candidate cost) with every appended batch, and the
+      // remedy (postings-rewriting rebuild) is an operator-owned
+      // cost/recall tradeoff, not an automatic action.
+      lshBitsDriftSlack: Int = 2)
 
   /** What [[maintain]] did and why — one row per decision, loggable
     * as-is into an operations table.
@@ -249,8 +257,22 @@ object ScaleOps {
           debtRows, dataFiles, recall)
       } else if (note.nonEmpty)
         MaintenanceReport("budget_bound", note.stripPrefix("; "), debtRows, dataFiles, recall)
-      else
-        MaintenanceReport("none", "within policy", debtRows, dataFiles, recall)
+      else {
+        // report-only rung, measured only when no action fired: the
+        // observability loop's last mile — route-relevant drift (the
+        // measured pRand the stats surface already shows) pages the
+        // operator with the evidence instead of silently degrading
+        val bandingDrift: Option[String] =
+          if (kind == "vector" && graft.sources.IndexAlias.installed(spark, home))
+            VectorIndex.bandingDrift(spark, home, policy.lshBitsDriftSlack)
+          else None
+        bandingDrift match {
+          case Some(why) =>
+            MaintenanceReport("banding_drift", why, debtRows, dataFiles, recall)
+          case None =>
+            MaintenanceReport("none", "within policy", debtRows, dataFiles, recall)
+        }
+      }
 
     val report = (recall, policy.minRecall) match {
       // a recall miss on a BUDGET-BOUND layout (build-time pool

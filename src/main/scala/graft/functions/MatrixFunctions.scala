@@ -104,6 +104,13 @@ case class CentroidDistances(child: Expression, centroids: Array[Array[Float]])
       val out = ctx.freshName("out")
       val c = ctx.freshName("c")
       val j = ctx.freshName("j")
+      // every local via freshName: two graft expressions in ONE
+      // whole-stage method both declaring a fixed `dot`/`cc`/`m` is a
+      // Janino compile error that silently drops the stage to
+      // interpreted eval
+      val cc = ctx.freshName("cc")
+      val m = ctx.freshName("m")
+      val dot = ctx.freshName("dot")
       s"""
          |${extractCode(ctx, a, vv)}
          |double $nrm = 0.0;
@@ -111,11 +118,11 @@ case class CentroidDistances(child: Expression, centroids: Array[Array[Float]])
          |$nrm = java.lang.Math.sqrt($nrm);
          |double[] $out = new double[$cents.length];
          |for (int $c = 0; $c < $cents.length; $c++) {
-         |  float[] cc = $cents[$c];
-         |  int m = java.lang.Math.min(cc.length, ${vv}n);
-         |  double dot = 0.0;
-         |  for (int $j = 0; $j < m; $j++) { dot += (double)cc[$j] * $vv[$j]; }
-         |  $out[$c] = $norms[$c] - 2.0 * dot / $nrm;
+         |  float[] $cc = $cents[$c];
+         |  int $m = java.lang.Math.min($cc.length, ${vv}n);
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) { $dot += (double)$cc[$j] * $vv[$j]; }
+         |  $out[$c] = $norms[$c] - 2.0 * $dot / $nrm;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin
@@ -190,6 +197,10 @@ case class NearestClusters(child: Expression, centroids: Array[Array[Float]], k:
       val c = ctx.freshName("c")
       val j = ctx.freshName("j")
       val p = ctx.freshName("p")
+      val cc = ctx.freshName("cc")
+      val m = ctx.freshName("m")
+      val dot = ctx.freshName("dot")
+      val d = ctx.freshName("d")
       s"""
          |${extractCode(ctx, a, vv)}
          |double $nrm = 0.0;
@@ -200,17 +211,17 @@ case class NearestClusters(child: Expression, centroids: Array[Array[Float]], k:
          |int[] $bc = new int[$kk];
          |java.util.Arrays.fill($bd, Double.MAX_VALUE);
          |for (int $c = 0; $c < $cents.length; $c++) {
-         |  float[] cc = $cents[$c];
-         |  int m = java.lang.Math.min(cc.length, ${vv}n);
-         |  double dot = 0.0;
-         |  for (int $j = 0; $j < m; $j++) { dot += (double)cc[$j] * $vv[$j]; }
-         |  double d = $norms[$c] - 2.0 * dot / $nrm;
-         |  if (d < $bd[$kk - 1]) {
+         |  float[] $cc = $cents[$c];
+         |  int $m = java.lang.Math.min($cc.length, ${vv}n);
+         |  double $dot = 0.0;
+         |  for (int $j = 0; $j < $m; $j++) { $dot += (double)$cc[$j] * $vv[$j]; }
+         |  double $d = $norms[$c] - 2.0 * $dot / $nrm;
+         |  if ($d < $bd[$kk - 1]) {
          |    int $p = $kk - 1;
-         |    while ($p > 0 && d < $bd[$p - 1]) {
+         |    while ($p > 0 && $d < $bd[$p - 1]) {
          |      $bd[$p] = $bd[$p - 1]; $bc[$p] = $bc[$p - 1]; $p--;
          |    }
-         |    $bd[$p] = d; $bc[$p] = $c;
+         |    $bd[$p] = $d; $bc[$p] = $c;
          |  }
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($bc);
@@ -279,10 +290,16 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Float]]],
       val c = ctx.freshName("c")
       val i = ctx.freshName("i")
       val sNorm = ctx.freshName("sNorm")
+      val base = ctx.freshName("base")
+      val cb = ctx.freshName("cb")
+      val rowV = ctx.freshName("row")
+      val cc = ctx.freshName("cc")
+      val dot = ctx.freshName("dot")
+      val x = ctx.freshName("x")
       val sNormCode =
         if (absolute)
-          s"""for (int $i = 0; $i < $subDim && base + $i < ${vv}n; $i++) {
-             |  double x = $vv[base + $i]; $sNorm += x * x;
+          s"""for (int $i = 0; $i < $subDim && $base + $i < ${vv}n; $i++) {
+             |  double $x = $vv[$base + $i]; $sNorm += $x * $x;
              |}""".stripMargin
         else ""
       s"""
@@ -290,20 +307,20 @@ case class PqAdcTable(child: Expression, codebooks: Array[Array[Array[Float]]],
          |org.apache.spark.sql.catalyst.util.ArrayData[] $tbl =
          |  new org.apache.spark.sql.catalyst.util.ArrayData[$books.length];
          |for (int $j = 0; $j < $books.length; $j++) {
-         |  int base = $j * $subDim;
+         |  int $base = $j * $subDim;
          |  double $sNorm = 0.0;
          |  $sNormCode
-         |  float[][] cb = $books[$j];
-         |  double[] row = new double[cb.length];
-         |  for (int $c = 0; $c < cb.length; $c++) {
-         |    float[] cc = cb[$c];
-         |    double dot = 0.0;
-         |    for (int $i = 0; $i < cc.length && base + $i < ${vv}n; $i++) {
-         |      dot += (double)cc[$i] * $vv[base + $i];
+         |  float[][] $cb = $books[$j];
+         |  double[] $rowV = new double[$cb.length];
+         |  for (int $c = 0; $c < $cb.length; $c++) {
+         |    float[] $cc = $cb[$c];
+         |    double $dot = 0.0;
+         |    for (int $i = 0; $i < $cc.length && $base + $i < ${vv}n; $i++) {
+         |      $dot += (double)$cc[$i] * $vv[$base + $i];
          |    }
-         |    row[$c] = $norms[$j][$c] - 2.0 * dot + $sNorm;
+         |    $rowV[$c] = $norms[$j][$c] - 2.0 * $dot + $sNorm;
          |  }
-         |  $tbl[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData(row);
+         |  $tbl[$j] = new org.apache.spark.sql.catalyst.util.GenericArrayData($rowV);
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData((Object[]) $tbl);
        """.stripMargin
@@ -337,11 +354,12 @@ case class SignBits(child: Expression) extends VectorMatrixExpression {
       val vv = ctx.freshName("vv")
       val w = ctx.freshName("w")
       val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
       s"""
          |${extractCode(ctx, a, vv)}
          |long $w = 0L;
-         |int n = java.lang.Math.min(64, ${vv}n);
-         |for (int $i = 0; $i < n; $i++) { if ($vv[$i] >= 0) $w |= 1L << $i; }
+         |int $n = java.lang.Math.min(64, ${vv}n);
+         |for (int $i = 0; $i < $n; $i++) { if ($vv[$i] >= 0) $w |= 1L << $i; }
          |${ev.value} = $w;
        """.stripMargin
     })
@@ -410,19 +428,26 @@ case class LshBandBuckets(child: Expression, planes: Array[Array[Float]],
       val t = ctx.freshName("t")
       val i = ctx.freshName("i")
       val j = ctx.freshName("j")
+      // every local via freshName: a fixed identifier colliding with
+      // an enclosing codegen scope is a Janino compile error that
+      // silently drops the stage to interpreted eval
+      val bucket = ctx.freshName("bucket")
+      val pRow = ctx.freshName("p")
+      val m = ctx.freshName("m")
+      val dot = ctx.freshName("dot")
       s"""
          |${extractCode(ctx, a, vv)}
          |long[] $out = new long[$pl.length / $bitsPerBand];
          |for (int $t = 0; $t < $out.length; $t++) {
-         |  long bucket = 0L;
+         |  long $bucket = 0L;
          |  for (int $i = 0; $i < $bitsPerBand; $i++) {
-         |    float[] p = $pl[$t * $bitsPerBand + $i];
-         |    int m = java.lang.Math.min(p.length, ${vv}n);
-         |    double dot = 0.0;
-         |    for (int $j = 0; $j < m; $j++) { dot += (double)p[$j] * $vv[$j]; }
-         |    if (dot >= 0) bucket |= 1L << $i;
+         |    float[] $pRow = $pl[$t * $bitsPerBand + $i];
+         |    int $m = java.lang.Math.min($pRow.length, ${vv}n);
+         |    double $dot = 0.0;
+         |    for (int $j = 0; $j < $m; $j++) { $dot += (double)$pRow[$j] * $vv[$j]; }
+         |    if ($dot >= 0) $bucket |= 1L << $i;
          |  }
-         |  $out[$t] = bucket;
+         |  $out[$t] = $bucket;
          |}
          |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($out);
        """.stripMargin

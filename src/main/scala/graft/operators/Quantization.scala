@@ -508,6 +508,15 @@ object Quantization {
 
   val BqPool = 100
 
+  /** Cost cap for the calibrated BQ rerank pool (calibration rung 3,
+    * [[VectorIndex.calibrate]]): the pool is the exact-rerank row
+    * count per query, so the cap bounds serving cost the same way
+    * [[PqPoolCap]] bounds PQ's. Past it the 64 sign bits themselves
+    * are the limit and `bq_budget_bound` is persisted instead of a
+    * larger default.
+    */
+  val BqPoolCap = 4096
+
   /** Sign-bit word: bit i set iff component i ≥ 0. One native fused
     * loop (graft.functions.SignBits) — pure codegen, no shuffle, no
     * training state.

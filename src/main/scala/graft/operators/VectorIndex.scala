@@ -65,7 +65,11 @@ object VectorIndex {
                         defaultPool: Option[Int] = None,
                         budgetBound: Boolean = false,
                         bqMean: Option[Seq[Float]] = None,
-                        lshBits: Option[Int] = None)
+                        lshBits: Option[Int] = None,
+                        defaultBqPool: Option[Int] = None,
+                        bqBudgetBound: Boolean = false,
+                        lshBands: Option[Int] = None,
+                        lshBudgetBound: Boolean = false)
 
   private val vectorsSchema = StructType.fromDDL(
     "vec_id BIGINT, embedding ARRAY<FLOAT>, label INT, pq_codes ARRAY<TINYINT>, " +
@@ -90,10 +94,57 @@ object VectorIndex {
     val cents = Ann.trainCentroids(spark, sfDir)
     val (rot, cbs) = Quantization.trainPqOpq(spark, sfDir)
     val emb = Tables.embeddings(spark, sfDir)
+    val mu = Quantization.trainBqMean(emb)
     writeCorpus(spark, emb, path,
       Meta(cents, cbs, pqResidual = true, rotation = Some(rot),
-        bqMean = Some(Quantization.trainBqMean(emb)),
-        lshBits = Some(Ann.lshBitsFor(emb.count()))))
+        bqMean = Some(mu),
+        lshBits = Some(Ann.lshBitsFor(emb.count(), centeredPRand(emb, mu)))))
+  }
+
+  /** Measured per-plane random-pair collision probability of the
+    * MEAN-CENTERED corpus — [[Ann.lshBitsFor]]'s `pRand` input
+    * (bounded 256-row sample, the [[graft.operators.Dedup]]
+    * discipline). Uniform clouds measure ≈0.5 and keep the former
+    * log₂ widths bit-for-bit; clouds still anisotropic after
+    * centering get the wider bands bounded occupancy needs.
+    */
+  private def centeredPRand(corpus: DataFrame, mu: Seq[Float]): Double =
+    Dedup.measuredPRand(corpus.select(col("vec_id"),
+      zip_with(col("embedding"), typedLit(mu), (v, m) => v - m).as("embedding")))
+
+  /** Route-relevant banding drift of a standing layout: appends
+    * encode under the FROZEN banding, so a corpus whose measured
+    * centered pRand drifts concentrated (or that simply outgrows its
+    * width) leaves the persisted `lsh_bits` under-sized — bucket
+    * occupancy, hence per-query candidate mass, grows with every
+    * batch (the same failure list-size drift is to probe cost).
+    * Returns the measured evidence when today's corpus wants at
+    * least `slackBits` more width than the layout persists; the
+    * remedy is the postings-rewriting rebuild verbs (retrain /
+    * compact land a fresh generation and re-derive the banding), so
+    * [[graft.api.ScaleOps.maintain]] REPORTS this rung with the
+    * measured inputs rather than acting — banding review is a
+    * cost/recall tradeoff an operator owns. One bounded sample pass
+    * plus one live count; only layouts with the adaptive banding
+    * (`lsh_bits` + `bq_centered`) measure anything.
+    */
+  private[graft] def bandingDrift(spark: SparkSession, home: String,
+                                  slackBits: Int): Option[String] = {
+    val meta = readMeta(spark, home)
+    (meta.lshBits, meta.bqMean) match {
+      case (Some(bits), Some(mu)) =>
+        val prim = vectors(spark, IndexAlias.resolve(spark, home), primaryOnly = true)
+          .select(col("vec_id"), col("embedding"))
+        val live = prim.count()
+        val pNow = centeredPRand(prim, mu)
+        val want = Ann.lshBitsFor(live, pNow)
+        if (want >= bits + slackBits)
+          Some(f"banding drift: persisted lsh_bits $bits, measured centered " +
+            f"pRand $pNow%.3f at $live live vectors wants $want bits — " +
+            "banding/geometry review recommended (postings rewrite rides retrain/compact)")
+        else None
+      case _ => None
+    }
   }
 
   /** Build the index from ANY normalized (vec_id BIGINT, embedding
@@ -109,11 +160,12 @@ object VectorIndex {
       if (nlist > 0) Ann.trainCentroidsFrom(corpus, nlist)
       else Ann.trainCentroidsFrom(corpus)
     val (rot, cbs) = Quantization.trainPqOpqFrom(corpus, cents)
+    val mu = Quantization.trainBqMean(corpus)
     logStage("train", t0)
     writeCorpus(spark, corpus, path,
       Meta(cents, cbs, pqResidual = true, rotation = Some(rot),
-        bqMean = Some(Quantization.trainBqMean(corpus)),
-        lshBits = Some(Ann.lshBitsFor(corpus.count()))),
+        bqMean = Some(mu),
+        lshBits = Some(Ann.lshBitsFor(corpus.count(), centeredPRand(corpus, mu)))),
       doCalibrate = calibrate)
   }
 
@@ -160,22 +212,29 @@ object VectorIndex {
       case None => fs.delete(bqMeanPath, true)
     }
     val tEnc = System.nanoTime()
-    encodeAndWrite(corpus, meta, p, "overwrite")
+    // the signature postings are NOT written here: a calibrating
+    // build measures the band count off the held-out truth set first
+    // (rung 4) and writes them once under the calibrated meta below
+    encodeAndWrite(corpus, meta, p, "overwrite", writeLsh = false)
     logStage("encode+write", tEnc)
     // the ENCODE flags (pq_residual / pq_opq) persist the moment the
     // codes they describe exist — a crash during the minutes-long
     // calibration below must never leave residual-encoded codes that
     // a later session reads as raw (silent wrong reconstructions)
     writeParamsAt(spark, p, paramsOf(meta))
-    // adaptive geometries calibrate their default probe AND rerank-
-    // pool budgets against the corpus just written; small corpora
-    // keep the measured 16-list geometry (and its measured NProbe)
-    // bit-for-bit. `doCalibrate = false` is the large-build opt-out:
-    // the closed-form floor (and the constant pool) serve instead.
+    // adaptive geometries calibrate their default probe, rerank-pool
+    // (PQ and BQ) and LSH band-count budgets against the corpus just
+    // written; small corpora keep the measured 16-list geometry (and
+    // its measured NProbe) bit-for-bit. `doCalibrate = false` is the
+    // large-build opt-out: the closed-form floor (and the constant
+    // pool / 16-band) serve instead.
     val servedMeta =
       if (doCalibrate && meta.centroids.length > Ann.NList)
         calibrate(spark, p, meta)
       else meta
+    val tLsh = System.nanoTime()
+    writeLshTable(corpus, servedMeta, p, "overwrite")
+    logStage("lsh-write", tLsh)
     if (servedMeta != meta) writeParamsAt(spark, p, paramsOf(servedMeta))
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
@@ -198,7 +257,11 @@ object VectorIndex {
       (if (m.rotation.isDefined) Seq(("pq_opq", 1L)) else Nil) ++
       (if (m.budgetBound) Seq(("pq_budget_bound", 1L)) else Nil) ++
       (if (m.bqMean.isDefined) Seq(("bq_centered", 1L)) else Nil) ++
-      m.lshBits.map(b => ("lsh_bits", b.toLong)).toSeq
+      m.lshBits.map(b => ("lsh_bits", b.toLong)).toSeq ++
+      m.defaultBqPool.map(bp => ("default_bq_pool", bp.toLong)).toSeq ++
+      (if (m.bqBudgetBound) Seq(("bq_budget_bound", 1L)) else Nil) ++
+      m.lshBands.map(b => ("lsh_bands", b.toLong)).toSeq ++
+      (if (m.lshBudgetBound) Seq(("lsh_budget_bound", 1L)) else Nil)
 
   private def writeParamsAt(spark: SparkSession, p: String,
                             params: Seq[(String, Long)]): Unit = {
@@ -237,7 +300,14 @@ object VectorIndex {
     val meta = readMeta(spark, home)
     if (meta.centroids.length <= Ann.NList) meta
     else {
+      // band count is pinned to the persisted postings: rung 4 may
+      // measure a different count against today's corpus, but serving
+      // it without rewriting the postings table would probe band ids
+      // the table doesn't hold — band-count changes ride the rebuild
+      // verbs (retrain/compact land a fresh generation), not this
+      // in-place knob refresh
       val refreshed = calibrate(spark, p, meta)
+        .copy(lshBands = meta.lshBands, lshBudgetBound = meta.lshBudgetBound)
       if (refreshed != meta) {
         writeParamsAt(spark, p, paramsOf(refreshed))
         metaCache.keySet.removeIf(_.endsWith("#" + p))
@@ -378,8 +448,101 @@ object VectorIndex {
     val pool = math.min(poolCap.toLong,
       math.max(math.min(poolCap, Quantization.PqRerankPool).toLong, rawPool)).toInt
     logStage("calibrate-pool", tPool)
-    meta.copy(defaultNProbe = Some(np), defaultPool = Some(pool), budgetBound = bound)
+    // ---- rung 3: BQ Hamming-prefilter pool ----
+    // The committed aniso-sf100 ladder showed the pre-calibration
+    // shape exactly: 0.641 recall at the CONSTANT pool 100 vs 0.9716
+    // at 1000 — the same measured-not-assumed treatment PQ's pool got
+    // in rung 2. Each true neighbor's rank in its query's
+    // (hamming asc, vec_id asc) prefilter ordering over the stored
+    // sign words, by the same broadcast-join + combinable-count shape
+    // (the corpus-sized hamming frame is never shuffled or sorted;
+    // the scan reads 8 bytes/vector). Every vector has a hamming
+    // distance, so the quantile tail is always reachable — the bound
+    // flag fires only when the rank quantile itself exceeds the cap.
+    val tBq = System.nanoTime()
+    val qw = queries.select(col("q_id"),
+      Quantization.bqWord(meta.bqMean.fold(col("q_emb"))(mu =>
+        zip_with(col("q_emb"), typedLit(mu), (v, m) => v - m))).as("qw"))
+    val hams = vectors(spark, p, primaryOnly = true)
+      .select(col("vec_id"), col("bq_word"))
+      .crossJoin(broadcast(qw))
+      .select(col("q_id"), col("vec_id"),
+        bit_count(col("bq_word").bitwiseXOR(col("qw"))).as("hamming"))
+    val truthH = hams.join(broadcast(truth), Seq("q_id", "vec_id"))
+      .select(col("q_id"), col("vec_id").as("t_vec"), col("hamming").as("t_ham"))
+      .localCheckpoint()
+    val bqRanks = hams.join(broadcast(truthH), Seq("q_id"))
+      .filter(col("hamming") < col("t_ham") ||
+        (col("hamming") === col("t_ham") && col("vec_id") < col("t_vec")))
+      .groupBy(col("q_id"), col("t_vec")).agg(count(lit(1)).as("n_better"))
+      .select(col("n_better")).collect().map(_.getLong(0) + 1L)
+    val bqFound = (bqRanks ++
+      Array.fill((truthTotal - bqRanks.length).toInt)(1L)).sorted
+    val rawBqPool: Long =
+      if (truthTotal == 0) Quantization.BqPool.toLong
+      else bqFound(math.max(0, math.min(bqFound.length - 1,
+        math.ceil(CalibrationTarget * truthTotal).toInt - 1)))
+    val bqBound = rawBqPool > Quantization.BqPoolCap
+    val bqPool = math.min(Quantization.BqPoolCap.toLong,
+      math.max(Quantization.BqPool.toLong, rawBqPool)).toInt
+    logStage("calibrate-bq-pool", tBq)
+    // ---- rung 4: LSH band count ----
+    // Band WIDTH is sized at build for bounded occupancy (measured
+    // centered pRand, [[Ann.lshBitsFor]]); the band COUNT is the
+    // recall knob, and a fixed 16 served 0.744 at the aniso sf100
+    // corpus where every other family holds ≥0.9 at its calibrated
+    // setting. Measured directly: each truth pair's per-plane
+    // collision probability on the CENTERED vectors (the frame the
+    // planes actually hash), p = 1 − θ/π; expected candidate recall
+    // at b bands is mean_i[1 − (1 − p_i^r)^b] (independent seeded
+    // bands), and the smallest b in [16, LshBandCap] that reaches
+    // [[CalibrationTarget]] is persisted as `lsh_bands`. When even
+    // the cap cannot reach it the layout is flagged
+    // `lsh_budget_bound` — the banding geometry, not the count, is
+    // the limit (the no-contrast regime), and maintenance must not
+    // rewrite postings forever. One bounded job: the truth pairs
+    // (queries × K rows) broadcast against one corpus projection.
+    val tBands = System.nanoTime()
+    val (lshBands, lshBound) = meta.lshBits match {
+      case Some(r) =>
+        val centEmb = meta.bqMean.fold(col("embedding"))(mu =>
+          zip_with(col("embedding"), typedLit(mu), (v, m) => v - m))
+        val centQ = meta.bqMean.fold(col("q_emb"))(mu =>
+          zip_with(col("q_emb"), typedLit(mu), (v, m) => v - m))
+        val pairProbs = vectors(spark, p, primaryOnly = true)
+          .select(col("vec_id"), col("embedding"))
+          .join(broadcast(truth.join(broadcast(queries), "q_id")), "vec_id")
+          .select(vec.cosine(centQ, centEmb).cast("double").as("c"))
+          .collect().map { row =>
+            val c = math.max(-1.0, math.min(1.0, row.getDouble(0)))
+            1.0 - math.acos(c) / math.Pi
+          }
+        if (pairProbs.isEmpty) (None, false)
+        else {
+          def recallAt(b: Int): Double =
+            pairProbs.map(pi => 1.0 - math.pow(1.0 - math.pow(pi, r), b)).sum /
+              pairProbs.length
+          (Ann.LshBands to LshBandCap).find(b => recallAt(b) >= CalibrationTarget) match {
+            case Some(b) => (Some(b), false)
+            case None    => (Some(LshBandCap), true)
+          }
+        }
+      case None => (None, false)
+    }
+    logStage("calibrate-lsh-bands", tBands)
+    meta.copy(defaultNProbe = Some(np), defaultPool = Some(pool), budgetBound = bound,
+      defaultBqPool = Some(bqPool), bqBudgetBound = bqBound,
+      lshBands = lshBands, lshBudgetBound = lshBound)
   }
+
+  /** Band-count cost cap for calibration rung 4: postings rows (and
+    * append cost) scale linearly with the band count, so the cap
+    * bounds the table at 4× the 16-band legacy footprint. Past it the
+    * geometry itself (no contrast between neighbor and random angles
+    * on the centered cloud) is the limit and `lsh_budget_bound` is
+    * persisted instead of more tables.
+    */
+  private[graft] val LshBandCap = 64
 
   /** Held-out corpus queries per build-time probe calibration, and
     * the in-calibration recall the calibrated budget must reach.
@@ -490,7 +653,8 @@ object VectorIndex {
     * non-probed family prunes to `assign_rank=0` at the listing and
     * never pays for the spill copies.
     */
-  private def encodeAndWrite(df: DataFrame, meta: Meta, path: String, mode: String): Unit = {
+  private def encodeAndWrite(df: DataFrame, meta: Meta, path: String, mode: String,
+                             writeLsh: Boolean = true): Unit = {
     val assigned = df.select(col("*"), posexplode(
       Ann.spillClusters(col("embedding"), meta.centroids, Ann.SpillAssign))
       .as(Seq("assign_rank", "cluster_id")))
@@ -527,10 +691,21 @@ object VectorIndex {
     // so the exchange has no skewed reducer.
     enc.repartition(col("cluster_id"), col("assign_rank"))
       .write.mode(mode).partitionBy("cluster_id", "assign_rank").parquet(s"$path/vectors")
+    if (writeLsh) writeLshTable(df, meta, path, mode)
+  }
+
+  /** The signature-postings table, written under the meta's banding
+    * config. Split from [[encodeAndWrite]] because a FULL build
+    * calibrates the band count off the held-out truth set first
+    * (calibration rung 4) and writes the postings once under the
+    * calibrated meta; appends write under the persisted meta in the
+    * same pass as the vectors.
+    */
+  private def writeLshTable(df: DataFrame, meta: Meta, path: String,
+                            mode: String): Unit =
     df.select(col("vec_id"), lshKeys(meta).as("bk"))
       .select(col("bk.bucket").as("bucket"), col("vec_id"), col("bk.band_id").as("band_id"))
       .write.mode(mode).partitionBy("band_id").parquet(s"$path/lsh")
-  }
 
   /** Exploded (band_id, bucket) signature keys for `embedding` /
     * `q_emb` under a layout's banding config. Adaptive layouts
@@ -545,11 +720,18 @@ object VectorIndex {
   private def lshKeysOf(meta: Meta, embCol: Column): Column =
     meta.lshBits match {
       case Some(bits) =>
+        // band count from the calibrated meta (rung 4); the seeded
+        // plane generator is PREFIX-STABLE — bands 0..15 of a 64-band
+        // layout hash identically to the 16-band layout's bands — so
+        // a reader on a stale 16-band meta probes a correct subset of
+        // a wider table, degrading recall, never correctness
+        val bands = meta.lshBands.getOrElse(Ann.LshBands)
         val centered = meta.bqMean.fold(embCol)(mu =>
           zip_with(embCol, typedLit(mu), (v, m) => v - m))
         explode(zip_with(
-          graft.functions.matrixops.lshBandBuckets(centered, Ann.lshPlanesFor(bits), bits),
-          sequence(lit(0), lit(15)),
+          graft.functions.matrixops.lshBandBuckets(centered,
+            Ann.lshPlanesFor(bits, bands), bits),
+          sequence(lit(0), lit(bands - 1)),
           (bucket, band) => struct(band.cast("int").as("band_id"),
             bucket.cast("int").as("bucket"))))
       case None => explode(Ann.bandKeys(embCol))
@@ -656,7 +838,11 @@ object VectorIndex {
         params.get("default_pool").map(_.toInt),
         params.get("pq_budget_bound").contains(1L),
         bqMean,
-        params.get("lsh_bits").map(_.toInt))
+        params.get("lsh_bits").map(_.toInt),
+        params.get("default_bq_pool").map(_.toInt),
+        params.get("bq_budget_bound").contains(1L),
+        params.get("lsh_bands").map(_.toInt),
+        params.get("lsh_budget_bound").contains(1L))
     })
   }
 
@@ -676,9 +862,13 @@ object VectorIndex {
       "pq_residual" -> (if (meta.pqResidual) 1L else 0L),
       "pq_opq" -> (if (meta.rotation.isDefined) 1L else 0L),
       "pq_budget_bound" -> (if (meta.budgetBound) 1L else 0L),
+      "bq_budget_bound" -> (if (meta.bqBudgetBound) 1L else 0L),
+      "lsh_budget_bound" -> (if (meta.lshBudgetBound) 1L else 0L),
       "bq_centered" -> (if (meta.bqMean.isDefined) 1L else 0L)) ++
       meta.defaultNProbe.map(np => "default_nprobe" -> np.toLong) ++
-      meta.defaultPool.map(pl => "default_pool" -> pl.toLong))
+      meta.defaultPool.map(pl => "default_pool" -> pl.toLong) ++
+      meta.defaultBqPool.map(bp => "default_bq_pool" -> bp.toLong) ++
+      meta.lshBands.map(b => "lsh_bands" -> b.toLong))
       .toDF("param", "value")
   }
 
@@ -1027,13 +1217,20 @@ object VectorIndex {
   /** BQ from rest: Hamming prefilter on the stored sign words (8
     * bytes per vector read), exact rerank from the stored floats.
     * Centered layouts (`bq_centered`) hash sign(q − μ) on the query
-    * side with the SAME persisted μ the stored words used.
+    * side with the SAME persisted μ the stored words used. The
+    * default pool is the build-calibrated `default_bq_pool`
+    * (calibration rung 3) when the layout carries one — the constant
+    * [[Quantization.BqPool]] served 0.641 recall at the aniso sf100
+    * corpus where the calibrated quantile holds the target; explicit
+    * `pool > 0` overrides.
     */
   def searchBq(spark: SparkSession, rawPath: String, queries: DataFrame,
-               k: Int = Quantization.K, pool: Int = Quantization.BqPool,
+               k: Int = Quantization.K, pool: Int = -1,
                cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
+    val servedPool =
+      if (pool > 0) pool else meta.defaultBqPool.getOrElse(Quantization.BqPool)
     val qIn = meta.bqMean.fold(col("q_emb"))(mu =>
       zip_with(col("q_emb"), typedLit(mu), (v, m) => v - m))
     val q = queries.select(col("q_id"), Quantization.bqWord(qIn).as("qw"))
@@ -1046,7 +1243,7 @@ object VectorIndex {
       .select(col("q_id"), col("vec_id"),
         bit_count(col("bq_word").bitwiseXOR(col("qw"))).as("hamming"))
       .withColumn("hrn", row_number().over(wHam))
-      .filter(col("hrn") <= pool)
+      .filter(col("hrn") <= servedPool)
       .select(col("q_id"), col("vec_id"))
     rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k, cached)
   }

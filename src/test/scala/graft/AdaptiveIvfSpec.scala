@@ -324,4 +324,44 @@ class AdaptiveIvfSpec extends SparkSpec {
       .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
     assert(onDisk.get("bq_centered").contains(1L))
   }
+
+  test("BQ pool and LSH band count calibrate off the shared truth set; served defaults hold the floor") {
+    val path = graft.operators.IndexCache.tempDir("graft-bqlsh-cal") + "/vidx"
+    val meta = VectorIndex.buildFrom(spark, hardCloud, path, nlist = 128)
+    // rung 3/4 outputs persist like every other calibrated knob
+    assert(meta.defaultBqPool.isDefined, "adaptive builds must calibrate the BQ pool")
+    assert(meta.lshBands.exists(_ >= 16), s"band count below the 16 legacy floor: ${meta.lshBands}")
+    val onDisk = spark.read.parquet(s"$path/meta/params")
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(onDisk.contains("default_bq_pool"), s"params: ${onDisk.keys}")
+    assert(onDisk.contains("lsh_bands"))
+    val queries = hardCloud.filter(col("vec_id") % 397 === 0)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+    val exact = api.VectorCollection(hardCloud, idCol = "vec_id")
+      .search(queries, 10, api.Metric.Cosine)
+    def recOf(df: org.apache.spark.sql.DataFrame): Double =
+      api.ScaleOps.recallAtK(exact, df).agg(avg(col("recall"))).head.getDouble(0)
+    // served DEFAULTS (no explicit knobs) must reach the floor — or
+    // the layout must say, in its persisted params, that the encoding
+    // budget itself is the limit (the honest budget-bound contract)
+    val bqRec = recOf(VectorIndex.searchBq(spark, path, queries))
+    val lshRec = recOf(VectorIndex.searchLsh(spark, path, queries))
+    info(f"served defaults on the mean-dominated cloud: bq $bqRec%.3f " +
+      f"(pool ${meta.defaultBqPool.get}, bound ${meta.bqBudgetBound}); " +
+      f"lsh $lshRec%.3f (bands ${meta.lshBands.get}, bits ${meta.lshBits.get}, " +
+      f"bound ${meta.lshBudgetBound})")
+    assert(bqRec >= 0.85 || meta.bqBudgetBound,
+      f"uncapped BQ calibration must serve >= 0.85: $bqRec%.3f")
+    assert(lshRec >= 0.85 || meta.lshBudgetBound,
+      f"unflagged LSH band calibration must serve >= 0.85: $lshRec%.3f")
+    // a 16-band legacy meta probing the calibrated table reads a
+    // correct SUBSET (prefix-stable planes): recall can only drop,
+    // rows can never be wrong — pin via explicit-pool/band identity
+    // of the first-16-bands keys being served at all
+    val statsParams = VectorIndex.servingParams(spark, path)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(statsParams.get("lsh_bands") == meta.lshBands.map(_.toLong),
+      "stats surface must report the calibrated band count")
+    assert(statsParams.get("default_bq_pool") == meta.defaultBqPool.map(_.toLong))
+  }
 }

@@ -212,6 +212,40 @@ class MaintainSpec extends SparkSpec {
       "today's calibration clears the cap, so the flag must clear with it")
   }
 
+  test("banding drift: concentrated appends past the width slack REPORT with the measured inputs, never retrain") {
+    import spark.implicits._
+    val home = IndexCache.tempDir("graft-maintain-banding") + "/vix"
+    // a direction-uniform corpus big enough that width is above the
+    // 4-bit floor territory: 20k rows at pRand ~0.5 persist ~4 bits
+    val rnd = new scala.util.Random(3)
+    def uniformRows(n: Int, idBase: Long) = (0 until n).map { i =>
+      (idBase + i, Array.fill(Dim)((rnd.nextGaussian()).toFloat), i % 8)
+    }
+    val corpusA = uniformRows(10000, 0L).toDF("vec_id", "embedding", "label")
+    VectorIndex.buildRotating(spark, corpusA, home)
+    val bits0 = VectorIndex.readMeta(spark, home).lshBits.get
+    val r0 = ScaleOps.maintain(spark, "vector", home)
+    assert(r0.action == "none", s"fresh uniform layout must be within policy: $r0")
+    // append a CONCENTRATED batch of 4x the mass: the mixed corpus's
+    // measured centered pRand rises (sampled pairs are now mostly
+    // in-cone at ~0.95 per-plane collision), the frozen width
+    // under-sizes, and per-query candidate mass starts growing with
+    // every batch — the rung must surface the measured evidence, not
+    // act (the postings rewrite is an operator-owned cost/recall
+    // tradeoff)
+    val conc = (0 until 40000).map { i =>
+      (100000L + i, Array.fill(Dim)((10.0 + rnd.nextGaussian()).toFloat), i % 8)
+    }.toDF("vec_id", "embedding", "label")
+    VectorIndex.append(spark, conc, home)
+    val gen0 = IndexAlias.resolve(spark, home)
+    val r1 = ScaleOps.maintain(spark, "vector", home)
+    assert(r1.action == "banding_drift", r1.toString)
+    assert(r1.reason.contains(s"lsh_bits $bits0") && r1.reason.contains("pRand"),
+      s"report must carry the measured inputs: $r1")
+    assert(IndexAlias.resolve(spark, home) == gen0,
+      "banding drift is report-only: no generation may land")
+  }
+
   test("list-size drift: a corpus that outgrew its nlist triggers a rotating retrain to policy geometry") {
     val home = IndexCache.tempDir("graft-maintain-geom") + "/vix"
     // a 4-list geometry over a corpus the policy wants at the 16-list
