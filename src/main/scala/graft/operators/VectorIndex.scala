@@ -468,8 +468,17 @@ object VectorIndex {
       .crossJoin(broadcast(qw))
       .select(col("q_id"), col("vec_id"),
         bit_count(col("bq_word").bitwiseXOR(col("qw"))).as("hamming"))
-    val truthH = hams.join(broadcast(truth), Seq("q_id", "vec_id"))
-      .select(col("q_id"), col("vec_id").as("t_vec"), col("hamming").as("t_ham"))
+    // the truth pairs' own hamming needs only the 2560 (q, t) pairs —
+    // ONE narrow corpus scan joined on vec_id, never the q × corpus
+    // product (riding `hams` here measured 155 s of a 574 s build at
+    // the 5M corpus: half the rung was re-deriving 2.5B crossed rows
+    // to keep 2560 of them)
+    val truthH = vectors(spark, p, primaryOnly = true)
+      .select(col("vec_id"), col("bq_word"))
+      .join(broadcast(truth), "vec_id")
+      .join(broadcast(qw), "q_id")
+      .select(col("q_id"), col("vec_id").as("t_vec"),
+        bit_count(col("bq_word").bitwiseXOR(col("qw"))).as("t_ham"))
       .localCheckpoint()
     val bqRanks = hams.join(broadcast(truthH), Seq("q_id"))
       .filter(col("hamming") < col("t_ham") ||
