@@ -520,8 +520,23 @@ object Dedup {
         "routing to the exact blocked scorer (force=true overrides)")
       embeddingNearDupExact(collection, threshold)
     } else {
-      val (r, b) = chooseBanding(avgLabelBlock(collection), threshold,
-        targetOccupancy, minRecall, pRand = pRand)
+      val avg = avgLabelBlock(collection)
+      val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall,
+        pRand = pRand)
+      // contrast can hold while the Jensen-gap bucket tails still
+      // blow the exchange (measured: 50k-wide blocks at pRand 0.81
+      // cap b at 256 tables and ground 38 min / 31 GB of shuffle at
+      // a 500k corpus where the auto verb's cluster route ran 23 s —
+      // bench/slope_combined_sf10_r13.json). The forced verb stays
+      // forced, but the grind must announce itself with the measured
+      // inputs before the first shuffle writes.
+      val perRow = LshCandidateCostFactor * b * empiricalOccupancy(probs, r, avg)
+      if (perRow > ClusterRouteCandidateBudget)
+        println(f"embeddingNearDupAdaptive: empirical candidate mass $perRow%.0f/row " +
+          f"at banding ($r, $b) exceeds the cluster-route budget " +
+          f"$ClusterRouteCandidateBudget%.0f/row — the bucket-tail exchange will " +
+          "grind on this cloud; embeddingNearDupAuto routes this regime to " +
+          "learned-cluster blocking")
       embeddingNearDupPairs(collection, threshold, r, b)
     }
   }
