@@ -220,15 +220,20 @@ object ScaleOps {
     // for the LIVE primary count — appends freeze geometry, so a
     // corpus that grew past the policy's list-size target needs the
     // rotating retrain no amount of compaction provides.
-    val geometryDrift: Option[String] =
-      if (kind == "vector" && graft.sources.IndexAlias.installed(spark, home)) {
-        val nlist = VectorIndex.readMeta(spark, home).centroids.size
-        val live = VectorIndex.liveCount(spark, home)
-        val want = Ann.nlistFor(live)
-        if (want >= policy.geometryDriftFactor * nlist)
-          Some(s"geometry drift: $nlist lists, policy wants $want for $live live vectors")
-        else None
-      } else None
+    // one live count serves both drift rungs (geometry here, banding
+    // below) — two corpus-sized count jobs per healthy poll was the
+    // kind of observability tax row 335 exists to remove
+    val liveVectors: Option[Long] =
+      if (kind == "vector" && graft.sources.IndexAlias.installed(spark, home))
+        Some(VectorIndex.liveCount(spark, home))
+      else None
+    val geometryDrift: Option[String] = liveVectors.flatMap { live =>
+      val nlist = VectorIndex.readMeta(spark, home).centroids.size
+      val want = Ann.nlistFor(live)
+      if (want >= policy.geometryDriftFactor * nlist)
+        Some(s"geometry drift: $nlist lists, policy wants $want for $live live vectors")
+      else None
+    }
 
     def compactFor(): Unit = kind match {
       case "vector"  => VectorIndex.compact(spark, home)
@@ -262,10 +267,9 @@ object ScaleOps {
         // observability loop's last mile — route-relevant drift (the
         // measured pRand the stats surface already shows) pages the
         // operator with the evidence instead of silently degrading
-        val bandingDrift: Option[String] =
-          if (kind == "vector" && graft.sources.IndexAlias.installed(spark, home))
-            VectorIndex.bandingDrift(spark, home, policy.lshBitsDriftSlack)
-          else None
+        val bandingDrift: Option[String] = liveVectors.flatMap(live =>
+          VectorIndex.bandingDrift(spark, home, policy.lshBitsDriftSlack,
+            liveCount = live))
         bandingDrift match {
           case Some(why) =>
             MaintenanceReport("banding_drift", why, debtRows, dataFiles, recall)

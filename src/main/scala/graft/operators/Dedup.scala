@@ -655,8 +655,19 @@ object Dedup {
       collection: DataFrame, threshold: Double,
       targetOccupancy: Double = 64.0, minRecall: Double = 0.9,
       lshCrossover: Double = LshCrossoverAvgBlock): RouteDecision = {
+    // file-backed corpora fold their FILE LISTING into the key: a
+    // parquet dir that grows under an unchanged plan (the standing
+    // ingest shape) must re-measure, or the memo would pin the route
+    // and banding sized for the old corpus forever. `inputFiles`
+    // reads the plan's already-materialized FileIndex — no job. Non-
+    // file frames (localCheckpoint fixtures) list empty and key on
+    // the plan alone; they are immutable by construction.
+    val filesSig = {
+      val fs = collection.inputFiles
+      if (fs.isEmpty) "mem" else s"${fs.length}:${util.hashing.MurmurHash3.arrayHash(fs)}"
+    }
     val key = IndexCache.sessionKey(spark) + "#" +
-      collection.queryExecution.analyzed.semanticHash() + "#" +
+      collection.queryExecution.analyzed.semanticHash() + "#" + filesSig + "#" +
       s"$threshold/$targetOccupancy/$minRecall/$lshCrossover"
     // bounded: decisions are a few hundred bytes and keys are per
     // (corpus plan, knobs) — a pathological generator of distinct

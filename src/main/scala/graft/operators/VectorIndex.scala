@@ -129,13 +129,16 @@ object VectorIndex {
     * (`lsh_bits` + `bq_centered`) measure anything.
     */
   private[graft] def bandingDrift(spark: SparkSession, home: String,
-                                  slackBits: Int): Option[String] = {
+                                  slackBits: Int, liveCount: Long = -1L): Option[String] = {
     val meta = readMeta(spark, home)
     (meta.lshBits, meta.bqMean) match {
       case (Some(bits), Some(mu)) =>
         val prim = vectors(spark, IndexAlias.resolve(spark, home), primaryOnly = true)
           .select(col("vec_id"), col("embedding"))
-        val live = prim.count()
+        // the maintain cycle already counted the live corpus for the
+        // geometry-drift rung — reuse it rather than a second
+        // corpus-sized count job per poll
+        val live = if (liveCount >= 0) liveCount else prim.count()
         val pNow = centeredPRand(prim, mu)
         val want = Ann.lshBitsFor(live, pNow)
         if (want >= bits + slackBits)
@@ -212,10 +215,16 @@ object VectorIndex {
       case None => fs.delete(bqMeanPath, true)
     }
     val tEnc = System.nanoTime()
-    // the signature postings are NOT written here: a calibrating
-    // build measures the band count off the held-out truth set first
-    // (rung 4) and writes them once under the calibrated meta below
-    encodeAndWrite(corpus, meta, p, "overwrite", writeLsh = false)
+    // the signature postings are written HERE under the pre-
+    // calibration meta (16-band default) so a crash during the
+    // minutes-long calibration below always leaves a COMPLETE layout
+    // whose table matches its persisted lsh_bits — an in-place
+    // rebuild must never strand an old-bucket-space table under new
+    // params. When rung 4 calibrates a different band count the
+    // table is rewritten once below (ids-only rows; 14 s at the 5M
+    // corpus), and the common small-corpus case (16 bands measured
+    // sufficient) pays nothing
+    encodeAndWrite(corpus, meta, p, "overwrite")
     logStage("encode+write", tEnc)
     // the ENCODE flags (pq_residual / pq_opq) persist the moment the
     // codes they describe exist — a crash during the minutes-long
@@ -232,9 +241,16 @@ object VectorIndex {
       if (doCalibrate && meta.centroids.length > Ann.NList)
         calibrate(spark, p, meta)
       else meta
-    val tLsh = System.nanoTime()
-    writeLshTable(corpus, servedMeta, p, "overwrite")
-    logStage("lsh-write", tLsh)
+    if (servedMeta.lshBands.getOrElse(Ann.LshBands) !=
+        meta.lshBands.getOrElse(Ann.LshBands)) {
+      // rung 4 landed a different band count: re-band the postings
+      // under the calibrated meta (prefix-stable planes, so the first
+      // 16 bands are byte-identical either way); params carrying
+      // lsh_bands write after the table they describe
+      val tLsh = System.nanoTime()
+      writeLshTable(corpus, servedMeta, p, "overwrite")
+      logStage("lsh-rewrite", tLsh)
+    }
     if (servedMeta != meta) writeParamsAt(spark, p, paramsOf(servedMeta))
     // an in-place rebuild (retrain) must not leave any session serving
     // the OLD geometry: evict every cached Meta for this path, then
@@ -264,12 +280,32 @@ object VectorIndex {
       (if (m.lshBudgetBound) Seq(("lsh_budget_bound", 1L)) else Nil)
 
   private def writeParamsAt(spark: SparkSession, p: String,
-                            params: Seq[(String, Long)]): Unit = {
+                            params: Seq[(String, Long)],
+                            atomic: Boolean = false): Unit = {
     import spark.implicits._
-    if (params.nonEmpty)
-      params.toDF("param", "value")
-        .write.mode("overwrite").parquet(s"$p/meta/params")
-    else {
+    if (params.nonEmpty) {
+      if (atomic) {
+        // the LIVE-generation rewrite path (recalibrate): a plain
+        // overwrite is delete-then-multi-task-write, and a crash (or
+        // a concurrent reader) inside that window finds NO params —
+        // readMeta would then serve residual/OPQ codes as raw,
+        // silently wrong forever. Write the full new table ASIDE,
+        // then swap with two metadata ops; readMeta falls back to
+        // `params.next` when `params` is missing, so even the
+        // two-rename gap (and a crash inside it) reads the complete
+        // NEW params, never nothing
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        val next = new org.apache.hadoop.fs.Path(s"$p/meta/params.next")
+        val live = new org.apache.hadoop.fs.Path(s"$p/meta/params")
+        params.toDF("param", "value")
+          .write.mode("overwrite").parquet(next.toString)
+        fs.delete(live, true)
+        fs.rename(next, live)
+      } else
+        params.toDF("param", "value")
+          .write.mode("overwrite").parquet(s"$p/meta/params")
+    } else {
       // on-disk flags must match the codes on disk: a rebuild from a
       // previously-calibrated/residual meta to a legacy one would
       // otherwise leave every OTHER session (metaCache evicted by the
@@ -300,16 +336,18 @@ object VectorIndex {
     val meta = readMeta(spark, home)
     if (meta.centroids.length <= Ann.NList) meta
     else {
-      // band count is pinned to the persisted postings: rung 4 may
-      // measure a different count against today's corpus, but serving
-      // it without rewriting the postings table would probe band ids
-      // the table doesn't hold — band-count changes ride the rebuild
-      // verbs (retrain/compact land a fresh generation), not this
-      // in-place knob refresh
-      val refreshed = calibrate(spark, p, meta)
-        .copy(lshBands = meta.lshBands, lshBudgetBound = meta.lshBudgetBound)
+      // band count is pinned to the persisted postings: serving a
+      // re-measured count without rewriting the postings table would
+      // probe band ids the table doesn't hold — band-count changes
+      // ride the rebuild verbs (retrain/compact land a fresh
+      // generation), so rung 4 is skipped here, not measured-and-
+      // discarded
+      val refreshed = calibrate(spark, p, meta, measureLshBands = false)
       if (refreshed != meta) {
-        writeParamsAt(spark, p, paramsOf(refreshed))
+        // atomic: this is the one writer that rewrites a LIVE
+        // generation's params in place (builds land on fresh
+        // generation paths) — see writeParamsAt
+        writeParamsAt(spark, p, paramsOf(refreshed), atomic = true)
         metaCache.keySet.removeIf(_.endsWith("#" + p))
         metaCache.put(IndexCache.sessionKey(spark) + "#" + p, refreshed)
         mutated(spark, p)
@@ -349,7 +387,8 @@ object VectorIndex {
     * its assigned lists.
     */
   private[graft] def calibrate(spark: SparkSession, p: String, meta: Meta,
-                               poolCap: Int = Quantization.PqPoolCap): Meta = {
+                               poolCap: Int = Quantization.PqPoolCap,
+                               measureLshBands: Boolean = true): Meta = {
     val cents = meta.centroids
     val nlist = cents.length
     val floorNp = Ann.nprobeFor(nlist)
@@ -513,6 +552,11 @@ object VectorIndex {
     // (queries × K rows) broadcast against one corpus projection.
     val tBands = System.nanoTime()
     val (lshBands, lshBound) = meta.lshBits match {
+      case Some(_) if !measureLshBands =>
+        // the in-place knob refresh (recalibrate) pins the band count
+        // to the persisted postings — measuring an answer only to
+        // discard it would cost a corpus-projection join per cycle
+        (meta.lshBands, meta.lshBudgetBound)
       case Some(r) =>
         val centEmb = meta.bqMean.fold(col("embedding"))(mu =>
           zip_with(col("embedding"), typedLit(mu), (v, m) => v - m))
@@ -823,13 +867,23 @@ object VectorIndex {
           rows.sortBy(_.getInt(1)).map(_.getSeq[Float](2)).toSeq
         }
       // params is optional: absent on layouts written before
-      // build-time probe calibration / residual PQ existed
+      // build-time probe calibration / residual PQ existed. When the
+      // live table is missing but a complete `params.next` exists, a
+      // recalibration swap is mid-flight (or died mid-flight) — read
+      // the aside copy rather than a legacy-empty Map that would
+      // silently serve residual/OPQ codes as raw
       val paramsPath = new org.apache.hadoop.fs.Path(s"$path/meta/params")
+      val paramsNext = new org.apache.hadoop.fs.Path(s"$path/meta/params.next")
       val fs = paramsPath.getFileSystem(spark.sparkContext.hadoopConfiguration)
-      val params: Map[String, Long] =
-        if (!fs.exists(paramsPath)) Map.empty
-        else spark.read.schema(paramsSchema).parquet(paramsPath.toString)
+      val readablePath: Option[String] =
+        if (fs.exists(paramsPath)) Some(paramsPath.toString)
+        else if (fs.exists(paramsNext)) Some(paramsNext.toString)
+        else None
+      val params: Map[String, Long] = readablePath match {
+        case None => Map.empty
+        case Some(pp) => spark.read.schema(paramsSchema).parquet(pp)
           .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
       val rotation: Option[Seq[Seq[Float]]] =
         if (!params.get("pq_opq").contains(1L)) None
         else Some(spark.read.schema(rotationSchema)

@@ -363,5 +363,13 @@ class AdaptiveIvfSpec extends SparkSpec {
     assert(statsParams.get("lsh_bands") == meta.lshBands.map(_.toLong),
       "stats surface must report the calibrated band count")
     assert(statsParams.get("default_bq_pool") == meta.defaultBqPool.map(_.toLong))
+    // the postings table and the meta must agree on the band space —
+    // the invariant the post-calibration conditional rewrite protects
+    // (a table banded under one count probed under another silently
+    // degrades recall)
+    val tableBands = spark.read.parquet(s"$path/lsh")
+      .agg(max(col("band_id"))).head.getInt(0) + 1
+    assert(tableBands == meta.lshBands.get,
+      s"postings band space $tableBands != calibrated ${meta.lshBands.get}")
   }
 }

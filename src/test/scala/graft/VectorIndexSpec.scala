@@ -217,4 +217,29 @@ class VectorIndexSpec extends SparkSpec {
       col("label") === 7203, bruteForceLimit = 1000000L)
     assert(after.select("vec_id").distinct().collect().map(_.getLong(0)).toSeq == Seq(ids(1)))
   }
+
+  test("readMeta survives a mid-flight params swap: params.next is read when params is missing") {
+    // the recalibrate crash/race window: the live params table is
+    // swapped via write-aside + two renames; a reader (or a crash)
+    // landing between the renames must read the complete NEW params,
+    // never an empty legacy Map that serves residual codes as raw
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = new org.apache.hadoop.fs.Path(s"$path/meta/params")
+    val next = new org.apache.hadoop.fs.Path(s"$path/meta/params.next")
+    assert(fs.exists(params), "fixture layout must carry params")
+    val before = VectorIndex.readMeta(spark, path)
+    assert(before.pqResidual, "fixture must be a residual layout")
+    try {
+      assert(fs.rename(params, next))
+      VectorIndex.invalidate(spark, path)
+      val during = VectorIndex.readMeta(spark, path)
+      assert(during == before,
+        "mid-swap read must see the aside params, not a legacy-empty meta")
+    } finally {
+      if (!fs.exists(params) && fs.exists(next)) fs.rename(next, params)
+      VectorIndex.invalidate(spark, path)
+      assert(VectorIndex.readMeta(spark, path) == before)
+    }
+  }
 }
