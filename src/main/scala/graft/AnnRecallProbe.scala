@@ -3,8 +3,14 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 
 /** Throwaway dev harness (not part of the library surface): measure
-  * recall@10 of each at-rest ANN family against exact ground truth
-  * on a standing index + its corpus dir.
+  * recall@10 AND serving wall of each at-rest ANN family against
+  * exact ground truth on a standing index + its corpus dir, with the
+  * [[graft.operators.VectorIndex.servingCost]] candidate/rerank-mass
+  * decomposition printed BESIDE every wall — the round-13 lesson:
+  * a wall table without its pair masses cannot be decomposed into
+  * work vs ambient after the fact. Emits one JSON line (and writes
+  * it to target/recall_probe.json) so artifact assembly is
+  * mechanical.
   * Args: corpusDir indexPath [qMod] [build]
   */
 object AnnRecallProbe {
@@ -19,26 +25,57 @@ object AnnRecallProbe {
       .config("spark.ui.enabled", "false").getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     val emb = Tables.embeddings(spark, dir)
+    var buildSec = -1.0
     if (doBuild) {
       val t0 = System.nanoTime()
       operators.VectorIndex.buildFrom(spark, emb, idx)
-      println(f"[probe] build done (${(System.nanoTime()-t0)/1e9}%.1f s)")
+      buildSec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] build done ($buildSec%.1f s)")
     }
     val queries = emb.filter(col("vec_id") % qMod === 0)
       .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
       .localCheckpoint()
-    println(s"[probe] ${queries.count()} queries")
+    val nQ = queries.count()
+    println(s"[probe] $nQ queries")
     val t0 = System.nanoTime()
     val exact = api.VectorCollection(emb, idCol = "vec_id")
       .search(queries, 10, api.Metric.Cosine)
       .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
       .localCheckpoint()
-    println(f"[probe] exact done (${(System.nanoTime()-t0)/1e9}%.1f s)")
-    def rec(name: String, df: org.apache.spark.sql.DataFrame): Unit = {
+    val exactSec = (System.nanoTime() - t0) / 1e9
+    println(f"[probe] exact done ($exactSec%.1f s)")
+    // the decomposition FIRST (cheap, id-only), so every wall below
+    // prints beside the mass that explains it
+    val cost = operators.VectorIndex.servingCost(spark, idx, queries)
+      .map { case (f, c, r) => f -> ((c, r)) }.toMap
+    cost.toSeq.sortBy(_._1).foreach { case (f, (c, r)) =>
+      println(s"[probe] mass $f candidate_pairs=$c rerank_pairs=$r")
+    }
+    def massOf(name: String): (Long, Long) = {
+      val fam =
+        if (name.startsWith("ivfpq")) "ivfpq"
+        else if (name.startsWith("ivf")) "ivf"
+        else if (name.startsWith("pq")) "pq_flat"
+        else if (name.startsWith("sq8")) "sq8"
+        else if (name.startsWith("bq")) "bq"
+        else "lsh"
+      val (c, r) = cost(fam)
+      // pool overrides change only the rerank mass (pool × queries)
+      name.split("_pool") match {
+        case Array(_, p) if p.forall(_.isDigit) => (c, p.toLong * nQ)
+        case _ => (c, r)
+      }
+    }
+    val results = scala.collection.mutable.LinkedHashMap[String, (Double, Double)]()
+    def rec(name: String, df: => org.apache.spark.sql.DataFrame): Unit = {
       val t0 = System.nanoTime()
       val r = api.ScaleOps.recallAtK(exact, df)
         .agg(avg(col("recall"))).head.getDouble(0)
-      println(f"[probe] $name recall@10 = $r%.4f (${(System.nanoTime()-t0)/1e9}%.1f s)")
+      val wall = (System.nanoTime() - t0) / 1e9
+      val (c, rr) = massOf(name)
+      results(name) = (r, wall)
+      println(f"[probe] $name recall@10 = $r%.4f ($wall%.1f s, " +
+        s"candidate_pairs=$c rerank_pairs=$rr)")
     }
     import operators.VectorIndex._
     val meta = readMeta(spark, idx)
@@ -56,6 +93,18 @@ object AnnRecallProbe {
     rec("bq_pool100", searchBq(spark, idx, queries, pool = 100, cached = false))
     rec("bq_pool1000", searchBq(spark, idx, queries, pool = 1000, cached = false))
     rec("lsh", searchLsh(spark, idx, queries, cached = false))
+    val fams = results.map { case (n, (r, w)) =>
+      val (c, rr) = massOf(n)
+      f""""$n":{"recall":$r%.4f,"wall_s":$w%.1f,"candidate_pairs":$c,"rerank_pairs":$rr}"""
+    }.mkString(",")
+    val json =
+      f"""{"corpus":"$dir","index":"$idx","queries":$nQ,"build_s":$buildSec%.1f,""" +
+        f""""exact_truth_s":$exactSec%.1f,"families":{$fams}}"""
+    println(json)
+    val out = new java.io.File("target/recall_probe.json")
+    out.getParentFile.mkdirs()
+    val w = new java.io.PrintWriter(out, "UTF-8")
+    try w.println(json) finally w.close()
     spark.stop()
   }
 }

@@ -293,9 +293,11 @@ object ScaleOps {
       // clears the cap, serving is fixed for the price of one truth
       // scan; only when today's calibration is STILL capped does the
       // suppression hold — reported as the cycle's action only when
-      // no hygiene rung (drift retrain, debt/file compaction, each of
-      // which lands a fresh generation that re-calibrates the flag)
-      // fires this cycle.
+      // no hygiene rung fires this cycle. (Of the hygiene verbs, only
+      // the drift RETRAIN lands a fresh generation that re-calibrates
+      // the flag; debt/file compaction copies meta/ verbatim — it
+      // rewrites postings under the existing calibration and never
+      // re-derives it.)
       case (Some(r), Some(min)) if r < min &&
           VectorIndex.readMeta(spark, home).budgetBound =>
         val refreshed = VectorIndex.recalibrate(spark, home)

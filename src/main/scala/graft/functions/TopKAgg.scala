@@ -22,14 +22,18 @@ final class TopKBuffer(val k: Int) {
   val ids = new Array[Long](k)
   var size = 0
 
-  // java.lang.Double.compare, not >/==: primitive comparisons make
+  // Spark's exact double order (SQLOrderingUtil.compareDoubles), not
+  // raw primitives and not raw Double.compare: primitive >/== make
   // NaN lose to everything, while the documented-equivalent
   // row_number window form uses Spark's total order, which sorts NaN
-  // as the LARGEST double (score desc puts NaN first) — the two
-  // forms would diverge the moment a cosine score is NaN (e.g. a
-  // zero vector in the calibration truth scan)
+  // as the LARGEST double (score desc puts NaN first) — and Spark's
+  // order ALSO treats -0.0 == 0.0 (an `==` short-circuit before the
+  // bit-level compare), where raw Double.compare ranks +0.0 strictly
+  // above -0.0. Either divergence breaks the window-form equivalence
+  // at the k boundary: NaN scores (zero vector in a truth scan) or a
+  // signed-zero tie must break by vec_id in BOTH forms.
   @inline private def beats(s: Double, i: Long, p: Int): Boolean = {
-    val c = java.lang.Double.compare(s, scores(p))
+    val c = if (s == scores(p)) 0 else java.lang.Double.compare(s, scores(p))
     c > 0 || (c == 0 && i < ids(p))
   }
 

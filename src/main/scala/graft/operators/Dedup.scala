@@ -502,10 +502,27 @@ object Dedup {
     * the exchange is disk-fatal). In that regime this verb routes to
     * [[embeddingNearDupExact]] — the reference relation itself, whose
     * cost matches the output mass that the threshold's own density
-    * already implies — and prints the measured decision. `force =
-    * true` keeps the banding anyway (a caller that has pre-filtered
-    * the collection and accepts the candidate mass), same escape-
-    * hatch discipline as the quantized-verify byte guard.
+    * already implies — and prints the measured decision.
+    *
+    * Contrast can HOLD while the Jensen-gap bucket tails still blow
+    * the exchange (wide label blocks at high pRand: the recall floor
+    * caps b, E[p^r] ≫ (E[p])^r inflates every bucket — measured 38
+    * min / 31 GB of shuffle at a 500k corpus where learned-cluster
+    * blocking ran the identical input in 23.3 s,
+    * `bench/slope_combined_sf10_r13.json`). That regime is gated the
+    * same way: when the banding's empirical candidate mass exceeds
+    * [[ClusterRouteCandidateBudget]] the verb routes to
+    * [[embeddingNearDupClusterBlocked]] — subset-of-exact like the
+    * banding itself, constant per-row pair work — with the measured
+    * decision printed. `force = true` keeps the banding through BOTH
+    * gates (a caller that has pre-filtered the collection and accepts
+    * the candidate mass), same escape-hatch discipline as the
+    * quantized-verify byte guard; a forced grind still announces its
+    * measured inputs before the first shuffle writes.
+    *
+    * [[adaptiveRoute]] is the decision split out on the measured
+    * inputs so specs can pin the route without running the plan
+    * (the [[chooseEmbeddingRoute]] discipline one verb up).
     */
   def embeddingNearDupAdaptive(collection: DataFrame, threshold: Double,
                                targetOccupancy: Double = 64.0,
@@ -513,31 +530,50 @@ object Dedup {
                                force: Boolean = false): DataFrame = {
     val probs = samplePlaneProbs(collection)
     val pRand = measuredPRandOf(probs)
-    if (!force && !lshHasContrast(threshold, pRand)) {
-      println(f"embeddingNearDupAdaptive: no LSH contrast at threshold " +
-        f"$threshold%.2f (measured pRand $pRand%.3f >= per-plane collision " +
-        f"at threshold ${1.0 - math.acos(threshold) / math.Pi}%.3f) — " +
-        "routing to the exact blocked scorer (force=true overrides)")
-      embeddingNearDupExact(collection, threshold)
-    } else {
-      val avg = avgLabelBlock(collection)
-      val (r, b) = chooseBanding(avg, threshold, targetOccupancy, minRecall,
-        pRand = pRand)
-      // contrast can hold while the Jensen-gap bucket tails still
-      // blow the exchange (measured: 50k-wide blocks at pRand 0.81
-      // cap b at 256 tables and ground 38 min / 31 GB of shuffle at
-      // a 500k corpus where the auto verb's cluster route ran 23 s —
-      // bench/slope_combined_sf10_r13.json). The forced verb stays
-      // forced, but the grind must announce itself with the measured
-      // inputs before the first shuffle writes.
-      val perRow = LshCandidateCostFactor * b * empiricalOccupancy(probs, r, avg)
-      if (perRow > ClusterRouteCandidateBudget)
+    lazy val avg = avgLabelBlock(collection)
+    adaptiveRoute(threshold, probs, avg, targetOccupancy, minRecall, force) match {
+      case ("exact", _, _, _) =>
+        println(f"embeddingNearDupAdaptive: no LSH contrast at threshold " +
+          f"$threshold%.2f (measured pRand $pRand%.3f >= per-plane collision " +
+          f"at threshold ${1.0 - math.acos(threshold) / math.Pi}%.3f) — " +
+          "routing to the exact blocked scorer (force=true overrides)")
+        embeddingNearDupExact(collection, threshold)
+      case ("cluster", r, b, perRow) =>
         println(f"embeddingNearDupAdaptive: empirical candidate mass $perRow%.0f/row " +
           f"at banding ($r, $b) exceeds the cluster-route budget " +
-          f"$ClusterRouteCandidateBudget%.0f/row — the bucket-tail exchange will " +
-          "grind on this cloud; embeddingNearDupAuto routes this regime to " +
-          "learned-cluster blocking")
-      embeddingNearDupPairs(collection, threshold, r, b)
+          f"$ClusterRouteCandidateBudget%.0f/row — routing to learned-cluster " +
+          "blocking (force=true keeps the banding)")
+        embeddingNearDupClusterBlocked(collection, threshold)
+      case (_, r, b, perRow) =>
+        if (perRow > ClusterRouteCandidateBudget)
+          println(f"embeddingNearDupAdaptive: FORCED past the cluster-route budget — " +
+            f"empirical candidate mass $perRow%.0f/row at banding ($r, $b) vs " +
+            f"$ClusterRouteCandidateBudget%.0f/row; the bucket-tail exchange will " +
+            "grind on this cloud")
+        embeddingNearDupPairs(collection, threshold, r, b)
+    }
+  }
+
+  /** The adaptive verb's route on its measured inputs: "exact" in the
+    * no-contrast regime, "cluster" when the chosen banding's
+    * empirical per-row candidate mass exceeds
+    * [[ClusterRouteCandidateBudget]] (the Jensen-gap regime — contrast
+    * holds but the bucket tails blow the exchange), "lsh" otherwise.
+    * `force = true` disables both gates and keeps the banding. Returns
+    * (route, r, b, perRowCandidates); `avgBlock` is by-name so the
+    * no-contrast branch never pays the corpus count.
+    */
+  private[graft] def adaptiveRoute(threshold: Double, probs: Array[Double],
+      avgBlock: => Double, targetOccupancy: Double = 64.0,
+      minRecall: Double = 0.9, force: Boolean = false): (String, Int, Int, Double) = {
+    val pRand = measuredPRandOf(probs)
+    if (!force && !lshHasContrast(threshold, pRand)) ("exact", 0, 0, 0.0)
+    else {
+      val (r, b) = chooseBanding(avgBlock, threshold, targetOccupancy, minRecall,
+        pRand = pRand)
+      val perRow = LshCandidateCostFactor * b * empiricalOccupancy(probs, r, avgBlock)
+      if (!force && perRow > ClusterRouteCandidateBudget) ("cluster", r, b, perRow)
+      else ("lsh", r, b, perRow)
     }
   }
 
@@ -646,10 +682,30 @@ object Dedup {
     * [[invalidateRouteDecisions]] (the epoch lever the standing
     * indexes get from their pointer swaps).
     */
-  private val routeDecisionCache =
-    new java.util.concurrent.ConcurrentHashMap[String, RouteDecision]()
+  /** Bounded LRU (the [[graft.sources.IndexAlias]] resolve-cache
+    * pattern): decisions are a few hundred bytes, and access-ordered
+    * eviction means a long-lived session cycling >1024 distinct
+    * (plan, knobs) keys — a catalog sweep over many corpora — evicts
+    * only the coldest decisions instead of wholesale-clearing and
+    * re-measuring the hot ones. Every access goes through the map's
+    * own monitor: access-order reads MUTATE the link chain, so even
+    * `get` is a write here — but the measured decision itself is
+    * computed OUTSIDE the lock (it runs Spark jobs; holding the
+    * monitor across them would serialize unrelated sessions'
+    * measurements), with a benign lost-race re-measure resolved by
+    * first-writer-wins.
+    */
+  private val RouteDecisionCacheMax = 1024
 
-  private[graft] def invalidateRouteDecisions(): Unit = routeDecisionCache.clear()
+  private val routeDecisionCache =
+    new java.util.LinkedHashMap[String, RouteDecision](64, 0.75f, /*accessOrder=*/ true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[String, RouteDecision]): Boolean =
+        size() > RouteDecisionCacheMax
+    }
+
+  private[graft] def invalidateRouteDecisions(): Unit =
+    routeDecisionCache.synchronized(routeDecisionCache.clear())
 
   private[graft] def embeddingRouteDecisionCached(spark: SparkSession,
       collection: DataFrame, threshold: Double,
@@ -669,13 +725,16 @@ object Dedup {
     val key = IndexCache.sessionKey(spark) + "#" +
       collection.queryExecution.analyzed.semanticHash() + "#" + filesSig + "#" +
       s"$threshold/$targetOccupancy/$minRecall/$lshCrossover"
-    // bounded: decisions are a few hundred bytes and keys are per
-    // (corpus plan, knobs) — a pathological generator of distinct
-    // plans just resets the memo
-    if (routeDecisionCache.size > 1024) routeDecisionCache.clear()
-    routeDecisionCache.computeIfAbsent(key,
-      _ => embeddingRouteDecision(collection, threshold, targetOccupancy,
-        minRecall, lshCrossover))
+    val hit = routeDecisionCache.synchronized(routeDecisionCache.get(key))
+    if (hit != null) hit
+    else {
+      val fresh = embeddingRouteDecision(collection, threshold, targetOccupancy,
+        minRecall, lshCrossover)
+      routeDecisionCache.synchronized {
+        val prev = routeDecisionCache.putIfAbsent(key, fresh)
+        if (prev != null) prev else fresh
+      }
+    }
   }
 
   private[graft] def embeddingRouteDecision(collection: DataFrame, threshold: Double,

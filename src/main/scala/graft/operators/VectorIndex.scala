@@ -120,8 +120,11 @@ object VectorIndex {
     * batch (the same failure list-size drift is to probe cost).
     * Returns the measured evidence when today's corpus wants at
     * least `slackBits` more width than the layout persists; the
-    * remedy is the postings-rewriting rebuild verbs (retrain /
-    * compact land a fresh generation and re-derive the banding), so
+    * PROPORTIONAL remedy is [[reband]] (re-derives width and count
+    * from today's corpus and rewrites only the id-only `lsh/` table),
+    * or a full [[retrain]] when the geometry has drifted too — note
+    * [[compact]] is NOT a remedy: it rewrites postings under the
+    * EXISTING meta, verbatim, and never re-derives banding.
     * [[graft.api.ScaleOps.maintain]] REPORTS this rung with the
     * measured inputs rather than acting — banding review is a
     * cost/recall tradeoff an operator owns. One bounded sample pass
@@ -144,7 +147,8 @@ object VectorIndex {
         if (want >= bits + slackBits)
           Some(f"banding drift: persisted lsh_bits $bits, measured centered " +
             f"pRand $pNow%.3f at $live live vectors wants $want bits — " +
-            "banding/geometry review recommended (postings rewrite rides retrain/compact)")
+            "banding review recommended (reband rewrites the postings at " +
+            "id-only cost; retrain if the geometry drifted too)")
         else None
       case _ => None
     }
@@ -302,16 +306,30 @@ object VectorIndex {
           .write.mode("overwrite").parquet(next.toString)
         fs.delete(live, true)
         fs.rename(next, live)
-      } else
+      } else {
+        // a crashed atomic swap can leave an orphaned `params.next`;
+        // since readMeta falls back to it when `params` is missing,
+        // any non-atomic rewrite must also clear the aside copy or a
+        // LATER crash window could resurrect the stale calibration
+        // flags it carries
+        val fs = new org.apache.hadoop.fs.Path(p)
+          .getFileSystem(spark.sparkContext.hadoopConfiguration)
+        fs.delete(new org.apache.hadoop.fs.Path(s"$p/meta/params.next"), true)
         params.toDF("param", "value")
           .write.mode("overwrite").parquet(s"$p/meta/params")
+      }
     } else {
       // on-disk flags must match the codes on disk: a rebuild from a
       // previously-calibrated/residual meta to a legacy one would
       // otherwise leave every OTHER session (metaCache evicted by the
-      // caller) re-reading stale flags and mis-serving raw codes
-      val path = new org.apache.hadoop.fs.Path(s"$p/meta/params")
-      path.getFileSystem(spark.sparkContext.hadoopConfiguration).delete(path, true)
+      // caller) re-reading stale flags and mis-serving raw codes —
+      // and the aside copy must die with the live table it described
+      // (readMeta's params.next fallback would otherwise resurrect
+      // the deleted flags)
+      val fs = new org.apache.hadoop.fs.Path(p)
+        .getFileSystem(spark.sparkContext.hadoopConfiguration)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/meta/params.next"), true)
+      fs.delete(new org.apache.hadoop.fs.Path(s"$p/meta/params"), true)
     }
   }
 
@@ -394,43 +412,7 @@ object VectorIndex {
     val floorNp = Ann.nprobeFor(nlist)
     val prim = vectors(spark, p, primaryOnly = true)
       .select(col("vec_id"), col("embedding"))
-    val queries = prim
-      .orderBy(pmod(hash(col("vec_id")), lit(1000000007)), col("vec_id"))
-      .limit(CalibrationQueries)
-      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
-      .localCheckpoint()
-    // exact truth via the MAP-SIDE bounded top-K aggregate
-    // ([[graft.functions.TopKByScore]]): per (task, query) state is
-    // one k-slot buffer, partial-aggregated before the exchange — the
-    // scan never sorts (the row_number window form sorted each task's
-    // full slice of the queries × corpus product: the measured OOM at
-    // default partitioning). ObjectHashAggregate's sort fallback is
-    // raised past the query count for the duration: its default (128
-    // distinct keys) is BELOW [[CalibrationQueries]], so the partial
-    // aggregate silently degraded to sorting the queries × corpus
-    // product — measured filling the local disk with spill at the
-    // 5M-row corpus. 256 ten-slot buffers are kilobytes; the hash
-    // path is the entire point of the aggregate. Checkpointed: both
-    // calibration rungs read it, and it must not re-run the scan.
-    val tTruth = System.nanoTime()
-    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
-    val prevFallback = spark.conf.getOption(FallbackKey)
-    spark.conf.set(FallbackKey, (CalibrationQueries * 4).toString)
-    val (truth, truthTotal) =
-      try {
-        val t = prim.crossJoin(broadcast(queries))
-          .filter(col("vec_id") =!= col("q_id"))
-          .groupBy(col("q_id"))
-          .agg(graft.functions.aggops.topKByScore(
-            vec.cosine(col("q_emb"), col("embedding")).cast("double"),
-            col("vec_id"), Ann.K).as("top"))
-          .select(col("q_id"), explode(col("top.vec_id")).as("vec_id"))
-          .localCheckpoint()
-        (t, t.count())
-      } finally {
-        prevFallback.fold(spark.conf.unset(FallbackKey))(v => spark.conf.set(FallbackKey, v))
-      }
-    logStage("calibrate-truth", tTruth)
+    val (queries, truth, truthTotal) = calibrationTruth(spark, prim)
     // ---- rung 1: probe budget ----
     // all assignment ranks: the scan is corpus-sized but map-side
     // (truth is queries×K rows, broadcast)
@@ -557,29 +539,7 @@ object VectorIndex {
         // to the persisted postings — measuring an answer only to
         // discard it would cost a corpus-projection join per cycle
         (meta.lshBands, meta.lshBudgetBound)
-      case Some(r) =>
-        val centEmb = meta.bqMean.fold(col("embedding"))(mu =>
-          zip_with(col("embedding"), typedLit(mu), (v, m) => v - m))
-        val centQ = meta.bqMean.fold(col("q_emb"))(mu =>
-          zip_with(col("q_emb"), typedLit(mu), (v, m) => v - m))
-        val pairProbs = vectors(spark, p, primaryOnly = true)
-          .select(col("vec_id"), col("embedding"))
-          .join(broadcast(truth.join(broadcast(queries), "q_id")), "vec_id")
-          .select(vec.cosine(centQ, centEmb).cast("double").as("c"))
-          .collect().map { row =>
-            val c = math.max(-1.0, math.min(1.0, row.getDouble(0)))
-            1.0 - math.acos(c) / math.Pi
-          }
-        if (pairProbs.isEmpty) (None, false)
-        else {
-          def recallAt(b: Int): Double =
-            pairProbs.map(pi => 1.0 - math.pow(1.0 - math.pow(pi, r), b)).sum /
-              pairProbs.length
-          (Ann.LshBands to LshBandCap).find(b => recallAt(b) >= CalibrationTarget) match {
-            case Some(b) => (Some(b), false)
-            case None    => (Some(LshBandCap), true)
-          }
-        }
+      case Some(r) => measuredLshBands(spark, p, meta, r, queries, truth)
       case None => (None, false)
     }
     logStage("calibrate-lsh-bands", tBands)
@@ -587,6 +547,147 @@ object VectorIndex {
       defaultBqPool = Some(bqPool), bqBudgetBound = bqBound,
       lshBands = lshBands, lshBudgetBound = lshBound)
   }
+
+  /** The held-out calibration sample and its exact truth set — the
+    * ONE corpus-sized scan every calibration rung (and [[reband]])
+    * shares. Exact truth rides the MAP-SIDE bounded top-K aggregate
+    * ([[graft.functions.TopKByScore]]): per (task, query) state is
+    * one k-slot buffer, partial-aggregated before the exchange — the
+    * scan never sorts (the row_number window form sorted each task's
+    * full slice of the queries × corpus product: the measured OOM at
+    * default partitioning). ObjectHashAggregate's sort fallback is
+    * raised past the query count for the duration: its default (128
+    * distinct keys) is BELOW [[CalibrationQueries]], so the partial
+    * aggregate silently degraded to sorting the queries × corpus
+    * product — measured filling the local disk with spill at the
+    * 5M-row corpus. 256 ten-slot buffers are kilobytes; the hash
+    * path is the entire point of the aggregate. Checkpointed: every
+    * rung reads it, and it must not re-run the scan.
+    */
+  private def calibrationTruth(spark: SparkSession, prim: DataFrame)
+      : (DataFrame, DataFrame, Long) = {
+    val queries = prim
+      .orderBy(pmod(hash(col("vec_id")), lit(1000000007)), col("vec_id"))
+      .limit(CalibrationQueries)
+      .select(col("vec_id").as("q_id"), col("embedding").as("q_emb"))
+      .localCheckpoint()
+    val tTruth = System.nanoTime()
+    val FallbackKey = "spark.sql.objectHashAggregate.sortBased.fallbackThreshold"
+    val prevFallback = spark.conf.getOption(FallbackKey)
+    spark.conf.set(FallbackKey, (CalibrationQueries * 4).toString)
+    val (truth, truthTotal) =
+      try {
+        val t = prim.crossJoin(broadcast(queries))
+          .filter(col("vec_id") =!= col("q_id"))
+          .groupBy(col("q_id"))
+          .agg(graft.functions.aggops.topKByScore(
+            vec.cosine(col("q_emb"), col("embedding")).cast("double"),
+            col("vec_id"), Ann.K).as("top"))
+          .select(col("q_id"), explode(col("top.vec_id")).as("vec_id"))
+          .localCheckpoint()
+        (t, t.count())
+      } finally {
+        prevFallback.fold(spark.conf.unset(FallbackKey))(v => spark.conf.set(FallbackKey, v))
+      }
+    logStage("calibrate-truth", tTruth)
+    (queries, truth, truthTotal)
+  }
+
+  /** Calibration rung 4's measurement at band width `r`: each truth
+    * pair's per-plane collision probability on the CENTERED vectors
+    * (the frame the planes actually hash), p = 1 − θ/π; expected
+    * candidate recall at b bands is mean_i[1 − (1 − p_i^r)^b]
+    * (independent seeded bands); the smallest b in
+    * [16, [[LshBandCap]]] reaching [[CalibrationTarget]] wins, or the
+    * cap with the `lsh_budget_bound` flag when even it cannot. One
+    * bounded job: the truth pairs (queries × K rows) broadcast
+    * against one corpus projection. Split from [[calibrate]] so
+    * [[reband]] can re-measure the count at a RE-DERIVED width
+    * without paying the other three rungs.
+    */
+  private def measuredLshBands(spark: SparkSession, p: String, meta: Meta,
+      r: Int, queries: DataFrame, truth: DataFrame): (Option[Int], Boolean) = {
+    val centEmb = meta.bqMean.fold(col("embedding"))(mu =>
+      zip_with(col("embedding"), typedLit(mu), (v, m) => v - m))
+    val centQ = meta.bqMean.fold(col("q_emb"))(mu =>
+      zip_with(col("q_emb"), typedLit(mu), (v, m) => v - m))
+    val pairProbs = vectors(spark, p, primaryOnly = true)
+      .select(col("vec_id"), col("embedding"))
+      .join(broadcast(truth.join(broadcast(queries), "q_id")), "vec_id")
+      .select(vec.cosine(centQ, centEmb).cast("double").as("c"))
+      .collect().map { row =>
+        val c = math.max(-1.0, math.min(1.0, row.getDouble(0)))
+        1.0 - math.acos(c) / math.Pi
+      }
+    if (pairProbs.isEmpty) (None, false)
+    else {
+      def recallAt(b: Int): Double =
+        pairProbs.map(pi => 1.0 - math.pow(1.0 - math.pow(pi, r), b)).sum /
+          pairProbs.length
+      (Ann.LshBands to LshBandCap).find(b => recallAt(b) >= CalibrationTarget) match {
+        case Some(b) => (Some(b), false)
+        case None    => (Some(LshBandCap), true)
+      }
+    }
+  }
+
+  /** Postings-only re-band — the PROPORTIONAL remedy for a
+    * `banding_drift` report. Appends encode under the FROZEN banding,
+    * so a corpus that drifts concentrated (or outgrows its width)
+    * leaves `lsh_bits` under-sized and bucket occupancy growing with
+    * every batch. Physically that defect lives ONLY in the id-only
+    * `lsh/` table — the stored floats, codes, and geometry are
+    * untouched — so the proportional fix is: re-derive the width from
+    * today's live count and measured centered pRand
+    * ([[Ann.lshBitsFor]], the build-time formula), re-measure the
+    * band count at that width against a fresh held-out truth set
+    * (calibration rung 4), rewrite `lsh/` WRITE-ASIDE from the stored
+    * floats (`lsh.next`, then a two-metadata-op swap — a crash never
+    * leaves a missing or partial table), and swap
+    * `lsh_bits`/`lsh_bands` via the atomic params machinery AFTER the
+    * table they describe. Cost: one truth scan + one id-only postings
+    * write (measured 33 s + 14 s at the 5M corpus) vs the full
+    * corpus re-encode of [[retrain]] (~570 s there). The centering
+    * mean is KEPT — re-deriving `mu` would invalidate the stored BQ
+    * words, which is retrain territory; drift of the mean itself
+    * shows up in the measured pRand and is absorbed by width. Layouts
+    * without the adaptive banding (`lsh_bits` + `bq_centered`) are
+    * returned unchanged — there is nothing to re-derive.
+    */
+  def reband(spark: SparkSession, home: String): Meta =
+    graft.sources.WriterLease.exclusive(spark, home) {
+      val p = IndexAlias.resolve(spark, home)
+      val meta = readMeta(spark, p)
+      (meta.lshBits, meta.bqMean) match {
+        case (Some(_), Some(mu)) =>
+          val prim = vectors(spark, p, primaryOnly = true)
+            .select(col("vec_id"), col("embedding"))
+          val live = prim.count()
+          val newBits = Ann.lshBitsFor(live, centeredPRand(prim, mu))
+          val (queries, truth, _) = calibrationTruth(spark, prim)
+          val (newBands, bound) =
+            measuredLshBands(spark, p, meta, newBits, queries, truth)
+          val newMeta = meta.copy(lshBits = Some(newBits),
+            lshBands = newBands.orElse(meta.lshBands), lshBudgetBound = bound)
+          val tLsh = System.nanoTime()
+          val fs = new org.apache.hadoop.fs.Path(p)
+            .getFileSystem(spark.sparkContext.hadoopConfiguration)
+          val aside = new org.apache.hadoop.fs.Path(s"$p/lsh.next")
+          val livePath = new org.apache.hadoop.fs.Path(s"$p/lsh")
+          fs.delete(aside, true)
+          writeLshTable(prim, newMeta, p, "overwrite", table = "lsh.next")
+          graft.sources.WriterLease.renewHeld(spark, home)
+          fs.delete(livePath, true)
+          fs.rename(aside, livePath)
+          logStage("reband-postings", tLsh)
+          writeParamsAt(spark, p, paramsOf(newMeta), atomic = true)
+          metaCache.keySet.removeIf(_.endsWith("#" + p))
+          metaCache.put(IndexCache.sessionKey(spark) + "#" + p, newMeta)
+          mutated(spark, p)
+          newMeta
+        case _ => meta
+      }
+    }
 
   /** Band-count cost cap for calibration rung 4: postings rows (and
     * append cost) scale linearly with the band count, so the cap
@@ -755,10 +856,10 @@ object VectorIndex {
     * same pass as the vectors.
     */
   private def writeLshTable(df: DataFrame, meta: Meta, path: String,
-                            mode: String): Unit =
+                            mode: String, table: String = "lsh"): Unit =
     df.select(col("vec_id"), lshKeys(meta).as("bk"))
       .select(col("bk.bucket").as("bucket"), col("vec_id"), col("bk.band_id").as("band_id"))
-      .write.mode(mode).partitionBy("band_id").parquet(s"$path/lsh")
+      .write.mode(mode).partitionBy("band_id").parquet(s"$path/$table")
 
   /** Exploded (band_id, bucket) signature keys for `embedding` /
     * `q_emb` under a layout's banding config. Adaptive layouts
@@ -1331,6 +1432,60 @@ object VectorIndex {
       .select(col("q_id"), col("vec_id"))
       .dropDuplicates("q_id", "vec_id")
     rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k, cached)
+  }
+
+  /** Per-family serving-cost decomposition for a query batch — the
+    * counts that EXPLAIN a serving wall before (or beside) paying it.
+    * Returns (family, candidate_pairs, rerank_pairs): candidate pairs
+    * = the (query, vector) pairs the family's FIRST stage scores
+    * (IVF/IVFPQ: Σ per query of probed-list sizes over every
+    * assignment copy — the spilled copies the pruned scan meets; flat
+    * PQ/SQ8/BQ: live corpus × queries; LSH: distinct bucket-join
+    * survivors), rerank pairs = the pairs the exact float rerank then
+    * touches (calibrated pool × queries for IVFPQ/BQ, every candidate
+    * for LSH, none for the families that present their first stage
+    * directly). A measured wall divided by these masses separates
+    * WORK (pairs moved) from AMBIENT (same pairs, slower host) — a
+    * wall table without them is unexplainable after the fact, which
+    * is exactly what happened to the round-13 sf100 re-probe's 3×
+    * uniform serving-wall shift. Cost: one narrow corpus scan
+    * (cluster ids only), one id-only postings join; no floats read.
+    */
+  def servingCost(spark: SparkSession, rawPath: String,
+                  queries: DataFrame): Seq[(String, Long, Long)] = {
+    val path = IndexAlias.resolve(spark, rawPath)
+    val meta = readMeta(spark, path)
+    val nQ = queries.count()
+    val live = vectors(spark, path, primaryOnly = true).count()
+    val probes = Ann.probeFrame(queries, meta.centroids, resolveNProbe(meta, -1))
+      .select(col("q_id"), col("cluster_id"))
+    val probedPairs = vectors(spark, path)
+      .groupBy(col("cluster_id")).agg(count(lit(1)).as("n"))
+      .join(broadcast(probes), "cluster_id")
+      .agg(coalesce(sum(col("n")), lit(0L))).head.getLong(0)
+    val fs = new org.apache.hadoop.fs.Path(path)
+      .getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val lshPairs =
+      if (fs.exists(new org.apache.hadoop.fs.Path(s"$path/lsh"))) {
+        val queryB = queries
+          .select(col("q_id"), lshKeysOf(meta, col("q_emb")).as("bk"))
+          .select(col("q_id"), col("bk.band_id").as("band_id"),
+            col("bk.bucket").as("bucket"))
+        spark.read.schema(lshSchema).parquet(s"$path/lsh")
+          .join(broadcast(queryB), Seq("band_id", "bucket"))
+          .select(col("q_id"), col("vec_id")).distinct().count()
+      } else 0L
+    val pqPool = math.min(
+      meta.defaultPool.getOrElse(Quantization.PqRerankPool).toLong, live)
+    val bqPool = math.min(
+      meta.defaultBqPool.getOrElse(Quantization.BqPool).toLong, live)
+    Seq(
+      ("ivf", probedPairs, 0L),
+      ("ivfpq", probedPairs, pqPool * nQ),
+      ("pq_flat", live * nQ, 0L),
+      ("sq8", live * nQ, 0L),
+      ("bq", live * nQ, bqPool * nQ),
+      ("lsh", lshPairs, lshPairs))
   }
 
   /** Compact the index's small-file tail (the Qdrant segment

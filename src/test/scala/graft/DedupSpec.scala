@@ -890,6 +890,50 @@ class DedupSpec extends SparkSpec {
     assert(forced.subsetOf(exact))
   }
 
+  test("forced-LSH verb gates the Jensen-gap regime: contrast holds, candidate mass over budget routes to cluster blocking") {
+    import spark.implicits._
+    // a TIGHT mean-dominated cone (mean 22, unit noise): random-pair
+    // cosine ~0.998, measured pRand clamps at 0.95 — but the
+    // threshold 0.99995 still has per-plane collision 0.9968 > pRand,
+    // so CONTRAST HOLDS and the no-contrast guard passes. One label
+    // over 6.3k rows caps r at 62 and the recall floor pins b = 4;
+    // the EMPIRICAL bucket tails (E[p^62] ≈ 0.29 ≫ pRand^62) put the
+    // candidate mass ~29k/row — over the 16 384/row cluster budget.
+    // This is the regime that ground 38 min / 31 GB at sf10
+    // (bench/slope_combined_sf10_r13.json) while cluster blocking ran
+    // the identical input in 23.3 s.
+    val rnd = new scala.util.Random(23)
+    val base = (0L until 6000L).map { i =>
+      (i, Array.tabulate(26)(_ => (22.0 + rnd.nextGaussian()).toFloat), 0L)
+    }
+    val copies = base.filter(_._1 % 20 == 0)
+      .map { case (i, v, l) => (i + 1000000L, v, l) }
+    val df = (base ++ copies).toDF("vec_id", "embedding", "label").localCheckpoint()
+    val probs = Dedup.samplePlaneProbs(df)
+    val pRand = Dedup.measuredPRandOf(probs)
+    val t = 0.99995
+    assert(Dedup.lshHasContrast(t, pRand),
+      s"fixture must HOLD contrast (pRand $pRand) — it pins the SECOND gate")
+    val avg = df.count().toDouble // one label
+    val (route, r, b, perRow) = Dedup.adaptiveRoute(t, probs, avg)
+    assert(route == "cluster",
+      f"budget gate must fire: route $route, $perRow%.0f/row at ($r, $b) vs " +
+        f"${Dedup.ClusterRouteCandidateBudget}%.0f")
+    assert(perRow > Dedup.ClusterRouteCandidateBudget)
+    // the documented escape hatch keeps the banding through BOTH gates
+    val (fRoute, _, _, _) = Dedup.adaptiveRoute(t, probs, avg, force = true)
+    assert(fRoute == "lsh")
+    // end to end: the gated verb returns the cluster-blocked relation.
+    // At this threshold that is EXACTLY the planted copy pairs: exact
+    // copies share identical spilled assignments (always recalled),
+    // verification is exact cosine (nothing below threshold survives),
+    // and the noise floor (~0.998) sits far below 0.99995.
+    val got = Dedup.embeddingNearDupAdaptive(df, t).collect()
+      .map(r0 => (r0.getAs[Long]("vec_a"), r0.getAs[Long]("vec_b"))).toSet
+    val want = copies.map(c => (c._1 - 1000000L, c._1)).toSet
+    assert(got == want, s"gated route must recall all ${want.size} copy pairs exactly")
+  }
+
   test("embedding route decision is measured once per (session, corpus, knobs): a re-read runs no jobs") {
     val e = Tables.embeddings(spark, sfDir)
       .select(col("vec_id"), col("embedding"), col("label"))
@@ -912,6 +956,41 @@ class DedupSpec extends SparkSpec {
     // the driver corpus sits below the crossover: the memoized
     // decision is the exact route the auto verb actually takes
     assert(d1.route == "exact", d1.toString)
+    Dedup.invalidateRouteDecisions()
+  }
+
+  test("route memo is an LRU: cycling past the cache bound evicts cold decisions, not the hot one") {
+    import spark.implicits._
+    // a catalog sweep over >1024 distinct (plan, knobs) keys used to
+    // wholesale-clear the memo — the hot corpus re-measured after
+    // every sweep. Access-ordered eviction keeps a decision that is
+    // USED; only the coldest fall off. Distinct knob values make
+    // distinct keys on one tiny frame (each miss costs one bounded
+    // agg job), and the hot key is touched between batches the way a
+    // live session touches its standing corpus.
+    val hot = (0L until 8L).map(i => (i, Array.fill(4)(0.1f), i % 2))
+      .toDF("vec_id", "embedding", "label").localCheckpoint()
+    val hot1 = Dedup.embeddingRouteDecisionCached(spark, hot, threshold = 0.35)
+    val colds = 1100
+    (0 until colds).foreach { i =>
+      Dedup.embeddingRouteDecisionCached(spark, hot, threshold = 0.35,
+        lshCrossover = 1e6 + i)
+      if (i % 100 == 99)
+        Dedup.embeddingRouteDecisionCached(spark, hot, threshold = 0.35)
+    }
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(js: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    try {
+      val hot2 = Dedup.embeddingRouteDecisionCached(spark, hot, threshold = 0.35)
+      assert(hot2 == hot1, "the retained decision must be the measured one")
+      Thread.sleep(800)
+      assert(jobs == 0,
+        s"hot decision must survive $colds cold keys without re-measuring (saw $jobs jobs)")
+    } finally spark.sparkContext.removeSparkListener(listener)
     Dedup.invalidateRouteDecisions()
   }
 }

@@ -163,4 +163,37 @@ class ExpressionPropertiesSpec extends SparkSpec {
     assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
       "NaN scores must rank identically through the aggregate and the window")
   }
+
+  test("top_k_by_score treats -0.0 == 0.0 as Spark's order does: signed-zero ties break by vec_id") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // Spark's double order (SQLOrderingUtil.compareDoubles) short-
+    // circuits x == y before the bit-level compare, so -0.0 and 0.0
+    // TIE and the window form breaks the tie by vec_id across BOTH
+    // zero signs; raw Double.compare ranks +0.0 strictly above -0.0
+    // and would pick only +0.0 rows at the boundary. k = 25 puts the
+    // cut inside the signed-zero pool of every group (per ~87-row
+    // group: ~9 NaN + ~9 ones above, ~69 mixed-sign zeros at the cut).
+    val rows = (0 until 2000).map { i =>
+      val s = (i % 10) match {
+        case 0 | 1 | 2 | 3 => 0.0
+        case 4 | 5 | 6 | 7 => -0.0
+        case 8             => 1.0
+        case _             => Double.NaN
+      }
+      (i % 23, i.toLong, s)
+    }.toDF("q_id", "vec_id", "score").localCheckpoint()
+    val k = 25
+    val viaAgg = rows.groupBy($"q_id")
+      .agg(graft.functions.aggops.topKByScore($"score", $"vec_id", k).as("top"))
+      .select($"q_id", posexplode($"top"))
+      .select($"q_id", ($"pos" + 1).as("rn"), $"col.vec_id")
+    val w = Window.partitionBy($"q_id").orderBy($"score".desc, $"vec_id")
+    val viaWindow = rows
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter($"rn" <= k)
+      .select($"q_id", $"rn", $"vec_id")
+    assert(viaAgg.exceptAll(viaWindow).isEmpty && viaWindow.exceptAll(viaAgg).isEmpty,
+      "signed-zero ties must pick the same vec_ids through the aggregate and the window")
+  }
 }

@@ -244,6 +244,54 @@ class MaintainSpec extends SparkSpec {
       s"report must carry the measured inputs: $r1")
     assert(IndexAlias.resolve(spark, home) == gen0,
       "banding drift is report-only: no generation may land")
+
+    // --- the PROPORTIONAL remedy: reband rewrites ONLY the postings ---
+    // the drift report's named fix must cost an id-only table rewrite
+    // (plus one bounded truth scan), never a corpus re-encode: no
+    // generation lands and no vectors/ file is touched
+    val fs = new org.apache.hadoop.fs.Path(gen0).getFileSystem(
+      spark.sparkContext.hadoopConfiguration)
+    def vectorFiles(): Map[String, (Long, Long)] = {
+      val it = fs.listFiles(new org.apache.hadoop.fs.Path(s"$gen0/vectors"), true)
+      val m = Map.newBuilder[String, (Long, Long)]
+      while (it.hasNext) {
+        val f = it.next()
+        if (f.getPath.getName.endsWith(".parquet"))
+          m += f.getPath.toString -> ((f.getLen, f.getModificationTime))
+      }
+      m.result()
+    }
+    val vecsBefore = vectorFiles()
+    val m2 = VectorIndex.reband(spark, home)
+    assert(IndexAlias.resolve(spark, home) == gen0,
+      "reband is in-place: no generation may land")
+    assert(m2.lshBits.get >= bits0 + ScaleOps.MaintenancePolicy().lshBitsDriftSlack,
+      s"reband must re-derive the width the drift report measured: $m2 vs $bits0")
+    assert(vectorFiles() == vecsBefore,
+      "reband must not rewrite a single vectors/ file")
+    assert(!fs.exists(new org.apache.hadoop.fs.Path(s"$gen0/lsh.next")),
+      "the write-aside must be swapped away, not left behind")
+    // the persisted params match the postings just written: a fresh
+    // session reads the re-derived banding off disk
+    VectorIndex.invalidate(spark, gen0)
+    val reread = VectorIndex.readMeta(spark, home)
+    assert(reread.lshBits == m2.lshBits && reread.lshBands == m2.lshBands)
+    // the next maintenance cycle has nothing to report
+    val r2 = ScaleOps.maintain(spark, "vector", home)
+    assert(r2.action == "none", s"reband must clear the drift report: $r2")
+    // and the re-banded postings still SERVE: queries drawn from the
+    // concentrated cone that caused the drift find their exact-cosine
+    // neighbors through the new bucket space at the calibrated recall
+    val qdf = (0 until 32).map { i =>
+      (900000L + i, Array.fill(Dim)((10.0 + rnd.nextGaussian()).toFloat))
+    }.toDF("q_id", "q_emb")
+    val exact = VectorIndex.searchIvf(spark, home, qdf,
+      nprobe = VectorIndex.readMeta(spark, home).centroids.size)
+    val approx = VectorIndex.searchLsh(spark, home, qdf)
+    val rec = ScaleOps.recallAtK(exact, approx)
+      .agg(org.apache.spark.sql.functions.avg(col("recall")))
+      .collect()(0).getDouble(0)
+    assert(rec >= 0.85, f"re-banded LSH recall floor: $rec%.3f")
   }
 
   test("list-size drift: a corpus that outgrew its nlist triggers a rotating retrain to policy geometry") {

@@ -242,4 +242,45 @@ class VectorIndexSpec extends SparkSpec {
       assert(VectorIndex.readMeta(spark, path) == before)
     }
   }
+
+  test("params rewrites clear an orphaned params.next: a stale aside copy cannot outlive the table it described") {
+    // a crashed atomic swap can leave meta/params.next behind; since
+    // readMeta falls back to the aside copy when params is missing, a
+    // LATER rebuild that deletes or overwrites params must also kill
+    // the orphan — or a second crash window (or a legacy-empty
+    // rebuild) would resurrect the stale calibration flags it carries
+    import org.apache.hadoop.fs.{FileUtil, Path}
+    val corpus = Tables.embeddings(spark, sfDir)
+    val p2 = graft.operators.IndexCache.tempDir("graft-vi-orphan") + "/idx"
+    val meta = VectorIndex.buildFrom(spark, corpus, p2, calibrate = false)
+    val fs = new Path(p2).getFileSystem(spark.sparkContext.hadoopConfiguration)
+    val params = new Path(s"$p2/meta/params")
+    val next = new Path(s"$p2/meta/params.next")
+    assert(fs.exists(params), "adaptive fixture must carry params")
+    def plantOrphan(): Unit = {
+      FileUtil.copy(fs, params, fs, next, false,
+        spark.sparkContext.hadoopConfiguration)
+      assert(fs.exists(next))
+    }
+    // non-atomic overwrite branch (a rebuild to a flagged meta)
+    plantOrphan()
+    VectorIndex.writeCorpus(spark, corpus, p2, meta)
+    assert(!fs.exists(next),
+      "the non-atomic params overwrite must delete the orphaned aside copy")
+    // legacy-empty branch (a rebuild to a flagless meta deletes params
+    // — the orphan would become the FALLBACK and resurrect the flags)
+    plantOrphan()
+    VectorIndex.writeCorpus(spark, corpus, p2,
+      meta.copy(defaultNProbe = None, defaultPool = None, pqResidual = false,
+        rotation = None, budgetBound = false, bqMean = None, lshBits = None,
+        defaultBqPool = None, bqBudgetBound = false, lshBands = None,
+        lshBudgetBound = false))
+    assert(!fs.exists(params), "legacy rebuild must leave no params")
+    assert(!fs.exists(next),
+      "the legacy-empty rewrite must delete the orphaned aside copy too")
+    VectorIndex.invalidate(spark, p2)
+    val legacy = VectorIndex.readMeta(spark, p2)
+    assert(legacy.lshBits.isEmpty && !legacy.pqResidual,
+      "a resurrected aside copy would flag raw codes as encoded")
+  }
 }
