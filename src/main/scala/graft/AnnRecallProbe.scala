@@ -46,7 +46,7 @@ object AnnRecallProbe {
     println(f"[probe] exact done ($exactSec%.1f s)")
     // the decomposition FIRST (cheap, id-only), so every wall below
     // prints beside the mass that explains it
-    val cost = operators.VectorIndex.servingCost(spark, idx, queries)
+    var cost = operators.VectorIndex.servingCost(spark, idx, queries)
       .map { case (f, c, r) => f -> ((c, r)) }.toMap
     cost.toSeq.sortBy(_._1).foreach { case (f, (c, r)) =>
       println(s"[probe] mass $f candidate_pairs=$c rerank_pairs=$r")
@@ -93,13 +93,30 @@ object AnnRecallProbe {
     rec("bq_pool100", searchBq(spark, idx, queries, pool = 100, cached = false))
     rec("bq_pool1000", searchBq(spark, idx, queries, pool = 1000, cached = false))
     rec("lsh", searchLsh(spark, idx, queries, cached = false))
+    // optional: measure the banding-drift remedy AT THIS SCALE — the
+    // whole point of reband is its proportional cost, so the claim
+    // lives or dies on a wall measured at the same 5M corpus the
+    // retrain alternative is measured on (the build above)
+    var rebandSec = -1.0
+    if (args.contains("reband")) {
+      val t0 = System.nanoTime()
+      val m = operators.VectorIndex.reband(spark, idx)
+      rebandSec = (System.nanoTime() - t0) / 1e9
+      println(f"[probe] reband done ($rebandSec%.1f s, bits=${m.lshBits} " +
+        f"bands=${m.lshBands} bound=${m.lshBudgetBound})")
+      // the postings table changed: re-derive its candidate mass so
+      // the rebanded wall prints beside the mass that explains it
+      cost = operators.VectorIndex.servingCost(spark, idx, queries)
+        .map { case (f, c, r) => f -> ((c, r)) }.toMap
+      rec("lsh_rebanded", searchLsh(spark, idx, queries, cached = false))
+    }
     val fams = results.map { case (n, (r, w)) =>
       val (c, rr) = massOf(n)
       f""""$n":{"recall":$r%.4f,"wall_s":$w%.1f,"candidate_pairs":$c,"rerank_pairs":$rr}"""
     }.mkString(",")
     val json =
       f"""{"corpus":"$dir","index":"$idx","queries":$nQ,"build_s":$buildSec%.1f,""" +
-        f""""exact_truth_s":$exactSec%.1f,"families":{$fams}}"""
+        f""""exact_truth_s":$exactSec%.1f,"reband_s":$rebandSec%.1f,"families":{$fams}}"""
     println(json)
     val out = new java.io.File("target/recall_probe.json")
     out.getParentFile.mkdirs()
