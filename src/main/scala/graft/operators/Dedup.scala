@@ -2334,11 +2334,17 @@ object Dedup {
     * structure; the equivalent corpus-wide question — "which W-token
     * spans repeat across docs?" — is a postings problem, so the plan
     * is explode→count like the shingle family. |tokens| windows per
-    * doc, each reduced to a 16-byte md5 before the shuffle (the text
-    * itself never shuffles); window df is a combinable groupBy;
-    * marking is one hash-keyed join of the window frame against the
-    * duplicated-hash set (which carries only dup-mass hashes, never
-    * the corpus). Everything is linear in corpus tokens.
+    * doc, each reduced to an 8-byte xxhash64 of the token SLICE
+    * before the shuffle (the text itself never shuffles; hashing the
+    * array directly skips the per-window string re-join the earlier
+    * md5(array_join(..)) form paid, and ships a long instead of a
+    * 32-char hex digest — same window identity, since tokens come
+    * from a split on the join character; a 64-bit collision between
+    * two distinct corpus windows is the jaccardPairs ~1e-8 event);
+    * window df is a combinable groupBy; marking is one hash-keyed
+    * join of the window frame against the duplicated-hash set (which
+    * carries only dup-mass hashes, never the corpus). Everything is
+    * linear in corpus tokens.
     */
   def qDedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
     // sequence(1, 0) DESCENDS in Spark — guard docs shorter than W
@@ -2347,7 +2353,7 @@ object Dedup {
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(toks) >= $SubstringWindow
            |  THEN transform(sequence(1, size(toks) - ${SubstringWindow - 1}),
-           |         i -> md5(array_join(slice(toks, i, $SubstringWindow), ' ')))
+           |         i -> xxhash64(slice(toks, i, $SubstringWindow)))
            |  ELSE array() END""".stripMargin)).as("wh"))
       .localCheckpoint() // feeds the dup-hash count AND the per-doc mark join
     val dup = wins.groupBy(col("wh"))

@@ -1,0 +1,36 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+
+/** Parallelism repair for fan-out maps over under-partitioned inputs
+  * (guide §2.5 "input skew": one huge unsplittable file → repartition
+  * immediately after the read).
+  *
+  * The driver's test corpora are single-row-group parquet files, so
+  * every scan is ONE split regardless of `maxPartitionBytes` — and
+  * every map-side fan-out downstream of the scan (trigram shingling,
+  * token explodes, per-doc pair grids, signature hashing) runs on one
+  * core of the machine. The same shape appears in production whenever
+  * a stage's input is few-partitioned (a gzip file, a coalesced
+  * aggregate) but its OUTPUT is many times larger: partition counts
+  * are sized to input bytes, fan-out cost is proportional to output
+  * bytes.
+  *
+  * [[rebalance]] hash-repartitions to the session's default
+  * parallelism ONLY when the frame has fewer partitions — at cluster
+  * scale (or any properly split input) the guard is false and the
+  * plan is untouched, so this never inserts a corpus-sized exchange
+  * into a 100 TB plan. The key must be deterministic and
+  * high-cardinality (an id column): hash repartitioning on a
+  * deterministic key is retry-safe (SPARK-38388) and needs no
+  * sort-before-repartition pass, unlike round-robin `repartition(n)`.
+  */
+private[graft] object Fanout {
+  def rebalance(df: DataFrame, key: Column): DataFrame = {
+    val par = df.sparkSession.sparkContext.defaultParallelism
+    // getNumPartitions forces physical planning (no job); for the
+    // localCheckpoint'd frames this helper mostly guards, the RDD is
+    // already materialized and the count is a field read
+    if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
+  }
+}

@@ -16,6 +16,16 @@ import graft.Tables
   */
 object TextAnalysis {
 
+  /** Documents with scan parallelism repaired ([[Fanout.rebalance]])
+    * — for the token-explode / per-doc-grid entries whose map-side
+    * fan-out otherwise runs at the single-row-group scan's
+    * parallelism (one task). Scan-only entries keep the raw frame:
+    * their map work is proportional to input bytes, and an exchange
+    * would cost more than it parallelizes.
+    */
+  private def docsPar(spark: SparkSession, sfDir: String): DataFrame =
+    Fanout.rebalance(Tables.documents(spark, sfDir), col("doc_id"))
+
   /** Row 24: token counts per language — corpus profile stats. */
   def qTokenCount(spark: SparkSession, sfDir: String): DataFrame =
     Tables.documents(spark, sfDir)
@@ -46,7 +56,7 @@ object TextAnalysis {
     */
   def qLangId(spark: SparkSession, sfDir: String): DataFrame = {
     val profiles = spark.createDataFrame(LangProfiles).toDF("plang", "words")
-    val hits = Tables.documents(spark, sfDir)
+    val hits = docsPar(spark, sfDir)
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .crossJoin(broadcast(profiles))
       .select(col("doc_id"), col("plang"),
@@ -304,7 +314,7 @@ object TextAnalysis {
     // the sorted-distinct token frame feeds three branches (pair
     // explode, unigram df, corpus count) — materialize it once, the
     // persisted-intermediate shape of every multi-branch corpus plan
-    val docs = Tables.documents(spark, sfDir)
+    val docs = docsPar(spark, sfDir)
       .select(col("doc_id"), array_sort(array_distinct(split(col("text"), " "))).as("st"))
       .localCheckpoint()
     val t = docs.select(col("doc_id"), explode(col("st")).as("tok"))
@@ -444,7 +454,7 @@ object TextAnalysis {
     * histogram is a wordcount. Three combinable shuffles, no joins.
     */
   def qCategorizeText(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    docsPar(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("c"))
       .groupBy(col("doc_id"))

@@ -584,7 +584,11 @@ object TrainingPipeline {
     * sort.
     */
   def qDsir(spark: SparkSession, sfDir: String): DataFrame = {
-    val toks = Tables.documents(spark, sfDir)
+    // the per-token md5 bucket map below runs TWICE (distribution
+    // pass + score pass, the deliberate recompute-over-materialize
+    // choice for a corpus-sized frame) — repair the unsplittable
+    // scan's parallelism so both passes use the machine
+    val toks = Fanout.rebalance(Tables.documents(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), col("lang"),
         explode(split(col("text"), " ")).as("tok"))
       .select(col("doc_id"), col("lang"),
