@@ -7,6 +7,25 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
+      // AQE coalescing is byte-based and blind to downstream per-row
+      // cost: with the default 1 MiB minPartitionSize, any stage whose
+      // shuffle output is small coalesces to ONE partition — and the
+      // pair-grid / basket explodes that READ those tiny frames then
+      // run single-threaded (measured: q_frequent_item_sets' 0.94 s
+      // one-task explode job). parallelismFirst (default on) already
+      // prefers cores over the advisory size; this floor is the only
+      // thing overriding it on small frames. A lower floor keeps
+      // explode feeders parallel locally; at cluster scale stages
+      // whose TOTAL shuffle bytes are under minPartitionSize × cores
+      // are trivial either way, so the production value is free to
+      // stay at the 1 MiB default (set
+      // SPARK_GRAFT_AQE_MIN_PARTITION_SIZE). 64k measured best across
+      // the suite: 16k recovered the explode feeders but taxed the
+      // small lexical aggregates with task spam; 64k keeps the explode
+      // wins (q_frequent_item_sets 1.52 -> 0.79, q_dedup_ngram
+      // 1.76 -> 1.39) without them.
+      .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
