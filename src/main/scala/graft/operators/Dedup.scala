@@ -92,7 +92,16 @@ object Dedup {
         col("bi"), col("nb"), col("ds"))
       .select(col("da"), explode(expr("sequence(bi, nb - 1)")).as("bj"), col("ds"))
       .select(col("da"), slice(col("ds"), col("bj") * b + 1, lit(b)).as("db"))
-      .repartition(col("da"), col("db"))
+      // explicit partition count: this exchange's INPUT (packed block
+      // arrays) is tiny relative to its OUTPUT (the ≤B² pair grid per
+      // row), so AQE's byte-based coalescing collapses it to one
+      // partition and the grid explodes single-threaded (measured:
+      // 0.74 s one-task job inside q_dedup_ngram). A user-specified
+      // count is exempt from coalescing; defaultParallelism scales
+      // with the cluster, and the block design already bounds
+      // per-row work at B²
+      .repartition(postings.sparkSession.sparkContext.defaultParallelism,
+        col("da"), col("db"))
       .select(explode(col("da")).as("doc_a"), col("db"))
       .select(col("doc_a"), explode(col("db")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))
@@ -210,7 +219,9 @@ object Dedup {
     * Jaccard, via [[jaccardPairs]].
     */
   def qDedupNgram(spark: SparkSession, sfDir: String): DataFrame =
-    jaccardPairs(trigrams(Tables.documents(spark, sfDir)))
+    jaccardPairs(trigrams(Fanout.rebalance(
+      Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+      col("doc_id"))))
       .orderBy(col("jaccard").desc, col("doc_a"), col("doc_b"))
       .limit(50)
 
@@ -1054,7 +1065,14 @@ object Dedup {
     // materialize the hashed arrays once — they feed the signature
     // pipeline AND both verification attach scans
     val triH = hashedShingles(docs).localCheckpoint()
-    val bands = bandPostings(triH)
+    // rebalance feeds ONLY the signature stage (its output is consumed
+    // by the band groupBy's own exchange, so nothing downstream
+    // inherits the width): the 64-permutation MinHash map is the
+    // query's dominant compute and ran on the corpus file's splits.
+    // Rebalancing triH ITSELF before the checkpoint measured worse —
+    // every tiny downstream attach job then pays the checkpoint's
+    // width in task dispatch.
+    val bands = bandPostings(Fanout.rebalance(triH, col("doc_id")))
     // candidate pairs via a bucket postings groupBy, not a band
     // self-join: the signature pipeline executes (and compiles) once,
     // the only corpus-sized shuffle ships (band, id) rows, and
@@ -2262,7 +2280,9 @@ object Dedup {
     */
   def qDedupSimhash(spark: SparkSession, sfDir: String): DataFrame = {
     val docs = augmentedDocs(spark, sfDir)
-    val sig = docs
+    // rebalance: the bigram+simhash fingerprint map ran on the
+    // augmented corpus's 3 partitions (measured 0.29 s of a 1.0 s query)
+    val sig = Fanout.rebalance(docs, col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"),
         hashes.simhash64(expr(
@@ -2348,7 +2368,10 @@ object Dedup {
     */
   def qDedupSubstring(spark: SparkSession, sfDir: String): DataFrame = {
     // sequence(1, 0) DESCENDS in Spark — guard docs shorter than W
-    val wins = augmentedDocs(spark, sfDir)
+    // rebalance: the window-hash explode (one xxhash64 of a 20-token
+    // slice per token) is the query's dominant stage and ran on the
+    // augmented corpus's 3 partitions (measured 0.57 s of a 1.8 s query)
+    val wins = Fanout.rebalance(augmentedDocs(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .select(col("doc_id"), explode(expr(
         s"""CASE WHEN size(toks) >= $SubstringWindow

@@ -26,8 +26,26 @@ import org.apache.spark.sql.{Column, DataFrame}
   * sort-before-repartition pass, unlike round-robin `repartition(n)`.
   */
 private[graft] object Fanout {
+  /** Repair width — how many partitions an under-partitioned fan-out
+    * input is spread to. NOT the core count: on the bench host class,
+    * task DISPATCH costs ~7 ms serialized on the driver (measured,
+    * DispatchProbe: an n-task no-op stage costs 0.17 s at n=4, 0.39 s
+    * at n=32, 0.61 s at n=64 — linear past the minimum), so for a
+    * fan-out stage with W seconds of single-threaded work the optimum
+    * is n* = sqrt(W / 0.007) ≈ 8 at the W ≈ 0.3-0.7 s these repairs
+    * target (measured end-to-end: q_dedup_minhash's checkpoint
+    * consumers at 32-way cost +2 s of pure dispatch; 8-way is within
+    * noise of its best). On a real cluster dispatch amortizes across
+    * executors AND the guard below is false for any properly split
+    * corpus, so this constant never reaches a production plan; it is
+    * env-tunable for hosts with different dispatch costs.
+    */
+  private def repairWidth(df: DataFrame): Int = math.min(
+    sys.env.getOrElse("SPARK_GRAFT_FANOUT_TASKS", "8").toInt,
+    df.sparkSession.sparkContext.defaultParallelism)
+
   def rebalance(df: DataFrame, key: Column): DataFrame = {
-    val par = df.sparkSession.sparkContext.defaultParallelism
+    val par = repairWidth(df)
     // getNumPartitions forces physical planning (no job); for the
     // localCheckpoint'd frames this helper mostly guards, the RDD is
     // already materialized and the count is a field read

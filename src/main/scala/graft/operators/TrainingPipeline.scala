@@ -16,7 +16,11 @@ object TrainingPipeline {
 
   /** Distinct 5-token shingles per doc (docs with ≥5 tokens). */
   private def fiveGrams(docs: DataFrame): DataFrame =
-    docs.select(col("doc_id"), split(col("text"), " ").as("toks"))
+    // rebalance at the input: the 5-gram map fans out ~5 words per
+    // token and ran on the corpus file's 3 splits (guide §2.5;
+    // measured 0.41 s single-digit-task job inside q_contamination)
+    Fanout.rebalance(docs.select(col("doc_id"), col("text")), col("doc_id"))
+      .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 5)
       .select(col("doc_id"), array_distinct(expr(
         "transform(sequence(0, size(toks)-5), i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], toks[i+4]))"))
@@ -99,7 +103,7 @@ object TrainingPipeline {
     */
   def qBoilerplate(spark: SparkSession, sfDir: String): DataFrame = {
     val segW = 8
-    val segs = Dedup.augmentedDocs(spark, sfDir)
+    val segs = Fanout.rebalance(Dedup.augmentedDocs(spark, sfDir), col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= segW)
       .select(col("doc_id"), explode(expr(
