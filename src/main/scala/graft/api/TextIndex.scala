@@ -19,15 +19,37 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
 
   private def toks: Column = split(col(textCol), " ")
 
-  /** One row per (doc, query-term) with its term frequency. The doc
-    * length rides along through the aggregate (constant per doc), so
-    * BM25 never needs a second corpus scan or a doc-length join.
+  /** One row per (doc, query-term) with its term frequency — computed
+    * MAP-SIDE: the query terms are a literal set, so each tf is a
+    * per-row array count over the tokens and the matching (token, tf)
+    * entries explode from a per-row array. The former explode +
+    * groupBy(doc, token) shuffled every matching corpus token to
+    * build the same rows (guide §2.4 — remove shuffles outright);
+    * this shape shuffles nothing. The doc length rides along as a
+    * per-row expression, so BM25 never needs a doc-length join.
     */
-  def termFreq(terms: Seq[String]): DataFrame =
-    docs.select(col(idCol), size(toks).cast("long").as("dl"), explode(toks).as("token"))
-      .filter(col("token").isin(terms: _*))
-      .groupBy(col(idCol), col("token"))
-      .agg(count(lit(1)).as("tf"), first(col("dl")).as("dl"))
+  def termFreq(terms: Seq[String]): DataFrame = {
+    val withTc = docs.select(col(idCol), size(toks).cast("long").as("dl"),
+      graft.functions.hashes.termCounts(toks, terms).as("__tc"))
+    val entries = array(terms.zipWithIndex.map { case (t, i) => struct(
+      lit(t).as("token"), element_at(col("__tc"), i + 1).as("tf")) }: _*)
+    withTc
+      .select(col(idCol), col("dl"),
+        explode(filter(entries, e => e.getField("tf") > 0)).as("__e"))
+      .select(col(idCol), col("__e.token").as("token"),
+        col("__e.tf").as("tf"), col("dl"))
+  }
+
+  /** Map-side (id, dl, tf_0..tf_{m-1}) frame over a literal term set —
+    * the zero-shuffle scoring base of [[bm25]]/[[tfidf]]/[[bm25Batch]].
+    * tf comes from ONE native pass over the tokens
+    * ([[graft.functions.TermCounts]]).
+    */
+  private def tfBase(terms: Seq[String]): DataFrame =
+    docs.select(col(idCol), size(toks).cast("long").as("dl"),
+        graft.functions.hashes.termCounts(toks, terms).as("__tc"))
+      .select((col(idCol) +: col("dl") +: terms.indices.map(i =>
+        element_at(col("__tc"), i + 1).as(s"__tf$i"))): _*)
 
   /** df per term, derived from tf so the shuffle exchange is reused. */
   private def docFreq(tf: DataFrame): DataFrame =
@@ -67,13 +89,34 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
       .groupBy(col("token"), col("distance"))
       .agg(count(lit(1)).as("df"))
 
-  /** TF-IDF scores (idf = ln(N/df)) per doc for a term set. */
+  /** Single-row corpus statistics for a literal term set: N, avgdl,
+    * and per-term df — ONE combinable aggregate where the former
+    * pipeline ran a (doc, term) tf shuffle, a df re-aggregate and a
+    * separate corpus-stats scan. Broadcast into the map-side scorer.
+    */
+  private def termStats(base: DataFrame, terms: Seq[String]): DataFrame = {
+    val aggs = count(lit(1)).as("n_docs") +: avg(col("dl")).as("avgdl") +:
+      terms.indices.map(i => sum((col(s"__tf$i") > 0).cast("long")).as(s"__df$i"))
+    base.agg(aggs.head, aggs.tail: _*)
+  }
+
+  private def anyMatch(terms: Seq[String]): Column =
+    terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _)
+
+  /** TF-IDF scores (idf = ln(N/df)) per doc for a term set. Scoring
+    * is a per-row expression over the map-side tf columns plus the
+    * broadcast single-row statistics — zero corpus-sized shuffles
+    * (the former shape paid three exchanges: tf, df, per-doc sum).
+    */
   def tfidf(terms: Seq[String]): DataFrame = {
-    val tf = termFreq(terms)
-    tf.join(broadcast(docFreq(tf)), "token")
-      .crossJoin(broadcast(corpusStats))
-      .groupBy(col(idCol))
-      .agg(round(sum(col("tf") * log(col("n_docs") / col("df"))), 6).as("tfidf"))
+    val base = tfBase(terms)
+    val score = terms.indices.map(i =>
+      when(col(s"__tf$i") > 0,
+        col(s"__tf$i") * log(col("n_docs") / col(s"__df$i")))
+        .otherwise(lit(0.0))).reduce(_ + _)
+    base.filter(anyMatch(terms))
+      .crossJoin(broadcast(termStats(base, terms)))
+      .select(col(idCol), round(score, 6).as("tfidf"))
   }
 
   /** BM25 scores per doc (Lucene-style idf). Single corpus scan: the
@@ -82,13 +125,16 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     */
   def bm25(terms: Seq[String], k1: Double = 1.2, b: Double = 0.75): DataFrame = {
     val k1l = lit(k1); val bl = lit(b)
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val w = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
-    val tf = termFreq(terms)
-    tf.join(broadcast(docFreq(tf)), "token")
-      .crossJoin(broadcast(corpusStats))
-      .groupBy(col(idCol))
-      .agg(round(sum(idf * w), 6).as("bm25"))
+    def idf(i: Int) = log(lit(1.0) +
+      (col("n_docs") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+    def w(i: Int) = col(s"__tf$i") * (k1l + 1) /
+      (col(s"__tf$i") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
+    val base = tfBase(terms)
+    val score = terms.indices.map(i =>
+      when(col(s"__tf$i") > 0, idf(i) * w(i)).otherwise(lit(0.0))).reduce(_ + _)
+    base.filter(anyMatch(terms))
+      .crossJoin(broadcast(termStats(base, terms)))
+      .select(col(idCol), round(score, 6).as("bm25"))
   }
 
   /** ES `_explain` for BM25: the per-term score decomposition ES
@@ -158,19 +204,29 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     */
   def bm25Batch(queries: Seq[(Long, Seq[String])], k: Int,
                 k1: Double = 1.2, b: Double = 0.75): DataFrame = {
-    val spark = docs.sparkSession
-    val qt = broadcast(spark.createDataFrame(
-      queries.flatMap { case (q, ts) => ts.map(t => (q, t)) }).toDF("tq_id", "token"))
     val k1l = lit(k1); val bl = lit(b)
-    val idf = log(lit(1.0) + (col("n_docs") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
-    val wgt = col("tf") * (k1l + 1) / (col("tf") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
-    val tf = termFreq(queries.flatMap(_._2).distinct)
+    val allTerms = queries.flatMap(_._2).distinct
+    val ix = allTerms.zipWithIndex.toMap
+    def idf(i: Int) = log(lit(1.0) +
+      (col("n_docs") - col(s"__df$i") + lit(0.5)) / (col(s"__df$i") + lit(0.5)))
+    def wgt(i: Int) = col(s"__tf$i") * (k1l + 1) /
+      (col(s"__tf$i") + k1l * (lit(1) - bl + bl * col("dl") / col("avgdl")))
+    val base = tfBase(allTerms)
+    // per-row (query, score, matched) entries over the shared tf
+    // columns: every query scores in the same single corpus pass,
+    // map-side; only matched entries explode
+    val perQuery = queries.map { case (q, ts) =>
+      val is = ts.map(ix)
+      struct(lit(q).as("tq_id"),
+        round(is.map(i => when(col(s"__tf$i") > 0, idf(i) * wgt(i))
+          .otherwise(lit(0.0))).reduce(_ + _), 6).as("bm25"),
+        is.map(i => col(s"__tf$i") > 0).reduce(_ || _).as("__m"))
+    }
     val w = Window.partitionBy(col("tq_id")).orderBy(col("bm25").desc, col(idCol))
-    tf.join(broadcast(docFreq(tf)), "token")
-      .crossJoin(broadcast(corpusStats))
-      .join(qt, "token")
-      .groupBy(col("tq_id"), col(idCol))
-      .agg(round(sum(idf * wgt), 6).as("bm25"))
+    base.crossJoin(broadcast(termStats(base, allTerms)))
+      .select(col(idCol),
+        explode(filter(array(perQuery: _*), e => e.getField("__m"))).as("__q"))
+      .select(col("__q.tq_id").as("tq_id"), col(idCol), col("__q.bm25").as("bm25"))
       .withColumn("rn", row_number().over(w).cast("long"))
       .filter(col("rn") <= k)
   }

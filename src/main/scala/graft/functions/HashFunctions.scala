@@ -137,6 +137,73 @@ case class MinHashSignature(child: Expression, coeffA: Seq[Long], coeffB: Seq[Lo
 }
 
 /** Column-level API. */
+/** Per-term occurrence counts of a LITERAL term list over an
+  * array<string> of tokens: one pass, counts in term order. The
+  * lexical scorers' tf computation — as a higher-order
+  * `filter(toks, _ = t)` per term this ran interpreted (boxed lambda
+  * eval per token per term — measured ~1 s/query over the corpus);
+  * as a native expression it is a tight generated loop inside
+  * whole-stage codegen, like the signature primitives above.
+  */
+case class TermCounts(child: Expression, terms: Seq[String]) extends UnaryExpression {
+  require(terms.nonEmpty, "term_counts needs a non-empty term list")
+  private val nTerms = terms.length
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def checkInputDataTypes(): TypeCheckResult = child.dataType match {
+    case ArrayType(org.apache.spark.sql.types.StringType, _) =>
+      TypeCheckResult.TypeCheckSuccess
+    case other => TypeCheckResult.TypeCheckFailure(
+      s"term_counts requires array<string>, got ${other.catalogString}")
+  }
+
+  @transient private lazy val termU: Array[org.apache.spark.unsafe.types.UTF8String] =
+    terms.map(org.apache.spark.unsafe.types.UTF8String.fromString).toArray
+
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val cnt = new Array[Long](nTerms)
+    var i = 0
+    while (i < n) {
+      val s = arr.getUTF8String(i)
+      if (s != null) {
+        var j = 0
+        while (j < nTerms) { if (termU(j).equals(s)) cnt(j) += 1; j += 1 }
+      }
+      i += 1
+    }
+    new GenericArrayData(cnt)
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    val tRef = ctx.addReferenceObj("termCountsTerms", termU,
+      "org.apache.spark.unsafe.types.UTF8String[]")
+    nullSafeCodeGen(ctx, ev, arr => {
+      val n = ctx.freshName("n"); val cnt = ctx.freshName("cnt")
+      val s = ctx.freshName("s"); val i = ctx.freshName("i")
+      val j = ctx.freshName("j")
+      s"""
+         |int $n = $arr.numElements();
+         |long[] $cnt = new long[$nTerms];
+         |for (int $i = 0; $i < $n; $i++) {
+         |  org.apache.spark.unsafe.types.UTF8String $s = $arr.getUTF8String($i);
+         |  if ($s != null) {
+         |    for (int $j = 0; $j < $nTerms; $j++) {
+         |      if ($tRef[$j].equals($s)) $cnt[$j]++;
+         |    }
+         |  }
+         |}
+         |${ev.value} = new org.apache.spark.sql.catalyst.util.GenericArrayData($cnt);
+       """.stripMargin
+    })
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): TermCounts =
+    copy(child = newChild)
+  override def prettyName: String = "term_counts"
+}
+
 object hashes {
   /** SimHash of an array<bigint> of token hashes. */
   def simhash64(tokenHashes: Column): Column =
@@ -158,4 +225,10 @@ object hashes {
     import org.apache.spark.sql.functions.{conv, lit, md5, pmod, substring}
     pmod(conv(substring(md5(key), 1, 8), 16, 10).cast("long"), lit(mod))
   }
+
+  /** Occurrence counts of a literal term list over array<string>
+    * tokens, in term order.
+    */
+  def termCounts(tokens: Column, terms: Seq[String]): Column =
+    ColumnBridge.column(TermCounts(ColumnBridge.expression(tokens), terms))
 }
