@@ -1869,7 +1869,8 @@ object Dedup {
     * a linear shuffle on the node id, and `localCheckpoint` would
     * become a reliable checkpoint.
     */
-  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20,
+                          driverLimit: Long = VerifyBroadcastLimit): DataFrame = {
     val sc0 = edges.sparkSession.sparkContext
     // materialize the edge list ONCE, before symmetrizing — the edge
     // derivation upstream can be an expensive pipeline, and both the
@@ -1889,6 +1890,50 @@ object Dedup {
     }.toSet
     IndexCache.releaseIds(edges.sparkSession,
       sc0.getPersistentRDDs.keySet.diff(beforeE).toSet -- eOwn)
+    // Bounded fast path: a verified duplicate-pair list small enough
+    // to collect safely resolves on the driver in ONE pass (union-find
+    // with the min id kept as every root, so labels are bit-identical
+    // to the iterative min-propagation below). The cap is the same
+    // driver-result-size argument as [[VerifyBroadcastLimit]] (~50 B
+    // per collected pair, 4M ≈ 200 MB under the 1 GiB default
+    // maxResultSize). The distributed loop costs 4+ jobs PER ROUND
+    // (join, pointer-jump join, checkpoint, convergence probe) —
+    // measured as the dominant job count of every CC consumer at
+    // bench scale — and remains the path for pathological duplicate
+    // densities where the pair list itself is corpus-sized.
+    val nEdges = e.count()
+    if (nEdges <= driverLimit) {
+      val parent = new java.util.HashMap[Long, Long]()
+      def find(x0: Long): Long = {
+        var x = x0
+        var p = parent.getOrDefault(x, x)
+        while (p != x) { // path halving
+          val gp = parent.getOrDefault(p, p)
+          parent.put(x, gp); x = gp; p = parent.getOrDefault(x, x)
+        }
+        x
+      }
+      val rows = e.collect()
+      var i = 0
+      while (i < rows.length) {
+        val ra = find(rows(i).getLong(0)); val rb = find(rows(i).getLong(1))
+        if (ra != rb) {
+          if (ra < rb) parent.put(rb, ra) else parent.put(ra, rb)
+        }
+        i += 1
+      }
+      val nodes = new java.util.HashSet[Long]()
+      i = 0
+      while (i < rows.length) {
+        nodes.add(rows(i).getLong(0)); nodes.add(rows(i).getLong(1)); i += 1
+      }
+      val out = new scala.collection.mutable.ArrayBuffer[(Long, Long)](nodes.size)
+      val it = nodes.iterator()
+      while (it.hasNext) { val n = it.next(); out += ((n, find(n))) }
+      val spark = edges.sparkSession
+      import spark.implicits._
+      return out.toSeq.toDF("node", "comp")
+    }
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // iteration 0 fused into initialization: comp = min(node, min
     // neighbor) in ONE aggregate over the symmetric edges (every node

@@ -248,9 +248,18 @@ object FullText {
     val seedTf = toks.filter(col("doc_id").isin(seeds: _*))
       .groupBy(col("doc_id").as("seed_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    val df = toks
+    // ONE corpus token explode feeds BOTH the df statistic and the
+    // final scoring (the former shape exploded the corpus twice —
+    // once per branch); matched is (doc, seed-term, tf), distinct by
+    // construction, so df = count per token ≡ countDistinct(doc_id),
+    // the occurrence-sum Σ idf ≡ Σ tf·idf, and the distinct-term
+    // count ≡ count per doc. Materialized once: Catalyst shares no
+    // common sub-plans across the df broadcast and the scoring scan.
+    val matched = toks
       .join(broadcast(seedTf.select(col("token")).distinct()), "token")
-      .groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
+      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
+      .localCheckpoint()
+    val df = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val st = docs.agg(count(lit(1)).as("n_docs"))
     val wSeed = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seed_id")).orderBy(col("tscore").desc, col("token"))
@@ -260,11 +269,11 @@ object FullText {
       .withColumn("trn", row_number().over(wSeed))
       .filter(col("trn") <= 10)
       .select(col("token"), col("idf")).dropDuplicates("token")
-    toks.filter(!col("doc_id").isin(seeds: _*))
+    matched.filter(!col("doc_id").isin(seeds: _*))
       .join(broadcast(terms), "token")
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("idf")), 6).as("score"),
-        countDistinct(col("token")).as("n_terms"))
+      .agg(round(sum(col("idf") * col("tf")), 6).as("score"),
+        count(lit(1)).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(K)
   }

@@ -1163,17 +1163,24 @@ object VectorIndex {
                              pool: DataFrame, score: (Column, Column) => Column,
                              metricAsc: Boolean, k: Int,
                              cached: Boolean = true): DataFrame = {
-    val ord = if (metricAsc) col("score").asc else col("score").desc
-    val w = Window.partitionBy(col("q_id")).orderBy(ord, col("vec_id"))
+    // bounded top-k aggregate instead of a rank window: one exchange
+    // of k-entry buffers, no per-task sort of the pool (the ascending
+    // metrics ride through negation — exact for every finite double
+    // and ±0.0; l2/ADC distances are never NaN, and the descending
+    // cosine path keeps the window form's NaN-first total order)
+    val aggScore = if (metricAsc) -col("score") else col("score")
     served(spark, path, "rerank", cached) {
       vectors(spark, path, primaryOnly = true).select(col("vec_id"), col("embedding"))
     }
       .join(broadcast(pool), "vec_id")
       .join(broadcast(queries.select(col("q_id"), col("q_emb"))), "q_id")
       .withColumn("score", round(score(col("q_emb"), col("embedding")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.aggops.topKByScore(aggScore, col("vec_id"), k).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), col("__e.vec_id").as("vec_id"),
+        (col("__pos") + 1).cast("long").as("rn"),
+        (if (metricAsc) -col("__e.score") else col("__e.score")).as("score"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -1252,10 +1259,17 @@ object VectorIndex {
           .crossJoin(broadcast(q.select(col("q_id"), col("adc"))))
           .select(col("q_id"), col("vec_id"), Quantization.adcDist.as("adc_dist"))
       }
+    // pool selection as a bounded aggregate (membership identical to
+    // the arn window: adc asc ≡ -adc desc, vec_id tiebreak; ADC
+    // distances are finite so negation is exact) — nothing sorts the
+    // corpus × query ADC frame, and the only exchange carries
+    // pool-entry buffers
     val cand = scored
-      .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= resolvePool(meta, pool))
-      .select(col("q_id"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.aggops.topKByScore(-col("adc_dist"), col("vec_id"),
+        resolvePool(meta, pool)).as("__tk"))
+      .select(col("q_id"),
+        explode(expr("transform(__tk, x -> x.vec_id)")).as("vec_id"))
     rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k, cached)
   }
 
@@ -1307,12 +1321,14 @@ object VectorIndex {
                   cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
     val meta = readMeta(spark, path)
-    val wAdc = Window.partitionBy(col("q_id")).orderBy(col("adc_dist").asc, col("vec_id"))
+    // pool selection as a bounded aggregate — see searchPq's note
     val cand = ivfPqScored(spark, path, meta, queries,
         resolveNProbe(meta, nprobe), cached)
-      .withColumn("arn", row_number().over(wAdc))
-      .filter(col("arn") <= resolvePool(meta, pool))
-      .select(col("q_id"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.aggops.topKByScore(-col("adc_dist"), col("vec_id"),
+        resolvePool(meta, pool)).as("__tk"))
+      .select(col("q_id"),
+        explode(expr("transform(__tk, x -> x.vec_id)")).as("vec_id"))
     rerankFromRest(spark, path, queries, cand, vec.l2(_, _), metricAsc = true, k, cached)
   }
 
@@ -1359,11 +1375,13 @@ object VectorIndex {
   def searchSq8(spark: SparkSession, rawPath: String, queries: DataFrame,
                 k: Int = Quantization.K, cached: Boolean = true): DataFrame = {
     val path = IndexAlias.resolve(spark, rawPath)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
     // the dequantized floats are materialized INSIDE the served view:
     // the interpreted HOF decode runs once per vector per session, and
     // the checkpoint is a projection-collapse barrier, so it can never
-    // be inlined into the per-(query, vector) scoring expression
+    // be inlined into the per-(query, vector) scoring expression.
+    // Top-k as a bounded aggregate (one exchange of k-entry buffers,
+    // nothing sorts the corpus × query frame); no spill copies on the
+    // primary-only scan, so no dedup step is needed.
     served(spark, path, "sq8", cached) {
       vectors(spark, path, primaryOnly = true)
         .select(col("vec_id"), col("sq8"), col("sq8_min"), col("sq8_scale"))
@@ -1372,9 +1390,11 @@ object VectorIndex {
     }
       .crossJoin(broadcast(queries.select(col("q_id"), col("q_emb"))))
       .withColumn("score", round(vec.cosine(col("q_emb"), col("demb")), 6))
-      .withColumn("rn", row_number().over(w).cast("long"))
-      .filter(col("rn") <= k)
-      .select(col("q_id"), col("vec_id"), col("rn"), col("score"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.aggops.topKByScore(col("score"), col("vec_id"), k).as("__tk"))
+      .select(col("q_id"), posexplode(col("__tk")).as(Seq("__pos", "__e")))
+      .select(col("q_id"), col("__e.vec_id").as("vec_id"),
+        (col("__pos") + 1).cast("long").as("rn"), col("__e.score").as("score"))
       .orderBy(col("q_id"), col("rn"))
   }
 
@@ -1398,7 +1418,9 @@ object VectorIndex {
     val qIn = meta.bqMean.fold(col("q_emb"))(mu =>
       zip_with(col("q_emb"), typedLit(mu), (v, m) => v - m))
     val q = queries.select(col("q_id"), Quantization.bqWord(qIn).as("qw"))
-    val wHam = Window.partitionBy(col("q_id")).orderBy(col("hamming").asc, col("vec_id"))
+    // Hamming pool as a bounded aggregate (hamming asc ≡ -hamming
+    // desc on exact small integers; tie by vec_id matches the former
+    // hrn window) — the corpus × query Hamming frame is never sorted
     val cand = served(spark, path, "bq", cached) {
       vectors(spark, path, primaryOnly = true)
         .select(col("vec_id"), col("bq_word"))
@@ -1406,9 +1428,11 @@ object VectorIndex {
       .crossJoin(broadcast(q))
       .select(col("q_id"), col("vec_id"),
         bit_count(col("bq_word").bitwiseXOR(col("qw"))).as("hamming"))
-      .withColumn("hrn", row_number().over(wHam))
-      .filter(col("hrn") <= servedPool)
-      .select(col("q_id"), col("vec_id"))
+      .groupBy(col("q_id"))
+      .agg(graft.functions.aggops.topKByScore(
+        -col("hamming").cast("double"), col("vec_id"), servedPool).as("__tk"))
+      .select(col("q_id"),
+        explode(expr("transform(__tk, x -> x.vec_id)")).as("vec_id"))
     rerankFromRest(spark, path, queries, cand, vec.cosine(_, _), metricAsc = false, k, cached)
   }
 

@@ -115,4 +115,30 @@ class AnnSpec extends SparkSpec {
       assert(rs.count(_ => true) <= Ann.K)
     }
   }
+
+  test("dedupSpilledTopK: bounded-buffer form equals the rank window on spill duplicates") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    // every vector appears twice (spill 2) with identical embeddings;
+    // scores tie in groups so the k boundary lands inside a tie run
+    val rnd = new scala.util.Random(3)
+    val qs = (0L until 4L)
+    val vs = (0L until 40L)
+    val rows = for { q <- qs; v <- vs; copy <- 0 to 1 }
+      yield (q, Array.tabulate(8)(i => ((v % 5) + i).toFloat), v)
+    val cand = rows.toDF("q_id", "q_emb", "vec_id")
+      .withColumn("embedding", col("q_emb")) // cosine 1.0 ties across all vecs per query
+    val got = graft.operators.Ann.dedupSpilledTopK(cand, k = 7).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("score").desc, col("vec_id"))
+    val want = cand
+      .withColumn("score", round(graft.functions.vec.cosine(col("q_emb"), col("embedding")), 6))
+      .groupBy(col("q_id"), col("vec_id")).agg(first(col("score")).as("score"))
+      .withColumn("rn", row_number().over(w).cast("long"))
+      .filter(col("rn") <= 7)
+      .select(col("q_id"), col("vec_id"), col("rn"), col("score")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.sorted.toSeq == want.sorted.toSeq)
+  }
 }

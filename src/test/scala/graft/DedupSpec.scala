@@ -28,6 +28,24 @@ class DedupSpec extends SparkSpec {
     assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 4L, 5L -> 4L))
   }
 
+  test("connectedComponents: bounded driver fast path equals the distributed loop") {
+    import spark.implicits._
+    // chains, a star, reversed edges, a long path crossing id order,
+    // self-contained singleton pairs — labels must agree edge-for-edge
+    val rnd = new scala.util.Random(11)
+    val edges = (Seq((9L, 2L), (2L, 7L), (30L, 10L), (10L, 20L), (20L, 30L)) ++
+      (0 until 200).map(_ => (rnd.nextInt(120).toLong, rnd.nextInt(120).toLong)))
+      .toDF("a", "b")
+    def labels(driverLimit: Long) =
+      Dedup.connectedComponents(edges, driverLimit = driverLimit).collect()
+        .map(r => r.getAs[Long]("node") -> r.getAs[Long]("comp")).toMap
+    val fast = labels(Long.MaxValue)
+    val dist = labels(-1L) // forces the iterative path
+    assert(fast == dist,
+      s"driver union-find and distributed min-propagation disagree: " +
+        s"${(fast.toSet diff dist.toSet).take(5)} vs ${(dist.toSet diff fast.toSet).take(5)}")
+  }
+
   test("q_dup_clusters groups every constructed duplicate with its original") {
     val comp = Dedup.qDupClusters(spark, sfDir).collect()
       .map(r => r.getAs[Long]("doc_id") -> r.getAs[Long]("cluster_id")).toMap
