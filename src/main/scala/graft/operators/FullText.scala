@@ -253,12 +253,15 @@ object FullText {
     // once per branch); matched is (doc, seed-term, tf), distinct by
     // construction, so df = count per token ≡ countDistinct(doc_id),
     // the occurrence-sum Σ idf ≡ Σ tf·idf, and the distinct-term
-    // count ≡ count per doc. Materialized once: Catalyst shares no
-    // common sub-plans across the df broadcast and the scoring scan.
+    // count ≡ count per doc. No materialization: both branches carry
+    // the identical canonical aggregate subtree, which AQE's runtime
+    // stage reuse executes once where it fires; an eager checkpoint
+    // here measured SLOWER in the full bench (it serializes the
+    // stage pipeline), and the worst case without reuse equals the
+    // original two-explode shape.
     val matched = toks
       .join(broadcast(seedTf.select(col("token")).distinct()), "token")
       .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-      .localCheckpoint()
     val df = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
     val st = docs.agg(count(lit(1)).as("n_docs"))
     val wSeed = org.apache.spark.sql.expressions.Window
@@ -289,7 +292,11 @@ object FullText {
     val docs = Tables.documents(spark, sfDir)
     val toks = docs.select(col("doc_id"), col("source"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
-    val fgDf = toks.filter(col("source") === "src7")
+    // filter BEFORE the explode: the foreground is one source slice,
+    // so its df scan explodes 1/|sources| of the corpus (the filter
+    // also reaches the parquet scan as a pushed predicate)
+    val fgDf = docs.filter(col("source") === "src7")
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df_fg"))
       .filter(col("df_fg") >= 3)
     val counts = docs.agg(count(lit(1)).as("n_bg"),
@@ -349,7 +356,11 @@ object FullText {
       .localCheckpoint()
     val toks = docs.select(col("doc_id"),
       explode(array_distinct(split(col("text"), " "))).as("token"))
-    val fgDf = toks.join(broadcast(sample), "doc_id")
+    // join BEFORE the explode: the foreground is a ≤100-row sample, so
+    // pruning docs first explodes |sample| docs instead of the corpus
+    // (guide §3.3 — explode after the join, not before)
+    val fgDf = docs.join(broadcast(sample), "doc_id")
+      .select(explode(array_distinct(split(col("text"), " "))).as("token"))
       .groupBy(col("token")).agg(count(lit(1)).as("df_fg"))
       .filter(col("df_fg") >= 3)
     val counts = docs.agg(count(lit(1)).as("n_bg"))

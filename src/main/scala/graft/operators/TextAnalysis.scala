@@ -193,7 +193,11 @@ object TextAnalysis {
     * with a CuckooFilter; exact df is the natural Spark form).
     */
   def qRareTerms(spark: SparkSession, sfDir: String): DataFrame =
-    Tables.documents(spark, sfDir)
+    // rebalance: the trigram explode is the query's dominant stage and
+    // ran on the corpus file's single split (measured 0.55 s one-task)
+    graft.operators.Fanout.rebalance(
+        Tables.documents(spark, sfDir).select(col("doc_id"), col("text")),
+        col("doc_id"))
       .select(col("doc_id"), split(col("text"), " ").as("toks"))
       .filter(size(col("toks")) >= 3)
       .select(explode(array_distinct(expr(
@@ -222,6 +226,10 @@ object TextAnalysis {
     * 1e-6 grid so everything downstream is engine-deterministic.
     */
   private def docNll(spark: SparkSession, sfDir: String): DataFrame = {
+    // (a rebalance at this explode was tried and REVERTED: toks feeds
+    // two branches with no materialization, so the repair exchange is
+    // planned once per branch — measured flat-to-worse, +12 exchange
+    // mentions in q_perplexity_buckets' plan)
     val toks = Tables.documents(spark, sfDir)
       .select(col("doc_id"), explode(split(col("text"), " ")).as("tok"))
     val vocab = toks.groupBy(col("tok")).agg(count(lit(1)).as("c"))
