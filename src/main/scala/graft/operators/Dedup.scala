@@ -1932,7 +1932,14 @@ object Dedup {
       while (it.hasNext) { val n = it.next(); out += ((n, find(n))) }
       val spark = edges.sparkSession
       import spark.implicits._
-      return out.toSeq.toDF("node", "comp")
+      // size the slices to the data, not the core count: a default
+      // parallelize cuts this (usually tiny) frame into 32 slices,
+      // and every downstream WRITE of it (the session cluster index)
+      // then lands 32 near-empty files that every stats poll re-lists
+      // (guide §6 small-files; measured +0.25 s on q_index_stats)
+      val slices = math.max(1, math.min(
+        spark.sparkContext.defaultParallelism, out.size / 500000))
+      return spark.sparkContext.parallelize(out.toSeq, slices).toDF("node", "comp")
     }
     val sym = e.unionByName(e.select(col("b").as("a"), col("a").as("b")))
     // iteration 0 fused into initialization: comp = min(node, min

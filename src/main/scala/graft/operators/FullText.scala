@@ -248,21 +248,14 @@ object FullText {
     val seedTf = toks.filter(col("doc_id").isin(seeds: _*))
       .groupBy(col("doc_id").as("seed_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // ONE corpus token explode feeds BOTH the df statistic and the
-    // final scoring (the former shape exploded the corpus twice —
-    // once per branch); matched is (doc, seed-term, tf), distinct by
-    // construction, so df = count per token ≡ countDistinct(doc_id),
-    // the occurrence-sum Σ idf ≡ Σ tf·idf, and the distinct-term
-    // count ≡ count per doc. No materialization: both branches carry
-    // the identical canonical aggregate subtree, which AQE's runtime
-    // stage reuse executes once where it fires; an eager checkpoint
-    // here measured SLOWER in the full bench (it serializes the
-    // stage pipeline), and the worst case without reuse equals the
-    // original two-explode shape.
-    val matched = toks
+    // (a single-explode fold through a shared (doc, token, tf)
+    // aggregate was tried BOTH materialized and lazy and REVERTED:
+    // the added (doc_id, token) exchange on the scoring path measured
+    // +0.18 s in the full bench against the two-explode shape — the
+    // df branch's aggregate is token-cardinality, strictly smaller)
+    val df = toks
       .join(broadcast(seedTf.select(col("token")).distinct()), "token")
-      .groupBy(col("doc_id"), col("token")).agg(count(lit(1)).as("tf"))
-    val df = matched.groupBy(col("token")).agg(count(lit(1)).as("df"))
+      .groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
     val st = docs.agg(count(lit(1)).as("n_docs"))
     val wSeed = org.apache.spark.sql.expressions.Window
       .partitionBy(col("seed_id")).orderBy(col("tscore").desc, col("token"))
@@ -272,11 +265,11 @@ object FullText {
       .withColumn("trn", row_number().over(wSeed))
       .filter(col("trn") <= 10)
       .select(col("token"), col("idf")).dropDuplicates("token")
-    matched.filter(!col("doc_id").isin(seeds: _*))
+    toks.filter(!col("doc_id").isin(seeds: _*))
       .join(broadcast(terms), "token")
       .groupBy(col("doc_id"))
-      .agg(round(sum(col("idf") * col("tf")), 6).as("score"),
-        count(lit(1)).as("n_terms"))
+      .agg(round(sum(col("idf")), 6).as("score"),
+        countDistinct(col("token")).as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(K)
   }

@@ -77,7 +77,12 @@ class PlanSpec extends SparkSpec {
     assert(lsh.contains("BroadcastHashJoin"), lsh)
     val ivfpq = plan(Quantization.qIvfPqKnn(spark, sfDir))
     assert(ivfpq.contains("BroadcastHashJoin"), ivfpq)
-    assert(ivfpq.split("WindowGroupLimit").length - 1 >= 2, ivfpq)
+    // both rank stages (ADC pool, exact rerank) run as the bounded
+    // top-k aggregate — nothing sorts the candidate frame, and no
+    // rank window (whose map-side WindowGroupLimit still sorted each
+    // task's slice) remains anywhere in the plan
+    assert(ivfpq.split("top_k_by_score").length - 1 >= 2, ivfpq)
+    assert(!ivfpq.contains("WindowGroupLimit"), ivfpq)
   }
 
   test("as-of join is one key shuffle, never a range cross-product") {
@@ -93,7 +98,10 @@ class PlanSpec extends SparkSpec {
         plan(Quantization.qBqKnn(spark, sfDir))).foreach { p =>
       assert(p.contains("BroadcastHashJoin"), p)
       assert(!p.contains("SortMergeJoin"), p)
-      assert(p.contains("WindowGroupLimit"), p)
+      // the bounded pre-limit runs map-side either as a rank window's
+      // WindowGroupLimit (matryoshka's exact path) or as the bounded
+      // top-k aggregate (the at-rest serving tails)
+      assert(p.contains("WindowGroupLimit") || p.contains("top_k_by_score"), p)
     }
   }
 
