@@ -7,25 +7,18 @@ object Bench {
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
-      // AQE coalescing is byte-based and blind to downstream per-row
-      // cost: with the default 1 MiB minPartitionSize, any stage whose
-      // shuffle output is small coalesces to ONE partition — and the
-      // pair-grid / basket explodes that READ those tiny frames then
-      // run single-threaded (measured: q_frequent_item_sets' 0.94 s
-      // one-task explode job). parallelismFirst (default on) already
-      // prefers cores over the advisory size; this floor is the only
-      // thing overriding it on small frames. A lower floor keeps
-      // explode feeders parallel locally; at cluster scale stages
-      // whose TOTAL shuffle bytes are under minPartitionSize × cores
-      // are trivial either way, so the production value is free to
-      // stay at the 1 MiB default (set
-      // SPARK_GRAFT_AQE_MIN_PARTITION_SIZE). 64k measured best across
-      // the suite: 16k recovered the explode feeders but taxed the
-      // small lexical aggregates with task spam; 64k keeps the explode
-      // wins (q_frequent_item_sets 1.52 -> 0.79, q_dedup_ngram
-      // 1.76 -> 1.39) without them.
+      // The round-14 bench session floored AQE's
+      // coalescePartitions.minPartitionSize at 64k because the basket
+      // pair grid read an AQE-collapsed one-partition frame. That fix
+      // now lives in the OPERATORS (user-pinned non-downsizing
+      // exchanges: Fanout.gridWidth), where production inherits it —
+      // and the floor itself was measured TAXING the at-rest lexical
+      // path with task spam (q_bm25_indexed 0.78 -> 0.53 s and
+      // q_hybrid_at_rest 1.24 -> 1.02 s at the Spark default). The
+      // bench therefore runs Spark's default; the env knob remains
+      // for A/B probes only.
       .config("spark.sql.adaptive.coalescePartitions.minPartitionSize",
-        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "64k"))
+        sys.env.getOrElse("SPARK_GRAFT_AQE_MIN_PARTITION_SIZE", "1m"))
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
@@ -86,9 +79,25 @@ object Bench {
     // to one contended pass, which the min-of-two was not when the
     // contention hit BOTH passes of one round
     val nPasses = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "3").toInt
-    val passes = (1 to nPasses).map { _ =>
+    // salvage completed passes on a mid-run failure (executor OOM,
+    // disk-full): one parseable JSON line ALWAYS prints — a bench
+    // round whose stdout fails to parse leaves the next round's
+    // perf comparison with no prev column at all
+    var passFailure: Option[String] = None
+    val passes = (1 to nPasses).flatMap { _ =>
       val s = loadSentinel()
-      (pass(), s)
+      try Some((pass(), s)) catch {
+        case e: Throwable =>
+          passFailure = Some(
+            (e.getClass.getSimpleName + ": " + String.valueOf(e.getMessage)).take(160))
+          None
+      }
+    }
+    if (passes.isEmpty) {
+      println(s"""{"metric":"total","value":-1,"unit":"sec","queries":{},""" +
+        s""""sf":"$sfDir","cpus":$cpus,"fatal":${"\"" + passFailure.getOrElse("no pass completed") + "\""}}""")
+      spark.stop()
+      return
     }
     def minOf(name: String): Double = passes.map(_._1(name)._1).min
     def medianOf(name: String): Double = {
@@ -114,8 +123,17 @@ object Bench {
       else (times(times.size / 2 - 1) + times(times.size / 2)) / 2.0
     val medianTotal = ordered.map { case (k, _) => medianOf(k) }.sum
     val sentinels = passes.map(p => jstr(p._2)).mkString("[", ",", "]")
+    // echo the effective core count and AQE floor so the driver's
+    // scaling probe can CONFIRM $SPARK_GRAFT_CPUS took effect (it
+    // previously had to infer it and false-flagged suspect_cpus_ignored
+    // at fixed-cost-dominated SFs) and so a measurement-environment
+    // conf is on the record next to the numbers it shaped
+    val aqeFloor = spark.conf.get(
+      "spark.sql.adaptive.coalescePartitions.minPartitionSize", "default")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","median":$median,""" +
-      s""""median_total":$medianTotal,"n_passes":$nPasses,"sentinels":$sentinels,""" +
+      s""""median_total":$medianTotal,"n_passes":${passes.size},"sentinels":$sentinels,""" +
+      s""""cpus":$cpus,"aqe_min_partition_size":${jstr(aqeFloor)},""" +
+      passFailure.fold("")(f => s""""pass_failure":${jstr(f)},""") +
       s""""n_queries":${results.size},"n_errors":${results.count(_._3.isDefined)},""" +
       s""""errors":$errs,"queries":$qs,"sf":"$sfDir"}"""
     println(json)

@@ -97,11 +97,12 @@ object Dedup {
       // row), so AQE's byte-based coalescing collapses it to one
       // partition and the grid explodes single-threaded (measured:
       // 0.74 s one-task job inside q_dedup_ngram). A user-specified
-      // count is exempt from coalescing; defaultParallelism scales
-      // with the cluster, and the block design already bounds
-      // per-row work at B²
-      .repartition(postings.sparkSession.sparkContext.defaultParallelism,
-        col("da"), col("db"))
+      // count is exempt from coalescing in BOTH directions, so the
+      // width must be non-downsizing ([[Fanout.gridWidth]]): a bare
+      // defaultParallelism could shrink a properly wide exchange when
+      // shuffle.partitions is sized above the core count at cluster
+      // scale. The block design already bounds per-row work at B²
+      .repartition(Fanout.gridWidth(postings), col("da"), col("db"))
       .select(explode(col("da")).as("doc_a"), col("db"))
       .select(col("doc_a"), explode(col("db")).as("doc_b"))
       .filter(col("doc_a") < col("doc_b"))

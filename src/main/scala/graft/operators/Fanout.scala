@@ -51,4 +51,18 @@ private[graft] object Fanout {
     // already materialized and the count is a field read
     if (df.rdd.getNumPartitions < par) df.repartition(par, key) else df
   }
+
+  /** NON-DOWNSIZING width for a user-pinned exchange that feeds a
+    * fan-out (pair grid, basket explode): a user-specified partition
+    * count is exempt from AQE coalescing in BOTH directions, so a
+    * constant here could SHRINK a properly wide exchange at cluster
+    * scale. max(defaultParallelism, shuffle.partitions) never does:
+    * without the pin the exchange would be exactly
+    * `spark.sql.shuffle.partitions` wide (AQE only coalesces DOWN
+    * from its initial count), and defaultParallelism covers sessions
+    * that size shuffles below the core count.
+    */
+  def gridWidth(df: DataFrame): Int = math.max(
+    df.sparkSession.sparkContext.defaultParallelism,
+    df.sparkSession.sessionState.conf.numShufflePartitions)
 }

@@ -236,40 +236,86 @@ object FullText {
 
   /** More-like-this (ES `more_like_this`): harvest each seed doc's
     * top-10 terms by tf·idf, then score every other doc by
-    * Σ tf·idf over the harvested term set; top-20. The seed side is
-    * two docs (broadcast everywhere); df is computed only for seed
-    * terms via a broadcast semi-join, so the corpus-sized work is one
-    * token explode + the final per-doc aggregate.
+    * Σ tf·idf over the harvested term set; top-20.
+    *
+    * Shape (guide §2.4 — remove shuffles outright): the seed side is
+    * two literal docs, so their (term, tf) table is a BOUNDED collect
+    * (two documents' vocabularies — the same driver-cap discipline as
+    * the CC fast path, at a far smaller ceiling); seed-term df + N
+    * then come from ONE map-side single-row aggregate over a
+    * [[graft.functions.TermCounts]] projection (no token explode, no
+    * (token) exchange), the top-10-per-seed harvest happens on the
+    * driver over ≤2 doc-vocabularies of rows, and the corpus scoring
+    * is a pure projection over a second TermCounts pass — score =
+    * Σ tf·idf as a per-row expression — finished by a distributed
+    * TakeOrdered. ZERO corpus-sized shuffles; the former shape paid
+    * two token explodes plus (token) and (doc_id) exchanges.
+    * (r14's single-explode fold was rejected for ADDING a (doc_id,
+    * token) exchange; this removes both explodes instead.)
     */
   def qMoreLikeThis(spark: SparkSession, sfDir: String): DataFrame = {
     val seeds = Seq(7L, 21L)
     val docs = Tables.documents(spark, sfDir)
-    val toks = docs.select(col("doc_id"), explode(split(col("text"), " ")).as("token"))
-    val seedTf = toks.filter(col("doc_id").isin(seeds: _*))
-      .groupBy(col("doc_id").as("seed_id"), col("token"))
+    // 1. seed (term, tf) rows — bounded by two docs' vocabularies
+    val seedTf = docs.filter(col("doc_id").isin(seeds: _*))
+      .select(col("doc_id").as("seed_id"),
+        explode(split(col("text"), " ")).as("token"))
+      .groupBy(col("seed_id"), col("token"))
       .agg(count(lit(1)).as("tf"))
-    // (a single-explode fold through a shared (doc, token, tf)
-    // aggregate was tried BOTH materialized and lazy and REVERTED:
-    // the added (doc_id, token) exchange on the scoring path measured
-    // +0.18 s in the full bench against the two-explode shape — the
-    // df branch's aggregate is token-cardinality, strictly smaller)
-    val df = toks
-      .join(broadcast(seedTf.select(col("token")).distinct()), "token")
-      .groupBy(col("token")).agg(countDistinct(col("doc_id")).as("df"))
-    val st = docs.agg(count(lit(1)).as("n_docs"))
-    val wSeed = org.apache.spark.sql.expressions.Window
-      .partitionBy(col("seed_id")).orderBy(col("tscore").desc, col("token"))
-    val terms = seedTf.join(broadcast(df), "token").crossJoin(broadcast(st))
-      .withColumn("idf", log(col("n_docs").cast("double") / col("df")))
-      .withColumn("tscore", round(col("tf") * col("idf"), 6))
-      .withColumn("trn", row_number().over(wSeed))
-      .filter(col("trn") <= 10)
-      .select(col("token"), col("idf")).dropDuplicates("token")
-    toks.filter(!col("doc_id").isin(seeds: _*))
-      .join(broadcast(terms), "token")
-      .groupBy(col("doc_id"))
-      .agg(round(sum(col("idf")), 6).as("score"),
-        countDistinct(col("token")).as("n_terms"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val seedTerms = seedTf.map(_._2).distinct.sorted.toIndexedSeq
+    if (seedTerms.isEmpty)
+      // no seed docs in this corpus: the former inner join returned
+      // an empty frame; keep that contract (schema included)
+      return docs.select(col("doc_id"), lit(0.0).as("score"),
+        lit(0L).as("n_terms")).limit(0)
+    // 2. one corpus pass: N + per-seed-term df (a doc counts once per
+    //    term it contains) as a single combinable aggregate over the
+    //    TermCounts projection — the exact countDistinct(doc_id) the
+    //    former (token) exchange computed
+    val tc = graft.functions.hashes.termCounts(split(col("text"), " "), seedTerms)
+    val dfAggs = count(lit(1)).as("n_docs") +: seedTerms.indices.map(i =>
+      sum((element_at(col("__tc"), i + 1) > 0).cast("long")).as(s"__df$i"))
+    // rebalance: the |seedTerms|-wide TermCounts pass is the query's
+    // dominant map work and otherwise runs on the corpus file's single
+    // split (guarded no-op on any properly split corpus)
+    val statRow = Fanout.rebalance(docs, col("doc_id"))
+      .select(tc.as("__tc")).agg(dfAggs.head, dfAggs.tail: _*)
+      .collect()(0)
+    val nDocs = statRow.getLong(0)
+    val idf = seedTerms.indices.map(i =>
+      seedTerms(i) -> math.log(nDocs.toDouble / statRow.getLong(i + 1))).toMap
+    // 3. driver-side harvest: top 10 per seed by (round(tf·idf, 6)
+    //    desc, token asc) — same key, same rounding (HALF_UP via
+    //    BigDecimal.valueOf, Spark's round()) as the former window
+    def r6(x: Double): Double = java.math.BigDecimal.valueOf(x)
+      .setScale(6, java.math.RoundingMode.HALF_UP).doubleValue()
+    val harvested = seedTf.groupBy(_._1).values.flatMap { rows =>
+      rows.map { case (_, t, tf) => (t, r6(tf * idf(t))) }
+        .sortBy { case (t, ts) => (-ts, t) }.take(10)
+    }.map(_._1).toSeq.distinct.sorted
+    // 4. score the corpus map-side: Σ tf·idf over the ≤ 10·|seeds|
+    //    harvested terms, n_terms = distinct terms present
+    val stc = graft.functions.hashes.termCounts(split(col("text"), " "), harvested)
+    val score = harvested.indices.map(i =>
+      element_at(col("__tc"), i + 1).cast("double") * lit(idf(harvested(i))))
+      .reduce(_ + _)
+    val nTerms = harvested.indices.map(i =>
+      (element_at(col("__tc"), i + 1) > 0).cast("long")).reduce(_ + _)
+    // the match condition (≡ n_terms > 0) runs BEFORE the __tc
+    // projection as a cheap arrays_overlap on the raw tokens: a filter
+    // on the derived n_terms column would be predicate-pushed BELOW
+    // the projection with term_counts substituted per term — measured
+    // 29 evaluations per row, a 5.5 s single-task stage. The stacked
+    // projections themselves never collapse (CollapseProject keeps a
+    // non-cheap alias referenced more than once), so term_counts runs
+    // exactly once per surviving row.
+    val filtered = docs
+      .filter(!col("doc_id").isin(seeds: _*) &&
+        arrays_overlap(split(col("text"), " "), typedLit(harvested)))
+    Fanout.rebalance(filtered, col("doc_id"))
+      .select(col("doc_id"), stc.as("__tc"))
+      .select(col("doc_id"), round(score, 6).as("score"), nTerms.as("n_terms"))
       .orderBy(col("score").desc, col("doc_id"))
       .limit(K)
   }

@@ -380,8 +380,22 @@ object TextAnalysis {
       .crossJoin(broadcast(nDocs))
       .filter(col("df") >= col("n_docs") * lit(ItemSetMinSupport))
       .select(col("tok"))
-    // baskets restricted to frequent tokens BEFORE pair generation
-    val baskets = t.join(broadcast(freq), "tok")
+    // baskets restricted to frequent tokens BEFORE pair generation.
+    // The basket aggregate's exchange is user-pinned (repartition on
+    // the SAME key the groupBy needs, so the planner plans exactly one
+    // exchange either way — the repartition IS the aggregate's
+    // required distribution): its OUTPUT bytes are small (one row per
+    // doc) while the pair explode READING it is quadratic per row, so
+    // AQE's byte-based coalescing otherwise collapses it to one
+    // partition and the grid runs single-task (measured: a 1.4 s
+    // one-task job under default confs; the bench session's AQE floor
+    // used to mask this — the fix now lives here, in the operator).
+    // Width is non-downsizing (Fanout.gridWidth, never below what the
+    // un-pinned exchange would get), and collect_list has no map-side
+    // reduction, so pinning costs nothing: the same (doc, tok) rows
+    // cross the wire either way.
+    val pruned = t.join(broadcast(freq), "tok")
+    val baskets = pruned.repartition(Fanout.gridWidth(pruned), col("doc_id"))
       .groupBy(col("doc_id"))
       .agg(array_sort(collect_list(col("tok"))).as("st"))
     baskets
