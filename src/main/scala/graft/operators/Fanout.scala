@@ -40,7 +40,7 @@ private[graft] object Fanout {
     * corpus, so this constant never reaches a production plan; it is
     * env-tunable for hosts with different dispatch costs.
     */
-  private def repairWidth(df: DataFrame): Int = math.min(
+  private[graft] def repairWidth(df: DataFrame): Int = math.min(
     sys.env.getOrElse("SPARK_GRAFT_FANOUT_TASKS", "8").toInt,
     df.sparkSession.sparkContext.defaultParallelism)
 

@@ -89,6 +89,20 @@ private[graft] object IndexCache {
     p.toString
   }
 
+  /** Target bytes per dispatch slice of a pinned standing frame —
+    * the small-files rule (guide §6) applied to CACHED blocks: a
+    * checkpoint inherits its build's partitioning, and an at-rest
+    * scan overlay at local scale leaves 16-32 near-empty partitions
+    * that every subsequent serving job re-dispatches (~7 ms/task on
+    * the bench host class, measured as a 0.1-0.2 s flat tax on every
+    * ANN/at-rest query). The width never drops below the fan-out
+    * repair width (per-row serving work — ADC, Hamming, cosine —
+    * must stay parallel) and never rises above the build's own count
+    * (a cluster-scale pinned corpus is never downsized: its bytes
+    * put the data-derived width far above the floor).
+    */
+  private val TargetSliceBytes: Long = 4L * 1024 * 1024
+
   def materialized(spark: SparkSession, key: String)(build: => DataFrame): DataFrame =
     cache.computeIfAbsent(sessionKey(spark) + "#" + key, { fullKey =>
       // pin every persistent RDD the build creates (the checkpointed
@@ -103,9 +117,19 @@ private[graft] object IndexCache {
       try {
         val before = spark.sparkContext.getPersistentRDDs.keySet
         val df = build.localCheckpoint()
-        keyPins.put(fullKey,
-          spark.sparkContext.getPersistentRDDs.keySet.diff(before).toSet)
-        df
+        val newIds = spark.sparkContext.getPersistentRDDs.keySet.diff(before).toSet
+        keyPins.put(fullKey, newIds)
+        // data-sized dispatch width over the pinned blocks: a narrow
+        // coalesce (no shuffle, no re-materialization — each slice
+        // reads its local cached blocks) so serving jobs stop paying
+        // one task per near-empty checkpoint partition
+        val parts = df.rdd.getNumPartitions
+        val bytes = spark.sparkContext.getRDDStorageInfo
+          .filter(i => newIds.contains(i.id)).map(i => i.memSize + i.diskSize).sum
+        val want = math.min(parts, math.max(
+          Fanout.repairWidth(df),
+          math.ceil(bytes.toDouble / TargetSliceBytes).toInt))
+        if (want < parts) df.coalesce(want) else df
       } finally pinLock.readLock().unlock()
     })
 

@@ -224,4 +224,24 @@ class IndexCacheRaceSpec extends SparkSpec {
     IndexCache.dropMatching("race-inv#")
     IndexCache.releaseTransients(spark)
   }
+
+  test("pinned standing frames serve with a data-sized dispatch width") {
+    // a tiny corpus checkpointed over a wide build must NOT make every
+    // serving job dispatch one task per near-empty partition (the
+    // measured 0.1-0.2 s flat tax on the at-rest serving family); the
+    // width floor keeps per-row serving work parallel, and the width
+    // can never EXCEED the build's own partition count (a cluster-
+    // scale pinned corpus is never downsized by the floor)
+    val wide = IndexCache.materialized(spark, "width-probe#e0") {
+      spark.range(0, 50000, 1, 32).toDF("id")
+    }
+    val parts = wide.rdd.getNumPartitions
+    assert(parts <= 8, s"tiny pinned frame still dispatches $parts tasks")
+    assert(parts >= 1)
+    assert(wide.count() == 50000) // content intact through the coalesce
+    // distinctness survives (no row loss/duplication)
+    assert(wide.distinct().count() == 50000)
+    IndexCache.dropMatching("width-probe#")
+    IndexCache.releaseTransients(spark)
+  }
 }
