@@ -394,21 +394,45 @@ object TextAnalysis {
     // un-pinned exchange would get), and collect_list has no map-side
     // reduction, so pinning costs nothing: the same (doc, tok) rows
     // cross the wire either way.
-    val pruned = t.join(broadcast(freq), "tok")
+    // the frequent vocabulary is BOUNDED (Σ df ≤ n·L, so tokens with
+    // df ≥ minsup·n number ≤ L/minsup — avg basket width over the
+    // support floor, independent of corpus size) — collect it sorted
+    // and run the whole pair grid on vocabulary INDICES: baskets
+    // shuffle ints instead of strings, the support aggregate hashes
+    // ONE long key instead of a two-string struct (guide §2.3 narrower
+    // types), and the ≤V² surviving pairs decode back to tokens at the
+    // very end. Index order ≡ string sort order by construction, so
+    // sorted index baskets generate exactly the former (t1 < t2) pairs.
+    val vocab = freq.orderBy(col("tok")).collect().map(_.getString(0))
+    if (vocab.isEmpty)
+      return docs.select(col("doc_id").cast("string").as("t1"),
+        col("doc_id").cast("string").as("t2"),
+        lit(0L).as("support")).limit(0)
+    val v = vocab.length.toLong
+    import spark.implicits._
+    val vIdx = vocab.zipWithIndex.map { case (tk, i) => (tk, i.toLong) }
+      .toSeq.toDF("tok", "ti")
+    val pruned = t.join(broadcast(vIdx), "tok")
+      .select(col("doc_id"), col("ti"))
     val baskets = pruned.repartition(Fanout.gridWidth(pruned), col("doc_id"))
       .groupBy(col("doc_id"))
-      .agg(array_sort(collect_list(col("tok"))).as("st"))
+      .agg(array_sort(collect_list(col("ti"))).as("st"))
     baskets
       .filter(size(col("st")) >= 2)
       .select(explode(expr(
-        """flatten(transform(sequence(0, size(st) - 2), i ->
-          |  transform(slice(st, i + 2, size(st) - i - 1), b -> struct(st[i] AS t1, b AS t2))))"""
+        s"""flatten(transform(sequence(0, size(st) - 2), i ->
+           |  transform(slice(st, i + 2, size(st) - i - 1), b -> st[i] * ${v}L + b)))"""
           .stripMargin)).as("p"))
-      .groupBy(col("p.t1").as("t1"), col("p.t2").as("t2"))
+      .groupBy(col("p"))
       .agg(count(lit(1)).as("support"))
       .crossJoin(broadcast(nDocs))
       .filter(col("support") >= col("n_docs") * lit(ItemSetMinSupport))
-      .select(col("t1"), col("t2"), col("support"))
+      .select(
+        element_at(typedLit(vocab.toSeq),
+          expr(s"cast(p div ${v}L as int)") + 1).as("t1"),
+        element_at(typedLit(vocab.toSeq),
+          expr(s"cast(p % ${v}L as int)") + 1).as("t2"),
+        col("support"))
       .orderBy(col("support").desc, col("t1"), col("t2"))
       .limit(ItemSetTopK)
   }
