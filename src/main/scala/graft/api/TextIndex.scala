@@ -44,12 +44,26 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     * the zero-shuffle scoring base of [[bm25]]/[[tfidf]]/[[bm25Batch]].
     * tf comes from ONE native pass over the tokens
     * ([[graft.functions.TermCounts]]).
+    *
+    * `onlyMatching` applies the match condition (≡ anyMatch: some
+    * tf_i > 0) BEFORE the tf projection, as a cheap arrays_overlap on
+    * the raw tokens: a filter on the derived tf columns is
+    * predicate-pushed BELOW the projection with term_counts
+    * substituted per term — one evaluation per query term per row
+    * (measured in the q_bm25 plan: the Filter condition carried three
+    * term_counts calls next to the projection's one). The stacked
+    * projections themselves never collapse (CollapseProject keeps a
+    * non-cheap alias referenced more than once), so term_counts runs
+    * exactly once per surviving row.
     */
-  private def tfBase(terms: Seq[String]): DataFrame =
-    docs.select(col(idCol), size(toks).cast("long").as("dl"),
+  private def tfBase(terms: Seq[String], onlyMatching: Boolean = false): DataFrame = {
+    val src = if (onlyMatching)
+      docs.filter(arrays_overlap(toks, typedLit(terms))) else docs
+    src.select(col(idCol), size(toks).cast("long").as("dl"),
         graft.functions.hashes.termCounts(toks, terms).as("__tc"))
       .select((col(idCol) +: col("dl") +: terms.indices.map(i =>
         element_at(col("__tc"), i + 1).as(s"__tf$i"))): _*)
+  }
 
   /** df per term, derived from tf so the shuffle exchange is reused. */
   private def docFreq(tf: DataFrame): DataFrame =
@@ -100,9 +114,6 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     base.agg(aggs.head, aggs.tail: _*)
   }
 
-  private def anyMatch(terms: Seq[String]): Column =
-    terms.indices.map(i => col(s"__tf$i") > 0).reduce(_ || _)
-
   /** TF-IDF scores (idf = ln(N/df)) per doc for a term set. Scoring
     * is a per-row expression over the map-side tf columns plus the
     * broadcast single-row statistics — zero corpus-sized shuffles
@@ -114,7 +125,7 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
       when(col(s"__tf$i") > 0,
         col(s"__tf$i") * log(col("n_docs") / col(s"__df$i")))
         .otherwise(lit(0.0))).reduce(_ + _)
-    base.filter(anyMatch(terms))
+    tfBase(terms, onlyMatching = true)
       .crossJoin(broadcast(termStats(base, terms)))
       .select(col(idCol), round(score, 6).as("tfidf"))
   }
@@ -132,7 +143,7 @@ final case class TextIndex(docs: DataFrame, idCol: String = "doc_id",
     val base = tfBase(terms)
     val score = terms.indices.map(i =>
       when(col(s"__tf$i") > 0, idf(i) * w(i)).otherwise(lit(0.0))).reduce(_ + _)
-    base.filter(anyMatch(terms))
+    tfBase(terms, onlyMatching = true)
       .crossJoin(broadcast(termStats(base, terms)))
       .select(col(idCol), round(score, 6).as("bm25"))
   }

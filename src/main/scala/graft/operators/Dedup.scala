@@ -1086,16 +1086,16 @@ object Dedup {
     */
   def minhashPairs(docs: DataFrame): DataFrame = {
     // materialize the hashed arrays once — they feed the signature
-    // pipeline AND both verification attach scans
-    val triH = hashedShingles(docs).localCheckpoint()
-    // rebalance feeds ONLY the signature stage (its output is consumed
-    // by the band groupBy's own exchange, so nothing downstream
-    // inherits the width): the 64-permutation MinHash map is the
-    // query's dominant compute and ran on the corpus file's splits.
-    // Rebalancing triH ITSELF before the checkpoint measured worse —
-    // every tiny downstream attach job then pays the checkpoint's
-    // width in task dispatch.
-    val bands = bandPostings(Fanout.rebalance(triH, col("doc_id")))
+    // pipeline AND both verification attach scans. Rebalance BEFORE
+    // the shingle map: the trigram+hash pass is the query's heaviest
+    // single job and ran on the corpus file's 3 splits (measured
+    // 0.43 s); at the repair width (8) the checkpoint's downstream
+    // consumers (band postings, two corpus-sized attach scans) pay
+    // ~5 extra tasks each — r14 rejected this placement at 32-wide,
+    // where that inheritance cost +2 s of dispatch.
+    val triH = hashedShingles(Fanout.rebalance(docs, col("doc_id")))
+      .localCheckpoint()
+    val bands = bandPostings(triH)
     // candidate pairs via a bucket postings groupBy, not a band
     // self-join: the signature pipeline executes (and compiles) once,
     // the only corpus-sized shuffle ships (band, id) rows, and

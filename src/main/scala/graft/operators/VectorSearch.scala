@@ -209,6 +209,9 @@ object VectorSearch {
     * the plan shape is identical to plain kNN.
     */
   def qDecayScore(spark: SparkSession, sfDir: String): DataFrame = {
+    // (a Fanout.rebalance on the scoring scan was tried and REVERTED:
+    // the 0.34 s single-task cosine pass spread 8-wide but the added
+    // exchange + AQE round gave it all back — 0.73 -> 0.70 s, noise)
     val scored = Tables.embeddings(spark, sfDir)
       .crossJoin(broadcast(querySet(spark, sfDir)))
       .withColumn("sim", round(vec.cosine(col("q_emb"), col("embedding")), 6))
