@@ -22,11 +22,18 @@ object JobProbe {
     Tables.documents(spark, sfDir).count()
 
     case class Job(id: Int, start: Long, var end: Long = -1L,
-                   var tasks: Int = 0, var stages: Int = 0)
+                   var tasks: Int = 0, var stages: Int = 0,
+                   var desc: String = "")
     val jobs = new scala.collection.concurrent.TrieMap[Int, Job]()
     val listener = new SparkListener {
-      override def onJobStart(e: SparkListenerJobStart): Unit =
-        jobs.put(e.jobId, Job(e.jobId, e.time))
+      override def onJobStart(e: SparkListenerJobStart): Unit = {
+        val d = Option(e.properties)
+          .flatMap(p => Option(p.getProperty("spark.job.description")))
+          .orElse(Option(e.properties)
+            .flatMap(p => Option(p.getProperty("callSite.short"))))
+          .getOrElse("")
+        jobs.put(e.jobId, Job(e.jobId, e.time, desc = d.take(90)))
+      }
       override def onJobEnd(e: SparkListenerJobEnd): Unit =
         jobs.get(e.jobId).foreach(_.end = e.time)
       override def onStageCompleted(e: SparkListenerStageCompleted): Unit = {
@@ -60,7 +67,7 @@ object JobProbe {
         f"exec=${(tDone - tPhys) / 1e9}%.3fs jobs=${jobs.size}")
       jobs.values.toSeq.sortBy(_.id).foreach { j =>
         val dur = if (j.end > 0) (j.end - j.start) / 1e3 else -1.0
-        println(f"[jobprobe]   job ${j.id}%3d ${dur}%8.3fs stages=${j.stages} tasks=${j.tasks}")
+        println(f"[jobprobe]   job ${j.id}%3d ${dur}%8.3fs stages=${j.stages} tasks=${j.tasks} ${j.desc}")
       }
     }
     spark.stop()
